@@ -1,0 +1,76 @@
+"""Benchmark harness.
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Per-query timing includes full execution to a count/collect action.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from compendium_spark.plans import all_plans  # noqa: E402
+from compendium_spark.session import get_session  # noqa: E402
+
+BENCH_QUERIES = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "a1_group_count_range_pick",
+    "a2_multi_count_distinct",
+    "j2_anti_join",
+    "j7_snowflake_dims",
+    "a10_last_wins_dedup",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "sim_cosine_topk",
+    "text_quality_score",
+    "text_token_frequency",
+    "w1_tumbling_window",
+    "w3_sessionization",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_session("compendium_spark_bench")
+    plans = all_plans()
+
+    # warm the JVM/session on the smallest sf so per-query numbers
+    # measure the plan, not session startup
+    plans["q1_pricing_summary"].fn(spark, "/root/testdata/sf0.001").collect()
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        p = plans[name]
+        t0 = time.perf_counter()
+        n = p.fn(spark, sf_dir).count()
+        timings[name] = round(time.perf_counter() - t0, 4)
+        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

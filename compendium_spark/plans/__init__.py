@@ -1,0 +1,17 @@
+"""Query plans — the engine's operator inventory, one function per
+SURVEY.md §2 operator, each paired with a DuckDB oracle SQL string.
+
+Import side effect: importing this package registers every plan in
+``registry.all_plans()``.
+"""
+
+from compendium_spark.plans import (  # noqa: F401
+    extended,
+    reference_ops,
+    registry,
+    text,
+    tpch,
+    windows,
+)
+
+all_plans = registry.all_plans

@@ -1,0 +1,473 @@
+"""Training-data-pipeline operators: deduplication & similarity search.
+
+These are the north-star extensions (BASELINE.json): exact dedup,
+n-gram Jaccard near-dup, MinHash-LSH candidate generation, SimHash
+signatures, and embedding cosine top-k / near-dup.
+
+Hash-parity design: every hash used here is ``md5`` — bit-identical in
+Spark and DuckDB — so even the sketching operators have full SQL
+oracles (the usual xxhash/murmur sketches are engine-specific).
+At production scale you would swap md5 for xxhash64 (cheaper); the
+operator shapes are identical.
+
+Scale notes (100 TB):
+  * shingling + min-hashing is map-side only (explode → groupBy doc);
+    the only shuffle is on doc_id, and signatures are tiny.
+  * LSH banding turns the O(n²) pair space into per-band buckets;
+    the band self-join shuffles on band key. Hot buckets (boilerplate
+    text) are the skew risk → AQE skew-join handles, or cap bucket
+    size with a count filter before the join.
+  * brute-force cosine is the correctness baseline; the scale path
+    broadcasts the (small) query set against the sharded corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from compendium_spark.plans.registry import plan
+from compendium_spark.tables import load
+
+# ---------------------------------------------------------------------------
+# shared shingling expressions
+# ---------------------------------------------------------------------------
+
+
+def _tokens() -> Column:
+    return F.split(F.trim(F.col("text")), " +")
+
+
+def _shingles(k: int = 3) -> Column:
+    """Distinct k-word shingles of `text` as an array<string> column.
+
+    Built-in-only: sequence over start offsets + slice + concat_ws,
+    then array_distinct map-side (dedup before the explode/shuffle).
+    """
+    toks = _tokens()
+    n = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(0), n - k),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
+    )
+    return F.array_distinct(F.when(n >= k, grams).otherwise(F.array()))
+
+
+# DuckDB mirror of _shingles(3): 1-based starts 1..len-2, inclusive slices.
+_SHINGLES_SQL = (
+    "list_distinct(CASE WHEN len(string_split_regex(trim(text), ' +')) >= 3 THEN "
+    "list_transform(range(1, len(string_split_regex(trim(text), ' +')) - 1), "
+    "i -> array_to_string(string_split_regex(trim(text), ' +')[i:i+2], ' ')) "
+    "ELSE [] END)"
+)
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+DEDUP_EXACT_SQL = """
+SELECT doc_id, fingerprint,
+       CASE WHEN doc_id = MIN(doc_id) OVER (PARTITION BY fingerprint)
+            THEN TRUE ELSE FALSE END AS is_keeper,
+       COUNT(*) OVER (PARTITION BY fingerprint) AS n_copies
+FROM (SELECT doc_id, md5(text) AS fingerprint FROM documents)
+ORDER BY doc_id
+"""
+
+
+@plan("dedup_exact", oracle=DEDUP_EXACT_SQL)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by content hash (hash-groupBy; keeper = min doc_id).
+
+    Shuffles only (fingerprint, doc_id) pairs, never the text. At
+    100 TB: hash first, shuffle 16-byte keys, resolve keepers, then
+    semi-join keepers back against the corpus.
+    """
+    docs = load(spark, sf_dir, "documents")
+    w = Window.partitionBy("fingerprint")
+    return (
+        docs.select("doc_id", F.md5("text").alias("fingerprint"))
+        .withColumn("is_keeper", F.col("doc_id") == F.min("doc_id").over(w))
+        .withColumn("n_copies", F.count(F.lit(1)).over(w))
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard near-dup (exact verify step)
+# ---------------------------------------------------------------------------
+
+JACCARD_THRESHOLD = 0.2
+
+NGRAM_JACCARD_SQL = f"""
+WITH sh AS (
+  SELECT doc_id, unnest({_SHINGLES_SQL}) AS shingle FROM documents
+),
+cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b,
+       ROUND(1.0 * n_common / (ca.n + cb.n - n_common), 6) AS jaccard
+FROM inter
+JOIN cnt ca ON doc_a = ca.doc_id
+JOIN cnt cb ON doc_b = cb.doc_id
+WHERE 1.0 * n_common / (ca.n + cb.n - n_common) >= {JACCARD_THRESHOLD}
+ORDER BY doc_a, doc_b
+"""
+
+
+@plan("dedup_ngram_jaccard", oracle=NGRAM_JACCARD_SQL)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard similarity for candidate pairs.
+
+    This is the verify step of near-dedup: pairs sharing ≥1 shingle
+    get |A∩B| from a shingle self-join, |A∪B| by inclusion-exclusion.
+    At 100 TB this runs only on LSH candidates (dedup_minhash_lsh),
+    never all-pairs; integer-ratio math keeps it engine-exact.
+    """
+    docs = load(spark, sf_dir, "documents")
+    sh = docs.select("doc_id", F.explode(_shingles()).alias("shingle"))
+    cnt = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    ca = cnt.alias("ca")
+    cb = cnt.alias("cb")
+    jac = F.lit(1.0) * F.col("n_common") / (
+        F.col("ca.n") + F.col("cb.n") - F.col("n_common")
+    )
+    return (
+        inter.join(ca, F.col("doc_a") == F.col("ca.doc_id"))
+        .join(cb, F.col("doc_b") == F.col("cb.doc_id"))
+        .filter(jac >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash-LSH candidate generation
+# ---------------------------------------------------------------------------
+
+N_HASHES = 8
+N_BANDS = 4  # rows per band = 2
+
+
+def _minhash_sql_sigs() -> str:
+    cols = ", ".join(
+        f"min(md5('{i}:' || shingle)) AS s{i}" for i in range(N_HASHES)
+    )
+    return cols
+
+
+def _minhash_sql_bands() -> str:
+    selects = []
+    for b in range(N_BANDS):
+        lo, hi = 2 * b, 2 * b + 1
+        selects.append(
+            f"SELECT doc_id, {b} AS band, s{lo} || s{hi} AS bkey FROM sig"
+        )
+    return " UNION ALL ".join(selects)
+
+
+MINHASH_LSH_SQL = f"""
+WITH sh AS (
+  SELECT doc_id, unnest({_SHINGLES_SQL}) AS shingle FROM documents
+),
+sig AS (SELECT doc_id, {_minhash_sql_sigs()} FROM sh GROUP BY doc_id),
+bands AS ({_minhash_sql_bands()})
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a
+JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+ORDER BY doc_a, doc_b
+"""
+
+
+@plan("dedup_minhash_lsh", oracle=MINHASH_LSH_SQL)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH banding: near-dup candidate pairs.
+
+    Permutation i is emulated as md5(i || shingle) (deterministic,
+    engine-portable); signature = 8 min-hashes; 4 bands × 2 rows.
+    Docs sharing any band bucket become candidates.
+
+    Plan: shingle explode → per-doc min-agg (one shuffle on doc_id,
+    map-side partial mins) → band explode → self-join on band key.
+    At 100 TB the band join is the only quadratic risk — bounded by
+    bucket sizes, with AQE skew handling; a production guard drops
+    buckets larger than a cap (boilerplate).
+    """
+    docs = load(spark, sf_dir, "documents")
+    sh = docs.select("doc_id", F.explode(_shingles()).alias("shingle"))
+    sig = sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"s{i}")
+            for i in range(N_HASHES)
+        ]
+    )
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat(F.col(f"s{2*b}"), F.col(f"s{2*b+1}")).alias("bkey"),
+                    )
+                    for b in range(N_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bkey")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash signatures (16-bit, md5-derived for engine parity)
+# ---------------------------------------------------------------------------
+
+SIMHASH_SQL = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), ' +')) AS token
+  FROM documents
+),
+bits AS (
+  SELECT doc_id, p.p AS pos,
+         CAST(FLOOR((strpos('0123456789abcdef',
+                            substr(md5(token), CAST(FLOOR(p.p / 4) AS INT) + 1, 1)) - 1)
+                    / POW(2, p.p % 4)) AS INT) % 2 AS bit
+  FROM tok, (SELECT unnest(range(16)) AS p) p
+),
+votes AS (
+  SELECT doc_id, pos,
+         CASE WHEN 2 * SUM(bit) > COUNT(*) THEN 1 ELSE 0 END AS sig_bit
+  FROM bits GROUP BY doc_id, pos
+)
+SELECT doc_id,
+       CAST(SUM(sig_bit * CAST(POW(2, pos) AS BIGINT)) AS BIGINT) AS simhash16
+FROM votes GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+@plan("dedup_simhash", oracle=SIMHASH_SQL)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash per document (token-multiplicity weighted).
+
+    Each token votes its md5-derived bits; signature bit p is the
+    majority vote. Near-dup pairs are then found by hamming distance
+    on the signature (grouping by signature bands — same LSH shape as
+    minhash). md5-nibble bit extraction keeps both engines identical.
+
+    Shape: explode tokens ×16 bit positions → two tiny groupBys on
+    (doc, pos) then (doc). All integer math.
+    """
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(_tokens()).alias("token"))
+    pos = F.explode(F.sequence(F.lit(0), F.lit(15))).alias("pos")
+    bits = tok.select(
+        "doc_id",
+        pos,
+        F.md5("token").alias("h"),
+    ).select(
+        "doc_id",
+        "pos",
+        (
+            F.floor(
+                (
+                    F.instr(
+                        F.lit("0123456789abcdef"),
+                        F.substring(
+                            F.col("h"), (F.col("pos") / 4).cast("int") + 1, 1
+                        ),
+                    )
+                    - 1
+                )
+                / F.pow(F.lit(2), F.col("pos") % 4)
+            ).cast("int")
+            % 2
+        ).alias("bit"),
+    )
+    votes = bits.groupBy("doc_id", "pos").agg(
+        F.when(2 * F.sum("bit") > F.count(F.lit(1)), 1).otherwise(0).alias("sig_bit")
+    )
+    return (
+        votes.groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.col("sig_bit") * F.pow(F.lit(2), F.col("pos")).cast("bigint")
+            )
+            .cast("bigint")
+            .alias("simhash16")
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding cosine: brute-force top-k + near-dup pairs
+# ---------------------------------------------------------------------------
+
+
+def _as_double(col: str) -> Column:
+    return F.transform(F.col(col), lambda x: x.cast("double"))
+
+
+def _dot(a: Column, b: Column) -> Column:
+    """Sequential left-fold dot product — same accumulation order as
+    DuckDB's list_sum, so doubles match bit-for-bit."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+COSINE_TOPK_SQL = """
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+),
+n AS (
+  SELECT vec_id, e,
+         sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm
+  FROM v
+),
+pairs AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+         list_sum(list_transform(q.e, (x, i) -> x * c.e[i])) / (q.nrm * c.nrm)
+           AS cos_full
+  FROM n q, n c
+  WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id
+),
+ranked AS (
+  SELECT query_id, cand_id, cos_full,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cos_full DESC, cand_id) AS rn
+  FROM pairs
+)
+SELECT query_id, cand_id, ROUND(cos_full, 6) AS cosine, rn AS rank
+FROM ranked WHERE rn <= 5
+ORDER BY query_id, rank
+"""
+
+
+@plan("sim_cosine_topk", oracle=COSINE_TOPK_SQL)
+def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 neighbors for query vectors (vec_id<10).
+
+    The correctness baseline for ANN. Queries broadcast against the
+    corpus (at 100 TB: corpus stays sharded, query side broadcasts,
+    per-partition top-k then global top-k — TakeOrdered shape, no full
+    sort). Dot products via zip_with+aggregate: JVM codegen, no UDF.
+    """
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double("embedding").alias("e")
+    )
+    emb = emb.withColumn("nrm", F.sqrt(_dot(F.col("e"), F.col("e"))))
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("e").alias("qe"),
+        F.col("nrm").alias("qn"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("e").alias("ce"),
+        F.col("nrm").alias("cn"),
+    )
+    pairs = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            (_dot(F.col("qe"), F.col("ce")) / (F.col("qn") * F.col("cn"))).alias(
+                "cos_full"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_full"), "cand_id")
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select(
+            "query_id",
+            "cand_id",
+            F.round("cos_full", 6).alias("cosine"),
+            F.col("rn").alias("rank"),
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
+COSINE_NEARDUP_SQL = """
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+),
+n AS (
+  SELECT vec_id, e,
+         sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm
+  FROM v
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       ROUND(list_sum(list_transform(a.e, (x, i) -> x * b.e[i]))
+             / (a.nrm * b.nrm), 6) AS cosine
+FROM n a, n b
+WHERE a.vec_id < b.vec_id
+  AND list_sum(list_transform(a.e, (x, i) -> x * b.e[i])) / (a.nrm * b.nrm) >= 0.5
+ORDER BY vec_a, vec_b
+"""
+
+
+@plan("dedup_embedding_cosine", oracle=COSINE_NEARDUP_SQL)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs: cosine ≥ 0.5 over all pairs.
+
+    Brute-force all-pairs is the small-scale verify; the scale path
+    first buckets by LSH sign-bits (sim_lsh_buckets) and runs this
+    only within buckets.
+    """
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double("embedding").alias("e")
+    )
+    emb = emb.withColumn("nrm", F.sqrt(_dot(F.col("e"), F.col("e"))))
+    a = emb.select(
+        F.col("vec_id").alias("vec_a"), F.col("e").alias("ae"), F.col("nrm").alias("an")
+    )
+    b = emb.select(
+        F.col("vec_id").alias("vec_b"), F.col("e").alias("be"), F.col("nrm").alias("bn")
+    )
+    cos = _dot(F.col("ae"), F.col("be")) / (F.col("an") * F.col("bn"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .filter(cos >= 0.5)
+        .select("vec_a", "vec_b", F.round(cos, 6).alias("cosine"))
+        .orderBy("vec_a", "vec_b")
+    )

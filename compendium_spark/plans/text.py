@@ -1,0 +1,207 @@
+"""Text-analysis plans over the `documents` table.
+
+The training-data-pipeline operators: keyword keep/toss filtering
+(generalizing ref `helpers.py:8-14` P6), token counting, quality
+scoring, document fingerprinting, and a language-ID heuristic.
+
+All of these are pure built-in-function column expressions — no Python
+UDFs — so they run JVM-side inside whole-stage codegen and scale
+linearly with input splits (no shuffle except where grouped).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from compendium_spark.plans.registry import plan
+from compendium_spark.tables import load
+
+KEEP_RE = "fast|merge|stream"
+TOSS_RE = "slow|error"
+
+P6_SQL = f"""
+SELECT doc_id, source,
+       CASE WHEN regexp_matches(text, '{KEEP_RE}')
+             AND NOT regexp_matches(text, '{TOSS_RE}')
+            THEN 'yes' ELSE 'no' END AS decision
+FROM documents
+ORDER BY doc_id
+"""
+
+
+@plan("p6_keyword_filter", oracle=P6_SQL)
+def p6_keyword_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring any-of keep/toss filter (ref `helpers.py:8-14`: keep if
+    source contains any keep-keyword and no toss-keyword; output
+    `source\\tyes|no` lines, `helpers.py:19-21`).
+
+    The reference loops per string; here both keyword lists compile to
+    single regex alternations evaluated in codegen.
+    """
+    docs = load(spark, sf_dir, "documents")
+    decision = F.when(
+        F.col("text").rlike(KEEP_RE) & ~F.col("text").rlike(TOSS_RE), "yes"
+    ).otherwise("no")
+    return (
+        docs.select("doc_id", "source", decision.alias("decision"))
+        .orderBy("doc_id")
+    )
+
+
+TOKENS_SQL = """
+SELECT doc_id,
+       len(string_split_regex(trim(text), ' +')) AS n_tokens,
+       n_chars
+FROM documents
+ORDER BY doc_id
+"""
+
+
+@plan("text_token_count", oracle=TOKENS_SQL)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace token counting per document (training-data op;
+    analog of the reference's per-row TSV cell parsing F4)."""
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "doc_id",
+            F.size(F.split(F.trim(F.col("text")), " +")).alias("n_tokens"),
+            "n_chars",
+        )
+        .orderBy("doc_id")
+    )
+
+
+QUALITY_SQL = """
+SELECT doc_id,
+       n_tokens,
+       ROUND(CAST(n_stop AS DOUBLE) / n_tokens, 6) AS stopword_ratio,
+       ROUND(CAST(n_chars - n_tokens + 1 AS DOUBLE) / n_tokens, 6) AS avg_token_len,
+       CASE WHEN n_tokens >= 50 AND n_stop > 0 THEN 'keep' ELSE 'flag' END AS verdict
+FROM (
+  SELECT doc_id, n_chars,
+         len(string_split_regex(trim(text), ' +')) AS n_tokens,
+         len(list_filter(string_split_regex(trim(text), ' +'),
+                         x -> x IN ('a', 'the'))) AS n_stop
+  FROM documents
+)
+ORDER BY doc_id
+"""
+
+
+@plan("text_quality_score", oracle=QUALITY_SQL)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document quality scoring: token count, stopword ratio, mean
+    token length, keep/flag verdict (training-data op generalizing the
+    reference's QC thresholds F7, `config_template.py:42-53`)."""
+    docs = load(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), " +")
+    n_tokens = F.size(toks)
+    n_stop = F.size(F.filter(toks, lambda x: x.isin("a", "the")))
+    return (
+        docs.select(
+            "doc_id",
+            "n_chars",
+            n_tokens.alias("n_tokens"),
+            n_stop.alias("n_stop"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.round(F.col("n_stop").cast("double") / F.col("n_tokens"), 6).alias(
+                "stopword_ratio"
+            ),
+            F.round(
+                (F.col("n_chars") - F.col("n_tokens") + 1).cast("double")
+                / F.col("n_tokens"),
+                6,
+            ).alias("avg_token_len"),
+            F.when((F.col("n_tokens") >= 50) & (F.col("n_stop") > 0), "keep")
+            .otherwise("flag")
+            .alias("verdict"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+FINGERPRINT_SQL = """
+SELECT doc_id, md5(text) AS fingerprint
+FROM documents
+ORDER BY doc_id
+"""
+
+
+@plan("text_fingerprint", oracle=FINGERPRINT_SQL)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprinting via md5 — the deterministic surrogate-key
+    policy (SURVEY §7.2: replace autoincrement with content hashes;
+    md5 is bit-identical across engines, unlike xxhash64 seeds)."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.select("doc_id", F.md5("text").alias("fingerprint")).orderBy("doc_id")
+
+
+LANGID_SQL = """
+SELECT doc_id, lang,
+       CASE WHEN stop_ratio >= 0.02 THEN 'en' ELSE 'unk' END AS lang_pred
+FROM (
+  SELECT doc_id, lang,
+         CAST(len(list_filter(string_split_regex(trim(text), ' +'),
+                              x -> x IN ('a', 'the'))) AS DOUBLE)
+           / len(string_split_regex(trim(text), ' +')) AS stop_ratio
+  FROM documents
+)
+ORDER BY doc_id
+"""
+
+
+@plan("text_lang_id", oracle=LANGID_SQL)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-ratio language-ID heuristic (training-data op). A real
+    deployment swaps the expression for an n-gram profile model; the
+    plumbing (pure column expr, no shuffle) is the point."""
+    docs = load(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), " +")
+    stop_ratio = (
+        F.size(F.filter(toks, lambda x: x.isin("a", "the"))).cast("double")
+        / F.size(toks)
+    )
+    return (
+        docs.select(
+            "doc_id",
+            "lang",
+            F.when(stop_ratio >= 0.02, "en").otherwise("unk").alias("lang_pred"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+TOKFREQ_SQL = """
+SELECT token, COUNT(*) AS n
+FROM (
+  SELECT unnest(string_split_regex(trim(text), ' +')) AS token
+  FROM documents
+)
+GROUP BY token
+ORDER BY n DESC, token
+LIMIT 20
+"""
+
+
+@plan("text_token_frequency", oracle=TOKFREQ_SQL)
+def text_token_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token frequency: explode → count → top-K (the UDTF-shaped
+    op; ref analog is the tags EAV explode A10/S1).
+
+    Explode happens map-side; only (token, partial count) pairs
+    shuffle — at 100 TB the shuffle is bounded by vocabulary size
+    per partition, not corpus size.
+    """
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(F.split(F.trim(F.col("text")), " +")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "token")
+        .limit(20)
+    )

@@ -1,0 +1,148 @@
+"""Event-time window plans over the `events` table.
+
+The reference has no streaming (SURVEY §2.9 — its incremental behavior
+is a polling batch loop), so these are the extended surface: tumbling /
+sliding window aggregations and sessionization, written batch-first
+with `F.window`. The same expressions run under Structured Streaming —
+see `compendium_spark.streaming.windows` for the readStream form with
+watermarks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from compendium_spark.plans.registry import plan
+from compendium_spark.tables import load
+
+DEC = "decimal(18,4)"
+
+TUMBLING_SQL = """
+SELECT time_bucket(INTERVAL '5 minutes', ts) AS window_start,
+       event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY window_start, event_type
+ORDER BY window_start, event_type
+"""
+
+
+@plan("w1_tumbling_window", oracle=TUMBLING_SQL)
+def w1_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-minute tumbling window counts+sums per event type.
+
+    `F.window` buckets are epoch-aligned, matching DuckDB's
+    time_bucket under UTC. Streaming-ready: add a watermark and this
+    exact expression runs incrementally.
+    """
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+SLIDING_SQL = """
+SELECT window_start, COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+FROM (
+  SELECT time_bucket(INTERVAL '5 minutes', ts) - CAST(k.k * 5 AS INT) * INTERVAL '1 minute'
+           AS window_start,
+         value
+  FROM events, (SELECT unnest(range(2)) AS k) k
+)
+GROUP BY window_start
+ORDER BY window_start
+"""
+
+
+@plan("w2_sliding_window", oracle=SLIDING_SQL)
+def w2_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10-minute windows sliding every 5 minutes (each event lands in
+    exactly 2 windows). Oracle reproduces Spark's assignment by
+    enumerating slide offsets."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("total_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "n_events", "total_value")
+        .orderBy("window_start")
+    )
+
+
+SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 minutes
+
+SESSION_SQL = f"""
+WITH o AS (
+  SELECT user_id, event_id, ts, epoch_us(ts) AS us,
+         LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_us
+  FROM events
+),
+m AS (
+  SELECT *, CASE WHEN prev_us IS NULL OR us - prev_us > {SESSION_GAP_US}
+                 THEN 1 ELSE 0 END AS is_new
+  FROM o
+),
+s AS (
+  SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM m
+)
+SELECT user_id, session_id, COUNT(*) AS n_events,
+       MIN(ts) AS session_start,
+       MAX(us) - MIN(us) AS duration_us
+FROM s
+GROUP BY user_id, session_id
+ORDER BY user_id, session_id
+"""
+
+
+@plan("w3_sessionization", oracle=SESSION_SQL)
+def w3_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: 30-minute inactivity gap splits a user's events
+    into sessions (lag + cumulative-sum-of-boundaries pattern).
+
+    Timestamps compared in integer microseconds (unix_micros /
+    epoch_us) — exact in both engines. In streaming this becomes
+    `session_window(ts, '30 minutes')`.
+    """
+    ev = load(spark, sf_dir, "events")
+    order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = order.rowsBetween(Window.unboundedPreceding, 0)
+    us = F.unix_micros(F.col("ts"))
+    with_gap = ev.select("user_id", "event_id", "ts", us.alias("us")).withColumn(
+        "prev_us", F.lag("us").over(order)
+    )
+    with_sess = with_gap.withColumn(
+        "is_new",
+        F.when(
+            F.col("prev_us").isNull()
+            | ((F.col("us") - F.col("prev_us")) > SESSION_GAP_US),
+            1,
+        ).otherwise(0),
+    ).withColumn("session_id", F.sum("is_new").over(run))
+    return (
+        with_sess.groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("session_start"),
+            (F.max("us") - F.min("us")).alias("duration_us"),
+        )
+        .orderBy("user_id", "session_id")
+    )

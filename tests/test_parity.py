@@ -1,0 +1,63 @@
+"""Local mirror of the driver's correctness gate.
+
+For every registered plan with an oracle: run the Spark query and the
+DuckDB SQL on the same sf0.01 parquet, normalize (sort columns by
+name, sort rows), and require value equality. Strict by design — the
+plans are written for cross-engine bit-parity (decimal aggregation,
+md5 hashing, fixed rounding), so any diff is a real defect.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pytest
+
+from compendium_spark.plans import all_plans
+from compendium_spark.tables import TABLE_NAMES
+
+from .conftest import SF_ORACLE
+
+PLANS = all_plans()
+WITH_ORACLE = sorted(n for n, p in PLANS.items() if p.oracle is not None)
+ROWS_ONLY = sorted(n for n, p in PLANS.items() if p.oracle is None)
+
+
+def _duck_conn(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLE_NAMES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+    return con
+
+
+def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)]
+    for c in df.columns:
+        if pd.api.types.is_datetime64_any_dtype(df[c]):
+            df[c] = pd.to_datetime(df[c]).astype("datetime64[us]")
+    if len(df):
+        df = df.sort_values(by=list(df.columns), ignore_index=True)
+    return df.reset_index(drop=True)
+
+
+@pytest.mark.parametrize("name", WITH_ORACLE)
+def test_oracle_parity(spark, name):
+    p = PLANS[name]
+    got = _normalize(p.fn(spark, SF_ORACLE).toPandas())
+    con = _duck_conn(SF_ORACLE)
+    want = _normalize(con.execute(p.oracle).df())
+    assert list(got.columns) == list(want.columns), (
+        f"{name}: column mismatch {list(got.columns)} vs {list(want.columns)}"
+    )
+    assert len(got) == len(want), f"{name}: row count {len(got)} vs {len(want)}"
+    pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY)
+def test_rows_only_plans_run(spark, name):
+    p = PLANS[name]
+    df = p.fn(spark, SF_ORACLE)
+    assert df.count() >= 0
+    assert len(df.schema.fields) > 0
