@@ -1,0 +1,62 @@
+"""Upsert / partial-update merge on plain Parquet-backed DataFrames.
+
+The reference's write path is point UPDATEs against SQLite:
+  * status transitions (`/root/reference/projects.py:87-106`)
+  * per-sample run enrichment where only non-null fetched fields
+    overwrite (`db.py:440-470` — the update dict is built per row from
+    whatever the eUtils response contained)
+
+Without Delta's MERGE INTO (jar not in this image), the engine
+emulates MERGE as: target LEFT-ANTI updates ∪ (target ⋈ updates with
+per-column COALESCE) ∪ new rows. This is the standard CDC emulation
+(pyspark_guide: "MERGE INTO ... emulate with anti-join + union") and
+is idempotent — re-applying the same update batch yields the same
+table, which is what makes speculative task retries safe around
+side-effecting fetch stages (SURVEY §4 note 1).
+
+Scale: the updates side is typically small (a fetch batch, a status
+sweep) → broadcast join against the keyed target; the target is never
+shuffled, only rewritten partition-wise.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def upsert(target: DataFrame, updates: DataFrame, key: str | list[str]) -> DataFrame:
+    """Full-row upsert: update rows replace target rows by key; new
+    keys append. Column sets must match."""
+    keys = [key] if isinstance(key, str) else list(key)
+    kept = target.join(updates.select(*keys), on=keys, how="left_anti")
+    return kept.unionByName(updates.select(*target.columns))
+
+
+def partial_update(
+    target: DataFrame, updates: DataFrame, key: str | list[str]
+) -> DataFrame:
+    """Partial-update merge: only non-null update fields overwrite
+    (ref `db.py:445-462` — the dynamic `UPDATE samples SET ...` built
+    from present fields only). Updates for unknown keys are dropped,
+    matching the reference's silently-no-op UPDATE (SURVEY §7.4).
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+    upd_cols = [c for c in updates.columns if c not in keys]
+    unknown = set(upd_cols) - set(target.columns)
+    if unknown:
+        raise ValueError(f"update columns not in target: {sorted(unknown)}")
+
+    t = target.alias("t")
+    u = F.broadcast(updates).alias("u")
+    merged_cols = []
+    for c in target.columns:
+        if c in keys:
+            merged_cols.append(F.col(f"t.{c}").alias(c))
+        elif c in upd_cols:
+            merged_cols.append(F.coalesce(F.col(f"u.{c}"), F.col(f"t.{c}")).alias(c))
+        else:
+            merged_cols.append(F.col(f"t.{c}").alias(c))
+    return t.join(u, on=[F.col(f"t.{k}") == F.col(f"u.{k}") for k in keys], how="left").select(
+        *merged_cols
+    )

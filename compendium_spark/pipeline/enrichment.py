@@ -1,0 +1,175 @@
+"""Run (SRR) metadata enrichment (SURVEY §2.1 S2/S3, §2.8 U3, §3.2).
+
+Reference flow (`/root/reference/db.py:266-470`): pick samples with no
+runs, batch their SRS accessions into eUtils ESearch URLs (80/request,
+≤1950 chars), fetch EFetch XML via the returned WebEnv token, parse
+EXPERIMENT_PACKAGE entries into partial-update dicts, and apply them
+as dynamic `UPDATE samples SET ... WHERE srs=?` — only fetched fields
+overwrite.
+
+Spark-first decomposition:
+  * candidates      — DataFrame query (P3 + O1 seeded sample);
+  * batching        — floor(row_number/80) batch ids, URL per batch
+                      with the reference's length guard;
+  * transport       — injectable `fetch(url) -> str` adapter (HTTP is
+                      a side effect, not an engine concern; tests
+                      inject a mock). Two-strike error policy
+                      (`db.py:292-384`) lives here;
+  * response parse  — EXPERIMENT_PACKAGE → staged updates DataFrame
+                      (pure function, unit-testable);
+  * apply           — operators.merge.partial_update reproduces the
+                      only-non-null-fields-overwrite semantics
+                      (`db.py:445-462`), idempotently.
+
+The staging-then-merge split is what makes the fetch stage safe under
+task retries/speculation at scale (SURVEY §4 note 1).
+"""
+
+from __future__ import annotations
+
+import xml.etree.ElementTree as ET
+from collections.abc import Callable, Iterable
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from compendium_spark.operators.merge import partial_update
+
+ESEARCH_PREFIX = (
+    "https://eutils.ncbi.nlm.nih.gov/entrez/eutils/esearch.fcgi"
+    "?db=sra&usehistory=y&term="
+)
+MAX_URL_LEN = 1950  # db.py:314-317
+PER_QUERY = 80  # db.py:266
+UPDATE_FIELDS = (
+    "srr",
+    "project",
+    "library_strategy",
+    "library_source",
+    "pubdate",
+    "total_bases",
+    "instrument",
+)
+
+
+def enrichment_candidates(samples: DataFrame, count: int, seed: int = 42) -> DataFrame:
+    """Samples needing run lookup (P3+O1, `db.py:278-282`):
+    WHERE srr IS NULL ORDER BY RANDOM() LIMIT count."""
+    return (
+        samples.filter(F.col("srr").isNull())
+        .select("srs")
+        .orderBy(F.rand(seed))
+        .limit(count)
+    )
+
+
+def with_batch_ids(candidates: DataFrame, per_query: int = PER_QUERY) -> DataFrame:
+    """Assign batch ids: floor(row_number / per_query) — the Spark form
+    of the reference's cursor loop (`db.py:305-313`)."""
+    w = Window.orderBy("srs")
+    return candidates.withColumn(
+        "batch", F.floor((F.row_number().over(w) - 1) / per_query)
+    )
+
+
+def build_esearch_url(accessions: Iterable[str], prefix: str = ESEARCH_PREFIX) -> str:
+    """ESearch URL of `SRS...[accn] or` terms (`db.py:305-317`),
+    with the trailing ' or ' trimmed and the length guard."""
+    url = prefix + "".join(f"{a}[accn] or " for a in accessions)
+    url = url[:-4]
+    if len(url) > MAX_URL_LEN:
+        raise ValueError(f"URL IS TOO LONG ({len(url)} > {MAX_URL_LEN} chars)")
+    return url
+
+
+def parse_efetch_response(xml_text: str) -> list[dict]:
+    """EFetch XML → staged update dicts (S3, `db.py:388-438`).
+
+    Per EXPERIMENT_PACKAGE: sample accession, run accessions
+    (0 runs → entry skipped `db.py:433-438`; >1 → kept as a list,
+    stored as array per SURVEY §1.3 instead of ';'-joined), plus
+    optional pubdate / total_bases / project / strategy / source /
+    instrument.
+    """
+    root = ET.fromstring(xml_text)
+    out: list[dict] = []
+    for package in root.findall("EXPERIMENT_PACKAGE"):
+        sample = None
+        for entry in package.iter("SAMPLE"):
+            if "accession" in entry.attrib:
+                sample = entry.attrib["accession"]
+        runs: list[str] = []
+        pubdate = total_bases = None
+        for entry in package.iter("RUN"):
+            if "accession" in entry.attrib:
+                runs.append(entry.attrib["accession"])
+            if "published" in entry.attrib:
+                pubdate = entry.attrib["published"]
+            if "total_bases" in entry.attrib:
+                total_bases = entry.attrib["total_bases"]
+        project = None
+        for entry in package.iter("EXTERNAL_ID"):
+            if entry.attrib.get("namespace") == "BioProject":
+                project = entry.text
+                break
+        strategy = source = instrument = None
+        for entry in package.iter("LIBRARY_STRATEGY"):
+            strategy = entry.text
+        for entry in package.iter("LIBRARY_SOURCE"):
+            source = entry.text
+        for entry in package.iter("INSTRUMENT_MODEL"):
+            instrument = entry.text
+        if not runs:  # db.py:433-438
+            continue
+        out.append(
+            {
+                "srs": sample,
+                "srr": runs,
+                "project": project,
+                "library_strategy": strategy,
+                "library_source": source,
+                "pubdate": pubdate,
+                "total_bases": int(total_bases) if total_bases is not None else None,
+                "instrument": instrument,
+            }
+        )
+    return out
+
+
+class TwoStrikeError(RuntimeError):
+    """Second consecutive transport failure (`db.py:292`, `db.py:326-384`)."""
+
+
+def fetch_batches(
+    batches: list[list[str]],
+    fetch: Callable[[str], str],
+) -> list[dict]:
+    """Run the batched fetch loop with the two-strike error policy.
+
+    `fetch` is the injected transport (real HTTP in production — with
+    the reference's 0.5 s pause and 25 s timeout — a mock in tests).
+    One failure skips the batch; two consecutive failures abort
+    (`db.py:292`). Properly catches transport errors — the reference's
+    un-imported ReadTimeoutError (Quirk Q2) is fixed by design.
+    """
+    staged: list[dict] = []
+    error_previous = False
+    for batch in batches:
+        url = build_esearch_url(batch)
+        try:
+            response = fetch(url)
+        except Exception:
+            if error_previous:
+                raise TwoStrikeError("Two errors in a row. Bailing.") from None
+            error_previous = True
+            continue
+        error_previous = False
+        staged.extend(parse_efetch_response(response))
+    return staged
+
+
+def apply_enrichment(samples: DataFrame, staged: DataFrame) -> DataFrame:
+    """MERGE staged updates into `samples`: only non-null fetched
+    fields overwrite (J6/K2, `db.py:440-470`); unknown srs are
+    silently dropped like the reference's no-op UPDATE."""
+    return partial_update(samples, staged.select("srs", *UPDATE_FIELDS), key="srs")

@@ -1,0 +1,269 @@
+"""Enrichment merge, status machine, keys, source filter."""
+
+from __future__ import annotations
+
+import pytest
+
+from compendium_spark.functions.sources_filter import classify_sources, filter_sources
+from compendium_spark.operators.keys import surrogate_key
+from compendium_spark.operators.merge import partial_update, upsert
+from compendium_spark.pipeline.enrichment import (
+    TwoStrikeError,
+    apply_enrichment,
+    build_esearch_url,
+    enrichment_candidates,
+    fetch_batches,
+    parse_efetch_response,
+    with_batch_ids,
+)
+from compendium_spark.pipeline.status import (
+    compendium_summary,
+    eligible_samples,
+    find_todo,
+    non_terminal_projects,
+    status_frequency,
+)
+
+from pyspark.sql import functions as F
+
+EFETCH_XML = """<?xml version="1.0"?>
+<EXPERIMENT_PACKAGE_SET>
+  <EXPERIMENT_PACKAGE>
+    <SAMPLE accession="SRS001"/>
+    <RUN accession="SRR100" published="2020-01-15 10:00:00" total_bases="123456"/>
+    <EXTERNAL_ID namespace="BioProject">PRJNA1</EXTERNAL_ID>
+    <LIBRARY_STRATEGY>AMPLICON</LIBRARY_STRATEGY>
+    <LIBRARY_SOURCE>METAGENOMIC</LIBRARY_SOURCE>
+    <INSTRUMENT_MODEL>Illumina MiSeq</INSTRUMENT_MODEL>
+  </EXPERIMENT_PACKAGE>
+  <EXPERIMENT_PACKAGE>
+    <SAMPLE accession="SRS002"/>
+    <RUN accession="SRR200"/>
+    <RUN accession="SRR201"/>
+  </EXPERIMENT_PACKAGE>
+  <EXPERIMENT_PACKAGE>
+    <SAMPLE accession="SRS003"/>
+  </EXPERIMENT_PACKAGE>
+</EXPERIMENT_PACKAGE_SET>
+"""
+
+
+class TestEfetchParse:
+    def test_full_package(self):
+        out = parse_efetch_response(EFETCH_XML)
+        by_srs = {d["srs"]: d for d in out}
+        d = by_srs["SRS001"]
+        assert d["srr"] == ["SRR100"]
+        assert d["project"] == "PRJNA1"
+        assert d["library_strategy"] == "AMPLICON"
+        assert d["total_bases"] == 123456
+        assert d["instrument"] == "Illumina MiSeq"
+
+    def test_multi_run(self):
+        out = parse_efetch_response(EFETCH_XML)
+        by_srs = {d["srs"]: d for d in out}
+        assert by_srs["SRS002"]["srr"] == ["SRR200", "SRR201"]  # db.py:421-431
+
+    def test_runless_package_skipped(self):
+        out = parse_efetch_response(EFETCH_XML)
+        assert "SRS003" not in {d["srs"] for d in out}  # db.py:433-438
+
+
+class TestUrlBatching:
+    def test_url_shape(self):
+        url = build_esearch_url(["SRS001", "SRS002"])
+        assert url.endswith("SRS001[accn] or SRS002[accn]")
+
+    def test_url_length_guard(self):
+        with pytest.raises(ValueError, match="TOO LONG"):
+            build_esearch_url([f"SRS{i:09d}" for i in range(200)])  # db.py:314-317
+
+    def test_batch_ids(self, spark):
+        cand = spark.createDataFrame([(f"SRS{i:03d}",) for i in range(170)], "srs string")
+        batches = with_batch_ids(cand, per_query=80)
+        sizes = {r.batch: r["count"] for r in batches.groupBy("batch").count().collect()}
+        assert sizes == {0: 80, 1: 80, 2: 10}
+
+    def test_candidates_filter(self, spark):
+        samples = spark.createDataFrame(
+            [("SRS1", None), ("SRS2", ["SRR9"]), ("SRS3", None)],
+            "srs string, srr array<string>",
+        )
+        got = sorted(r.srs for r in enrichment_candidates(samples, count=10).collect())
+        assert got == ["SRS1", "SRS3"]  # P3: srr IS NULL
+
+
+class TestTwoStrikePolicy:
+    def test_single_error_skips_batch(self):
+        calls = []
+
+        def flaky(url):
+            calls.append(url)
+            if len(calls) == 1:
+                raise ConnectionError("boom")
+            return EFETCH_XML
+
+        staged = fetch_batches([["SRS001"], ["SRS002"]], flaky)
+        assert len(calls) == 2
+        assert {d["srs"] for d in staged} == {"SRS001", "SRS002"}
+
+    def test_two_consecutive_errors_bail(self):
+        def dead(url):
+            raise ConnectionError("boom")
+
+        with pytest.raises(TwoStrikeError):
+            fetch_batches([["SRS001"], ["SRS002"]], dead)
+
+
+SAMPLES_SCHEMA = (
+    "srs string, project string, taxon string, srr array<string>, "
+    "library_strategy string, library_source string, instrument string, "
+    "pubdate string, total_bases long, geo_loc_name string"
+)
+
+
+class TestEnrichmentMerge:
+    def test_partial_update_semantics(self, spark):
+        samples = spark.createDataFrame(
+            [
+                ("SRS1", "OLDPRJ", "tax", None, None, "GENOMIC", "OldInst", None, None, "usa"),
+                ("SRS2", "KEEP", "tax", None, None, None, None, None, None, None),
+            ],
+            SAMPLES_SCHEMA,
+        )
+        staged = spark.createDataFrame(
+            [
+                # project present, instrument absent → instrument survives
+                ("SRS1", ["SRR1"], "PRJNA9", "AMPLICON", None, None, None, None),
+                # unknown key → silently dropped (no-op UPDATE)
+                ("SRS9", ["SRR9"], "PRJX", None, None, None, None, None),
+            ],
+            "srs string, srr array<string>, project string, library_strategy string, "
+            "library_source string, pubdate string, total_bases long, instrument string",
+        )
+        out = {r.srs: r for r in apply_enrichment(samples, staged).collect()}
+        assert out["SRS1"].srr == ["SRR1"]
+        assert out["SRS1"].project == "PRJNA9"
+        assert out["SRS1"].library_source == "GENOMIC"  # null update → kept
+        assert out["SRS1"].instrument == "OldInst"
+        assert out["SRS2"].project == "KEEP"  # untouched row
+        assert "SRS9" not in out
+        assert len(out) == 2
+
+    def test_idempotent(self, spark):
+        samples = spark.createDataFrame(
+            [("SRS1", None, "t", None, None, None, None, None, None, None)],
+            SAMPLES_SCHEMA,
+        )
+        staged = spark.createDataFrame(
+            [("SRS1", ["SRR1"], "P", None, None, None, None, None)],
+            "srs string, srr array<string>, project string, library_strategy string, "
+            "library_source string, pubdate string, total_bases long, instrument string",
+        )
+        once = apply_enrichment(samples, staged)
+        twice = apply_enrichment(once, staged)
+        assert once.collect() == twice.collect()
+
+
+STATUS_SCHEMA = "project string, status string, rerun_as_single_end int, paired int, note1 string, note2 string"
+
+
+class TestStatusMachine:
+    def _status(self, spark):
+        rows = [
+            ("P1", "running", 0, None, None, None),
+            ("P2", "done", 0, 1, None, None),
+            ("P3", "failed", 0, None, None, None),
+            ("P4", "complete", 0, 1, None, None),
+        ]
+        return spark.createDataFrame(rows, STATUS_SCHEMA)
+
+    def test_non_terminal(self, spark):
+        got = sorted(r.project for r in non_terminal_projects(self._status(spark)).collect())
+        assert got == ["P1", "P4"]  # management.py:17-20
+
+    def test_frequency(self, spark):
+        rows = status_frequency(self._status(spark)).collect()
+        assert {(r.status, r.n_projects) for r in rows} == {
+            ("running", 1), ("done", 1), ("failed", 1), ("complete", 1)
+        }
+
+    def test_eligible_samples(self, spark):
+        samples = spark.createDataFrame(
+            [
+                ("S1", "P1", None, ["R1"], "AMPLICON", "GENOMIC", None, None, None, None),
+                ("S2", "P1", None, ["R2"], "AMPLICON", "METAGENOMIC", None, None, None, None),
+                ("S3", "P1", None, ["R3"], "WGS", "GENOMIC", None, None, None, None),
+                ("S4", "P1", None, ["R4"], "AMPLICON", "VIRAL RNA", None, None, None, None),
+                ("S5", "P1", None, None, "AMPLICON", "GENOMIC", None, None, None, None),
+            ],
+            SAMPLES_SCHEMA,
+        )
+        got = sorted(r.srs for r in eligible_samples(samples, "P1").collect())
+        assert got == ["S1", "S2"]  # projects.py:67-73
+
+    def test_find_todo_excludes_tracked(self, spark):
+        samples_rows = []
+        for p, n in [("P1", 60), ("P2", 60), ("P3", 10)]:
+            samples_rows += [
+                (f"{p}S{i}", p, None, [f"R{i}"], "AMPLICON", "GENOMIC",
+                 None, None, None, None)
+                for i in range(n)
+            ]
+        samples = spark.createDataFrame(samples_rows, SAMPLES_SCHEMA)
+        status = spark.createDataFrame([("P1", "running", 0, None, None, None)], STATUS_SCHEMA)
+        got = [r.project for r in find_todo(samples, status, min_samples=50).collect()]
+        # P1 tracked → excluded (Q3 fixed); P3 below band
+        assert got == ["P2"]
+
+    def test_compendium_summary(self, spark):
+        samples = spark.createDataFrame(
+            [("S1", "P1", None, None, None, None, None, None, None, None),
+             ("S2", "P2", None, None, None, None, None, None, None, None)],
+            SAMPLES_SCHEMA,
+        )
+        counts = spark.createDataFrame(
+            [(1, "S1", "ASV_1", 5), (2, "S1", "ASV_2", 3)],
+            "entryid long, sample string, asv string, count long",
+        )
+        r = compendium_summary(samples, counts).collect()[0]
+        assert (r.n_projects, r.n_samples, r.n_result_samples, r.n_asvs) == (2, 2, 1, 2)
+
+
+class TestKeysAndSources:
+    def test_surrogate_key_deterministic(self, spark):
+        df = spark.createDataFrame([("a", "bc"), ("ab", "c")], "x string, y string")
+        keys = [r.k for r in df.select(surrogate_key("x", "y").alias("k")).collect()]
+        assert keys[0] != keys[1]  # separator prevents concat collisions
+        again = [r.k for r in df.select(surrogate_key("x", "y").alias("k")).collect()]
+        assert keys == again
+
+    def test_classify_sources(self, spark):
+        rows = [("human stool sample",), ("fecal swab",), ("soil core",), ("water 2003",)]
+        df = spark.createDataFrame(rows, "source string")
+        got = {r.source: r.decision for r in classify_sources(df).collect()}
+        assert got == {
+            "human stool sample": "yes",
+            "fecal swab": "no",      # keep+toss → no (helpers.py:14)
+            "soil core": "no",
+            "water 2003": "yes",
+        }
+
+    def test_filter_sources_end_to_end(self, spark, tmp_path):
+        src = tmp_path / "sources.txt"
+        src.write_text("human stool sample\nfecal swab\nsoil core\n")
+        out = tmp_path / "processed"
+        kept = filter_sources(spark, str(src), str(out))
+        assert kept == 1
+        lines = set()
+        for f in out.glob("part-*"):
+            lines |= set(f.read_text().splitlines())
+        assert lines == {"human stool sample\tyes", "fecal swab\tno", "soil core\tno"}
+
+
+class TestUpsert:
+    def test_upsert_replaces_and_appends(self, spark):
+        target = spark.createDataFrame([("P1", "running"), ("P2", "done")], "project string, status string")
+        updates = spark.createDataFrame([("P1", "complete"), ("P3", "initialized")], "project string, status string")
+        out = {r.project: r.status for r in upsert(target, updates, "project").collect()}
+        assert out == {"P1": "complete", "P2": "done", "P3": "initialized"}

@@ -1,0 +1,171 @@
+"""Source parsers: BioSample XML, FASTA, summary/counts/taxonomy TSVs."""
+
+from __future__ import annotations
+
+import textwrap
+
+import pytest
+
+from compendium_spark.sources.biosample_xml import read_biosample_xml, to_samples, to_tags
+from compendium_spark.sources.fasta import read_fasta
+from compendium_spark.sources.tsv import (
+    assemble_asv_tables,
+    melt_counts,
+    read_counts_wide,
+    read_summary,
+    read_taxonomy,
+)
+
+BIOSAMPLE_XML = """<?xml version="1.0"?>
+<BioSampleSet>
+  <BioSample>
+    <Ids>
+      <Id db="BioSample">SAMN001</Id>
+      <Id db="SRA">SRS001</Id>
+    </Ids>
+    <Attributes>
+      <Attribute attribute_name="geo loc name" harmonized_name="geo_loc_name">USA: Minnesota</Attribute>
+      <Attribute attribute_name="host body product">Stool</Attribute>
+      <Attribute attribute_name="host body product">FECAL</Attribute>
+      <Attribute attribute_name="empty"></Attribute>
+    </Attributes>
+  </BioSample>
+  <BioSample>
+    <Ids><Id db="BioSample">SAMN002</Id></Ids>
+    <Attributes>
+      <Attribute attribute_name="ignored">nope</Attribute>
+    </Attributes>
+  </BioSample>
+  <BioSample>
+    <Ids><Id db="SRA">SRS003</Id></Ids>
+    <Attributes>
+      <Attribute attribute_name="env">Soil</Attribute>
+    </Attributes>
+  </BioSample>
+</BioSampleSet>
+"""
+
+
+@pytest.fixture(scope="module")
+def xml_path(tmp_path_factory):
+    p = tmp_path_factory.mktemp("xml") / "biosamples.xml"
+    p.write_text(BIOSAMPLE_XML)
+    return str(p)
+
+
+def test_xml_skips_samples_without_sra_id(spark, xml_path):
+    parsed = read_biosample_xml(spark, xml_path)
+    srs = sorted(r.srs for r in parsed.select("srs").collect())
+    assert srs == ["SRS001", "SRS003"]  # SAMN002 skipped (db.py:233-237)
+
+
+def test_xml_tag_semantics(spark, xml_path):
+    """harmonized_name precedence, lower(), empty-skip, last-wins."""
+    parsed = read_biosample_xml(spark, xml_path)
+    tags = to_tags(parsed)
+    rows = {(r.srs, r.tag): r.value for r in tags.collect()}
+    assert rows[("SRS001", "geo_loc_name")] == "usa: minnesota"  # harmonized + lower
+    assert rows[("SRS001", "host body product")] == "fecal"  # duplicate → last wins
+    assert ("SRS001", "empty") not in rows  # empty text skipped
+    assert rows[("SRS003", "env")] == "soil"
+    # deterministic tagid
+    ids = [r.tagid for r in tags.collect()]
+    assert len(ids) == len(set(ids))
+
+
+def test_xml_to_samples_anti_join(spark, xml_path):
+    parsed = read_biosample_xml(spark, xml_path)
+    existing = spark.createDataFrame([("SRS001",)], "srs string")
+    out = to_samples(parsed, taxon="txid408170", existing=existing)
+    rows = out.collect()
+    assert [(r.srs, r.taxon) for r in rows] == [("SRS003", "txid408170")]
+
+
+FASTA = ">ASV_1\nCCTACGGGAGGCAGCAG\n>ASV_2\nTTGACGTTACCCGCAGA\n"
+
+
+def test_fasta_pairing(spark, tmp_path):
+    p = tmp_path / "ASVs.fa"
+    p.write_text(FASTA)
+    df = read_fasta(spark, str(p))
+    rows = {r.asv: r.seq for r in df.collect()}
+    assert rows == {"ASV_1": "CCTACGGGAGGCAGCAG", "ASV_2": "TTGACGTTACCCGCAGA"}
+
+
+SUMMARY_PAIRED = textwrap.dedent(
+    """\
+    \tdinput\tfilter\tforwd\trevse\tmerged\tlength\tnonchim
+    SRR001_1.fastq\t50000\t48000\t47000\t46500\t45000\t44800\t44000
+    SRR002_1.fastq\t60000\t58000\t57000\t56500\t55000\t54800\t54000
+    """
+)
+
+SUMMARY_SINGLE = textwrap.dedent(
+    """\
+    \tdinput\tfilter\tforwd\tlength\tnonchim
+    SRR003_1.fastq\t50000\t48000\t47000\t46800\t46000
+    """
+)
+
+
+def test_summary_paired(spark, tmp_path):
+    p = tmp_path / "summary.tsv"
+    p.write_text(SUMMARY_PAIRED)
+    df = read_summary(spark, str(p), project="PRJ1")
+    rows = {r.srr: r for r in df.collect()}
+    assert set(rows) == {"SRR001", "SRR002"}  # 8-char suffix stripped
+    assert rows["SRR001"].is_paired is True
+    assert rows["SRR001"].merged == 45000
+    assert rows["SRR001"].project == "PRJ1"
+
+
+def test_summary_single_end(spark, tmp_path):
+    p = tmp_path / "summary_se.tsv"
+    p.write_text(SUMMARY_SINGLE)
+    df = read_summary(spark, str(p))
+    r = df.collect()[0]
+    assert r.srr == "SRR003"
+    assert r.is_paired is False
+    assert r.revse is None and r.merged is None
+
+
+COUNTS = "\tSRR001\tSRR002\tSRR003\nASV_1\t23\t0\t114\nASV_2\t0\t7\t9\n"
+
+
+def test_melt_counts_drops_zeros(spark, tmp_path):
+    p = tmp_path / "ASVs_counts.tsv"
+    p.write_text(COUNTS)
+    wide = read_counts_wide(spark, str(p))
+    long = melt_counts(wide)
+    cells = {(r.sample, r.asv): r["count"] for r in long.collect()}
+    assert cells == {
+        ("SRR001", "ASV_1"): 23,
+        ("SRR003", "ASV_1"): 114,
+        ("SRR002", "ASV_2"): 7,
+        ("SRR003", "ASV_2"): 9,
+    }  # zero cells dropped (projects.py:438)
+    ids = [r.entryid for r in long.collect()]
+    assert len(ids) == len(set(ids))
+
+
+TAXONOMY = (
+    "\tKingdom\tPhylum\tClass\tOrder\tFamily\tGenus\n"
+    "ASV_1\tBacteria\tBacteroidota\tBacteroidia\tBacteroidales\tBacteroidaceae\tBacteroides\n"
+    "ASV_2\tBacteria\tFirmicutes\tClostridia\tOscillospirales\tRuminococcaceae\t\n"
+)
+
+
+def test_taxonomy_and_assembly(spark, tmp_path):
+    tax_p = tmp_path / "ASVs_taxonomy.tsv"
+    tax_p.write_text(TAXONOMY)
+    fa_p = tmp_path / "ASVs.fa"
+    fa_p.write_text(FASTA)
+    tax = read_taxonomy(spark, str(tax_p))
+    assert tax.collect()[0].tdatabase == "silva_nr99_v138_train_set"  # projects.py:517
+    fasta = read_fasta(spark, str(fa_p))
+    seqs, assigns = assemble_asv_tables(fasta, tax, project="PRJ1")
+    s = {r.asv: r.asv_id for r in seqs.collect()}
+    a = {r.asv_id for r in assigns.collect()}
+    # deterministic key join: assignments carry the same asv_id without
+    # any read-back (the reference's J3 remap join is gone)
+    assert set(s.values()) == a
