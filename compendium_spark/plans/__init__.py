@@ -9,6 +9,7 @@ from compendium_spark.plans import (  # noqa: F401
     extended,
     reference_ops,
     registry,
+    relational_ext,
     text,
     tpch,
     windows,

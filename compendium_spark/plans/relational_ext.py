@@ -1,0 +1,285 @@
+"""Extended relational surface: scalar functions, window functions,
+set operations, pivot, as-of join.
+
+The reference needs only a handful of scalar functions (SURVEY §2.7)
+and no window/set/pivot operators; these plans complete the engine's
+general-purpose surface so a reference user never runs out of
+operators. Every plan keeps the parity rules from registry.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from compendium_spark.plans.registry import plan
+from compendium_spark.tables import load
+
+DEC = "decimal(18,4)"
+
+F1_SQL = """
+SELECT p_partkey,
+       lower(p_name) AS name_lower,
+       upper(p_brand) AS brand_upper,
+       substr(p_type, 1, 4) AS type_prefix,
+       concat(p_brand, ';', p_type) AS brand_type,
+       replace(p_name, ' ', '_') AS name_underscored,
+       length(p_name) AS name_len,
+       CAST(p_size AS BIGINT) AS size_long,
+       printf('%d%%', CAST(p_size AS INT)) AS size_pct,
+       round(CAST(p_retailprice AS DECIMAL(18,4)) * 1.1, 2) AS marked_up
+FROM part
+ORDER BY p_partkey
+"""
+
+
+@plan("f_scalar_functions", oracle=F1_SQL)
+def f_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar function surface (SURVEY §2.7 F1-F11): lower (F1),
+    join/concat (F2), substring strip (F3), casts (F4), percent
+    formatting (F8, ref `projects.py:285-311`), arithmetic with exact
+    decimal rounding. All codegen'd, zero shuffle."""
+    part = load(spark, sf_dir, "part")
+    return (
+        part.select(
+            "p_partkey",
+            F.lower("p_name").alias("name_lower"),
+            F.upper("p_brand").alias("brand_upper"),
+            F.substring("p_type", 1, 4).alias("type_prefix"),
+            F.concat(F.col("p_brand"), F.lit(";"), F.col("p_type")).alias("brand_type"),
+            F.replace(F.col("p_name"), F.lit(" "), F.lit("_")).alias("name_underscored"),
+            F.length("p_name").alias("name_len"),
+            F.col("p_size").cast("long").alias("size_long"),
+            F.format_string("%d%%", F.col("p_size").cast("int")).alias("size_pct"),
+            F.round(F.col("p_retailprice").cast(DEC) * F.lit("1.1").cast(DEC), 2)
+            .cast("double")
+            .alias("marked_up"),
+        )
+        .orderBy("p_partkey")
+    )
+
+
+F9_SQL = """
+SELECT o_orderkey,
+       year(o_orderdate) AS order_year,
+       month(o_orderdate) AS order_month,
+       CAST(epoch_us(o_orderdate) / 1000000 AS BIGINT) AS epoch_sec,
+       strftime(o_orderdate, '%Y-%m-%d') AS date_str
+FROM orders
+WHERE o_orderkey < 200
+ORDER BY o_orderkey
+"""
+
+
+@plan("f_date_functions", oracle=F9_SQL)
+def f_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timestamp/date surface (F9, ref `main.py:128`, `db.py:290-301`):
+    date truncation, parts extraction, epoch seconds, formatting."""
+    orders = load(spark, sf_dir, "orders")
+    return (
+        orders.filter(F.col("o_orderkey") < 200)
+        .select(
+            "o_orderkey",
+            F.year("o_orderdate").alias("order_year"),
+            F.month("o_orderdate").alias("order_month"),
+            (F.unix_micros(F.col("o_orderdate").cast("timestamp")) / 1_000_000)
+            .cast("bigint")
+            .alias("epoch_sec"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("date_str"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+W4_SQL = """
+SELECT o_custkey, o_orderkey,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+              OVER (PARTITION BY o_custkey
+                    ORDER BY o_orderdate, o_orderkey
+                    ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_spend,
+       ROW_NUMBER() OVER (PARTITION BY o_custkey
+                          ORDER BY o_orderdate, o_orderkey) AS order_seq
+FROM orders
+ORDER BY o_custkey, order_seq
+"""
+
+
+@plan("w4_running_sum", oracle=W4_SQL)
+def w4_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic window: per-customer running spend + order sequence.
+    One shuffle on the partition key; decimal cumsum is exact at any
+    prefix so both engines agree row-by-row."""
+    orders = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            F.sum(F.col("o_totalprice").cast(DEC))
+            .over(w.rowsBetween(Window.unboundedPreceding, 0))
+            .cast("double")
+            .alias("running_spend"),
+            F.row_number().over(w).alias("order_seq"),
+        )
+        .orderBy("o_custkey", "order_seq")
+    )
+
+
+W5_SQL = """
+SELECT o_custkey, o_orderkey, o_totalprice, rank
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rank
+  FROM orders
+)
+WHERE rank <= 3
+ORDER BY o_custkey, rank
+"""
+
+
+@plan("w5_topk_per_group", oracle=W5_SQL)
+def w5_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K per group — the canonical window pattern. At scale,
+    Spark pushes a per-partition partial top-K under AQE before the
+    shuffle (WindowGroupLimit), so the shuffle carries ≤K rows per
+    group per partition, not the full table."""
+    orders = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), "o_orderkey")
+    return (
+        orders.select(
+            "o_custkey", "o_orderkey", "o_totalprice", F.row_number().over(w).alias("rank")
+        )
+        .filter(F.col("rank") <= 3)
+        .orderBy("o_custkey", "rank")
+    )
+
+
+SETOPS_SQL = """
+SELECT 'building_or_machinery' AS op, c_custkey FROM (
+  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+  UNION
+  SELECT c_custkey FROM customer WHERE c_mktsegment = 'MACHINERY'
+)
+UNION ALL
+SELECT 'rich_and_building', c_custkey FROM (
+  SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+  INTERSECT
+  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+)
+UNION ALL
+SELECT 'rich_not_building', c_custkey FROM (
+  SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+  EXCEPT
+  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+)
+ORDER BY op, c_custkey
+"""
+
+
+@plan("s_set_operations", oracle=SETOPS_SQL)
+def s_set_operations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations (SURVEY §2.6 — absent in the reference, provided
+    for surface completeness): UNION (distinct), INTERSECT, EXCEPT."""
+    cust = load(spark, sf_dir, "customer")
+    building = cust.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    machinery = cust.filter(F.col("c_mktsegment") == "MACHINERY").select("c_custkey")
+    rich = cust.filter(F.col("c_acctbal") > 5000).select("c_custkey")
+    u = building.union(machinery).distinct().withColumn("op", F.lit("building_or_machinery"))
+    i = rich.intersect(building).withColumn("op", F.lit("rich_and_building"))
+    e = rich.exceptAll(building).distinct().withColumn("op", F.lit("rich_not_building"))
+    return u.unionByName(i).unionByName(e).select("op", "c_custkey").orderBy("op", "c_custkey")
+
+
+PIVOT_SQL = """
+SELECT l_returnflag,
+       CAST(SUM(CASE WHEN l_linestatus = 'O'
+                     THEN CAST(l_quantity AS DECIMAL(18,4)) END) AS DOUBLE) AS qty_open,
+       CAST(SUM(CASE WHEN l_linestatus = 'F'
+                     THEN CAST(l_quantity AS DECIMAL(18,4)) END) AS DOUBLE) AS qty_filled
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+@plan("t2_pivot", oracle=PIVOT_SQL)
+def t2_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long→wide pivot — the inverse of the reference's melt (T1).
+    Explicit pivot values keep the plan single-pass (no value-discovery
+    scan)."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.sum(F.col("l_quantity").cast(DEC)).cast("double"))
+        .withColumnRenamed("O", "qty_open")
+        .withColumnRenamed("F", "qty_filled")
+        .orderBy("l_returnflag")
+    )
+
+
+ASOF_SQL = """
+SELECT e.event_id, e.user_id, e.ts, c.ts AS last_click_ts
+FROM (SELECT * FROM events WHERE event_type = 'error') e
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON e.user_id = c.user_id AND e.ts >= c.ts
+ORDER BY e.event_id
+"""
+
+
+@plan("j8_asof_join", oracle=ASOF_SQL)
+def j8_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join — an operator Spark lacks natively, composed from
+    built-ins (guide: union + conditional last_value): tag both
+    streams, union, per-user running last-click-timestamp, keep error
+    rows. One shuffle on user_id; no range explosion.
+
+    DuckDB's native ASOF JOIN is the oracle — matching it proves the
+    composition implements the canonical semantics.
+    """
+    ev = load(spark, sf_dir, "events")
+    tagged = ev.filter(F.col("event_type").isin("error", "click")).select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        F.when(F.col("event_type") == "click", F.col("ts")).alias("click_ts"),
+    )
+    # clicks sort before errors at identical ts so an equal-ts click is
+    # visible to the error row (ASOF >= semantics)
+    order = Window.partitionBy("user_id").orderBy(
+        "ts", F.when(F.col("event_type") == "click", 0).otherwise(1)
+    )
+    run = order.rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        tagged.withColumn("last_click_ts", F.last("click_ts", ignorenulls=True).over(run))
+        .filter(F.col("event_type") == "error")
+        .select("event_id", "user_id", "ts", "last_click_ts")
+        .orderBy("event_id")
+    )
+
+
+POSEXPLODE_SQL = """
+SELECT vec_id, p.p AS pos, ROUND(CAST(embedding[p.p + 1] AS DOUBLE), 6) AS val
+FROM embeddings, (SELECT unnest(range(4)) AS p) p
+WHERE vec_id < 20
+ORDER BY vec_id, pos
+"""
+
+
+@plan("e_array_positional", oracle=POSEXPLODE_SQL)
+def e_array_positional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array positional access (first 4 dims per vector) — the
+    element_at/posexplode surface used by every embedding operator."""
+    emb = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 20)
+    pos = F.explode(F.sequence(F.lit(0), F.lit(3))).alias("pos")
+    return (
+        emb.select("vec_id", pos, "embedding")
+        .select(
+            "vec_id",
+            "pos",
+            F.round(F.element_at("embedding", F.col("pos") + 1).cast("double"), 6).alias("val"),
+        )
+        .orderBy("vec_id", "pos")
+    )

@@ -1,0 +1,57 @@
+"""Structured Streaming surface: windows, sessions, custom state."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from compendium_spark.plans.windows import w1_tumbling_window
+from compendium_spark.streaming.windows import (
+    streaming_running_totals,
+    streaming_session_windows,
+    streaming_tumbling_counts,
+)
+from compendium_spark.tables import load
+
+from .conftest import SF_SMOKE
+
+
+def test_streaming_tumbling_matches_batch(spark):
+    """The streaming window agg must equal the batch plan's counts —
+    same expression, incremental execution."""
+    got = {
+        (r.window_start, r.event_type): r.n_events
+        for r in streaming_tumbling_counts(spark, SF_SMOKE).collect()
+    }
+    want = {
+        (r.window_start, r.event_type): r.n_events
+        for r in w1_tumbling_window(spark, SF_SMOKE).collect()
+    }
+    assert got == want
+
+
+def test_streaming_sessions(spark):
+    rows = streaming_session_windows(spark, SF_SMOKE).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r.session_end > r.session_start
+        assert r.n_events >= 1
+
+
+def test_streaming_running_totals(spark):
+    """Stateful operator totals must equal the batch groupBy."""
+    got = {
+        r.user_id: (r.events_seen, r.total_value)
+        for r in streaming_running_totals(spark, SF_SMOKE).collect()
+    }
+    ev = load(spark, SF_SMOKE, "events")
+    want = {
+        r.user_id: (r.n, round(r.v, 4))
+        for r in ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("v"))
+        .collect()
+    }
+    assert set(got) == set(want)
+    for uid in want:
+        assert got[uid][0] == want[uid][0]
+        assert got[uid][1] == pytest.approx(want[uid][1], abs=1e-3)
