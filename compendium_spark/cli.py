@@ -1,0 +1,304 @@
+"""Command-line surface — the reference's `main.py` dispatch
+(`/root/reference/main.py:15-134`) over the Spark warehouse.
+
+Commands:
+  init                          idempotent table creation
+  xml TAXON FILE                ingest BioSample XML → samples (main.py:25-30)
+  tags TAXON FILE               ingest BioSample XML → tags (main.py:31-36)
+  runs [--count N] --mock-xml F enrich samples with run metadata (main.py:20-22)
+  asvs [--count N]              infer 16S regions for queued projects (main.py:23-24)
+  eval PROJECT --summary FILE   QC a completed project, print decision
+                                (main.py:90-100; Quirk Q5 fixed — it acts)
+  load-results PROJECT --dir D  melt+load a passed project's outputs
+                                (projects.py:418-525)
+  accessions PROJECT --out F    write SraAccList.txt (K3, projects.py:82-85)
+  sources IN OUT                keep/toss source filter (helpers.py)
+  status                        state-machine frequency report (main.py:60-66)
+  compendium                    compendium report (main.py:101-106)
+  summary                       per-project eligible-sample counts
+  find-todo [--min N --max N --needed N]  project picker (A1)
+
+Side effects the reference shells out for (git clone, sbatch, tar)
+are out of engine scope and stay behind the orchestration boundary.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from compendium_spark.functions.qc import project_disposition, project_qc, sample_qc
+from compendium_spark.functions.sources_filter import filter_sources
+from compendium_spark.pipeline import amplicon
+from compendium_spark.pipeline.enrichment import (
+    apply_enrichment,
+    enrichment_candidates,
+    fetch_batches,
+    with_batch_ids,
+)
+from compendium_spark.pipeline.status import (
+    compendium_summary,
+    eligible_samples,
+    find_todo,
+    status_frequency,
+)
+from compendium_spark.sources.biosample_xml import read_biosample_xml, to_samples, to_tags
+from compendium_spark.sources.fasta import read_fasta
+from compendium_spark.sources.tsv import (
+    assemble_asv_tables,
+    melt_counts,
+    read_counts_wide,
+    read_summary,
+    read_taxonomy,
+)
+from compendium_spark.storage import Warehouse
+
+
+def _spark() -> SparkSession:
+    from compendium_spark.session import get_session  # noqa: PLC0415
+
+    return get_session("compendium_spark_cli")
+
+
+def cmd_init(wh: Warehouse, args) -> int:
+    wh.init_tables()
+    print(f"initialized warehouse at {wh.root}")
+    return 0
+
+
+def cmd_xml(wh: Warehouse, args) -> int:
+    parsed = read_biosample_xml(wh.spark, args.file)
+    existing = wh.read("samples")
+    new = to_samples(parsed, taxon=args.taxon, existing=existing)
+    full = new.select(
+        "srs",
+        F.lit(None).cast("string").alias("project"),
+        "taxon",
+        F.lit(None).cast("array<string>").alias("srr"),
+        F.lit(None).cast("string").alias("library_strategy"),
+        F.lit(None).cast("string").alias("library_source"),
+        F.lit(None).cast("string").alias("instrument"),
+        F.lit(None).cast("timestamp").alias("pubdate"),
+        F.lit(None).cast("long").alias("total_bases"),
+        F.lit(None).cast("string").alias("geo_loc_name"),
+    )
+    n = full.count()
+    wh.append("samples", full)
+    print(f"saved {n} new samples")  # db.py:262 tally
+    return 0
+
+
+def cmd_tags(wh: Warehouse, args) -> int:
+    parsed = read_biosample_xml(wh.spark, args.file)
+    new = to_tags(parsed, existing=wh.read("tags"))
+    n = new.count()
+    wh.append("tags", new)
+    print(f"saved tags for new samples: {n} rows")
+    return 0
+
+
+def cmd_runs(wh: Warehouse, args) -> int:
+    samples = wh.read("samples")
+    cand = enrichment_candidates(samples, count=args.count)
+    batched = with_batch_ids(cand, per_query=args.per_query)
+    groups: dict[int, list[str]] = {}
+    for r in batched.collect():  # ≤count orchestration rows (SURVEY §7.4)
+        groups.setdefault(r.batch, []).append(r.srs)
+    batches = [groups[k] for k in sorted(groups)]
+    if args.mock_xml:
+        xml_text = open(args.mock_xml).read()
+        fetch = lambda url: xml_text  # noqa: E731
+    else:
+        import requests  # noqa: PLC0415
+
+        def fetch(url: str) -> str:
+            import time  # noqa: PLC0415
+
+            time.sleep(0.5)  # db.py:321 rate limit
+            return requests.get(url, timeout=25).text  # config_template.py:30
+
+    staged_rows = fetch_batches(batches, fetch)
+    if not staged_rows:
+        print("no updates fetched")
+        return 0
+    staged = wh.spark.createDataFrame(
+        staged_rows,
+        "srs string, srr array<string>, project string, library_strategy string, "
+        "library_source string, pubdate string, total_bases long, instrument string",
+    ).withColumn("pubdate", F.col("pubdate").cast("timestamp"))
+    wh.write("samples", apply_enrichment(wh.read("samples"), staged))
+    print(f"updated {len(staged_rows)} samples")
+    return 0
+
+
+def cmd_asvs(wh: Warehouse, args) -> int:
+    seqs = wh.read("asv_sequences")
+    inference = wh.read("asv_inference")
+    todo = amplicon.inference_work_queue(seqs, inference, limit=args.count)
+    todo_projects = [r.project for r in todo.collect()]
+    if not todo_projects:
+        print("no projects to evaluate")
+        return 0
+    results = amplicon.infer_regions(seqs.filter(F.col("project").isin(todo_projects)))
+    wh.upsert("asv_inference", results, key="project")
+    for r in results.collect():
+        print(f"{r.project}: {r.region}, {r.length}")
+    return 0
+
+
+def cmd_eval(wh: Warehouse, args) -> int:
+    summ = read_summary(wh.spark, args.summary, project=args.project)
+    disp = project_disposition(project_qc(sample_qc(summ)))
+    r = disp.collect()[0]
+    print(f"Project {r.project}: {r.sample_count} samples, decision={r.decision}")
+    for e in r.errors:
+        print(f"  {e}")
+    return 0
+
+
+def cmd_load_results(wh: Warehouse, args) -> int:
+    d = args.dir.rstrip("/")
+    counts = melt_counts(read_counts_wide(wh.spark, f"{d}/ASVs_counts.tsv"))
+    fasta = read_fasta(wh.spark, f"{d}/ASVs.fa")
+    taxonomy = read_taxonomy(wh.spark, f"{d}/ASVs_taxonomy.tsv")
+    seqs, assigns = assemble_asv_tables(fasta, taxonomy, project=args.project)
+    wh.append("asv_counts", counts)
+    wh.append("asv_sequences", seqs)
+    wh.append("asv_assignments", assigns)
+    status_row = wh.spark.createDataFrame(
+        [(args.project, "done", 0, None, None, None)],
+        "project string, status string, rerun_as_single_end int, paired int, note1 string, note2 string",
+    )
+    wh.upsert("status", status_row, key="project")
+    print(
+        f"loaded {counts.count()} count cells, {seqs.count()} sequences, "
+        f"{assigns.count()} assignments for {args.project}"
+    )
+    return 0
+
+
+def cmd_accessions(wh: Warehouse, args) -> int:
+    elig = eligible_samples(wh.read("samples"), project=args.project)
+    runs = elig.select(F.explode("srr").alias("srr")).distinct().orderBy("srr")
+    rows = [r.srr for r in runs.collect()]
+    with open(args.out, "w") as f:
+        for srr in rows:
+            f.write(srr + "\n")  # K3, projects.py:82-85
+    print(f"wrote {len(rows)} accessions to {args.out}")
+    return 0
+
+
+def cmd_sources(wh: Warehouse, args) -> int:
+    kept = filter_sources(wh.spark, args.infile, args.outfile)
+    print(f"kept {kept}")
+    return 0
+
+
+def cmd_status(wh: Warehouse, args) -> int:
+    for r in status_frequency(wh.read("status")).collect():
+        print(f"{r.status}\t{r.n_projects}")
+    return 0
+
+
+def cmd_compendium(wh: Warehouse, args) -> int:
+    r = compendium_summary(wh.read("samples"), wh.read("asv_counts")).collect()[0]
+    print(f"projects: {r.n_projects}")
+    print(f"samples: {r.n_samples}")
+    print(f"samples with results: {r.n_result_samples}")
+    print(f"ASVs: {r.n_asvs}")
+    return 0
+
+
+def cmd_summary(wh: Warehouse, args) -> int:
+    counts = (
+        eligible_samples(wh.read("samples"))
+        .groupBy("project")
+        .agg(F.count(F.lit(1)).alias("samples"))
+        .orderBy(F.desc("samples"), "project")
+    )
+    for r in counts.collect():
+        print(f"{r.project}\t{r.samples}")
+    return 0
+
+
+def cmd_find_todo(wh: Warehouse, args) -> int:
+    todo = find_todo(
+        wh.read("samples"),
+        wh.read("status"),
+        min_samples=args.min,
+        max_samples=args.max,
+        needed=args.needed,
+    )
+    for r in todo.collect():
+        print(f"{r.project}\t{r.samples}")
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="compendium_spark")
+    p.add_argument("--warehouse", default="./warehouse", help="warehouse directory")
+    sub = p.add_subparsers(dest="command", required=True)
+
+    sub.add_parser("init")
+    x = sub.add_parser("xml")
+    x.add_argument("taxon")
+    x.add_argument("file")
+    t = sub.add_parser("tags")
+    t.add_argument("taxon")
+    t.add_argument("file")
+    r = sub.add_parser("runs")
+    r.add_argument("--count", type=int, default=2000)  # main.py:21
+    r.add_argument("--per-query", type=int, default=80)  # main.py:22
+    r.add_argument("--mock-xml", default=None)
+    a = sub.add_parser("asvs")
+    a.add_argument("--count", type=int, default=100)  # main.py:24
+    e = sub.add_parser("eval")
+    e.add_argument("project")
+    e.add_argument("--summary", required=True)
+    lr = sub.add_parser("load-results")
+    lr.add_argument("project")
+    lr.add_argument("--dir", required=True)
+    ac = sub.add_parser("accessions")
+    ac.add_argument("project")
+    ac.add_argument("--out", required=True)
+    so = sub.add_parser("sources")
+    so.add_argument("infile")
+    so.add_argument("outfile")
+    sub.add_parser("status")
+    sub.add_parser("compendium")
+    sub.add_parser("summary")
+    ft = sub.add_parser("find-todo")
+    ft.add_argument("--min", type=int, default=50)  # management.py:90
+    ft.add_argument("--max", type=int, default=10000)
+    ft.add_argument("--needed", type=int, default=None)
+    return p
+
+
+COMMANDS = {
+    "init": cmd_init,
+    "xml": cmd_xml,
+    "tags": cmd_tags,
+    "runs": cmd_runs,
+    "asvs": cmd_asvs,
+    "eval": cmd_eval,
+    "load-results": cmd_load_results,
+    "accessions": cmd_accessions,
+    "sources": cmd_sources,
+    "status": cmd_status,
+    "compendium": cmd_compendium,
+    "summary": cmd_summary,
+    "find-todo": cmd_find_todo,
+}
+
+
+def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    wh = Warehouse(spark or _spark(), args.warehouse)
+    return COMMANDS[args.command](wh, args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -53,6 +53,31 @@ def _shingles(k: int = 3) -> Column:
     return F.array_distinct(F.when(n >= k, grams).otherwise(F.array()))
 
 
+def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, shingle) rows, parallelized.
+
+    Two deliberate physical choices:
+      * repartition before the shingle computation — the testdata table
+        is a single parquet file (one input split), which would run all
+        hashing on one core; at 100 TB the source has thousands of
+        splits and this repartition becomes a no-op to remove;
+      * tokens materialized once into a column so the split isn't
+        re-evaluated inside the per-offset lambda.
+    """
+    docs = load(spark, sf_dir, "documents")
+    par = spark.sparkContext.defaultParallelism
+    toks = docs.repartition(par, "doc_id").select(
+        "doc_id", F.split(F.trim(F.col("text")), " +").alias("toks")
+    )
+    n = F.size("toks")
+    grams = F.transform(
+        F.sequence(F.lit(0), n - 3),
+        lambda i: F.concat_ws(" ", F.slice(F.col("toks"), i + 1, 3)),
+    )
+    shingles = F.array_distinct(F.when(n >= 3, grams).otherwise(F.array()))
+    return toks.select("doc_id", F.explode(shingles).alias("shingle"))
+
+
 # DuckDB mirror of _shingles(3): 1-based starts 1..len-2, inclusive slices.
 _SHINGLES_SQL = (
     "list_distinct(CASE WHEN len(string_split_regex(trim(text), ' +')) >= 3 THEN "
@@ -128,8 +153,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB this runs only on LSH candidates (dedup_minhash_lsh),
     never all-pairs; integer-ratio math keeps it engine-exact.
     """
-    docs = load(spark, sf_dir, "documents")
-    sh = docs.select("doc_id", F.explode(_shingles()).alias("shingle"))
+    sh = _doc_shingles(spark, sf_dir)
     cnt = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -210,8 +234,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket sizes, with AQE skew handling; a production guard drops
     buckets larger than a cap (boilerplate).
     """
-    docs = load(spark, sf_dir, "documents")
-    sh = docs.select("doc_id", F.explode(_shingles()).alias("shingle"))
+    sh = _doc_shingles(spark, sf_dir)
     sig = sh.groupBy("doc_id").agg(
         *[
             F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"s{i}")
@@ -232,16 +255,30 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("bb"),
     ).select("doc_id", "bb.band", "bb.bkey")
-    a = bands.alias("a")
-    b = bands.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bkey") == F.col("b.bkey"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+    # bucket-local pair generation instead of a bands self-join: one
+    # groupBy collects each bucket's doc ids, and the i<j combinations
+    # are expanded with array lambdas map-side. Avoids recomputing the
+    # signature subtree for a second join input (no ReusedExchange
+    # needed), and makes the quadratic term explicitly bucket-bounded —
+    # at 100 TB, cap bucket size here (filter size(ids) < N) to shed
+    # boilerplate buckets.
+    buckets = (
+        bands.groupBy("band", "bkey")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    pairs = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
         )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+    )
+    return (
+        buckets.select(F.explode(pairs).alias("p"))
+        .select("p.doc_a", "p.doc_b")
         .distinct()
         .orderBy("doc_a", "doc_b")
     )
@@ -287,7 +324,10 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     (doc, pos) then (doc). All integer math.
     """
     docs = load(spark, sf_dir, "documents")
-    tok = docs.select("doc_id", F.explode(_tokens()).alias("token"))
+    par = spark.sparkContext.defaultParallelism
+    tok = docs.repartition(par, "doc_id").select(
+        "doc_id", F.explode(_tokens()).alias("token")
+    )
     pos = F.explode(F.sequence(F.lit(0), F.lit(15))).alias("pos")
     bits = tok.select(
         "doc_id",

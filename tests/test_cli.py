@@ -1,0 +1,125 @@
+"""CLI + warehouse: the reference's command surface end-to-end."""
+
+from __future__ import annotations
+
+import pytest
+
+from compendium_spark.cli import main
+from compendium_spark.pipeline.amplicon import WHOLE_16S
+from compendium_spark.storage import Warehouse
+
+XML = """<?xml version="1.0"?><BioSampleSet>
+<BioSample><Ids><Id db="SRA">SRS001</Id></Ids><Attributes>
+<Attribute harmonized_name="geo_loc_name">USA</Attribute></Attributes></BioSample>
+<BioSample><Ids><Id db="SRA">SRS002</Id></Ids><Attributes>
+<Attribute attribute_name="host">Human</Attribute></Attributes></BioSample>
+</BioSampleSet>"""
+
+EFETCH = """<R><EXPERIMENT_PACKAGE><SAMPLE accession="SRS001"/>
+<RUN accession="SRR100"/><EXTERNAL_ID namespace="BioProject">PRJ1</EXTERNAL_ID>
+<LIBRARY_STRATEGY>AMPLICON</LIBRARY_STRATEGY><LIBRARY_SOURCE>GENOMIC</LIBRARY_SOURCE>
+</EXPERIMENT_PACKAGE>
+<EXPERIMENT_PACKAGE><SAMPLE accession="SRS002"/>
+<RUN accession="SRR200"/><RUN accession="SRR201"/>
+<EXTERNAL_ID namespace="BioProject">PRJ1</EXTERNAL_ID>
+<LIBRARY_STRATEGY>AMPLICON</LIBRARY_STRATEGY><LIBRARY_SOURCE>METAGENOMIC</LIBRARY_SOURCE>
+</EXPERIMENT_PACKAGE></R>"""
+
+
+@pytest.fixture(scope="module")
+def wh_dir(tmp_path_factory):
+    return str(tmp_path_factory.mktemp("warehouse"))
+
+
+def run(spark, wh_dir, *argv) -> int:
+    return main(["--warehouse", wh_dir, *argv], spark=spark)
+
+
+def test_full_command_flow(spark, wh_dir, tmp_path, capsys):
+    # init (idempotent)
+    assert run(spark, wh_dir, "init") == 0
+    assert run(spark, wh_dir, "init") == 0
+
+    # xml ingest + re-ingest (anti-join: second run adds 0)
+    xml = tmp_path / "bs.xml"
+    xml.write_text(XML)
+    assert run(spark, wh_dir, "xml", "txid408170", str(xml)) == 0
+    assert "saved 2 new samples" in capsys.readouterr().out
+    assert run(spark, wh_dir, "xml", "txid408170", str(xml)) == 0
+    assert "saved 0 new samples" in capsys.readouterr().out
+    assert run(spark, wh_dir, "tags", "txid408170", str(xml)) == 0
+
+    # runs enrichment from mocked efetch XML
+    mock = tmp_path / "efetch.xml"
+    mock.write_text(EFETCH)
+    assert run(spark, wh_dir, "runs", "--mock-xml", str(mock)) == 0
+    assert "updated 2 samples" in capsys.readouterr().out
+
+    # accession list sink (multi-run sample explodes to 2 SRRs)
+    acc = tmp_path / "SraAccList.txt"
+    assert run(spark, wh_dir, "accessions", "PRJ1", "--out", str(acc)) == 0
+    assert acc.read_text().splitlines() == ["SRR100", "SRR200", "SRR201"]
+
+    # eval QC decision from a summary.tsv
+    summ = tmp_path / "summary.tsv"
+    summ.write_text(
+        "\tdinput\tfilter\tforwd\trevse\tmerged\tlength\tnonchim\n"
+        + "".join(
+            f"SRR10{i}_1.fastq\t50000\t48000\t47000\t46500\t45000\t44800\t44000\n"
+            for i in range(6)
+        )
+    )
+    assert run(spark, wh_dir, "eval", "PRJ1", "--summary", str(summ)) == 0
+    assert "decision=save" in capsys.readouterr().out
+
+    # load results
+    d = tmp_path / "PRJ1"
+    d.mkdir()
+    (d / "ASVs_counts.tsv").write_text("\tSRR100\tSRR200\nASV_1\t10\t0\nASV_2\t3\t7\n")
+    (d / "ASVs.fa").write_text(f">ASV_1\n{WHOLE_16S[570:690]}\n>ASV_2\n{WHOLE_16S[572:688]}\n")
+    (d / "ASVs_taxonomy.tsv").write_text(
+        "\tKingdom\tPhylum\tClass\tOrder\tFamily\tGenus\n"
+        "ASV_1\tBacteria\tB\tC\tD\tE\tF\nASV_2\tBacteria\tB\tC\tD\tE\tG\n"
+    )
+    assert run(spark, wh_dir, "load-results", "PRJ1", "--dir", str(d)) == 0
+    assert "3 count cells" in capsys.readouterr().out
+
+    # asvs region inference over the loaded project
+    assert run(spark, wh_dir, "asvs") == 0
+    out = capsys.readouterr().out
+    assert "PRJ1: v4" in out
+    # second run: queue empty
+    assert run(spark, wh_dir, "asvs") == 0
+    assert "no projects to evaluate" in capsys.readouterr().out
+
+    # reports
+    assert run(spark, wh_dir, "status") == 0
+    assert "done\t1" in capsys.readouterr().out
+    assert run(spark, wh_dir, "compendium") == 0
+    out = capsys.readouterr().out
+    assert "projects: 1" in out and "samples: 2" in out and "ASVs: 2" in out
+
+
+def test_sources_command(spark, wh_dir, tmp_path, capsys):
+    src = tmp_path / "sources.txt"
+    src.write_text("human stool\nsoil core\n")
+    out_dir = tmp_path / "processed"
+    assert run(spark, wh_dir, "sources", str(src), str(out_dir)) == 0
+    assert "kept 1" in capsys.readouterr().out
+
+
+def test_warehouse_merge_roundtrip(spark, tmp_path):
+    wh = Warehouse(spark, str(tmp_path / "wh2"))
+    wh.init_tables()
+    s1 = spark.createDataFrame(
+        [("P1", "running", 0, None, None, None)],
+        "project string, status string, rerun_as_single_end int, paired int, note1 string, note2 string",
+    )
+    wh.upsert("status", s1, key="project")
+    s2 = spark.createDataFrame(
+        [("P1", "done", 0, None, None, None), ("P2", "running", 0, None, None, None)],
+        s1.schema,
+    )
+    wh.upsert("status", s2, key="project")
+    got = {r.project: r.status for r in wh.read("status").collect()}
+    assert got == {"P1": "done", "P2": "running"}
