@@ -6,7 +6,9 @@ Import side effect: importing this package registers every plan in
 """
 
 from compendium_spark.plans import (  # noqa: F401
+    ann,
     extended,
+    olap_ext,
     reference_ops,
     registry,
     relational_ext,

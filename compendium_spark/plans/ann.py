@@ -1,0 +1,215 @@
+"""Approximate nearest neighbor: random-hyperplane LSH.
+
+The scale path for similarity search (sim_cosine_topk is the exact
+baseline): hash every vector into L independent hash tables, each
+keyed by the sign pattern of dot products with k random hyperplanes.
+Candidates = vectors sharing a bucket in ANY table (OR-amplification:
+k bits per table sharpens precision, L tables recover recall), then
+exact cosine re-rank of candidates only.
+
+At 100 TB: the corpus is hashed once (map-only, k·L dot products per
+vector), stored partitioned by (table, bucket); a query reads L
+buckets instead of the corpus. The candidate join shuffles on the
+small (table, bucket) key.
+
+Determinism/parity: hyperplanes come from a fixed seed and are
+embedded as literal arrays in BOTH the Spark plan and the oracle SQL,
+so even this sketching operator is fully oracle-checked.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from compendium_spark.plans.registry import plan
+
+N_TABLES = 4
+N_PLANES = 4  # bits per table
+DIM = 64
+_rng = np.random.default_rng(42)
+# round to 6 dp: decimal literals parse to identical doubles everywhere
+PLANES: list[list[list[float]]] = [
+    [[round(float(x), 6) for x in _rng.standard_normal(DIM)] for _ in range(N_PLANES)]
+    for _ in range(N_TABLES)
+]
+
+
+def _dot_lit(e: Column, plane: list[float]) -> Column:
+    arr = F.array(*[F.lit(v) for v in plane])
+    return F.aggregate(
+        F.zip_with(e, arr, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+    )
+
+
+def _bucket_expr(e: Column, table: int) -> Column:
+    bits = [
+        F.when(_dot_lit(e, PLANES[table][i]) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+        for i in range(N_PLANES)
+    ]
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out
+
+
+def _sql_plane_literal(plane: list[float]) -> str:
+    return "[" + ", ".join(f"CAST({v!r} AS DOUBLE)" for v in plane) + "]"
+
+
+def _sql_bucket_expr(col: str, table: int) -> str:
+    terms = []
+    for i, p in enumerate(PLANES[table]):
+        dot = (
+            f"list_sum(list_transform({col}, (x, i) -> "
+            f"CAST(x AS DOUBLE) * ({_sql_plane_literal(p)})[i]))"
+        )
+        terms.append(f"(CASE WHEN {dot} >= 0 THEN {1 << i} ELSE 0 END)")
+    return " + ".join(terms)
+
+
+def _sql_tables_union(col: str) -> str:
+    return " UNION ALL ".join(
+        f"SELECT vec_id, {t} AS tbl, {_sql_bucket_expr(col, t)} AS bucket FROM embeddings"
+        for t in range(N_TABLES)
+    )
+
+
+LSH_BUCKETS_SQL = f"""
+SELECT tbl, bucket, COUNT(*) AS n_vectors
+FROM ({_sql_tables_union("embedding")})
+GROUP BY tbl, bucket
+ORDER BY tbl, bucket
+"""
+
+
+@plan("sim_lsh_buckets", oracle=LSH_BUCKETS_SQL)
+def sim_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucket occupancy per hash table — the indexing half of LSH-ANN,
+    and the skew diagnostic you'd watch in production (a hot bucket
+    means add planes or re-seed)."""
+    from compendium_spark.tables import load  # noqa: PLC0415
+
+    emb = load(spark, sf_dir, "embeddings")
+    e = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    entries = F.explode(
+        F.array(
+            *[
+                F.struct(F.lit(t).alias("tbl"), _bucket_expr(e, t).alias("bucket"))
+                for t in range(N_TABLES)
+            ]
+        )
+    ).alias("h")
+    return (
+        emb.select("vec_id", entries)
+        .select("vec_id", "h.tbl", "h.bucket")
+        .groupBy("tbl", "bucket")
+        .agg(F.count(F.lit(1)).alias("n_vectors"))
+        .orderBy("tbl", "bucket")
+    )
+
+
+LSH_TOPK_SQL = f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+),
+n AS (
+  SELECT vec_id, e,
+         sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm
+  FROM v
+),
+h AS ({_sql_tables_union("embedding")}),
+cand AS (
+  SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS cand_id
+  FROM h a JOIN h b ON a.tbl = b.tbl AND a.bucket = b.bucket
+  WHERE a.vec_id < 10 AND b.vec_id <> a.vec_id
+),
+pairs AS (
+  SELECT cand.query_id, cand.cand_id,
+         list_sum(list_transform(q.e, (x, i) -> x * c.e[i])) / (q.nrm * c.nrm)
+           AS cos_full
+  FROM cand
+  JOIN n q ON cand.query_id = q.vec_id
+  JOIN n c ON cand.cand_id = c.vec_id
+),
+ranked AS (
+  SELECT query_id, cand_id, cos_full,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cos_full DESC, cand_id) AS rn
+  FROM pairs
+)
+SELECT query_id, cand_id, ROUND(cos_full, 6) AS cosine, rn AS rank
+FROM ranked WHERE rn <= 5
+ORDER BY query_id, rank
+"""
+
+
+@plan("sim_lsh_topk", oracle=LSH_TOPK_SQL)
+def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-5 neighbors: candidates from any shared bucket
+    across the L hash tables, exact cosine re-rank of candidates only.
+    Recall vs the exact baseline is asserted in tests/test_ann.py.
+
+    Scale shape: (table, bucket) equi-join for candidates, then two
+    hash joins to fetch vectors — never a cross join.
+    """
+    from compendium_spark.tables import load  # noqa: PLC0415
+
+    emb = load(spark, sf_dir, "embeddings")
+    e = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    v = emb.select("vec_id", e.alias("e"))
+    dot_self = F.aggregate(
+        F.zip_with(F.col("e"), F.col("e"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    n = v.withColumn("nrm", F.sqrt(dot_self))
+
+    entries = F.explode(
+        F.array(
+            *[
+                F.struct(F.lit(t).alias("tbl"), _bucket_expr(e, t).alias("bucket"))
+                for t in range(N_TABLES)
+            ]
+        )
+    ).alias("h")
+    h = emb.select("vec_id", entries).select("vec_id", "h.tbl", "h.bucket")
+    a = h.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "tbl", "bucket"
+    )
+    b = h.select(F.col("vec_id").alias("cand_id"), "tbl", "bucket")
+    cand = (
+        a.join(b, ["tbl", "bucket"])
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .select("query_id", "cand_id")
+        .distinct()
+    )
+    q = n.select(F.col("vec_id").alias("query_id"), F.col("e").alias("qe"), F.col("nrm").alias("qn"))
+    c = n.select(F.col("vec_id").alias("cand_id"), F.col("e").alias("ce"), F.col("nrm").alias("cn"))
+    cos = (
+        F.aggregate(
+            F.zip_with(F.col("qe"), F.col("ce"), lambda x, y: x * y),
+            F.lit(0.0),
+            lambda a_, x: a_ + x,
+        )
+        / (F.col("qn") * F.col("cn"))
+    )
+    pairs = (
+        cand.join(F.broadcast(q), "query_id")
+        .join(c, "cand_id")
+        .select("query_id", "cand_id", cos.alias("cos_full"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_full"), "cand_id")
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select(
+            "query_id",
+            "cand_id",
+            F.round("cos_full", 6).alias("cosine"),
+            F.col("rn").alias("rank"),
+        )
+        .orderBy("query_id", "rank")
+    )

@@ -1,0 +1,102 @@
+"""OLAP extensions: rollup/cube/grouping sets, approximate aggregates,
+sampling.
+
+None of these exist in the reference (its aggregation surface is
+SURVEY §2.4); they complete the analytics side of the engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from compendium_spark.plans.registry import plan
+from compendium_spark.tables import load
+
+DEC = "decimal(18,4)"
+
+ROLLUP_SQL = """
+SELECT COALESCE(l_returnflag, '<all>') AS returnflag,
+       COALESCE(l_linestatus, '<all>') AS linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+       COUNT(*) AS n
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+ORDER BY returnflag, linestatus
+"""
+
+
+@plan("a_rollup", oracle=ROLLUP_SQL)
+def a_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals (flag → flag+status → grand total).
+    Spark expands grouping sets in one pass (Expand node) — still a
+    single scan + single shuffle."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast(DEC)).cast("double").alias("sum_qty"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("<all>")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("<all>")).alias("linestatus"),
+            "sum_qty",
+            "n",
+        )
+        .orderBy("returnflag", "linestatus")
+    )
+
+
+CUBE_SQL = """
+SELECT COALESCE(o_orderstatus, '<all>') AS orderstatus,
+       COALESCE(o_orderpriority, '<all>') AS orderpriority,
+       COUNT(*) AS n
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+ORDER BY orderstatus, orderpriority
+"""
+
+
+@plan("a_cube", oracle=CUBE_SQL)
+def a_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE: all 2^k grouping combinations in one pass."""
+    orders = load(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.coalesce("o_orderstatus", F.lit("<all>")).alias("orderstatus"),
+            F.coalesce("o_orderpriority", F.lit("<all>")).alias("orderpriority"),
+            "n",
+        )
+        .orderBy("orderstatus", "orderpriority")
+    )
+
+
+@plan("a_approx_aggregates", oracle=None)  # sketch internals are engine-specific
+def a_approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate distinct (HyperLogLog++) and quantiles — the
+    100 TB substitutes for exact COUNT(DISTINCT)/percentile. Rows-only
+    check (sketches are engine-specific); tests/test_ann.py asserts
+    error bounds against exact values instead."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
+        F.percentile_approx("l_extendedprice", [0.5, 0.95, 0.99], 10000).alias(
+            "price_quantiles"
+        ),
+        F.count(F.lit(1)).alias("n"),
+    ).orderBy("l_returnflag")
+
+
+@plan("o2_stratified_sample", oracle=None)  # sampling is engine-specific
+def o2_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded stratified sampling per key — the distributed form of the
+    reference's ORDER BY RANDOM() work-queue batching (O1). sampleBy
+    is a per-row Bernoulli filter: no shuffle, no sort, scales
+    linearly (a full random sort at 100 TB would be a disaster)."""
+    orders = load(spark, sf_dir, "orders")
+    return orders.sampleBy(
+        "o_orderstatus", fractions={"O": 0.1, "F": 0.1, "P": 0.5}, seed=42
+    ).select("o_orderkey", "o_orderstatus")

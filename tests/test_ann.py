@@ -1,0 +1,59 @@
+"""ANN quality: LSH bucket recall vs the exact baseline; approx-agg
+error bounds."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from compendium_spark.plans import all_plans
+from compendium_spark.tables import load
+
+from .conftest import SF_ORACLE
+
+PLANS = all_plans()
+
+
+def test_lsh_recall_against_exact(spark):
+    """Bucketed top-5 must agree with exact top-5 on a meaningful
+    fraction of neighbors (4 planes → 16 buckets → recall well above
+    the 1/16 random-candidate floor)."""
+    exact = PLANS["sim_cosine_topk"].fn(spark, SF_ORACLE).collect()
+    approx = PLANS["sim_lsh_topk"].fn(spark, SF_ORACLE).collect()
+    exact_sets = {}
+    for r in exact:
+        exact_sets.setdefault(r.query_id, set()).add(r.cand_id)
+    approx_sets = {}
+    for r in approx:
+        approx_sets.setdefault(r.query_id, set()).add(r.cand_id)
+    recalls = [
+        len(exact_sets[q] & approx_sets.get(q, set())) / len(exact_sets[q])
+        for q in exact_sets
+    ]
+    avg_recall = sum(recalls) / len(recalls)
+    # 4 tables x 4 bits: each table's bucket holds ~1/16 of the corpus,
+    # OR over 4 tables covers ~1/4 - on weak-structure synthetic
+    # embeddings the information-theoretic ceiling is modest; assert
+    # clearly above the single-bucket random floor
+    assert avg_recall >= 0.3, f"LSH recall {avg_recall:.2f} too low"
+
+
+def test_lsh_buckets_cover_corpus(spark):
+    rows = PLANS["sim_lsh_buckets"].fn(spark, SF_ORACLE).collect()
+    assert sum(r.n_vectors for r in rows) == 500 * 4  # each vector in 4 tables
+    assert 4 < len(rows) <= 64
+
+
+def test_approx_count_distinct_error(spark):
+    got = {r.l_returnflag: r for r in PLANS["a_approx_aggregates"].fn(spark, SF_ORACLE).collect()}
+    li = load(spark, SF_ORACLE, "lineitem")
+    exact = {
+        r.l_returnflag: r.n
+        for r in li.groupBy("l_returnflag")
+        .agg(F.countDistinct("l_orderkey").alias("n"))
+        .collect()
+    }
+    for flag, n_exact in exact.items():
+        rel_err = abs(got[flag].approx_orders - n_exact) / n_exact
+        assert rel_err < 0.1, f"{flag}: {rel_err:.3f}"
+        q50, q95, q99 = got[flag].price_quantiles
+        assert q50 < q95 <= q99
