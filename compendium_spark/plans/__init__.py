@@ -10,6 +10,7 @@ from compendium_spark.plans import (  # noqa: F401
     extended,
     olap_ext,
     reference_ops,
+    reference_ops2,
     registry,
     relational_ext,
     text,
