@@ -37,6 +37,15 @@ PLANES: list[list[list[float]]] = [
 
 
 def _dot_lit(e: Column, plane: list[float]) -> Column:
+    """Literal-plane dot product via zip_with + sequential fold.
+
+    Deliberately NOT unrolled: the bucket projection evaluates
+    16 planes × 64 dims per row, and unrolling all of them blows the
+    generated method past Janino's 64 KB limit — codegen fails, the
+    whole projection drops to interpreted mode, and the plan runs ~3×
+    slower (measured). The lambda fold stays within codegen-friendly
+    size; contrast _dot_unrolled in extended.py, which IS a win for a
+    single dot per row. Fold order matches DuckDB list_sum."""
     arr = F.array(*[F.lit(v) for v in plane])
     return F.aggregate(
         F.zip_with(e, arr, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
@@ -89,10 +98,10 @@ def sim_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bucket occupancy per hash table — the indexing half of LSH-ANN,
     and the skew diagnostic you'd watch in production (a hot bucket
     means add planes or re-seed)."""
-    from compendium_spark.tables import load  # noqa: PLC0415
+    from compendium_spark.plans.extended import _load_embeddings  # noqa: PLC0415
 
-    emb = load(spark, sf_dir, "embeddings")
-    e = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    emb = _load_embeddings(spark, sf_dir)
+    e = F.col("e")
     entries = F.explode(
         F.array(
             *[
@@ -155,17 +164,14 @@ def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: (table, bucket) equi-join for candidates, then two
     hash joins to fetch vectors — never a cross join.
     """
-    from compendium_spark.tables import load  # noqa: PLC0415
-
-    emb = load(spark, sf_dir, "embeddings")
-    e = F.transform(F.col("embedding"), lambda x: x.cast("double"))
-    v = emb.select("vec_id", e.alias("e"))
-    dot_self = F.aggregate(
-        F.zip_with(F.col("e"), F.col("e"), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda a, x: a + x,
+    from compendium_spark.plans.extended import (  # noqa: PLC0415
+        _dot_unrolled,
+        _load_embeddings,
     )
-    n = v.withColumn("nrm", F.sqrt(dot_self))
+
+    emb = _load_embeddings(spark, sf_dir)
+    e = F.col("e")
+    n = emb.withColumn("nrm", F.sqrt(_dot_unrolled(F.col("e"), F.col("e"))))
 
     entries = F.explode(
         F.array(
@@ -188,14 +194,7 @@ def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q = n.select(F.col("vec_id").alias("query_id"), F.col("e").alias("qe"), F.col("nrm").alias("qn"))
     c = n.select(F.col("vec_id").alias("cand_id"), F.col("e").alias("ce"), F.col("nrm").alias("cn"))
-    cos = (
-        F.aggregate(
-            F.zip_with(F.col("qe"), F.col("ce"), lambda x, y: x * y),
-            F.lit(0.0),
-            lambda a_, x: a_ + x,
-        )
-        / (F.col("qn") * F.col("cn"))
-    )
+    cos = _dot_unrolled(F.col("qe"), F.col("ce")) / (F.col("qn") * F.col("cn"))
     pairs = (
         cand.join(F.broadcast(q), "query_id")
         .join(c, "cand_id")

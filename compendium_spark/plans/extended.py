@@ -387,6 +387,43 @@ def _dot(a: Column, b: Column) -> Column:
     )
 
 
+EMB_DIM = 64  # embeddings.embedding element count (all SFs)
+
+
+def _dot_unrolled(a: Column, b: Column, dim: int = EMB_DIM) -> Column:
+    """Dot product unrolled to `dim` scalar multiply-adds.
+
+    Higher-order functions (zip_with/aggregate) evaluate their lambda
+    per element OUTSIDE whole-stage codegen; for a known fixed dim the
+    unrolled expression is pure codegen'd arithmetic (~10× faster on
+    the all-pairs paths). Left-to-right addition — the same
+    accumulation order as _dot and DuckDB's list_sum, so parity holds
+    bit-for-bit.
+    """
+    out = F.element_at(a, 1) * F.element_at(b, 1)
+    for i in range(2, dim + 1):
+        out = out + F.element_at(a, i) * F.element_at(b, i)
+    return out
+
+
+def _load_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embeddings, spread across cores.
+
+    The testdata table is one parquet file → one input split → every
+    downstream dot product on one core. Repartition on vec_id to
+    defaultParallelism; at 100 TB the source has thousands of splits
+    and this becomes a no-op to remove (see _doc_shingles).
+    A dim mismatch cannot pass silently: with ANSI mode on,
+    element_at past the array end errors, and a longer real dim makes
+    the oracle (which always folds the full list) disagree.
+    """
+    emb = load(spark, sf_dir, "embeddings")
+    par = spark.sparkContext.defaultParallelism
+    return emb.repartition(par, "vec_id").select(
+        "vec_id", _as_double("embedding").alias("e")
+    )
+
+
 COSINE_TOPK_SQL = """
 WITH v AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
@@ -423,12 +460,12 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     The correctness baseline for ANN. Queries broadcast against the
     corpus (at 100 TB: corpus stays sharded, query side broadcasts,
     per-partition top-k then global top-k — TakeOrdered shape, no full
-    sort). Dot products via zip_with+aggregate: JVM codegen, no UDF.
+    sort). Dot products fully unrolled into codegen (no per-element
+    lambda interpretation); the corpus side is repartitioned off its
+    single input split so all cores work.
     """
-    emb = load(spark, sf_dir, "embeddings").select(
-        "vec_id", _as_double("embedding").alias("e")
-    )
-    emb = emb.withColumn("nrm", F.sqrt(_dot(F.col("e"), F.col("e"))))
+    emb = _load_embeddings(spark, sf_dir)
+    emb = emb.withColumn("nrm", F.sqrt(_dot_unrolled(F.col("e"), F.col("e"))))
     q = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"),
         F.col("e").alias("qe"),
@@ -446,9 +483,10 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             "cand_id",
-            (_dot(F.col("qe"), F.col("ce")) / (F.col("qn") * F.col("cn"))).alias(
-                "cos_full"
-            ),
+            (
+                _dot_unrolled(F.col("qe"), F.col("ce"))
+                / (F.col("qn") * F.col("cn"))
+            ).alias("cos_full"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_full"), "cand_id")
@@ -491,21 +529,28 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Brute-force all-pairs is the small-scale verify; the scale path
     first buckets by LSH sign-bits (sim_lsh_buckets) and runs this
-    only within buckets.
+    only within buckets. Unrolled codegen dot products; the left side
+    keeps the parallel scan partitioning, the right side broadcasts
+    (2k × 64 doubles ≈ 1 MB — at larger corpora switch to the
+    LSH-bucketed path, never broadcast the full corpus).
+
+    Known cost: the nested-loop join materializes every surviving
+    pair WITH both embedding arrays (the cosine needs them), so
+    wall-clock is dominated by array row copies, not arithmetic —
+    O(n²) rows is the point at which you stop using the exact verify
+    and trust the LSH candidates.
     """
-    emb = load(spark, sf_dir, "embeddings").select(
-        "vec_id", _as_double("embedding").alias("e")
-    )
-    emb = emb.withColumn("nrm", F.sqrt(_dot(F.col("e"), F.col("e"))))
+    emb = _load_embeddings(spark, sf_dir)
+    emb = emb.withColumn("nrm", F.sqrt(_dot_unrolled(F.col("e"), F.col("e"))))
     a = emb.select(
         F.col("vec_id").alias("vec_a"), F.col("e").alias("ae"), F.col("nrm").alias("an")
     )
     b = emb.select(
         F.col("vec_id").alias("vec_b"), F.col("e").alias("be"), F.col("nrm").alias("bn")
     )
-    cos = _dot(F.col("ae"), F.col("be")) / (F.col("an") * F.col("bn"))
+    cos = _dot_unrolled(F.col("ae"), F.col("be")) / (F.col("an") * F.col("bn"))
     return (
-        a.crossJoin(b)
+        a.crossJoin(F.broadcast(b))
         .filter(F.col("vec_a") < F.col("vec_b"))
         .filter(cos >= 0.5)
         .select("vec_a", "vec_b", F.round(cos, 6).alias("cosine"))
