@@ -192,7 +192,8 @@ N_BANDS = 4  # rows per band = 2
 
 def _minhash_sql_sigs() -> str:
     cols = ", ".join(
-        f"min(md5('{i}:' || shingle)) AS s{i}" for i in range(N_HASHES)
+        f"min(substr(md5(shingle), {4 * i + 1}, 4)) AS s{i}"
+        for i in range(N_HASHES)
     )
     return cols
 
@@ -224,9 +225,14 @@ ORDER BY doc_a, doc_b
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + LSH banding: near-dup candidate pairs.
 
-    Permutation i is emulated as md5(i || shingle) (deterministic,
-    engine-portable); signature = 8 min-hashes; 4 bands × 2 rows.
-    Docs sharing any band bucket become candidates.
+    Permutation i is emulated as hex lane i of ONE md5 per shingle —
+    eight 4-hex-char slices tile the 32-char digest exactly, giving 8
+    independent 16-bit hash lanes from one digest (8× less hashing
+    than md5(i || shingle) per lane; hashing was the dominant map
+    cost). 16 bits per lane is plenty for lane-min selection at this
+    corpus size; the production swap is xxhash64 with real 64-bit
+    lanes. Signature = 8 lane-mins; 4 bands × 2 rows (32-bit band
+    keys). Docs sharing any band bucket become candidates.
 
     Plan: shingle explode → per-doc min-agg (one shuffle on doc_id,
     map-side partial mins) → band explode → self-join on band key.
@@ -234,10 +240,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket sizes, with AQE skew handling; a production guard drops
     buckets larger than a cap (boilerplate).
     """
-    sh = _doc_shingles(spark, sf_dir)
+    sh = _doc_shingles(spark, sf_dir).withColumn("h", F.md5("shingle"))
     sig = sh.groupBy("doc_id").agg(
         *[
-            F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"s{i}")
+            F.min(F.substring(F.col("h"), 4 * i + 1, 4)).alias(f"s{i}")
             for i in range(N_HASHES)
         ]
     )
