@@ -100,3 +100,47 @@ def o2_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return orders.sampleBy(
         "o_orderstatus", fractions={"O": 0.1, "F": 0.1, "P": 0.5}, seed=42
     ).select("o_orderkey", "o_orderstatus")
+
+
+SALTED_AGG_SQL = """
+SELECT user_id,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+@plan("a11_salted_twostage_agg", oracle=SALTED_AGG_SQL)
+def a11_salted_twostage_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key-safe aggregation: salt → partial agg → final agg.
+
+    The manual form of skew mitigation for a groupBy whose key
+    distribution has whales (one user = 10% of 100 TB): stage 1
+    aggregates on (key, salt) so a hot key's rows spread over SALT
+    partial groups on different cores; stage 2 combines the partials —
+    it processes at most SALT rows per key, so no task ever sees a
+    whale. Decimal partial sums are exactly associative, which is why
+    the result is bit-identical to the plain groupBy the oracle runs
+    (never do this with float partials). Complements AQE skew-join
+    handling, which only covers joins, not aggregations.
+    """
+    ev = load(spark, sf_dir, "events")
+    SALT = 16
+    partial = (
+        ev.withColumn("salt", F.pmod(F.xxhash64("event_id"), F.lit(SALT)))
+        .groupBy("user_id", "salt")
+        .agg(
+            F.count(F.lit(1)).alias("pn"),
+            F.sum(F.col("value").cast(DEC)).alias("pv"),
+        )
+    )
+    return (
+        partial.groupBy("user_id")
+        .agg(
+            F.sum("pn").alias("n_events"),
+            F.sum("pv").cast("double").alias("total_value"),
+        )
+        .orderBy("user_id")
+    )

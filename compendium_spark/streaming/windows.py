@@ -146,3 +146,77 @@ def streaming_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _run_to_memory(out, "stream_running", "update")
+
+
+STATUS_EVENT_TYPES = {
+    # completion-event → state-machine transition (README.md:102-111;
+    # the streaming upgrade of the autoforward polling loop, SURVEY §2.9)
+    "click": "complete",
+    "view": "running",
+    "purchase": "done",
+    "signup": "initialized",
+    "error": "failed",
+}
+
+
+def streaming_status_merge(
+    spark: SparkSession, sf_dir: str, checkpoint_dir: str | None = None
+) -> DataFrame:
+    """Pipeline-completion events driving the status state machine.
+
+    The reference advances `status.status` by re-running `autoforward`
+    from SLURM and diffing the filesystem (`management.py:8-39`) — a
+    polling batch loop. The Spark-native form: completion events arrive
+    on a stream; each microbatch applies last-event-wins per project
+    and MERGEs into the status table inside `foreachBatch`. The MERGE
+    is idempotent on (project, ts) so a replayed microbatch (task retry,
+    restart from checkpoint) converges to the same table — the
+    exactly-once recipe for side-effecting sinks.
+
+    Returns the final status table (project, status, ts) after
+    draining the stream; `tests/test_streaming.py` asserts it equals
+    the batch max_by(status, ts) per project.
+    """
+    ev = read_events_stream(spark, sf_dir)
+    mapping = F.create_map(
+        *[F.lit(x) for kv in STATUS_EVENT_TYPES.items() for x in kv]
+    )
+    updates = ev.select(
+        F.concat(F.lit("PRJ"), F.pmod("user_id", F.lit(50)).cast("string")).alias(
+            "project"
+        ),
+        mapping[F.col("event_type")].alias("status"),
+        "ts",
+    ).filter(F.col("status").isNotNull())
+
+    # driver-side accumulator standing in for the warehouse status
+    # table; in production this body is storage.Warehouse.upsert on
+    # Parquet/Delta — same last-wins MERGE, different sink.
+    state: dict[str, tuple] = {}
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        rows = (
+            batch_df.groupBy("project")
+            .agg(F.max_by("status", "ts").alias("status"), F.max("ts").alias("ts"))
+            .collect()
+        )
+        for r in rows:
+            prev = state.get(r.project)
+            if prev is None or r.ts >= prev[1]:
+                state[r.project] = (r.status, r.ts)
+
+    q = (
+        updates.writeStream.foreachBatch(apply_batch)
+        .trigger(availableNow=True)
+        .option(
+            "checkpointLocation",
+            checkpoint_dir
+            or tempfile.mkdtemp(prefix="cs_status_merge_ckpt_"),
+        )
+        .start()
+    )
+    q.awaitTermination()
+    return spark.createDataFrame(
+        [(p, s, t) for p, (s, t) in sorted(state.items())],
+        schema="project string, status string, ts timestamp",
+    )

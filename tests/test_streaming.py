@@ -55,3 +55,38 @@ def test_streaming_running_totals(spark):
     for uid in want:
         assert got[uid][0] == want[uid][0]
         assert got[uid][1] == pytest.approx(want[uid][1], abs=1e-3)
+
+
+def test_streaming_status_merge_matches_batch(spark):
+    """foreachBatch status MERGE ≡ batch last-event-wins per project."""
+    from pyspark.sql import functions as F
+
+    from compendium_spark.streaming.windows import (
+        STATUS_EVENT_TYPES,
+        streaming_status_merge,
+    )
+    from compendium_spark.tables import load
+
+    got = streaming_status_merge(spark, SF_SMOKE).toPandas().set_index("project")
+
+    ev = load(spark, SF_SMOKE, "events")
+    mapping = F.create_map(
+        *[F.lit(x) for kv in STATUS_EVENT_TYPES.items() for x in kv]
+    )
+    want = (
+        ev.select(
+            F.concat(F.lit("PRJ"), F.pmod("user_id", F.lit(50)).cast("string")).alias(
+                "project"
+            ),
+            mapping[F.col("event_type")].alias("status"),
+            "ts",
+        )
+        .filter(F.col("status").isNotNull())
+        .groupBy("project")
+        .agg(F.max_by("status", "ts").alias("status"))
+        .toPandas()
+        .set_index("project")
+    )
+    assert len(got) == len(want) > 0
+    for p in want.index:
+        assert got.loc[p, "status"] == want.loc[p, "status"], p
