@@ -8,6 +8,8 @@ Import side effect: importing this package registers every plan in
 from compendium_spark.plans import (  # noqa: F401
     ann,
     extended,
+    ivf,
+    multimodal,
     olap_ext,
     reference_ops,
     reference_ops2,

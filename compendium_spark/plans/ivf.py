@@ -1,0 +1,208 @@
+"""IVF-style approximate nearest neighbor: coarse quantizer + probes.
+
+The second ANN family next to random-hyperplane LSH (plans/ann.py):
+every vector is assigned to its nearest of K seeded coarse centroids
+(the inverted-file cell); a query scores only the vectors in its
+`nprobe` closest cells, then exact-cosine re-ranks them.
+
+At 100 TB: the corpus is stored partitioned by cell (the inverted
+file); assignment is one map-only pass (K dot products per vector);
+a query touches nprobe/K of the data. Real deployments train
+centroids with k-means — here they are fixed seeded Gaussians, which
+keeps the operator deterministic and lets the SAME literal centroids
+be embedded in the DuckDB oracle, making even the ANN path
+value-hash-checked. The assignment/probe math is expressed as
+rank-over-(vector × centroid) rather than argmax-over-array so both
+engines share one formulation.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from compendium_spark.plans.registry import plan
+
+N_CELLS = 16
+N_PROBE = 4
+DIM = 64
+_rng = np.random.default_rng(7)
+CENTROIDS: list[list[float]] = [
+    [round(float(x), 6) for x in _rng.standard_normal(DIM)] for _ in range(N_CELLS)
+]
+
+
+def _dot_lit(e: Column, centroid: list[float]) -> Column:
+    # fold form, not unrolled: 16 centroids × 64 dims in one projection
+    # would blow Janino's 64 KB method limit (see plans/ann.py)
+    arr = F.array(*[F.lit(v) for v in centroid])
+    return F.aggregate(
+        F.zip_with(e, arr, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+    )
+
+
+def _cell_scores(emb: DataFrame) -> DataFrame:
+    """(vec_id, cell, score) — dot of every vector with every centroid,
+    via one posexplode of a K-element score array (map-side only)."""
+    scores = F.array(
+        *[_dot_lit(F.col("e"), CENTROIDS[c]) for c in range(N_CELLS)]
+    )
+    return emb.select(
+        "vec_id", F.posexplode(scores).alias("cell", "score")
+    )
+
+
+def _sql_centroid_lit(c: list[float]) -> str:
+    return "[" + ", ".join(f"CAST({v!r} AS DOUBLE)" for v in c) + "]"
+
+
+_SQL_CENTROIDS = " UNION ALL ".join(
+    f"SELECT {i} AS cell, {_sql_centroid_lit(c)} AS cvec"
+    for i, c in enumerate(CENTROIDS)
+)
+
+_SQL_SCORES = f"""
+  SELECT v.vec_id, k.cell,
+         list_sum(list_transform(v.e, (x, i) -> x * k.cvec[i])) AS score
+  FROM (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        FROM embeddings) v, ({_SQL_CENTROIDS}) k
+"""
+
+IVF_CELLS_SQL = f"""
+WITH scores AS ({_SQL_SCORES}),
+assign AS (
+  SELECT vec_id, cell,
+         ROW_NUMBER() OVER (PARTITION BY vec_id
+                            ORDER BY score DESC, cell) AS rn
+  FROM scores
+)
+SELECT cell, COUNT(*) AS n_vectors
+FROM assign WHERE rn = 1
+GROUP BY cell ORDER BY cell
+"""
+
+
+@plan("sim_ivf_cells", oracle=IVF_CELLS_SQL)
+def sim_ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-file cell occupancy — the index build half of IVF, and
+    the balance diagnostic (an empty/overfull cell means re-seed or
+    train real centroids)."""
+    from compendium_spark.plans.extended import _load_embeddings  # noqa: PLC0415
+
+    emb = _load_embeddings(spark, sf_dir)
+    w = Window.partitionBy("vec_id").orderBy(F.desc("score"), "cell")
+    return (
+        _cell_scores(emb)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n_vectors"))
+        .orderBy("cell")
+    )
+
+
+IVF_TOPK_SQL = f"""
+WITH scores AS ({_SQL_SCORES}),
+assign AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+                              ORDER BY score DESC, cell) AS rn
+    FROM scores
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT vec_id AS query_id, cell FROM (
+    SELECT vec_id, cell,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+                              ORDER BY score DESC, cell) AS rn
+    FROM scores WHERE vec_id < 10
+  ) WHERE rn <= {N_PROBE}
+),
+n AS (
+  SELECT vec_id, e, sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm
+  FROM (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        FROM embeddings)
+),
+cand AS (
+  SELECT DISTINCT p.query_id, a.vec_id AS cand_id
+  FROM probes p JOIN assign a ON p.cell = a.cell
+  WHERE a.vec_id <> p.query_id
+),
+ranked AS (
+  SELECT cand.query_id, cand.cand_id,
+         list_sum(list_transform(q.e, (x, i) -> x * c.e[i])) / (q.nrm * c.nrm)
+           AS cos_full,
+         ROW_NUMBER() OVER (PARTITION BY cand.query_id
+                            ORDER BY list_sum(list_transform(q.e, (x, i) -> x * c.e[i]))
+                                       / (q.nrm * c.nrm) DESC, cand.cand_id) AS rn
+  FROM cand
+  JOIN n q ON cand.query_id = q.vec_id
+  JOIN n c ON cand.cand_id = c.vec_id
+)
+SELECT query_id, cand_id, ROUND(cos_full, 6) AS cosine, rn AS rank
+FROM ranked WHERE rn <= 5
+ORDER BY query_id, rank
+"""
+
+
+@plan("sim_ivf_topk", oracle=IVF_TOPK_SQL)
+def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF search: probe the {N_PROBE} best cells per query, exact
+    cosine re-rank inside the probed cells only.
+
+    Plan shape: candidates come from a (cell) equi-join of the tiny
+    probe list against the inverted file — shuffle keyed on cell id,
+    never a cross join; the re-rank joins fetch vectors by id
+    (broadcast on the query side)."""
+    from compendium_spark.plans.extended import (  # noqa: PLC0415
+        _dot_unrolled,
+        _load_embeddings,
+    )
+
+    emb = _load_embeddings(spark, sf_dir)
+    scores = _cell_scores(emb)
+    w = Window.partitionBy("vec_id").orderBy(F.desc("score"), "cell")
+    ranked_scores = scores.withColumn("rn", F.row_number().over(w))
+    assign = ranked_scores.filter(F.col("rn") == 1).select("vec_id", "cell")
+    probes = (
+        ranked_scores.filter((F.col("vec_id") < 10) & (F.col("rn") <= N_PROBE))
+        .select(F.col("vec_id").alias("query_id"), "cell")
+    )
+    n = emb.withColumn("nrm", F.sqrt(_dot_unrolled(F.col("e"), F.col("e"))))
+    cand = (
+        F.broadcast(probes)
+        .join(assign, "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("cand_id"))
+        .distinct()
+    )
+    q = n.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("e").alias("qe"),
+        F.col("nrm").alias("qn"),
+    )
+    c = n.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("e").alias("ce"),
+        F.col("nrm").alias("cn"),
+    )
+    cos = _dot_unrolled(F.col("qe"), F.col("ce")) / (F.col("qn") * F.col("cn"))
+    pairs = (
+        cand.join(F.broadcast(q), "query_id")
+        .join(c, "cand_id")
+        .select("query_id", "cand_id", cos.alias("cos_full"))
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.desc("cos_full"), "cand_id")
+    return (
+        pairs.withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") <= 5)
+        .select(
+            "query_id",
+            "cand_id",
+            F.round("cos_full", 6).alias("cosine"),
+            F.col("rn").alias("rank"),
+        )
+        .orderBy("query_id", "rank")
+    )

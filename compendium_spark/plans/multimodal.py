@@ -1,0 +1,90 @@
+"""Multimodal plans: binary-column pipeline over testdata.
+
+Media rows are fabricated deterministically from `documents` (payload =
+utf-8 bytes of the text, media_type round-robins image/audio/video,
+n_frames metadata = n_chars), so the mapInPandas feature-extraction
+pipeline (operators/multimodal.py) is exercised with REAL binary
+columns and still has a full SQL oracle: the digest is sha256, which
+DuckDB computes natively, and the summary is plain aggregation.
+
+Scale: the binary column is projected away inside the mapInPandas
+step; everything downstream of extraction carries only typed scalars.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from compendium_spark.operators.multimodal import (
+    extract_features,
+    frame_sample,
+    media_summary,
+)
+from compendium_spark.plans.registry import plan
+from compendium_spark.tables import load
+
+_TYPE_CASE = (
+    "CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' "
+    "ELSE 'video' END"
+)
+
+
+def _media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    par = spark.sparkContext.defaultParallelism
+    return docs.repartition(par, "doc_id").select(
+        F.col("doc_id").alias("media_id"),
+        F.expr(
+            "CASE pmod(doc_id, 3) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' "
+            "ELSE 'video' END"
+        ).alias("media_type"),
+        F.encode("text", "UTF-8").alias("content"),
+        F.create_map(
+            F.lit("n_frames"), F.col("n_chars").cast("string")
+        ).alias("meta"),
+    )
+
+
+MM_SUMMARY_SQL = f"""
+SELECT media_type,
+       COUNT(*) AS n_items,
+       SUM(octet_length(encode(text))) AS total_bytes,
+       COUNT(DISTINCT sha256(text)) AS distinct_payloads
+FROM (SELECT {_TYPE_CASE} AS media_type, text FROM documents)
+GROUP BY media_type
+ORDER BY media_type
+"""
+
+
+@plan("mm_feature_pipeline", oracle=MM_SUMMARY_SQL)
+def mm_feature_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary payloads → mapInPandas extraction → typed summary.
+
+    The Arrow batch transfer, UDF signature, and byte handling are the
+    real production mechanics (operators/multimodal.py; the codec step
+    is the injected stub per environment). The oracle recomputes the
+    digest/byte math in SQL — value-level proof that the Python batch
+    path didn't mangle payloads.
+    """
+    return media_summary(extract_features(_media(spark, sf_dir)))
+
+
+MM_FRAMES_SQL = f"""
+SELECT doc_id AS media_id,
+       unnest(range(0, greatest(n_chars - 1, 0) + 1, 10)) AS frame_index
+FROM documents
+WHERE {_TYPE_CASE} = 'video'
+ORDER BY media_id, frame_index
+"""
+
+
+@plan("mm_frame_sample", oracle=MM_FRAMES_SQL)
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-index sampling (every 10th frame from n_frames
+    metadata): the row-explosion half of frame extraction, decode left
+    to the injected codec. Pure lateral explode — map-side only."""
+    return (
+        frame_sample(_media(spark, sf_dir), every_n=10)
+        .orderBy("media_id", "frame_index")
+    )

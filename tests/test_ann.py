@@ -57,3 +57,28 @@ def test_approx_count_distinct_error(spark):
         assert rel_err < 0.1, f"{flag}: {rel_err:.3f}"
         q50, q95, q99 = got[flag].price_quantiles
         assert q50 < q95 <= q99
+
+
+def test_ivf_recall_against_exact(spark):
+    """IVF probe search vs exact top-5: 4 of 16 cells probed covers
+    ~1/4 of the corpus by volume, but neighbors concentrate in the
+    query's own cells, so recall must sit well above that floor."""
+    exact = PLANS["sim_cosine_topk"].fn(spark, SF_ORACLE).collect()
+    approx = PLANS["sim_ivf_topk"].fn(spark, SF_ORACLE).collect()
+    exact_sets, approx_sets = {}, {}
+    for r in exact:
+        exact_sets.setdefault(r.query_id, set()).add(r.cand_id)
+    for r in approx:
+        approx_sets.setdefault(r.query_id, set()).add(r.cand_id)
+    recalls = [
+        len(exact_sets[q] & approx_sets.get(q, set())) / len(exact_sets[q])
+        for q in exact_sets
+    ]
+    avg_recall = sum(recalls) / len(recalls)
+    assert avg_recall >= 0.3, f"IVF recall {avg_recall:.2f} too low"
+
+
+def test_ivf_cells_cover_corpus(spark):
+    rows = PLANS["sim_ivf_cells"].fn(spark, SF_ORACLE).collect()
+    assert sum(r.n_vectors for r in rows) == 500  # every vector in exactly 1 cell
+    assert len(rows) > 1  # centroids actually partition the space
