@@ -13,6 +13,13 @@ Commands:
                                 (projects.py:418-525)
   accessions PROJECT --out F    write SraAccList.txt (K3, projects.py:82-85)
   sources IN OUT                keep/toss source filter (helpers.py)
+  runit PROJECT                 initialize + submit a project (main.py:36-45)
+  again PROJECT                 resubmit an existing project (main.py:64-71)
+  discard PROJECT --reason R    mark failed with reason (main.py:46-63;
+                                non-interactive: the y/n prompt becomes --reason)
+  forward --projects-dir D      classify + advance completed projects (FORWARD)
+  autoforward --projects-dir D  full sweep: advance, then fill capacity
+                                with new projects (main.py:113-134)
   status                        state-machine frequency report (main.py:60-66)
   compendium                    compendium report (main.py:101-106)
   summary                       per-project eligible-sample counts
@@ -32,7 +39,7 @@ from pyspark.sql import functions as F
 
 from compendium_spark.functions.qc import project_disposition, project_qc, sample_qc
 from compendium_spark.functions.sources_filter import filter_sources
-from compendium_spark.pipeline import amplicon
+from compendium_spark.pipeline import amplicon, orchestrate
 from compendium_spark.pipeline.enrichment import (
     apply_enrichment,
     enrichment_candidates,
@@ -197,6 +204,66 @@ def cmd_sources(wh: Warehouse, args) -> int:
     return 0
 
 
+def _adapters(wh: Warehouse, projects_dir: str) -> "orchestrate.Adapters":
+    def load_summary(project: str):
+        path = f"{projects_dir.rstrip('/')}/{project}/summary.tsv"
+        try:
+            return read_summary(wh.spark, path, project=project)
+        except Exception:
+            return None
+
+    return orchestrate.Adapters(
+        probe=orchestrate.dir_probe(projects_dir),
+        load_summary=load_summary,
+        submit=lambda p: print(f"submit {p}"),  # sbatch boundary
+        clone=lambda p: print(f"clone pipeline for {p}"),  # git boundary
+    )
+
+
+def cmd_runit(wh: Warehouse, args) -> int:
+    adapters = _adapters(wh, args.projects_dir)
+    orchestrate.initialize_pipeline(wh, args.project, adapters)
+    orchestrate.run_project(wh, args.project, adapters)
+    print(f"{args.project}: running")
+    return 0
+
+
+def cmd_again(wh: Warehouse, args) -> int:
+    orchestrate.run_project(wh, args.project, _adapters(wh, args.projects_dir))
+    print(f"{args.project}: running")
+    return 0
+
+
+def cmd_discard(wh: Warehouse, args) -> int:
+    orchestrate.discard_project(wh, args.project, args.reason)
+    print(f"{args.project}: failed ({args.reason})")
+    return 0
+
+
+def cmd_forward(wh: Warehouse, args) -> int:
+    adapters = _adapters(wh, args.projects_dir)
+    done, running, not_done = orchestrate.determine_projects(wh, adapters)
+    print(f"done: {done}\nrunning: {running}\nnot done: {not_done}")
+    decisions = orchestrate.advance_projects(wh, done, adapters, auto=False)
+    for p, d in decisions.items():
+        print(f"{p}: {d}")
+    return 0
+
+
+def cmd_autoforward(wh: Warehouse, args) -> int:
+    result = orchestrate.autoforward(
+        wh,
+        _adapters(wh, args.projects_dir),
+        max_projects=args.max_projects,
+    )
+    print(
+        f"{len(result['running'] + result['not_done'])} projects running. "
+        f"Starting {len(result['launched'])} additional projects: "
+        f"{result['launched']}"
+    )
+    return 0
+
+
 def cmd_status(wh: Warehouse, args) -> int:
     for r in status_frequency(wh.read("status")).collect():
         print(f"{r.status}\t{r.n_projects}")
@@ -267,6 +334,20 @@ def build_parser() -> argparse.ArgumentParser:
     so = sub.add_parser("sources")
     so.add_argument("infile")
     so.add_argument("outfile")
+    ru = sub.add_parser("runit")
+    ru.add_argument("project")
+    ru.add_argument("--projects-dir", default="./projects")
+    ag = sub.add_parser("again")
+    ag.add_argument("project")
+    ag.add_argument("--projects-dir", default="./projects")
+    di = sub.add_parser("discard")
+    di.add_argument("project")
+    di.add_argument("--reason", required=True)  # main.py:57-59
+    fw = sub.add_parser("forward")
+    fw.add_argument("--projects-dir", default="./projects")
+    af = sub.add_parser("autoforward")
+    af.add_argument("--projects-dir", default="./projects")
+    af.add_argument("--max-projects", type=int, default=8)  # config_template.py:17
     sub.add_parser("status")
     sub.add_parser("compendium")
     sub.add_parser("summary")
@@ -287,6 +368,11 @@ COMMANDS = {
     "load-results": cmd_load_results,
     "accessions": cmd_accessions,
     "sources": cmd_sources,
+    "runit": cmd_runit,
+    "again": cmd_again,
+    "discard": cmd_discard,
+    "forward": cmd_forward,
+    "autoforward": cmd_autoforward,
     "status": cmd_status,
     "compendium": cmd_compendium,
     "summary": cmd_summary,
