@@ -283,3 +283,71 @@ def e_array_positional(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id", "pos")
     )
+
+
+W6_SQL = """
+SELECT o_custkey, o_orderkey,
+       CAST(CAST(o_totalprice AS DECIMAL(18,4))
+            - lag(CAST(o_totalprice AS DECIMAL(18,4)))
+                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+            AS DOUBLE) AS spend_delta,
+       strftime(lead(o_orderdate)
+                  OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+                '%Y-%m-%d') AS next_order_date
+FROM orders
+ORDER BY o_custkey, o_orderdate, o_orderkey
+"""
+
+
+@plan("w6_lag_lead_delta", oracle=W6_SQL)
+def w6_lag_lead_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offset window functions: per-customer order-to-order spend delta
+    (lag) and next order date (lead). One shuffle on the partition
+    key; decimal differences are exact so both engines agree on every
+    row including the NULL frame edges."""
+    orders = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    price = F.col("o_totalprice").cast(DEC)
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            (price - F.lag(price).over(w)).cast("double").alias("spend_delta"),
+            F.date_format(F.lead("o_orderdate").over(w), "yyyy-MM-dd").alias(
+                "next_order_date"
+            ),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+A12_SQL = """
+SELECT l_returnflag,
+       round(var_samp(l_quantity), 6) AS qty_var,
+       round(stddev_samp(l_discount), 6) AS disc_stddev,
+       round(corr(l_quantity, l_discount), 6) AS qty_disc_corr,
+       round(covar_samp(l_quantity, l_tax), 6) AS qty_tax_covar
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+@plan("a12_stats_moments", oracle=A12_SQL)
+def a12_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-moment statistics (variance / stddev / correlation /
+    covariance) — single hash-agg pass, map-side partial moment
+    sketches. Computed over small-ranged columns and rounded to 6 dp
+    so both engines' accumulation orders agree (large-magnitude
+    columns would need relative-error comparison instead)."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.var_samp("l_quantity"), 6).alias("qty_var"),
+            F.round(F.stddev_samp("l_discount"), 6).alias("disc_stddev"),
+            F.round(F.corr("l_quantity", "l_discount"), 6).alias("qty_disc_corr"),
+            F.round(F.covar_samp("l_quantity", "l_tax"), 6).alias("qty_tax_covar"),
+        )
+        .orderBy("l_returnflag")
+    )
