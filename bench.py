@@ -33,6 +33,10 @@ BENCH_QUERIES = [
     "dedup_minhash_lsh",
     "dedup_simhash",
     "sim_cosine_topk",
+    "sim_ivf_topk",
+    "a11_salted_twostage_agg",
+    "mm_feature_pipeline",
+    "w6_lag_lead_delta",
     "text_quality_score",
     "text_token_frequency",
     "w1_tumbling_window",
@@ -47,8 +51,16 @@ def main() -> None:
     plans = all_plans()
 
     # warm the JVM/session on the smallest sf so per-query numbers
-    # measure the plan, not session startup
+    # measure the plan, not session startup; also spawn the Python
+    # worker pool (reused daemons) so the first pandas-UDF query isn't
+    # charged ~10s of interpreter forks
     plans["q1_pricing_summary"].fn(spark, "/root/testdata/sf0.001").collect()
+    (
+        spark.range(spark.sparkContext.defaultParallelism * 4)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .mapInPandas(lambda it: (pdf for pdf in it), schema="id long")
+        .count()
+    )
 
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:

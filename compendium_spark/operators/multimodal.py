@@ -71,8 +71,11 @@ def extract_features(media: DataFrame) -> DataFrame:
 
     Arrow moves each partition's binary column into pandas in batches;
     the output drops the payload (bytes never survive past this
-    operator).
+    operator). Columns the kernel doesn't read are projected away
+    FIRST — Catalyst cannot prune through an opaque mapInPandas, and
+    shipping e.g. a map column through Arrow costs ~3× (measured).
     """
+    media = media.select("media_id", "media_type", "content")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

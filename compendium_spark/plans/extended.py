@@ -240,6 +240,12 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket sizes, with AQE skew handling; a production guard drops
     buckets larger than a cap (boilerplate).
     """
+    return _minhash_candidates(spark, sf_dir).orderBy("doc_a", "doc_b")
+
+
+def _minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_a, doc_b) candidate pairs from minhash band buckets —
+    shared by dedup_minhash_lsh and the composed near-dup pipeline."""
     sh = _doc_shingles(spark, sf_dir).withColumn("h", F.md5("shingle"))
     sig = sh.groupBy("doc_id").agg(
         *[
@@ -286,6 +292,75 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         buckets.select(F.explode(pairs).alias("p"))
         .select("p.doc_a", "p.doc_b")
         .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# composed near-dup pipeline: LSH candidates → exact Jaccard verify
+# ---------------------------------------------------------------------------
+
+_MINHASH_CAND_SQL_BODY = f"""
+sh AS (
+  SELECT doc_id, unnest({_SHINGLES_SQL}) AS shingle FROM documents
+),
+sig AS (SELECT doc_id, {{sigs}} FROM sh GROUP BY doc_id),
+bands AS ({{bands}}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a
+  JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+)
+"""
+
+
+def _neardup_sql() -> str:
+    body = _MINHASH_CAND_SQL_BODY.format(
+        sigs=_minhash_sql_sigs(), bands=_minhash_sql_bands()
+    )
+    return f"""
+WITH {body},
+sh_arr AS (SELECT doc_id, {_SHINGLES_SQL} AS sh FROM documents)
+SELECT doc_a, doc_b,
+       round(1.0 * len(list_intersect(a.sh, b.sh))
+             / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6)
+         AS jaccard
+FROM cand
+JOIN sh_arr a ON doc_a = a.doc_id
+JOIN sh_arr b ON doc_b = b.doc_id
+WHERE 1.0 * len(list_intersect(a.sh, b.sh))
+        / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+      >= {JACCARD_THRESHOLD}
+ORDER BY doc_a, doc_b
+"""
+
+
+@plan("dedup_neardup_pipeline", oracle=_neardup_sql())
+def dedup_neardup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production near-dedup composition: MinHash-LSH candidate
+    generation feeding the exact Jaccard verify — verification cost is
+    O(candidates), never O(n²) (contrast dedup_ngram_jaccard, the
+    all-pairs baseline the small-scale oracle can still check).
+
+    Shape: candidates shuffle on band buckets; the verify joins fetch
+    each doc's (distinct, pre-deduped) shingle array by doc_id and
+    compute |A∩B|/|A∪B| with array built-ins — integer ratio, no UDF,
+    engine-exact.
+    """
+    cand = _minhash_candidates(spark, sf_dir)
+    sh_arr = (
+        _doc_shingles(spark, sf_dir)
+        .groupBy("doc_id")
+        .agg(F.collect_set("shingle").alias("sh"))
+    )
+    a = sh_arr.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sha"))
+    b = sh_arr.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("shb"))
+    inter = F.size(F.array_intersect(F.col("sha"), F.col("shb")))
+    jac = F.lit(1.0) * inter / (F.size("sha") + F.size("shb") - inter)
+    return (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .filter(jac >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
         .orderBy("doc_a", "doc_b")
     )
 
