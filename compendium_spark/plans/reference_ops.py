@@ -112,10 +112,13 @@ def p7_nonzero_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 J2_SQL = """
-SELECT c_custkey, c_name
-FROM customer
-WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
-ORDER BY c_custkey
+SELECT p_partkey, p_name
+FROM part
+WHERE NOT EXISTS (
+  SELECT 1 FROM lineitem
+  WHERE l_partkey = p_partkey AND l_quantity >= 49
+)
+ORDER BY p_partkey
 """
 
 
@@ -125,41 +128,51 @@ def j2_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     preloaded key list membership → skip existing samples).
 
     The reference preloads keys into a Python list; the Spark-native
-    form is a LEFT ANTI join — Catalyst broadcasts the smaller side.
+    form is a LEFT ANTI join against the existing-keys projection —
+    Catalyst broadcasts the smaller side. The filtered right side
+    (~1/3 selective on this data, non-empty at every SF) keeps the
+    correctness check meaningful — an always-empty anti-join would
+    pass vacuously via AQE empty-relation propagation.
     """
-    cust = load(spark, sf_dir, "customer")
-    orders = load(spark, sf_dir, "orders").select("o_custkey")
+    part = load(spark, sf_dir, "part")
+    covered = (
+        load(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") >= 49)
+        .select("l_partkey")
+    )
     return (
-        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
-        .select("c_custkey", "c_name")
-        .orderBy("c_custkey")
+        part.join(covered, part.p_partkey == covered.l_partkey, "left_anti")
+        .select("p_partkey", "p_name")
+        .orderBy("p_partkey")
     )
 
 
 J1_SQL = """
-SELECT s_suppkey, s_name
-FROM supplier s
-LEFT JOIN (SELECT DISTINCT l_suppkey FROM lineitem) l ON s.s_suppkey = l.l_suppkey
-WHERE l.l_suppkey IS NULL
-ORDER BY s_suppkey
+SELECT c_custkey, c_mktsegment
+FROM customer c
+LEFT JOIN (SELECT DISTINCT user_id FROM events) e ON c.c_custkey = e.user_id
+WHERE e.user_id IS NULL
+ORDER BY c_custkey
 """
 
 
 @plan("j1_left_join_null_filter", oracle=J1_SQL)
 def j1_left_join_null_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Left join + IS NULL work-queue probe (ref `db.py:483-491`:
-    asv_sequences LEFT JOIN asv_inference WHERE region IS NULL).
+    asv_sequences LEFT JOIN asv_inference WHERE region IS NULL —
+    find rows not yet enriched). Here: customers with no event
+    activity (~90% of them — a real work queue at every SF).
 
     Kept in the literal left-join+filter form for parity with the
     reference's SQL; Catalyst rewrites it to an anti-join anyway.
     """
-    supp = load(spark, sf_dir, "supplier")
-    li = load(spark, sf_dir, "lineitem").select("l_suppkey").distinct()
+    cust = load(spark, sf_dir, "customer")
+    seen = load(spark, sf_dir, "events").select("user_id").distinct()
     return (
-        supp.join(li, supp.s_suppkey == li.l_suppkey, "left")
-        .filter(F.col("l_suppkey").isNull())
-        .select("s_suppkey", "s_name")
-        .orderBy("s_suppkey")
+        cust.join(seen, cust.c_custkey == seen.user_id, "left")
+        .filter(F.col("user_id").isNull())
+        .select("c_custkey", "c_mktsegment")
+        .orderBy("c_custkey")
     )
 
 
