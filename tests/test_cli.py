@@ -123,3 +123,42 @@ def test_warehouse_merge_roundtrip(spark, tmp_path):
     wh.upsert("status", s2, key="project")
     got = {r.project: r.status for r in wh.read("status").collect()}
     assert got == {"P1": "done", "P2": "running"}
+
+
+def test_partitioned_upsert_touches_only_affected_partitions(spark, tmp_path):
+    """asv_sequences is hive-partitioned by project; an upsert for one
+    project must leave every other partition's files untouched on disk
+    (partition-level MERGE, not a table rewrite)."""
+    import os
+
+    wh = Warehouse(spark, str(tmp_path / "wh3"))
+    wh.init_tables()
+    schema = "asv_id long, project string, asv string, seq string"
+    wh.append(
+        "asv_sequences",
+        spark.createDataFrame(
+            [(1, "P1", "ASV_1", "AAA"), (2, "P2", "ASV_1", "CCC")], schema
+        ),
+    )
+    p2_dir = wh.path("asv_sequences") / "project=P2"
+    before = {f: os.path.getmtime(p2_dir / f) for f in os.listdir(p2_dir)}
+
+    wh.upsert(
+        "asv_sequences",
+        spark.createDataFrame(
+            [(1, "P1", "ASV_1", "GGG"), (3, "P1", "ASV_2", "TTT")], schema
+        ),
+        key=["project", "asv"],
+    )
+    after = {f: os.path.getmtime(p2_dir / f) for f in os.listdir(p2_dir)}
+    assert before == after  # P2 partition untouched byte-for-byte
+
+    got = {
+        (r.project, r.asv): r.seq
+        for r in wh.read("asv_sequences").collect()
+    }
+    assert got == {
+        ("P1", "ASV_1"): "GGG",
+        ("P1", "ASV_2"): "TTT",
+        ("P2", "ASV_1"): "CCC",
+    }

@@ -90,3 +90,19 @@ def test_streaming_status_merge_matches_batch(spark):
     assert len(got) == len(want) > 0
     for p in want.index:
         assert got.loc[p, "status"] == want.loc[p, "status"], p
+
+
+def test_streaming_sliding_matches_batch(spark):
+    """Streaming sliding windows ≡ the batch w2 plan's counts."""
+    from compendium_spark.plans.windows import w2_sliding_window
+    from compendium_spark.streaming.windows import streaming_sliding_counts
+
+    got = {
+        r.window_start: r.n_events
+        for r in streaming_sliding_counts(spark, SF_SMOKE).collect()
+    }
+    want = {
+        r.window_start: r.n_events
+        for r in w2_sliding_window(spark, SF_SMOKE).collect()
+    }
+    assert got == want
