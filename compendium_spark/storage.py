@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from compendium_spark.operators.merge import partial_update, upsert
+from compendium_spark.operators.validate import validate_schema
 from compendium_spark.schemas import ALL_TABLES
 
 # Tables stored hive-partitioned on their natural partition key. An
@@ -71,7 +72,9 @@ class Warehouse:
 
     def write(self, name: str, df: DataFrame) -> None:
         """Full overwrite via staging dir (safe when df reads the
-        target table)."""
+        target table). Schema-validated: a drifted ingest fails here,
+        not at the next read."""
+        df = validate_schema(df, ALL_TABLES[name], name)
         target = self.path(name)
         staging = target.with_suffix(".staging")
         self._writer(name, df).mode("overwrite").parquet(str(staging))
@@ -80,6 +83,7 @@ class Warehouse:
         staging.rename(target)
 
     def append(self, name: str, df: DataFrame) -> None:
+        df = validate_schema(df, ALL_TABLES[name], name)
         self._writer(name, df).mode("append").parquet(str(self.path(name)))
 
     def upsert(self, name: str, updates: DataFrame, key: str | list[str]) -> None:

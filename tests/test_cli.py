@@ -162,3 +162,27 @@ def test_partitioned_upsert_touches_only_affected_partitions(spark, tmp_path):
         ("P1", "ASV_2"): "TTT",
         ("P2", "ASV_1"): "CCC",
     }
+
+
+def test_schema_validation_rejects_drift(spark, tmp_path):
+    """A DataFrame whose columns drift from the declared table schema
+    must fail at the write boundary with a readable error."""
+    from compendium_spark.operators.validate import SchemaMismatchError
+
+    wh = Warehouse(spark, str(tmp_path / "wh4"))
+    wh.init_tables()
+    bad = spark.createDataFrame(
+        [("P1", "running")], "project string, status_name string"
+    )
+    with pytest.raises(SchemaMismatchError) as e:
+        wh.write("status", bad)
+    assert "missing" in str(e.value) and "status_name" in str(e.value)
+
+    wrong_type = spark.createDataFrame(
+        [("P1", "running", "0", None, None, None)],
+        "project string, status string, rerun_as_single_end string, "
+        "paired int, note1 string, note2 string",
+    )
+    with pytest.raises(SchemaMismatchError) as e:
+        wh.append("status", wrong_type)
+    assert "wrong_type" in str(e.value)
