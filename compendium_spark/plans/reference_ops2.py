@@ -416,3 +416,32 @@ def f_ratio_nullsafe(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_orderkey", "l_linenumber")
     )
+
+
+J9_SQL = """
+SELECT o_orderkey, o_orderdate, o_totalprice
+FROM orders o
+WHERE EXISTS (
+  SELECT 1 FROM lineitem
+  WHERE l_orderkey = o_orderkey AND l_quantity >= 48 AND l_returnflag = 'R'
+)
+ORDER BY o_orderkey
+"""
+
+
+@plan("j9_semi_join", oracle=J9_SQL)
+def j9_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI join — membership keep-filter, the positive twin of
+    the ingest anti-join (J2): orders having at least one large
+    returned line. Produces only left-side columns, dedups matches for
+    free, and never materializes the pair blow-up an inner join +
+    distinct would."""
+    orders = load(spark, sf_dir, "orders")
+    flagged = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_quantity") >= 48) & (F.col("l_returnflag") == "R")
+    )
+    return (
+        orders.join(flagged, orders.o_orderkey == flagged.l_orderkey, "left_semi")
+        .select("o_orderkey", "o_orderdate", "o_totalprice")
+        .orderBy("o_orderkey")
+    )
