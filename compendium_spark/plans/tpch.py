@@ -209,3 +209,78 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg((F.sum(_dec("l_extendedprice") * _dec("l_discount"))).cast("double").alias("revenue"))
     )
+
+
+Q12_SQL = """
+SELECT l_linestatus AS shipmode,
+       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS high_line_count,
+       SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS low_line_count
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY l_linestatus
+ORDER BY shipmode
+"""
+
+
+@plan("q12_priority_shipping", oracle=Q12_SQL)
+def q12_priority_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: big-big join + conditional counts. The date
+    range pushes into the lineitem scan; the join shuffles both sides
+    on orderkey (sort-merge at scale — the one join in this suite that
+    SHOULD shuffle, both sides being fact-sized); the CASE sums
+    combine map-side."""
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy(F.col("l_linestatus").alias("shipmode"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("shipmode")
+    )
+
+
+Q14_SQL = """
+SELECT 100.0 * CAST(SUM(CASE WHEN p_type LIKE 'PROMO%'
+                             THEN CAST(l_extendedprice AS DECIMAL(18,4))
+                                  * (1 - CAST(l_discount AS DECIMAL(18,4)))
+                             ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+       / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                  * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE)
+         AS promo_revenue_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1996-07-01 00:00:00'
+"""
+
+
+@plan("q14_promo_effect", oracle=Q14_SQL)
+def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: fact × broadcast dim join feeding a ratio of
+    conditional decimal sums — exact decimal accumulation makes the
+    single output double identical across engines."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-07-01")
+    )
+    part = load(spark, sf_dir, "part")
+    disc_price = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
+    promo = F.when(
+        F.col("p_type").startswith("PROMO"), disc_price
+    ).otherwise(F.lit(0).cast(DEC))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            (
+                F.lit(100.0) * F.sum(promo).cast("double")
+                / F.sum(disc_price).cast("double")
+            ).alias("promo_revenue_pct")
+        )
+    )
