@@ -24,6 +24,7 @@ BENCH_QUERIES = [
     "q3_shipping_priority",
     "q5_local_supplier_volume",
     "q6_forecast_revenue",
+    "q12_priority_shipping",
     "a1_group_count_range_pick",
     "a2_multi_count_distinct",
     "j2_anti_join",
