@@ -144,3 +144,61 @@ def a11_salted_twostage_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+MEDIAN_SQL = """
+SELECT l_returnflag,
+       round(quantile_cont(l_quantity, 0.5), 6) AS qty_median,
+       round(quantile_cont(l_extendedprice, [0.25, 0.75])[1], 6) AS price_q1,
+       round(quantile_cont(l_extendedprice, [0.25, 0.75])[2], 6) AS price_q3
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+@plan("a13_exact_quantiles", oracle=MEDIAN_SQL)
+def a13_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles (linear interpolation — both engines use the
+    same definition). Exact quantiles need the full sorted group in
+    one place: fine per-group here, but the 100 TB path is
+    a_approx_aggregates' sketch-mergeable percentile_approx."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.percentile("l_quantity", F.lit(0.5)), 6).alias("qty_median"),
+            F.round(F.percentile("l_extendedprice", F.lit(0.25)), 6).alias("price_q1"),
+            F.round(F.percentile("l_extendedprice", F.lit(0.75)), 6).alias("price_q3"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+STRING_AGG_SQL = """
+SELECT o_orderpriority,
+       string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus) AS statuses,
+       COUNT(*) AS n
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+@plan("a14_string_agg", oracle=STRING_AGG_SQL)
+def a14_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (LISTAGG): per-priority sorted
+    distinct status list. collect_set → array_sort → array_join keeps
+    the result deterministic regardless of partition arrival order —
+    the only safe way to string-agg in a distributed engine."""
+    orders = load(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.array_join(
+                F.array_sort(F.collect_set("o_orderstatus")), ","
+            ).alias("statuses"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -205,3 +205,39 @@ def text_token_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), "token")
         .limit(20)
     )
+
+
+BPE_PATTERN = "[a-z]+|[A-Z]+|[0-9]+|[^a-zA-Z0-9 ]"
+
+BPE_SQL = f"""
+SELECT doc_id,
+       len(string_split_regex(trim(text), ' +')) AS ws_tokens,
+       len(regexp_extract_all(text, '{BPE_PATTERN}')) AS bpe_tokens,
+       round(CAST(n_chars AS DOUBLE)
+             / len(regexp_extract_all(text, '{BPE_PATTERN}')), 6)
+         AS chars_per_token
+FROM documents
+ORDER BY doc_id
+"""
+
+
+@plan("text_bpe_tokens", oracle=BPE_SQL)
+def text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-style pre-tokenization count next to the whitespace count:
+    the regex splits runs of letters / digits / punctuation the way a
+    BPE pre-tokenizer does, so chars-per-token is the compression-rate
+    proxy used for corpus budgeting. regexp_count stays in codegen —
+    one scan, no shuffle."""
+    docs = load(spark, sf_dir, "documents")
+    bpe = F.regexp_count("text", F.lit(BPE_PATTERN))
+    return (
+        docs.select(
+            "doc_id",
+            F.size(F.split(F.trim(F.col("text")), " +")).alias("ws_tokens"),
+            bpe.alias("bpe_tokens"),
+            F.round(F.col("n_chars").cast("double") / bpe, 6).alias(
+                "chars_per_token"
+            ),
+        )
+        .orderBy("doc_id")
+    )
