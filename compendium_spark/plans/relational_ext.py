@@ -351,3 +351,82 @@ def a12_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+J11_SQL = """
+SELECT coalesce(c.c_custkey, e.user_id) AS entity_id,
+       c.c_custkey IS NOT NULL AS is_customer,
+       e.user_id IS NOT NULL AS has_events,
+       coalesce(e.n_events, 0) AS n_events
+FROM customer c
+FULL OUTER JOIN (
+  SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY user_id
+) e ON c.c_custkey = e.user_id
+ORDER BY entity_id
+"""
+
+
+@plan("j11_full_outer_join", oracle=J11_SQL)
+def j11_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join — the reconciliation shape (rows from either
+    side survive): customer dimension vs observed event actors. Full
+    outer can never broadcast (both sides must keep unmatched rows),
+    so it shuffles both sides on the key — at scale, make sure the
+    aggregated side is pre-shrunk like here (one row per user, not one
+    per event)."""
+    cust = load(spark, sf_dir, "customer")
+    ev = (
+        load(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    return (
+        cust.join(ev, cust.c_custkey == ev.user_id, "full_outer")
+        .select(
+            F.coalesce("c_custkey", "user_id").alias("entity_id"),
+            F.col("c_custkey").isNotNull().alias("is_customer"),
+            F.col("user_id").isNotNull().alias("has_events"),
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        )
+        .orderBy("entity_id")
+    )
+
+
+W7_SQL = """
+SELECT user_id, event_id,
+       CAST(SUM(CAST(value AS DECIMAL(18,4)))
+              OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+                    RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW)
+            AS DOUBLE) AS value_10min
+FROM events
+ORDER BY user_id, epoch_us(ts), event_id
+"""
+
+
+@plan("w7_range_frame", oracle=W7_SQL)
+def w7_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE window frame over event time: per-user rolling 10-minute
+    value sum — every event sees the true trailing window, unlike a
+    ROWS frame (w4) which sees a fixed row count. The streaming
+    counterpart is the watermarked sliding window (w2); this is the
+    batch/backfill form. One shuffle on user_id; decimal partial sums
+    keep any frame prefix exact."""
+    ev = load(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(us)
+        .rangeBetween(-600_000_000, 0)
+    )
+    return (
+        ev.select(
+            "user_id",
+            "event_id",
+            F.sum(F.col("value").cast(DEC)).over(w).cast("double").alias(
+                "value_10min"
+            ),
+            us.alias("_us"),
+        )
+        .orderBy("user_id", "_us", "event_id")
+        .drop("_us")
+    )
