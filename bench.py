@@ -25,6 +25,9 @@ BENCH_QUERIES = [
     "q5_local_supplier_volume",
     "q6_forecast_revenue",
     "q12_priority_shipping",
+    "q4_order_priority",
+    "q13_customer_distribution",
+    "q18_large_volume_orders",
     "a1_group_count_range_pick",
     "a2_multi_count_distinct",
     "j2_anti_join",

@@ -17,6 +17,7 @@ from compendium_spark.plans import (  # noqa: F401
     relational_ext,
     text,
     tpch,
+    tpch2,
     windows,
 )
 

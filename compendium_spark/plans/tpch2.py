@@ -1,0 +1,350 @@
+"""Second wave of TPC-H-shaped plans: subquery decorrelation shapes.
+
+The reference delegates every relational query to SQLite literal SQL
+(`db.py:31-83`); its join/agg inventory (SURVEY §2.3-2.4) never needs a
+correlated subquery. These plans extend the engine's surface with the
+classic decorrelation shapes a warehouse workload hits constantly —
+EXISTS semi-joins with non-equi conditions, aggregate-then-rejoin,
+scalar-subquery broadcast, disjunctive pushdown — each expressed as the
+DataFrame program Catalyst plans best, with the subquery form as the
+DuckDB oracle.
+
+Scale notes (100 TB): every shape here either (a) keeps the fact table
+shuffling on exactly one key, (b) turns a correlated per-group subquery
+into one partial-agg + join on the same key (no second scan pass), or
+(c) broadcasts a 1-row scalar instead of collecting to the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from compendium_spark.plans.registry import plan
+from compendium_spark.tables import load
+
+DEC = "decimal(18,4)"
+
+
+def _dec(c: str):
+    return F.col(c).cast(DEC)
+
+
+Q4_SQL = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders o
+WHERE EXISTS (
+  SELECT 1 FROM lineitem l
+  WHERE l.l_orderkey = o.o_orderkey
+    AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY
+)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+@plan("q4_order_priority", oracle=Q4_SQL)
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS with a non-equi correlated predicate
+    (lineitem shipped >30 days after order date) → priority counts.
+
+    Spark form: LEFT SEMI join on the equi key with the date predicate
+    as an extra join condition — stays a hash/sort-merge semi join on
+    orderkey (the non-equi part is evaluated post-probe), never a
+    nested loop. Both facts shuffle once on orderkey.
+    """
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    cond = (li.l_orderkey == orders.o_orderkey) & (
+        li.l_shipdate > orders.o_orderdate + F.expr("INTERVAL 30 DAY")
+    )
+    return (
+        orders.join(li, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+Q10_SQL = """
+SELECT
+  c_custkey,
+  c_name,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+           * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue,
+  n_name
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+  AND l_returnflag = 'R'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+@plan("q10_returned_items", oracle=Q10_SQL)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: lost-revenue ranking of customers who returned
+    items in a quarter.
+
+    The quarter filter pushes into the orders scan and l_returnflag='R'
+    into lineitem before either shuffles; nation broadcasts; top-20 via
+    TakeOrderedAndProject (no full sort of the aggregate).
+    """
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+    )
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    nation = load(spark, sf_dir, "nation")
+    revenue = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
+    return (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .join(cust, cust.c_custkey == orders.o_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .select("c_custkey", "c_name", "revenue", "n_name")
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+Q13_SQL = """
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer
+  LEFT JOIN orders ON c_custkey = o_custkey
+                   AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+) per_cust
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+@plan("q13_customer_distribution", oracle=Q13_SQL)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: LEFT OUTER join with an ON-clause filter
+    (priority excluded *inside* the join, so excluded-only customers
+    still count as 0), per-customer order counts, then a histogram of
+    those counts.
+
+    Two aggs: the first shuffles on custkey (same key as the join —
+    one exchange serves both), the second groups the ~tiny count
+    domain. COUNT(o_orderkey) counts non-null keys only = outer-join
+    nulls land in the 0 bucket.
+    """
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    per_cust = (
+        cust.join(
+            orders,
+            (cust.c_custkey == orders.o_custkey)
+            & (orders.o_orderpriority != "1-URGENT"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+Q17_SQL = """
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / 7.0
+       AS avg_yearly
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+JOIN (
+  SELECT l_partkey AS t_partkey,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*)
+           AS avg_qty
+  FROM lineitem
+  GROUP BY l_partkey
+) t ON t_partkey = l_partkey
+WHERE p_brand = 'Brand#23'
+  AND l_quantity < 0.2 * avg_qty
+"""
+
+
+@plan("q17_small_quantity_revenue", oracle=Q17_SQL)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated AVG subquery decorrelated into a
+    window aggregate over the SAME partition key as the correlation —
+    one shuffle on partkey serves both the threshold computation and
+    the probe (vs the oracle's aggregate-then-rejoin, which would scan
+    and shuffle lineitem twice).
+
+    The brand filter broadcasts part and restricts BOTH the probe rows
+    and the threshold build — equivalent to the oracle's unrestricted
+    inner agg because partkey determines brand. Average as
+    exact-decimal-sum / count so the 0.2× threshold comparison is
+    bit-identical across engines.
+    """
+    from pyspark.sql.window import Window
+
+    part_f = load(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#23")
+    li = load(spark, sf_dir, "lineitem").join(
+        F.broadcast(part_f), F.col("l_partkey") == F.col("p_partkey")
+    )
+    w = Window.partitionBy("l_partkey")
+    avg_qty = F.sum(_dec("l_quantity")).over(w).cast("double") / F.count(
+        F.lit(1)
+    ).over(w)
+    return (
+        li.withColumn("avg_qty", avg_qty)
+        .filter(F.col("l_quantity") < F.lit(0.2) * F.col("avg_qty"))
+        .agg(
+            (F.sum(_dec("l_extendedprice")).cast("double") / F.lit(7.0)).alias(
+                "avg_yearly"
+            )
+        )
+    )
+
+
+Q18_SQL = """
+SELECT c_custkey, o_orderkey, o_orderdate,
+       CAST(o_totalprice AS DOUBLE) AS totalprice,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE o_orderkey IN (
+  SELECT l_orderkey FROM lineitem
+  GROUP BY l_orderkey
+  HAVING SUM(CAST(l_quantity AS DECIMAL(18,4))) > 200
+)
+GROUP BY c_custkey, o_orderkey, o_orderdate, o_totalprice
+ORDER BY totalprice DESC, o_orderkey
+LIMIT 100
+"""
+
+
+@plan("q18_large_volume_orders", oracle=Q18_SQL)
+def q18_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: IN-subquery with HAVING → aggregate lineitem
+    once on orderkey, filter the aggregate, and reuse it as BOTH the
+    semi-filter and the sum_qty value (the oracle's second lineitem
+    scan disappears — one scan, one shuffle).
+    """
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    li = load(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(_dec("l_quantity")).alias("qty_dec"))
+        .filter(F.col("qty_dec") > 200)
+    )
+    return (
+        orders.join(big, orders.o_orderkey == big.l_orderkey)
+        .join(cust, cust.c_custkey == orders.o_custkey)
+        .select(
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            F.col("o_totalprice").cast("double").alias("totalprice"),
+            F.col("qty_dec").cast("double").alias("sum_qty"),
+        )
+        .orderBy(F.desc("totalprice"), "o_orderkey")
+        .limit(100)
+    )
+
+
+Q19_SQL = """
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+              * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
+@plan("q19_discounted_revenue", oracle=Q19_SQL)
+def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: disjunction of conjunctive brand/size/quantity
+    bands across the join.
+
+    Catalyst extracts the common-to-all-branches parts of the OR as
+    single-table filters (quantity ∈ [1,30] onto lineitem, size ∈
+    [1,15] + brand ∈ {...} onto part) and pushes them below the join —
+    the full disjunction then runs post-join on the survivors. Part
+    stays broadcast; lineitem never shuffles.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part")
+    j = li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    band = (
+        (F.col("p_brand") == "Brand#12")
+        & F.col("p_size").between(1, 5)
+        & F.col("l_quantity").between(1, 11)
+    ) | (
+        (F.col("p_brand") == "Brand#23")
+        & F.col("p_size").between(1, 10)
+        & F.col("l_quantity").between(10, 20)
+    ) | (
+        (F.col("p_brand") == "Brand#34")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(20, 30)
+    )
+    revenue = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
+    return j.filter(band).agg(F.sum(revenue).cast("double").alias("revenue"))
+
+
+Q22_SQL = """
+SELECT c_mktsegment AS segment,
+       COUNT(*) AS numcust,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS totacctbal
+FROM customer
+WHERE c_acctbal > (
+  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*)
+  FROM customer WHERE c_acctbal > 0.0
+)
+AND c_custkey % 10 = 7
+GROUP BY segment
+ORDER BY segment
+"""
+
+
+@plan("q22_global_sales_opportunity", oracle=Q22_SQL)
+def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: scalar aggregate subquery (global mean account
+    balance) gating a segment rollup of a keyed slice of customers.
+
+    The scalar is a 1-row DataFrame cross-joined with an explicit
+    broadcast — never `.collect()`ed to the driver, so the plan is a
+    single job and works unchanged when customer is 100 TB. (The
+    reference's analog is preloading a key list and filtering in
+    Python, `db.py:215-221` — same decorrelation, driver-side.)
+    """
+    cust = load(spark, sf_dir, "customer")
+    avg_bal = cust.filter(F.col("c_acctbal") > 0.0).agg(
+        (F.sum(_dec("c_acctbal")).cast("double") / F.count(F.lit(1))).alias(
+            "threshold"
+        )
+    )
+    return (
+        cust.filter(F.col("c_custkey") % 10 == 7)
+        .join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("threshold"))
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum(_dec("c_acctbal")).cast("double").alias("totacctbal"),
+        )
+        .orderBy("segment")
+    )
