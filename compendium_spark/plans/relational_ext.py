@@ -430,3 +430,97 @@ def w7_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("user_id", "_us", "event_id")
         .drop("_us")
     )
+
+
+J10_SQL = """
+SELECT a.event_id AS event_id,
+       COUNT(b.ts) AS follow_clicks
+FROM events a
+LEFT JOIN events b
+  ON b.user_id = a.user_id
+ AND b.event_type = 'click'
+ AND b.ts > a.ts
+ AND b.ts <= a.ts + INTERVAL 5 MINUTE
+WHERE a.event_type = 'view'
+GROUP BY a.event_id
+ORDER BY event_id
+"""
+
+
+@plan("j10_range_join", oracle=J10_SQL)
+def j10_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-range join — clicks following each view within 5 minutes,
+    per user. Another operator Spark has no native form for (a bare
+    inequality join degenerates to a per-user nested loop).
+
+    Scale path: bucket both sides into range-width (300 s) time bins
+    and equi-join on (user_id, bucket). A (ts, ts+300s] window spans
+    at most two bins, so the probe side expands exactly 2× (an
+    explode of two candidate buckets) and the join stays hash/SMJ on
+    a compound key — candidate pairs are O(events × density), never
+    O(per-user²). The residual exact range predicate filters
+    post-probe. LEFT semantics survive because each click lands in
+    exactly one bin: unmatched probes keep their two null rows and
+    COUNT(b.ts) ignores them.
+    """
+    ev = load(spark, sf_dir, "events")
+    width = 300_000_000  # 5 min in µs == bucket width
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .select(
+            "event_id",
+            F.col("user_id").alias("a_user"),
+            F.unix_micros("ts").alias("a_us"),
+        )
+        .withColumn(
+            "bucket",
+            F.explode(
+                F.array(
+                    F.floor(F.col("a_us") / width),
+                    F.floor(F.col("a_us") / width) + 1,
+                )
+            ),
+        )
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("b_user"),
+        F.unix_micros("ts").alias("b_us"),
+        F.floor(F.unix_micros("ts") / width).alias("bucket"),
+    )
+    joined = views.join(
+        clicks,
+        (F.col("a_user") == F.col("b_user"))
+        & (views.bucket == clicks.bucket)
+        & (F.col("b_us") > F.col("a_us"))
+        & (F.col("b_us") <= F.col("a_us") + width),
+        "left",
+    )
+    return (
+        joined.groupBy("event_id")
+        .agg(F.count("b_us").alias("follow_clicks"))
+        .orderBy("event_id")
+    )
+
+
+GSETS_SQL = """
+SELECT COALESCE(l_returnflag, '<all>') AS returnflag,
+       COALESCE(l_linestatus, '<all>') AS linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+       COUNT(*) AS n
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+ORDER BY returnflag, linestatus
+"""
+
+
+@plan("a_grouping_sets", oracle=GSETS_SQL)
+def a_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit non-hierarchical GROUPING SETS — two independent
+    one-column groupings in a single pass (neither ROLLUP nor CUBE
+    expresses this set list). Spark's Expand node duplicates each
+    input row once per set before one hash aggregate: one scan, one
+    shuffle, vs the two-scan UNION ALL a naive engine would run.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("lineitem")
+    return spark.sql(GSETS_SQL)
