@@ -524,3 +524,38 @@ def a_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
     li.createOrReplaceTempView("lineitem")
     return spark.sql(GSETS_SQL)
+
+
+JSON_SQL = """
+SELECT event_type,
+       SUM(CAST(props->>'k' AS BIGINT)) AS sum_k,
+       COUNT(*) FILTER (CAST(props->>'k' AS BIGINT) > 50) AS big_k,
+       COUNT(*) FILTER (props->>'k' IS NULL) AS bad_rows
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@plan("f_json_extract", oracle=JSON_SQL)
+def f_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction: parse the JSON `props` payload with
+    a declared schema (`from_json` — JVM-side Jackson, stays inside
+    codegen; never a Python UDF) and aggregate on the extracted field.
+    Malformed/missing keys become NULLs counted in `bad_rows` rather
+    than failing the job — the posture a 100 TB ingest needs. At scale
+    the parse happens in the map stage, so only (event_type, partial
+    sums) shuffle.
+    """
+    ev = load(spark, sf_dir, "events")
+    k = F.from_json(F.col("props"), "k BIGINT").getField("k")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.sum("k").alias("sum_k"),
+            F.count(F.when(F.col("k") > 50, 1)).alias("big_k"),
+            F.count(F.when(F.col("k").isNull(), 1)).alias("bad_rows"),
+        )
+        .orderBy("event_type")
+    )
