@@ -234,3 +234,62 @@ def streaming_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("w.start").alias("window_start"), "n_events")
     )
     return _run_to_memory(agg, "stream_sliding", "complete")
+
+
+def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join with an event-time range constraint —
+    the streaming counterpart of plans/relational_ext.j10_range_join
+    (clicks within 5 minutes after a view, same user).
+
+    Both sides carry watermarks and the join condition bounds b_ts
+    relative to a_ts, so Spark derives state-eviction watermarks for
+    BOTH join buffers — state stays O(events in the 15-minute horizon),
+    not O(stream). This is the shape a 100 TB/day clickstream join
+    needs; the batch bucketed-bin form is the backfill path.
+    """
+    views = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id").alias("a_user"),
+            F.col("ts").alias("a_ts"),
+        )
+        .withWatermark("a_ts", "10 minutes")
+    )
+    clicks = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("b_user"),
+            F.col("ts").alias("b_ts"),
+        )
+        .withWatermark("b_ts", "10 minutes")
+    )
+    joined = views.join(
+        clicks,
+        (F.col("a_user") == F.col("b_user"))
+        & (F.col("b_ts") > F.col("a_ts"))
+        & (F.col("b_ts") <= F.col("a_ts") + F.expr("INTERVAL 5 MINUTES")),
+        "inner",
+    ).select("view_id", "click_id")
+    return _run_to_memory(joined, "stream_interval_join", "append")
+
+
+def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked streaming deduplication: every event arrives twice
+    (simulating at-least-once delivery); `dropDuplicatesWithinWatermark`
+    keeps one copy per event_id while holding only a watermark-bounded
+    id set in state — the streaming face of the dedup_* batch family.
+    """
+    ev = read_events_stream(spark, sf_dir)
+    doubled = (
+        ev.withColumn("_copy", F.explode(F.array(F.lit(1), F.lit(2))))
+        .drop("_copy")
+        .withWatermark("ts", "10 minutes")
+    )
+    deduped = doubled.dropDuplicatesWithinWatermark(["event_id"]).select(
+        "event_id", "user_id", "event_type"
+    )
+    return _run_to_memory(deduped, "stream_dedup", "append")

@@ -106,3 +106,49 @@ def test_streaming_sliding_matches_batch(spark):
         for r in w2_sliding_window(spark, SF_SMOKE).collect()
     }
     assert got == want
+
+
+def test_streaming_interval_join_matches_batch(spark):
+    """Stream-stream range join must produce exactly the batch join's
+    (view, click) pairs."""
+    from compendium_spark.streaming.windows import streaming_interval_join
+
+    got = {
+        (r.view_id, r.click_id)
+        for r in streaming_interval_join(spark, SF_SMOKE).collect()
+    }
+    ev = load(spark, SF_SMOKE, "events")
+    views = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"),
+        F.col("user_id").alias("a_user"),
+        F.col("ts").alias("a_ts"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("b_user"),
+        F.col("ts").alias("b_ts"),
+    )
+    want = {
+        (r.view_id, r.click_id)
+        for r in views.join(
+            clicks,
+            (F.col("a_user") == F.col("b_user"))
+            & (F.col("b_ts") > F.col("a_ts"))
+            & (F.col("b_ts") <= F.col("a_ts") + F.expr("INTERVAL 5 MINUTES")),
+        )
+        .select("view_id", "click_id")
+        .collect()
+    }
+    assert got == want
+    assert len(got) > 0
+
+
+def test_streaming_dedup_removes_duplicates(spark):
+    """Doubled input stream → exactly one row per event_id."""
+    from compendium_spark.streaming.windows import streaming_dedup
+
+    rows = streaming_dedup(spark, SF_SMOKE).collect()
+    ids = [r.event_id for r in rows]
+    assert len(ids) == len(set(ids))
+    n_events = load(spark, SF_SMOKE, "events").count()
+    assert len(ids) == n_events
