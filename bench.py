@@ -41,6 +41,8 @@ BENCH_QUERIES = [
     "a11_salted_twostage_agg",
     "mm_feature_pipeline",
     "w6_lag_lead_delta",
+    "j10_range_join",
+    "f_json_extract",
     "text_quality_score",
     "text_token_frequency",
     "w1_tumbling_window",

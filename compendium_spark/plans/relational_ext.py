@@ -559,3 +559,50 @@ def f_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+J12_SQL = """
+SELECT c_mktsegment AS segment,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+FROM events
+JOIN customer ON user_id = c_custkey
+GROUP BY segment
+ORDER BY segment
+"""
+
+N_SALT = 8
+
+
+@plan("j12_salted_skew_join", oracle=J12_SQL)
+def j12_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigated fact-dim join: events.user_id is zipf-hot, so a
+    plain shuffle join puts a hot key's every row in one task. Salting
+    splits each key {N_SALT} ways: the fact side gets a deterministic
+    salt from its row id, the dim side replicates each row across all
+    salts, and the join key becomes (key, salt) — hot keys now spread
+    over {N_SALT} tasks. Result is value-identical to the plain join
+    (oracle), just differently partitioned. This is the manual form of
+    what AQE skew-join does for sort-merge joins at runtime; salting
+    also covers the hash-agg case AQE doesn't (see
+    a11_salted_twostage_agg).
+    """
+    ev = load(spark, sf_dir, "events").withColumn(
+        "salt", F.pmod(F.xxhash64("event_id"), F.lit(N_SALT))
+    )
+    cust = load(spark, sf_dir, "customer")
+    salted_dim = cust.withColumn(
+        "salt", F.explode(F.array(*[F.lit(i) for i in range(N_SALT)]))
+    )
+    return (
+        ev.join(
+            salted_dim,
+            (ev.user_id == salted_dim.c_custkey) & (ev.salt == salted_dim.salt),
+        )
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("total_value"),
+        )
+        .orderBy("segment")
+    )

@@ -169,3 +169,22 @@ def test_taxonomy_and_assembly(spark, tmp_path):
     # deterministic key join: assignments carry the same asv_id without
     # any read-back (the reference's J3 remap join is gone)
     assert set(s.values()) == a
+
+
+def test_fasta_datasource_format(spark, tmp_path):
+    """spark.read.format('fasta') — the Spark 4 Python DataSource form
+    of S6 — must agree with the text+window parser and parallelize one
+    partition per file."""
+    from compendium_spark.sources.fasta_datasource import register
+
+    for i, (asv, seq) in enumerate(
+        [("ASV_1", "CCTACGGGAGGCAGCAG"), ("ASV_2", "TTGACGTTACCCGCAGA")]
+    ):
+        (tmp_path / f"f{i}.fa").write_text(f">{asv}\n{seq}\n")
+    register(spark)
+    df = spark.read.format("fasta").load(str(tmp_path))
+    rows = {r.asv: r.seq for r in df.collect()}
+    assert rows == {"ASV_1": "CCTACGGGAGGCAGCAG", "ASV_2": "TTGACGTTACCCGCAGA"}
+    assert df.rdd.getNumPartitions() == 2
+    # registration is idempotent
+    register(spark)
