@@ -637,3 +637,88 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_a", "vec_b", F.round(cos, 6).alias("cosine"))
         .orderBy("vec_a", "vec_b")
     )
+
+
+def _cluster_sql() -> str:
+    body = _MINHASH_CAND_SQL_BODY.format(
+        sigs=_minhash_sql_sigs(), bands=_minhash_sql_bands()
+    )
+    return f"""
+WITH RECURSIVE {body},
+sh_arr AS (SELECT doc_id, {_SHINGLES_SQL} AS sh FROM documents),
+pairs AS (
+  SELECT doc_a, doc_b
+  FROM cand
+  JOIN sh_arr a ON doc_a = a.doc_id
+  JOIN sh_arr b ON doc_b = b.doc_id
+  WHERE 1.0 * len(list_intersect(a.sh, b.sh))
+          / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+        >= {JACCARD_THRESHOLD}
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+nodes AS (SELECT DISTINCT src AS doc FROM edges),
+reach(doc, lbl) AS (
+  SELECT doc, doc FROM nodes
+  UNION
+  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.doc
+)
+SELECT doc AS doc_id,
+       MIN(lbl) AS cluster_id
+FROM reach
+GROUP BY doc
+ORDER BY doc_id
+"""
+
+
+@plan("dedup_cluster_labels", oracle=_cluster_sql())
+def dedup_cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the verified near-dup pairs —
+    the step that turns pairwise 'A≈B' into dedup groups (keep the
+    cluster minimum, drop the rest). The one genuinely ITERATIVE
+    algorithm in the engine: min-label propagation, each round a
+    join + min-agg, run to fixpoint.
+
+    Scale: converges in O(component diameter) rounds (near-dup
+    clusters are shallow — a handful of rounds); every round is one
+    shuffle on doc id, and `localCheckpoint` truncates the lineage so
+    the plan doesn't grow with iterations. The DuckDB oracle is a
+    recursive CTE computing the same fixpoint, so even this plan is
+    value-checked, not rows-only.
+    """
+    pairs = dedup_neardup_pipeline(spark, sf_dir).select("doc_a", "doc_b")
+    edges = pairs.union(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).distinct()
+    labels = (
+        edges.select(F.col("doc_a").alias("doc"))
+        .distinct()
+        .withColumn("lbl", F.col("doc"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(30):  # safety cap far above any real diameter
+        neighbor = (
+            edges.join(labels, edges.doc_a == labels.doc)
+            .select(F.col("doc_b").alias("doc"), "lbl")
+        )
+        merged = (
+            labels.unionByName(neighbor)
+            .groupBy("doc")
+            .agg(F.min("lbl").alias("lbl"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            merged.join(labels.withColumnRenamed("lbl", "old"), "doc")
+            .filter(F.col("lbl") < F.col("old"))
+            .count()
+        )
+        labels = merged
+        if changed == 0:
+            break
+    return (
+        labels.select(F.col("doc").alias("doc_id"), F.col("lbl").alias("cluster_id"))
+        .orderBy("doc_id")
+    )
