@@ -26,6 +26,7 @@ BENCH_QUERIES = [
     "q6_forecast_revenue",
     "q12_priority_shipping",
     "q4_order_priority",
+    "q8_market_share",
     "q13_customer_distribution",
     "q18_large_volume_orders",
     "a1_group_count_range_pick",
