@@ -606,3 +606,50 @@ def j12_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("segment")
     )
+
+
+A15_SQL = """
+SELECT c_nationkey,
+       m.bal AS top_acctbal,
+       m.key AS top_custkey,
+       m.nm  AS top_name
+FROM (
+  SELECT c_nationkey,
+         MAX(struct_pack(bal := c_acctbal, key := c_custkey, nm := c_name)) AS m
+  FROM customer
+  GROUP BY c_nationkey
+) t
+ORDER BY c_nationkey
+"""
+
+
+@plan("a15_argmax", oracle=A15_SQL)
+def a15_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic argmax: the top-balance customer per nation in
+    ONE aggregation — max over a (value, tie-break key, payload)
+    struct, whose lexicographic ordering both engines share. Unlike
+    `max_by` (tie-nondeterministic) or a row_number window (full sort
+    + shuffle of every row), struct-max combines map-side: each
+    partition contributes one candidate struct per group, so shuffle
+    volume is O(groups × partitions) — the same reason w5_topk keeps
+    a heap, specialized to k=1.
+    """
+    cust = load(spark, sf_dir, "customer")
+    m = F.max(
+        F.struct(
+            F.col("c_acctbal").alias("bal"),
+            F.col("c_custkey").alias("key"),
+            F.col("c_name").alias("nm"),
+        )
+    )
+    return (
+        cust.groupBy("c_nationkey")
+        .agg(m.alias("m"))
+        .select(
+            "c_nationkey",
+            F.col("m.bal").alias("top_acctbal"),
+            F.col("m.key").alias("top_custkey"),
+            F.col("m.nm").alias("top_name"),
+        )
+        .orderBy("c_nationkey")
+    )
