@@ -484,3 +484,48 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_year")
     )
+
+
+Q16_SQL = """
+SELECT p_brand, p_size, COUNT(DISTINCT s_suppkey) AS supplier_cnt
+FROM lineitem
+JOIN part     ON p_partkey = l_partkey
+JOIN supplier ON s_suppkey = l_suppkey
+WHERE p_brand <> 'Brand#45'
+  AND p_size IN (1, 5, 9, 13)
+  AND s_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_size
+"""
+
+
+@plan("q16_supplier_count", oracle=Q16_SQL)
+def q16_supplier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: how many qualified suppliers offer each part
+    class — COUNT(DISTINCT) fed through a NOT-IN exclusion.
+
+    The NOT IN becomes a broadcast LEFT ANTI join pruning the supplier
+    dim BEFORE it broadcasts into lineitem (the exclusion never
+    touches the fact table). The distinct-count runs as Spark's
+    two-phase expand — partial distinct on (brand, size, suppkey)
+    map-side, exact count after one shuffle.
+    """
+    excluded = load(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select(
+        "s_suppkey"
+    )
+    supp = (
+        load(spark, sf_dir, "supplier")
+        .join(F.broadcast(excluded), "s_suppkey", "left_anti")
+        .select("s_suppkey")
+    )
+    part_f = load(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#45") & F.col("p_size").isin(1, 5, 9, 13)
+    )
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.join(F.broadcast(part_f), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("p_brand", "p_size")
+        .agg(F.countDistinct("s_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_size")
+    )
