@@ -722,3 +722,92 @@ def dedup_cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels.select(F.col("doc").alias("doc_id"), F.col("lbl").alias("cluster_id"))
         .orderBy("doc_id")
     )
+
+
+def _curate_sql() -> str:
+    body = _MINHASH_CAND_SQL_BODY.format(
+        sigs=_minhash_sql_sigs(), bands=_minhash_sql_bands()
+    )
+    return f"""
+WITH RECURSIVE {body},
+sh_arr AS (SELECT doc_id, {_SHINGLES_SQL} AS sh FROM documents),
+pairs AS (
+  SELECT doc_a, doc_b
+  FROM cand
+  JOIN sh_arr a ON doc_a = a.doc_id
+  JOIN sh_arr b ON doc_b = b.doc_id
+  WHERE 1.0 * len(list_intersect(a.sh, b.sh))
+          / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+        >= {JACCARD_THRESHOLD}
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+nodes AS (SELECT DISTINCT src AS doc FROM edges),
+reach(doc, lbl) AS (
+  SELECT doc, doc FROM nodes
+  UNION
+  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.doc
+),
+clusters AS (SELECT doc AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY doc),
+scored AS (
+  SELECT doc_id, n_chars,
+         len(string_split_regex(trim(text), ' +')) AS n_tokens,
+         len(list_filter(string_split_regex(trim(text), ' +'),
+                         x -> x IN ('a', 'the'))) AS n_stop
+  FROM documents
+)
+SELECT s.doc_id, s.n_tokens, s.n_chars
+FROM scored s
+LEFT JOIN clusters c ON s.doc_id = c.doc_id
+WHERE s.n_tokens >= 50
+  AND s.n_stop > 0
+  AND 1.0 * s.n_stop / s.n_tokens >= 0.02
+  AND (c.doc_id IS NULL OR c.cluster_id = s.doc_id)
+ORDER BY s.doc_id
+"""
+
+
+@plan("curate_corpus", oracle=_curate_sql())
+def curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end training-data curation composition — what a user
+    actually runs over a raw corpus, in one call: language gate
+    (stopword heuristic), quality gate (token count + stopword
+    presence), and near-dup removal keeping only each cluster's
+    representative (minimum doc_id; singletons pass untouched).
+
+    Shape: the gates are pure column expressions evaluated in the
+    document scan (no shuffle); the only shuffled inputs are the
+    near-dup pipeline's band buckets and the label-propagation rounds,
+    both bounded by candidate volume, not corpus size. The cluster
+    keep-list joins back LEFT so never-duplicated documents don't pay
+    the join. At 100 TB each stage is the already-audited plan it
+    composes (dedup_minhash_lsh → dedup_neardup_pipeline →
+    dedup_cluster_labels).
+    """
+    docs = load(spark, sf_dir, "documents")
+    clusters = dedup_cluster_labels(spark, sf_dir)
+    toks = F.split(F.trim(F.col("text")), " +")
+    scored = docs.select(
+        "doc_id",
+        "n_chars",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.filter(toks, lambda x: x.isin("a", "the"))).alias("n_stop"),
+    )
+    return (
+        scored.join(
+            F.broadcast(clusters.withColumnRenamed("doc_id", "c_doc")),
+            scored.doc_id == F.col("c_doc"),
+            "left",
+        )
+        .filter(
+            (F.col("n_tokens") >= 50)
+            & (F.col("n_stop") > 0)
+            & (F.col("n_stop").cast("double") / F.col("n_tokens") >= 0.02)
+            & (F.col("c_doc").isNull() | (F.col("cluster_id") == F.col("doc_id")))
+        )
+        .select("doc_id", "n_tokens", "n_chars")
+        .orderBy("doc_id")
+    )
