@@ -36,6 +36,7 @@ BENCH_QUERIES = [
     "a10_last_wins_dedup",
     "dedup_exact",
     "dedup_minhash_lsh",
+    "curate_corpus",
     "dedup_simhash",
     "sim_cosine_topk",
     "sim_ivf_topk",

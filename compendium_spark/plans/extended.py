@@ -690,9 +690,16 @@ def dedup_cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     value-checked, not rows-only.
     """
     pairs = dedup_neardup_pipeline(spark, sf_dir).select("doc_a", "doc_b")
-    edges = pairs.union(
-        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
-    ).distinct()
+    # materialize the edge list ONCE — every propagation round reuses
+    # it, and without this the whole upstream LSH+verify pipeline would
+    # re-execute per round
+    edges = (
+        pairs.union(
+            pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     labels = (
         edges.select(F.col("doc_a").alias("doc"))
         .distinct()
