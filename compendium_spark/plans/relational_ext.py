@@ -653,3 +653,34 @@ def a15_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_nationkey")
     )
+
+
+W8_SQL = """
+SELECT doc_id, n_chars, quartile
+FROM (
+  SELECT doc_id, n_chars,
+         NTILE(4) OVER (ORDER BY n_chars, doc_id) AS quartile
+  FROM documents
+) t
+ORDER BY doc_id
+"""
+
+
+@plan("w8_ntile_bands", oracle=W8_SQL)
+def w8_ntile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTILE banding — length quartiles over the corpus (the
+    typical quality-stratification step before sampling). The
+    (n_chars, doc_id) ordering is total, so tile assignment is
+    deterministic across engines.
+
+    Scale note: an unpartitioned NTILE forces a single-task sort — at
+    100 TB you'd band via pre-computed quantile cut points broadcast
+    against the scan (a13_exact_quantiles / a_approx_aggregates give
+    the cut points); this plan is the small-dimension/per-group form.
+    """
+    docs = load(spark, sf_dir, "documents")
+    w = Window.orderBy("n_chars", "doc_id")
+    return (
+        docs.select("doc_id", "n_chars", F.ntile(4).over(w).alias("quartile"))
+        .orderBy("doc_id")
+    )
