@@ -49,7 +49,7 @@ def _media(spark: SparkSession, sf_dir: str) -> DataFrame:
 MM_SUMMARY_SQL = f"""
 SELECT media_type,
        COUNT(*) AS n_items,
-       SUM(octet_length(encode(text))) AS total_bytes,
+       CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
        COUNT(DISTINCT sha256(text)) AS distinct_payloads
 FROM (SELECT {_TYPE_CASE} AS media_type, text FROM documents)
 GROUP BY media_type

@@ -81,13 +81,26 @@ def a_approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     check (sketches are engine-specific); tests/test_ann.py asserts
     error bounds against exact values instead."""
     li = load(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
-        F.percentile_approx("l_extendedprice", [0.5, 0.95, 0.99], 10000).alias(
-            "price_quantiles"
-        ),
-        F.count(F.lit(1)).alias("n"),
-    ).orderBy("l_returnflag")
+    q = F.percentile_approx("l_extendedprice", [0.5, 0.95, 0.99], 10000)
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
+            q.alias("pq"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        # scalar columns, not array<double>: driver canonicalization
+        # sorts rows over all columns and can't hash a list cell
+        .select(
+            "l_returnflag",
+            "approx_orders",
+            F.element_at("pq", 1).alias("price_q50"),
+            F.element_at("pq", 2).alias("price_q95"),
+            F.element_at("pq", 3).alias("price_q99"),
+            "n",
+        )
+        .orderBy("l_returnflag")
+    )
 
 
 @plan("o2_stratified_sample", oracle=None)  # sampling is engine-specific

@@ -49,3 +49,21 @@ def plan(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 
 def all_plans() -> dict[str, Plan]:
     return dict(_REGISTRY)
+
+
+def promote(names: list[str]) -> None:
+    """Reorder the registry so ``names`` come first (in the given
+    order), everything else after in registration order.
+
+    The driver's correctness gate samples a prefix of the registry, so
+    plans that still need a driver-green row are promoted into the
+    window; plans already green in a prior round's CORRECTNESS file sit
+    behind them. Unknown names are an error (catches typos when a plan
+    is renamed)."""
+    unknown = [n for n in names if n not in _REGISTRY]
+    if unknown:
+        raise ValueError(f"promote: unknown plan names {unknown!r}")
+    rest = [n for n in _REGISTRY if n not in set(names)]
+    reordered = {n: _REGISTRY[n] for n in [*names, *rest]}
+    _REGISTRY.clear()
+    _REGISTRY.update(reordered)

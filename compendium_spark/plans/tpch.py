@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from compendium_spark.plans.registry import plan
-from compendium_spark.tables import load
+from compendium_spark.tables import load, maybe_broadcast
 
 DEC = "decimal(18,4)"
 
@@ -108,7 +108,12 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exact-decimal revenue makes the top-10 cut deterministic; ties
     broken by (o_orderdate, l_orderkey).
     """
-    cust = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    cust = maybe_broadcast(
+        spark,
+        sf_dir,
+        "customer",
+        load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING"),
+    )
     orders = load(spark, sf_dir, "orders").filter(
         F.col("o_orderdate") < F.lit("1998-03-15 00:00:00").cast("timestamp")
     )
@@ -117,7 +122,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     revenue = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
     return (
-        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
         .join(li, li.l_orderkey == orders.o_orderkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(F.sum(revenue).cast("double").alias("revenue"))
@@ -160,7 +165,7 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
     )
     li = load(spark, sf_dir, "lineitem")
-    supp = load(spark, sf_dir, "supplier")
+    supp = maybe_broadcast(spark, sf_dir, "supplier")
     nation = load(spark, sf_dir, "nation")
     region = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     revenue = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
@@ -168,7 +173,7 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         cust.join(orders, cust.c_custkey == orders.o_custkey)
         .join(li, li.l_orderkey == orders.o_orderkey)
         .join(
-            F.broadcast(supp),
+            supp,
             (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey),
         )
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
@@ -270,13 +275,13 @@ def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-07-01")
     )
-    part = load(spark, sf_dir, "part")
+    part = maybe_broadcast(spark, sf_dir, "part")
     disc_price = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
     promo = F.when(
         F.col("p_type").startswith("PROMO"), disc_price
     ).otherwise(F.lit(0).cast(DEC))
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .agg(
             (
                 F.lit(100.0) * F.sum(promo).cast("double")

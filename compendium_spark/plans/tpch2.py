@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from compendium_spark.plans.registry import plan
-from compendium_spark.tables import load
+from compendium_spark.tables import load, maybe_broadcast
 
 DEC = "decimal(18,4)"
 
@@ -193,9 +193,14 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql.window import Window
 
-    part_f = load(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#23")
+    part_f = maybe_broadcast(
+        spark,
+        sf_dir,
+        "part",
+        load(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#23"),
+    )
     li = load(spark, sf_dir, "lineitem").join(
-        F.broadcast(part_f), F.col("l_partkey") == F.col("p_partkey")
+        part_f, F.col("l_partkey") == F.col("p_partkey")
     )
     w = Window.partitionBy("l_partkey")
     avg_qty = F.sum(_dec("l_quantity")).over(w).cast("double") / F.count(
@@ -286,8 +291,8 @@ def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     stays broadcast; lineitem never shuffles.
     """
     li = load(spark, sf_dir, "lineitem")
-    part = load(spark, sf_dir, "part")
-    j = li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    part = maybe_broadcast(spark, sf_dir, "part")
+    j = li.join(part, F.col("l_partkey") == F.col("p_partkey"))
     band = (
         (F.col("p_brand") == "Brand#12")
         & F.col("p_size").between(1, 5)
@@ -384,7 +389,7 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
     )
-    supp = load(spark, sf_dir, "supplier")
+    supp = maybe_broadcast(spark, sf_dir, "supplier")
     orders = load(spark, sf_dir, "orders")
     cust = load(spark, sf_dir, "customer")
     nation = load(spark, sf_dir, "nation")
@@ -399,7 +404,7 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) | ((F.col("supp_nation") == "NATION_8") & (F.col("cust_nation") == "NATION_3"))
     revenue = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
     return (
-        li.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        li.join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
         .join(cust, F.col("c_custkey") == F.col("o_custkey"))
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
@@ -448,14 +453,19 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     decimal sums. part/supplier/nation/region all broadcast; the only
     shuffles are orders⋈lineitem and customer⋈orders on their keys.
     """
-    part_f = load(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    part_f = maybe_broadcast(
+        spark,
+        sf_dir,
+        "part",
+        load(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY"),
+    )
     li = load(spark, sf_dir, "lineitem")
     orders = load(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
         & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
     )
     cust = load(spark, sf_dir, "customer")
-    supp = load(spark, sf_dir, "supplier")
+    supp = maybe_broadcast(spark, sf_dir, "supplier")
     nation = load(spark, sf_dir, "nation")
     region = load(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
     n1 = nation.select(
@@ -469,12 +479,12 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).cast(DEC)
     )
     return (
-        li.join(F.broadcast(part_f), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(part_f, F.col("l_partkey") == F.col("p_partkey"))
         .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
         .join(cust, F.col("c_custkey") == F.col("o_custkey"))
         .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
         .join(F.broadcast(region), F.col("n1_region") == F.col("r_regionkey"))
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
         .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
         .agg(
@@ -510,21 +520,34 @@ def q16_supplier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     two-phase expand — partial distinct on (brand, size, suppkey)
     map-side, exact count after one shuffle.
     """
-    excluded = load(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select(
-        "s_suppkey"
-    )
-    supp = (
+    excluded = maybe_broadcast(
+        spark,
+        sf_dir,
+        "supplier",
         load(spark, sf_dir, "supplier")
-        .join(F.broadcast(excluded), "s_suppkey", "left_anti")
-        .select("s_suppkey")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey"),
     )
-    part_f = load(spark, sf_dir, "part").filter(
-        (F.col("p_brand") != "Brand#45") & F.col("p_size").isin(1, 5, 9, 13)
+    supp = maybe_broadcast(
+        spark,
+        sf_dir,
+        "supplier",
+        load(spark, sf_dir, "supplier")
+        .join(excluded, "s_suppkey", "left_anti")
+        .select("s_suppkey"),
+    )
+    part_f = maybe_broadcast(
+        spark,
+        sf_dir,
+        "part",
+        load(spark, sf_dir, "part").filter(
+            (F.col("p_brand") != "Brand#45") & F.col("p_size").isin(1, 5, 9, 13)
+        ),
     )
     li = load(spark, sf_dir, "lineitem")
     return (
-        li.join(F.broadcast(part_f), F.col("l_partkey") == F.col("p_partkey"))
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        li.join(part_f, F.col("l_partkey") == F.col("p_partkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("p_brand", "p_size")
         .agg(F.countDistinct("s_suppkey").alias("supplier_cnt"))
         .orderBy(F.desc("supplier_cnt"), "p_brand", "p_size")

@@ -48,6 +48,39 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+# Broadcast only dims whose on-disk parquet stays under this budget.
+# nation/region are constant-size (25/5 rows at every SF) and always
+# qualify; customer/part/supplier grow linearly with SF and fall back
+# to AQE's runtime strategy choice once they outgrow the budget —
+# a forced F.broadcast() on an SF-scaling table is an executor OOM at
+# 100 TB, so the hint must be size-gated, never unconditional.
+BROADCAST_BUDGET_BYTES = 64 * 1024 * 1024
+
+
+def _on_disk_bytes(path: str) -> int:
+    if os.path.isfile(path):
+        return os.path.getsize(path)
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        total += sum(os.path.getsize(os.path.join(root, f)) for f in files)
+    return total
+
+
+def maybe_broadcast(
+    spark: SparkSession, sf_dir: str, name: str, df: DataFrame | None = None
+) -> DataFrame:
+    """Load ``name`` (or take a pre-filtered ``df`` over it) and attach
+    a broadcast hint only if the table's files fit the broadcast
+    budget. In production (catalog tables) the same gate would read the
+    catalog's table statistics instead of the filesystem."""
+    out = df if df is not None else load(spark, sf_dir, name)
+    try:
+        small = _on_disk_bytes(f"{sf_dir}/{name}.parquet") <= BROADCAST_BUDGET_BYTES
+    except OSError:
+        small = False
+    return F.broadcast(out) if small else out
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every testdata table as a temp view for the SQL API."""
     for name in TABLE_NAMES:
