@@ -18,25 +18,45 @@ from compendium_spark.plans import (  # noqa: F401
     text,
     tpch,
     tpch2,
+    tpch3,
     windows,
 )
 
 # The driver's correctness gate samples a prefix of the registry
-# (50 plans in round 1), so plans without a driver-green row in
-# CORRECTNESS_r01.json are promoted to the front of the iteration
-# order: all of tpch/tpch2/windows/relational_ext/text, j9, and the
-# two plans whose round-1 rows were red (mm_feature_pipeline hash
-# dtype, a_approx_aggregates array output) — both fixed this round.
+# (50 plans in round 1), so the iteration order is explicitly tiered:
+#   tier 1 — plans with no driver-green row in CORRECTNESS_r01.json
+#            (all of tpch/tpch2/windows/relational_ext/text, j9) plus
+#            the two whose round-1 rows were red and are fixed this
+#            round (mm_feature_pipeline dtype, a_approx_aggregates
+#            array output);
+#   tier 2 — plans new in round 2 (tpch3's q2/q9/q11/q15/q20/q21 and
+#            the w8 scale form) — whatever fits the remaining window
+#            goes green now, the rest lead the next round's window;
+#   tier 3 — everything already green in round 1.
+_ROUND2_NEW = [
+    "w8_ntile_bands_scaled",
+    "q2_min_cost_supplier",
+    "q9_product_type_profit",
+    "q11_important_stock",
+    "q15_top_supplier",
+    "q20_potential_promotion",
+    "q21_waiting_orders",
+]
 registry.promote(
     [
-        # TPC-H family (q1-q22)
-        *[n for n in registry.all_plans() if n.startswith("q")],
+        # TPC-H family as of round 1
+        *[
+            n
+            for n, p in registry.all_plans().items()
+            if n.startswith("q") and n not in _ROUND2_NEW
+        ],
         # windows, sessionization, scalar/date/json functions, set ops,
         # pivot, as-of/range/skew joins, argmax, grouping sets
         *[
             n
             for n, p in registry.all_plans().items()
             if p.fn.__module__.endswith(("relational_ext", "windows"))
+            and n not in _ROUND2_NEW
         ],
         # text analysis + keyword filter (SURVEY P6)
         *[
@@ -47,6 +67,7 @@ registry.promote(
         "j9_semi_join",
         "mm_feature_pipeline",
         "a_approx_aggregates",
+        *_ROUND2_NEW,
     ]
 )
 

@@ -684,3 +684,69 @@ def w8_ntile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("doc_id", "n_chars", F.ntile(4).over(w).alias("quartile"))
         .orderBy("doc_id")
     )
+
+
+@plan("w8_ntile_bands_scaled", oracle=W8_SQL)
+def w8_ntile_bands_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTILE banding, 100 TB form: broadcast cut points, no global sort.
+
+    Produces byte-identical quartiles to w8_ntile_bands (same oracle)
+    without ever funneling the table through one task. Because the
+    NTILE ordering (n_chars, doc_id) is a total order, tile membership
+    is exactly "rank vs three boundary ranks", and each boundary rank
+    resolves to a concrete (n_chars, doc_id) cut pair:
+
+      1. histogram of the band column (n_chars has bounded
+         cardinality — document lengths), one map-combinable groupBy;
+      2. walk the cumulative histogram on the driver to find which
+         value each boundary rank lands in — O(distinct values), the
+         legitimate driver-side step of the broadcast-cut-point
+         pattern;
+      3. for a boundary inside a value's run, one k-th-smallest lookup
+         over just that value's doc_ids (filter pushed to the scan,
+         tiny subset);
+      4. band assignment is then a pure scan-stage expression: tile =
+         1 + #cuts strictly below the row. No shuffle, no sort, no
+         window.
+    """
+    docs = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    hist = sorted(
+        docs.groupBy("n_chars").count().collect(), key=lambda r: r["n_chars"]
+    )
+    n_rows = sum(r["count"] for r in hist)
+    base, rem = divmod(n_rows, 4)
+    ends, acc = [], 0
+    for i in range(1, 4):
+        acc += base + (1 if i <= rem else 0)
+        ends.append(acc)
+
+    cuts: list[tuple[int, int | None]] = []
+    for end in ends:
+        cum = 0
+        for r in hist:
+            prev, cum = cum, cum + r["count"]
+            if cum >= end:
+                v, k = r["n_chars"], end - prev
+                if k == r["count"]:
+                    cuts.append((v, None))  # boundary aligns with end of value run
+                else:
+                    kth = (
+                        docs.filter(F.col("n_chars") == v)
+                        .orderBy("doc_id")
+                        .limit(k)
+                        .agg(F.max("doc_id"))
+                        .first()[0]
+                    )
+                    cuts.append((v, kth))
+                break
+
+    tile = F.lit(1)
+    for v, d in cuts:
+        below = (
+            (F.col("n_chars") > v)
+            if d is None
+            else (F.col("n_chars") > v)
+            | ((F.col("n_chars") == v) & (F.col("doc_id") > d))
+        )
+        tile = tile + F.when(below, 1).otherwise(0)
+    return docs.select("doc_id", "n_chars", tile.alias("quartile")).orderBy("doc_id")

@@ -1,0 +1,423 @@
+"""TPC-H completion: Q2, Q9, Q11, Q15, Q20, Q21 shapes.
+
+Completes the 22-query TPC-H family (tpch.py, tpch2.py hold the other
+16). The testdata star schema has no ``partsupp`` table and no
+``l_commitdate``/``l_receiptdate``, so — like the existing Q4/Q17/Q22
+shapes — each query is re-expressed over the available columns while
+keeping the defining plan shape of the original:
+
+  Q2  correlated-min subquery joined back to its group
+  Q9  multi-dim profit rollup by nation × year
+  Q11 group value vs. a global-total scalar threshold
+  Q15 aggregate joined against its own global max
+  Q20 nested semi-join reduction chain
+  Q21 EXISTS / NOT EXISTS self-joins on the fact table
+
+Reference parity: the reference engine has no TPC-H surface; these
+extend SURVEY §2.4's aggregate reports (management.py:127-159) the same
+way tpch.py does. Parity rules per plans/registry.py docstring.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from compendium_spark.plans.registry import plan
+from compendium_spark.tables import load, maybe_broadcast
+
+DEC = "decimal(18,4)"
+
+
+def _dec(c: str):
+    return F.col(c).cast(DEC)
+
+
+Q2_SQL = """
+WITH ps AS (
+  SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+),
+cand AS (
+  SELECT p_partkey, p_brand, s_name, s_acctbal, n_name
+  FROM part
+  JOIN ps       ON p_partkey = l_partkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  JOIN region   ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE' AND p_size = 15 AND p_type = 'STANDARD'
+),
+mins AS (
+  SELECT p_partkey AS mk, MIN(s_acctbal) AS min_bal FROM cand GROUP BY p_partkey
+)
+SELECT s_acctbal, s_name, n_name, p_partkey, p_brand
+FROM cand JOIN mins ON p_partkey = mk AND s_acctbal = min_bal
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 100
+"""
+
+
+@plan("q2_min_cost_supplier", oracle=Q2_SQL)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: cheapest qualifying supplier per part.
+
+    With no partsupp, part→supplier linkage is the distinct
+    (l_partkey, l_suppkey) projection of lineitem and supply cost is
+    s_acctbal. The defining shape survives: a per-group MIN correlated
+    back to its group. Implemented as a window MIN over p_partkey —
+    one shuffle — instead of the oracle's groupBy + join-back (two).
+
+    Scale: the distinct pair projection shuffles 16 bytes/row; the
+    selective part filter broadcasts into it; region/nation broadcast.
+    The window partitions by p_partkey (no global sort); final top-100
+    is a TakeOrdered, not a full sort.
+    """
+    pairs = (
+        load(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
+    )
+    part_f = maybe_broadcast(
+        spark,
+        sf_dir,
+        "part",
+        load(spark, sf_dir, "part").filter(
+            (F.col("p_size") == 15) & (F.col("p_type") == "STANDARD")
+        ),
+    )
+    supp = maybe_broadcast(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    cand = (
+        pairs.join(part_f, F.col("l_partkey") == F.col("p_partkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    w = Window.partitionBy("p_partkey")
+    return (
+        cand.withColumn("min_bal", F.min("s_acctbal").over(w))
+        .filter(F.col("s_acctbal") == F.col("min_bal"))
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_brand")
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+Q9_SQL = """
+SELECT n_name AS nation,
+       CAST(YEAR(o_orderdate) AS BIGINT) AS o_year,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(15,4))
+                  * (1 - CAST(l_discount AS DECIMAL(8,4)))
+                - CAST(p_retailprice AS DECIMAL(15,4))
+                  * CAST(l_quantity AS DECIMAL(10,4))
+                  * CAST(0.01 AS DECIMAL(4,2))) AS DOUBLE) AS sum_profit
+FROM lineitem
+JOIN part     ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN orders   ON o_orderkey = l_orderkey
+JOIN nation   ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%bolt%'
+GROUP BY n_name, YEAR(o_orderdate)
+ORDER BY nation, o_year DESC
+"""
+
+
+@plan("q9_product_type_profit", oracle=Q9_SQL)
+def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: product-line profit by supplier nation × year.
+
+    Cost term is p_retailprice×quantity×0.01 (no ps_supplycost in
+    schema); the shape — fact × two filtered dims × orders, rolled up
+    on (nation, year) — is intact. Exact-decimal profit terms make the
+    per-group double identical across engines.
+
+    Scale: part (name-filtered) and supplier broadcast size-gated;
+    the only big shuffle is lineitem⋈orders on orderkey, then the
+    map-combinable rollup on 25×7 groups.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    part_f = maybe_broadcast(
+        spark,
+        sf_dir,
+        "part",
+        load(spark, sf_dir, "part").filter(F.col("p_name").like("%bolt%")),
+    )
+    supp = maybe_broadcast(spark, sf_dir, "supplier")
+    orders = load(spark, sf_dir, "orders")
+    nation = load(spark, sf_dir, "nation")
+    # tight operand precisions: every decimal intermediate stays under
+    # precision 38 in BOTH engines, so no engine-specific scale
+    # truncation — the summed profit is bit-identical
+    profit = F.col("l_extendedprice").cast("decimal(15,4)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(8,4)")
+    ) - F.col("p_retailprice").cast("decimal(15,4)") * F.col("l_quantity").cast(
+        "decimal(10,4)"
+    ) * F.lit(0.01).cast("decimal(4,2)")
+    return (
+        li.join(part_f, F.col("l_partkey") == F.col("p_partkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(F.sum(profit).cast("double").alias("sum_profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+Q11_SQL = """
+WITH v AS (
+  SELECT l_partkey,
+         SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+             * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS val
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  WHERE n_name = 'NATION_3'
+  GROUP BY l_partkey
+)
+SELECT l_partkey AS p_partkey, CAST(val AS DOUBLE) AS part_value
+FROM v, (SELECT SUM(val) AS total FROM v) t
+WHERE val > total * 0.0001
+ORDER BY part_value DESC, p_partkey
+"""
+
+
+@plan("q11_important_stock", oracle=Q11_SQL)
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: per-part value vs. a global-total threshold.
+
+    Value is one nation's lineitem revenue per part (no partsupp).
+    The defining shape — aggregate, then filter each group against a
+    scalar subquery over the same aggregate — maps to: groupBy partkey
+    → single-row total → broadcast cross join → filter. The decimal
+    comparison is exact in both engines, so the row set is stable.
+
+    Scale: the per-part aggregate shuffles once on partkey; the total
+    is a second pass over the (already small) aggregate, broadcast as
+    one row. No global sort until the final (small) result.
+    """
+    supp_n3 = maybe_broadcast(
+        spark,
+        sf_dir,
+        "supplier",
+        load(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(
+                load(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey"),
+    )
+    li = load(spark, sf_dir, "lineitem")
+    revenue = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
+    v = (
+        li.join(supp_n3, F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(F.sum(revenue).alias("val"))
+    )
+    total = v.agg(F.sum("val").alias("total"))
+    return (
+        v.join(F.broadcast(total))
+        .filter(F.col("val") > F.col("total") * F.lit(0.0001))
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            F.col("val").cast("double").alias("part_value"),
+        )
+        .orderBy(F.desc("part_value"), "p_partkey")
+    )
+
+
+Q15_SQL = """
+WITH revenue AS (
+  SELECT l_suppkey,
+         SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+             * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS total_rev
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, CAST(total_rev AS DOUBLE) AS total_revenue
+FROM supplier
+JOIN revenue ON s_suppkey = l_suppkey,
+     (SELECT MAX(total_rev) AS mx FROM revenue) m
+WHERE total_rev = mx
+ORDER BY s_suppkey
+"""
+
+
+@plan("q15_top_supplier", oracle=Q15_SQL)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15: supplier(s) with max revenue in a quarter.
+
+    The view-then-max-equality shape: quarterly revenue per supplier,
+    then keep rows equal to the global max (all of them, on ties —
+    exact decimals make the equality deterministic).
+
+    Scale: one shuffle on suppkey for the aggregate; the max is a
+    single-row broadcast; supplier joins the (tiny) winner set.
+    """
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+    )
+    revenue = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
+    rev = li.groupBy("l_suppkey").agg(F.sum(revenue).alias("total_rev"))
+    mx = rev.agg(F.max("total_rev").alias("mx"))
+    supp = maybe_broadcast(spark, sf_dir, "supplier")
+    return (
+        rev.join(F.broadcast(mx))
+        .filter(F.col("total_rev") == F.col("mx"))
+        .join(supp, F.col("s_suppkey") == F.col("l_suppkey"))
+        .select(
+            "s_suppkey", "s_name", F.col("total_rev").cast("double").alias("total_revenue")
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+Q20_SQL = """
+SELECT s_name, n_name
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+WHERE n_name IN ('NATION_1', 'NATION_2', 'NATION_3')
+  AND s_suppkey IN (
+    SELECT l_suppkey
+    FROM lineitem
+    JOIN (SELECT p_partkey FROM part WHERE p_name LIKE 'red%') rp
+      ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY l_suppkey
+    HAVING SUM(CAST(l_quantity AS DECIMAL(18,4))) > 100
+  )
+ORDER BY s_name
+"""
+
+
+@plan("q20_potential_promotion", oracle=Q20_SQL)
+def q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: nested semi-join reduction.
+
+    Suppliers (in a nation set) who moved >100 units of red parts in a
+    year. The chain part-filter → fact agg → HAVING → IN maps to
+    broadcast dim filter → groupBy suppkey → left-semi join. The
+    decimal HAVING threshold is exact.
+
+    Scale: lineitem is reduced by the broadcast part filter before its
+    only shuffle (on suppkey); the qualifying-supplier set is tiny and
+    broadcasts into supplier as a semi join.
+    """
+    red = maybe_broadcast(
+        spark,
+        sf_dir,
+        "part",
+        load(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("red%"))
+        .select("p_partkey"),
+    )
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    qualifying = (
+        li.join(red, F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_suppkey")
+        .agg(F.sum(_dec("l_quantity")).alias("qty"))
+        .filter(F.col("qty") > F.lit(100).cast(DEC))
+        .select("l_suppkey")
+    )
+    nation = load(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_1", "NATION_2", "NATION_3")
+    )
+    return (
+        load(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(
+            F.broadcast(qualifying),
+            F.col("s_suppkey") == F.col("l_suppkey"),
+            "left_semi",
+        )
+        .select("s_name", "n_name")
+        .orderBy("s_name")
+    )
+
+
+Q21_SQL = """
+SELECT s_name, COUNT(*) AS numwait
+FROM supplier
+JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+JOIN orders ON o_orderkey = l1.l_orderkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE o_orderstatus = 'F'
+  AND l1.l_returnflag = 'R'
+  AND n_name IN ('NATION_5', 'NATION_6')
+  AND EXISTS (
+    SELECT 1 FROM lineitem l2
+    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM lineitem l3
+    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+      AND l3.l_returnflag = 'R'
+  )
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 100
+"""
+
+
+@plan("q21_waiting_orders", oracle=Q21_SQL)
+def q21_waiting_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: sole-blame supplier via EXISTS / NOT EXISTS.
+
+    'Late' is l_returnflag='R' (no receipt/commit dates in schema).
+    A supplier is counted when its returned line is on a finished
+    multi-supplier order where no OTHER supplier's line was returned —
+    the original's EXISTS/NOT-EXISTS pair, expressed as a left-semi
+    and a left-anti join with an extra inequality on suppkey.
+
+    Scale: all three lineitem legs shuffle on l_orderkey (one
+    co-partitioning reused across semi, anti, and the orders join);
+    supplier/nation broadcast; final agg is 100 suppliers.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    l1 = li.select("l_orderkey", "l_suppkey", "l_returnflag")
+    l2 = li.select(
+        F.col("l_orderkey").alias("o2_orderkey"), F.col("l_suppkey").alias("o2_suppkey")
+    )
+    l3 = li.filter(F.col("l_returnflag") == "R").select(
+        F.col("l_orderkey").alias("o3_orderkey"), F.col("l_suppkey").alias("o3_suppkey")
+    )
+    orders_f = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey")
+    supp = maybe_broadcast(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_5", "NATION_6")
+    )
+    return (
+        l1.filter(F.col("l_returnflag") == "R")
+        .join(orders_f, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            l2,
+            (F.col("o2_orderkey") == F.col("l_orderkey"))
+            & (F.col("o2_suppkey") != F.col("l_suppkey")),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (F.col("o3_orderkey") == F.col("l_orderkey"))
+            & (F.col("o3_suppkey") != F.col("l_suppkey")),
+            "left_anti",
+        )
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(100)
+    )
