@@ -49,7 +49,35 @@ BENCH_QUERIES = [
     "text_token_frequency",
     "w1_tumbling_window",
     "w3_sessionization",
+    # round 2 additions
+    "q2_min_cost_supplier",
+    "q9_product_type_profit",
+    "q21_waiting_orders",
+    "w8_ntile_bands_scaled",
 ]
+
+
+def _baseline() -> dict[str, float]:
+    """Latest committed BENCH_r{N}.json → per-query seconds, for the
+    regression guard. Empty if none exists (round 1)."""
+    import glob
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    runs = sorted(
+        glob.glob(os.path.join(here, "BENCH_r*.json")),
+        key=lambda p: int(re.search(r"BENCH_r(\d+)", p).group(1)),
+    )
+    if not runs:
+        return {}
+    try:
+        with open(runs[-1]) as f:
+            doc = json.load(f)
+        # the driver wraps our JSON line under "parsed"
+        doc = doc.get("parsed", doc)
+        return dict(doc.get("queries", {}))
+    except (OSError, json.JSONDecodeError):
+        return {}
 
 
 def main() -> None:
@@ -83,6 +111,22 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 4)
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+
+    # regression guard: per-query delta vs the last recorded round
+    # (only meaningful at the recorded round's scale factor, sf0.1)
+    base = _baseline() if sf == "0.1" else {}
+    for name, t in timings.items():
+        b = base.get(name)
+        if b is None:
+            if base:
+                print(f"# delta {name}: NEW ({t:.3f}s)", file=sys.stderr)
+            continue
+        ratio = t / b if b > 0 else float("inf")
+        flag = "  <-- REGRESSION >1.3x" if ratio > 1.3 else ""
+        print(
+            f"# delta {name}: {ratio:.2f}x vs baseline {b:.3f}s{flag}",
+            file=sys.stderr,
+        )
 
     total = round(sum(timings.values()), 4)
     print(

@@ -33,6 +33,7 @@ from __future__ import annotations
 
 import argparse
 import sys
+from pathlib import Path
 
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
@@ -50,6 +51,7 @@ from compendium_spark.pipeline.status import (
     compendium_summary,
     eligible_samples,
     find_todo,
+    geo_summary,
     status_frequency,
 )
 from compendium_spark.sources.biosample_xml import read_biosample_xml, to_samples, to_tags
@@ -58,6 +60,8 @@ from compendium_spark.sources.tsv import (
     assemble_asv_tables,
     melt_counts,
     read_counts_wide,
+    read_countries,
+    read_geo_countries,
     read_summary,
     read_taxonomy,
 )
@@ -175,11 +179,19 @@ def cmd_load_results(wh: Warehouse, args) -> int:
     wh.append("asv_counts", counts)
     wh.append("asv_sequences", seqs)
     wh.append("asv_assignments", assigns)
-    status_row = wh.spark.createDataFrame(
-        [(args.project, "done", 0, None, None, None)],
-        "project string, status string, rerun_as_single_end int, paired int, note1 string, note2 string",
-    )
-    wh.upsert("status", status_row, key="project")
+    # full lifecycle tail (projects.py:525-551): results recorded →
+    # complete; archive written → archived; files deleted → done.
+    # Without --archive-dir the project stays at 'complete' (the
+    # reference's confirm_destruct 'no' path).
+    orchestrate.set_project_status(wh, args.project, "complete")
+    if args.archive_dir:
+        adapters = orchestrate.Adapters(
+            probe=lambda p: "done",
+            load_summary=lambda p: None,
+            archive=orchestrate.tar_archive(str(Path(d).parent), args.archive_dir),
+            cleanup=lambda p: None,  # file deletion stays a user decision
+        )
+        orchestrate.archive_project(wh, args.project, adapters)
     print(
         f"loaded {counts.count()} count cells, {seqs.count()} sequences, "
         f"{assigns.count()} assignments for {args.project}"
@@ -217,6 +229,7 @@ def _adapters(wh: Warehouse, projects_dir: str) -> "orchestrate.Adapters":
         load_summary=load_summary,
         submit=lambda p: print(f"submit {p}"),  # sbatch boundary
         clone=lambda p: print(f"clone pipeline for {p}"),  # git boundary
+        prepare_rerun=orchestrate.rerun_file_prep(projects_dir),
     )
 
 
@@ -261,6 +274,28 @@ def cmd_autoforward(wh: Warehouse, args) -> int:
         f"Starting {len(result['launched'])} additional projects: "
         f"{result['launched']}"
     )
+    return 0
+
+
+def cmd_load_countries(wh: Warehouse, args) -> int:
+    """Populate the geo dimension tables (ref `db.py:104-117` defines
+    them but ships no loader). Idempotent keyed upserts."""
+    geo = read_geo_countries(wh.spark, args.geo_locs)
+    countries = read_countries(wh.spark, args.countries)
+    wh.upsert("geo_loc_countries", geo, key="geo_loc_name")
+    wh.upsert("countries", countries, key="iso2")
+    print(
+        f"loaded {geo.count()} geo_loc mappings, {countries.count()} countries"
+    )
+    return 0
+
+
+def cmd_geo(wh: Warehouse, args) -> int:
+    rows = geo_summary(
+        wh.read("samples"), wh.read("geo_loc_countries"), wh.read("countries")
+    ).collect()
+    for r in rows:
+        print(f"{r.region}\t{r.country}\t{r.n_samples}\t{r.n_projects}")
     return 0
 
 
@@ -328,6 +363,7 @@ def build_parser() -> argparse.ArgumentParser:
     lr = sub.add_parser("load-results")
     lr.add_argument("project")
     lr.add_argument("--dir", required=True)
+    lr.add_argument("--archive-dir", default=None)  # projects.py:530-551
     ac = sub.add_parser("accessions")
     ac.add_argument("project")
     ac.add_argument("--out", required=True)
@@ -348,6 +384,10 @@ def build_parser() -> argparse.ArgumentParser:
     af = sub.add_parser("autoforward")
     af.add_argument("--projects-dir", default="./projects")
     af.add_argument("--max-projects", type=int, default=8)  # config_template.py:17
+    lc = sub.add_parser("load-countries")
+    lc.add_argument("--geo-locs", required=True)
+    lc.add_argument("--countries", required=True)
+    sub.add_parser("geo")
     sub.add_parser("status")
     sub.add_parser("compendium")
     sub.add_parser("summary")
@@ -373,6 +413,8 @@ COMMANDS = {
     "discard": cmd_discard,
     "forward": cmd_forward,
     "autoforward": cmd_autoforward,
+    "load-countries": cmd_load_countries,
+    "geo": cmd_geo,
     "status": cmd_status,
     "compendium": cmd_compendium,
     "summary": cmd_summary,

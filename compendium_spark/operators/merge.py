@@ -33,6 +33,30 @@ def upsert(target: DataFrame, updates: DataFrame, key: str | list[str]) -> DataF
     return kept.unionByName(updates.select(*target.columns))
 
 
+def partial_upsert(
+    target: DataFrame,
+    updates: DataFrame,
+    key: str | list[str],
+    defaults: dict | None = None,
+) -> DataFrame:
+    """Partial-update existing keys (non-null update fields only — the
+    reference's column-wise `UPDATE status SET ...` at
+    projects.py:87-106 never touches unmentioned columns) and INSERT
+    unknown keys with ``defaults`` for absent columns (the reference's
+    registration INSERT supplies DEFAULT 0 for rerun_as_single_end,
+    db.py:137-146). One keyed broadcast merge covers both the
+    registration and every later transition."""
+    keys = [key] if isinstance(key, str) else list(key)
+    defaults = defaults or {}
+    merged = partial_update(target, updates, key)
+    new = updates.join(target.select(*keys), on=keys, how="left_anti")
+    for c in target.columns:
+        if c not in new.columns:
+            new = new.withColumn(c, F.lit(defaults.get(c)))
+    schema_cast = [F.col(c).cast(t) for c, t in target.dtypes]
+    return merged.unionByName(new.select(*schema_cast))
+
+
 def partial_update(
     target: DataFrame, updates: DataFrame, key: str | list[str]
 ) -> DataFrame:

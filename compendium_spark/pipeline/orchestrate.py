@@ -10,6 +10,7 @@ the orchestration loop touches at most `max_projects` driver-side rows
 
 from __future__ import annotations
 
+import shutil
 from collections.abc import Callable
 from dataclasses import dataclass, field
 from pathlib import Path
@@ -18,6 +19,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from compendium_spark.functions.qc import project_disposition, project_qc, sample_qc
+from compendium_spark.operators.merge import partial_upsert
 from compendium_spark.pipeline.status import find_todo, non_terminal_projects
 from compendium_spark.storage import Warehouse
 
@@ -38,12 +40,87 @@ class Adapters:
     clone(project): git-clone stand-in (`projects.py:121`)
     load_summary(project) -> DataFrame | None: summary.tsv for a done
         project (`projects.py:203-231`)
+    prepare_rerun(project): single-end re-run file prep — remove
+        previous DADA outputs + reverse reads (`projects.py:331-380`);
+        see rerun_file_prep for the real-filesystem form
+    archive(project): result archive sink, the reference's tar.gz
+        (`projects.py:530-548`, SURVEY K5); see tar_archive
+    cleanup(project): delete pipeline files after archiving
+        (`projects.py:550-551`)
     """
 
     probe: Callable[[str], str]
     load_summary: Callable[[str], DataFrame | None]
     submit: Callable[[str], None] = field(default=_noop)
     clone: Callable[[str], None] = field(default=_noop)
+    prepare_rerun: Callable[[str], None] = field(default=_noop)
+    archive: Callable[[str], None] = field(default=_noop)
+    cleanup: Callable[[str], None] = field(default=_noop)
+
+# Files produced by a previous DADA2 attempt, removed before a re-run
+# (`projects.py:358-371`). fastq/ extractions are NOT in this list.
+_DADA_OUTPUTS = (
+    "filtered_out.rds",
+    "forward_error_model.pdf",
+    "reverse_error_model.pdf",
+    "err_forward_reads.rds",
+    "err_reverse_reads.rds",
+    "ASV.tsv",
+    "asv.rds",
+    "ASVs.fa",
+    "ASVs_counts.tsv",
+    "ASVs_taxonomy.tsv",
+)
+
+
+def rerun_file_prep(projects_dir: str) -> Callable[[str], None]:
+    """Real-filesystem prepare_rerun adapter mirroring the reference's
+    `_remove_previous_dada` + `_remove_reverse_reads`
+    (`projects.py:331-380`, unit-tested at tests/projects_test.py:16-53):
+    delete prior DADA2 outputs and the intermediate/ dir, keep the old
+    summary via the rename chain summary.tsv → previous_summary.tsv →
+    previous_previous_summary.tsv, then drop the reverse-read files so
+    the next attempt runs single-ended."""
+
+    def prep(project: str) -> None:
+        if not project:
+            raise ValueError(f"project id value is unexpected: {project!r}")
+        d = Path(projects_dir) / project
+        # _remove_previous_dada (projects.py:344-380)
+        shutil.rmtree(d / "intermediate", ignore_errors=True)
+        for name in _DADA_OUTPUTS:
+            (d / name).unlink(missing_ok=True)
+        if (d / "previous_summary.tsv").exists():
+            (d / "previous_summary.tsv").rename(
+                d / "previous_previous_summary.tsv"
+            )
+        if (d / "summary.tsv").exists():
+            (d / "summary.tsv").rename(d / "previous_summary.tsv")
+        # _remove_reverse_reads (projects.py:331-342)
+        for f in (d / "fastq").glob("*_2.fastq"):
+            f.unlink(missing_ok=True)
+
+    return prep
+
+
+def tar_archive(projects_dir: str, archive_dir: str) -> Callable[[str], None]:
+    """Archive adapter: tar.gz the project's result files (the
+    reference archives logs + ASV outputs, `projects.py:530-548`) and
+    verify the archive landed before the caller advances the status."""
+    import tarfile
+
+    def archive(project: str) -> None:
+        d = Path(projects_dir) / project
+        out = Path(archive_dir) / f"{project}.tar.gz"
+        out.parent.mkdir(parents=True, exist_ok=True)
+        with tarfile.open(out, "w:gz") as tf:
+            for f in sorted(d.rglob("*")):
+                if f.is_file():
+                    tf.add(f, arcname=str(f.relative_to(d.parent)))
+        if not out.exists():  # projects.py:546-548
+            raise RuntimeError(f"archive of project {project} not found")
+
+    return archive
 
 
 def dir_probe(projects_dir: str) -> Callable[[str], str]:
@@ -63,16 +140,35 @@ def dir_probe(projects_dir: str) -> Callable[[str], str]:
 
 
 def set_project_status(
-    wh: Warehouse, project: str, status: str, note1: str | None = None
+    wh: Warehouse, project: str, status: str, note1: str | None = None,
+    note2: str | None = None,
 ) -> None:
-    """One state-machine transition as a keyed upsert (K2/J6;
-    `projects.py:87-106`)."""
+    """One state-machine transition as a keyed PARTIAL upsert
+    (`projects.py:87-106`): only status and any provided notes change —
+    rerun_as_single_end, paired, and unmentioned notes keep their
+    values, exactly like the reference's column-wise UPDATEs. A new
+    project inserts with rerun_as_single_end=0 (the table DEFAULT,
+    db.py:137-146)."""
     row = wh.spark.createDataFrame(
-        [(project, status, 0, None, note1, None)],
-        "project string, status string, rerun_as_single_end int, paired int, "
-        "note1 string, note2 string",
+        [(project, status, note1, note2)],
+        "project string, status string, note1 string, note2 string",
     )
-    wh.upsert("status", row, key="project")
+    wh.write(
+        "status",
+        partial_upsert(
+            wh.read("status"), row, key="project",
+            defaults={"rerun_as_single_end": 0},
+        ),
+    )
+
+
+def set_rerun_flag(wh: Warehouse, project: str) -> None:
+    """`projects.py:322-327`: UPDATE status SET rerun_as_single_end=1 —
+    a one-column partial update, nothing else touched."""
+    row = wh.spark.createDataFrame(
+        [(project, 1)], "project string, rerun_as_single_end int"
+    )
+    wh.partial_update("status", row, key="project")
 
 
 def initialize_pipeline(wh: Warehouse, project: str, adapters: Adapters) -> None:
@@ -93,6 +189,39 @@ def discard_project(wh: Warehouse, project: str, reason: str) -> None:
     """`projects.py:408-415`: status=failed, reason recorded; the
     rmtree of pipeline outputs stays outside the engine."""
     set_project_status(wh, project, "failed", note1=reason)
+
+
+def rerun_single_end(
+    wh: Warehouse, project: str, adapters: Adapters,
+    note1: str | None = None, auto: bool = True,
+) -> None:
+    """`projects.py:313-329` Rerun_as_single_end: refuse if the project
+    is known single-ended, prep the files (remove previous DADA outputs
+    + reverse reads — injected, rerun_file_prep for the real form), set
+    rerun_as_single_end=1, transition to to_re_run, and (auto) resubmit.
+    """
+    row = wh.read("status").filter(F.col("project") == project).collect()
+    if row and row[0].paired == 0:
+        raise ValueError(
+            f"cannot re-run {project} as single-end; it wasn't paired-end"
+        )
+    adapters.prepare_rerun(project)
+    set_rerun_flag(wh, project)
+    set_project_status(wh, project, "to_re_run", note1=note1)
+    if auto:
+        run_project(wh, project, adapters)
+
+
+def archive_project(wh: Warehouse, project: str, adapters: Adapters) -> None:
+    """`projects.py:525-551`: complete → archived → done. The archive
+    sink (tar.gz, SURVEY K5) and the file deletion are injected; each
+    status only advances after its side effect succeeded, so a failed
+    archive leaves the project at 'complete' exactly like the
+    reference's existence check."""
+    adapters.archive(project)
+    set_project_status(wh, project, "archived")
+    adapters.cleanup(project)
+    set_project_status(wh, project, "done")
 
 
 def determine_projects(
@@ -126,11 +255,9 @@ def advance_projects(
         if disp.decision == "discard":
             discard_project(wh, project, "; ".join(disp.errors))
         elif disp.decision == "re_run":
-            set_project_status(
-                wh, project, "to_re_run", note1="; ".join(disp.errors)
+            rerun_single_end(
+                wh, project, adapters, note1="; ".join(disp.errors), auto=auto
             )
-            if auto:
-                run_project(wh, project, adapters)
         else:
             set_project_status(wh, project, "complete")
     return decisions

@@ -97,6 +97,29 @@ def status_frequency(status: DataFrame) -> DataFrame:
     )
 
 
+def geo_summary(
+    samples: DataFrame, geo_loc_countries: DataFrame, countries: DataFrame
+) -> DataFrame:
+    """Samples per country/region through the geo snowflake
+    (ref `db.py:92-117`: samples.geo_loc_name → geo_loc_countries →
+    countries — the native form of plan j7_snowflake_dims). Both dims
+    broadcast; unmapped geo_loc_name values roll up under
+    '<unmapped>' rather than silently dropping."""
+    return (
+        samples.join(F.broadcast(geo_loc_countries), "geo_loc_name", "left")
+        .join(F.broadcast(countries), "iso2", "left")
+        .groupBy(
+            F.coalesce("region", F.lit("<unmapped>")).alias("region"),
+            F.coalesce("name", F.lit("<unmapped>")).alias("country"),
+        )
+        .agg(
+            F.countDistinct("srs").alias("n_samples"),
+            F.countDistinct("project").alias("n_projects"),
+        )
+        .orderBy("region", "country")
+    )
+
+
 def compendium_summary(samples: DataFrame, asv_counts: DataFrame) -> DataFrame:
     """A2 compendium report (`management.py:127-159`). Quirk Q4 fixed:
     the reference counts DISTINCT `sample` on a table whose column is

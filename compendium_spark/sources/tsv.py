@@ -82,6 +82,29 @@ def read_taxonomy(spark: SparkSession, path: str) -> DataFrame:
     ).withColumn("tdatabase", F.lit("silva_nr99_v138_train_set"))  # projects.py:517
 
 
+def read_geo_countries(spark: SparkSession, path: str) -> DataFrame:
+    """Geo lookup TSV → `geo_loc_countries` (ref `db.py:104-109`):
+    two columns, raw geo_loc_name string → ISO-3166 alpha-2 code. The
+    reference creates the table but ships no loader; this is the
+    ingest path for it."""
+    df = spark.read.csv(path, sep="\t", header=True, inferSchema=False)
+    return df.select(
+        F.col(df.columns[0]).alias("geo_loc_name"),
+        F.col(df.columns[1]).alias("iso2"),
+    )
+
+
+def read_countries(spark: SparkSession, path: str) -> DataFrame:
+    """Country dimension TSV → `countries` (ref `db.py:111-117`):
+    iso2 PK, display name, region."""
+    df = spark.read.csv(path, sep="\t", header=True, inferSchema=False)
+    return df.select(
+        F.col(df.columns[0]).alias("iso2"),
+        F.col(df.columns[1]).alias("name"),
+        F.col(df.columns[2]).alias("region"),
+    )
+
+
 def assemble_asv_tables(
     fasta: DataFrame, taxonomy: DataFrame, project: str
 ) -> tuple[DataFrame, DataFrame]:

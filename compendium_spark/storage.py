@@ -103,17 +103,29 @@ class Warehouse:
         touched = [r[0] for r in updates.select(pcol).distinct().collect()]
         if not touched:
             return
-        current = self.read(name).filter(F.col(pcol).isin(touched))
-        merged = upsert(current, updates, key)
+        # null-safe partition selection: isin() never matches NULL, so a
+        # null partition value needs its own predicate
+        non_null = [v for v in touched if v is not None]
+        cond = F.col(pcol).isin(non_null) if non_null else F.lit(False)
+        if len(non_null) != len(touched):
+            cond = cond | F.col(pcol).isNull()
+        current = self.read(name).filter(cond)
+        merged = validate_schema(upsert(current, updates, key), ALL_TABLES[name], name)
         target = self.path(name)
         staging = target.with_suffix(".staging")
         self._writer(name, merged).mode("overwrite").parquet(str(staging))
-        for value in touched:
-            part = f"{pcol}={value}"
-            if (target / part).exists():
-                shutil.rmtree(target / part)
-            if (staging / part).exists():
-                (staging / part).rename(target / part)
+        # Swap the partition dirs Spark actually wrote: their names carry
+        # Spark's own escaping (URL-escaped specials, and
+        # __HIVE_DEFAULT_PARTITION__ for null), so reconstructing
+        # f"{pcol}={value}" by hand would miss any value needing escaping
+        # and silently drop the merged data.
+        for part_dir in sorted(staging.iterdir()):
+            if not part_dir.is_dir():
+                continue
+            dest = target / part_dir.name
+            if dest.exists():
+                shutil.rmtree(dest)
+            part_dir.rename(dest)
         shutil.rmtree(staging)
 
     def partial_update(self, name: str, updates: DataFrame, key: str | list[str]) -> None:

@@ -55,8 +55,8 @@ def test_approx_count_distinct_error(spark):
     for flag, n_exact in exact.items():
         rel_err = abs(got[flag].approx_orders - n_exact) / n_exact
         assert rel_err < 0.1, f"{flag}: {rel_err:.3f}"
-        q50, q95, q99 = got[flag].price_quantiles
-        assert q50 < q95 <= q99
+        r = got[flag]
+        assert r.price_q50 < r.price_q95 <= r.price_q99
 
 
 def test_ivf_recall_against_exact(spark):

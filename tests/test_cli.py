@@ -81,8 +81,14 @@ def test_full_command_flow(spark, wh_dir, tmp_path, capsys):
         "\tKingdom\tPhylum\tClass\tOrder\tFamily\tGenus\n"
         "ASV_1\tBacteria\tB\tC\tD\tE\tF\nASV_2\tBacteria\tB\tC\tD\tE\tG\n"
     )
-    assert run(spark, wh_dir, "load-results", "PRJ1", "--dir", str(d)) == 0
+    # with --archive-dir the full lifecycle tail runs:
+    # complete → archived → done (projects.py:525-551)
+    assert run(
+        spark, wh_dir, "load-results", "PRJ1", "--dir", str(d),
+        "--archive-dir", str(tmp_path / "archive"),
+    ) == 0
     assert "3 count cells" in capsys.readouterr().out
+    assert (tmp_path / "archive" / "PRJ1.tar.gz").exists()
 
     # asvs region inference over the loaded project
     assert run(spark, wh_dir, "asvs") == 0
@@ -98,6 +104,51 @@ def test_full_command_flow(spark, wh_dir, tmp_path, capsys):
     assert run(spark, wh_dir, "compendium") == 0
     out = capsys.readouterr().out
     assert "projects: 1" in out and "samples: 2" in out and "ASVs: 2" in out
+
+
+def test_load_countries_and_geo_report(spark, wh_dir, tmp_path, capsys):
+    """Geo dimension ingest (ref db.py:104-117 defines the tables but
+    no loader) + the native samples→geo_loc_countries→countries
+    snowflake report (plan j7's warehouse form)."""
+    geo = tmp_path / "geo_locs.tsv"
+    geo.write_text(
+        "geo_loc_name\tiso2\nUSA: Boston\tUS\nUSA:Cambridge\tUS\nFrance: Paris\tFR\n"
+    )
+    ctry = tmp_path / "countries.tsv"
+    ctry.write_text(
+        "iso2\tname\tregion\nUS\tUnited States\tAmericas\nFR\tFrance\tEurope\n"
+    )
+    assert run(spark, wh_dir, "load-countries", "--geo-locs", str(geo),
+               "--countries", str(ctry)) == 0
+    assert "3 geo_loc mappings, 2 countries" in capsys.readouterr().out
+    # idempotent re-load (keyed upsert, not append)
+    assert run(spark, wh_dir, "load-countries", "--geo-locs", str(geo),
+               "--countries", str(ctry)) == 0
+    capsys.readouterr()
+
+    samples = spark.createDataFrame(
+        [
+            ("SRS1", "PRJ1", "USA: Boston"),
+            ("SRS2", "PRJ1", "France: Paris"),
+            ("SRS3", "PRJ2", "somewhere odd"),
+        ],
+        "srs string, project string, geo_loc_name string",
+    ).selectExpr(
+        "srs", "project", "cast(null as string) taxon",
+        "cast(array() as array<string>) srr",
+        "cast(null as string) library_strategy",
+        "cast(null as string) library_source",
+        "cast(null as string) instrument",
+        "cast(null as timestamp) pubdate",
+        "cast(null as long) total_bases", "geo_loc_name",
+    )
+    wh = Warehouse(spark, wh_dir)
+    wh.write("samples", samples)
+    assert run(spark, wh_dir, "geo") == 0
+    out = capsys.readouterr().out
+    assert "Americas\tUnited States\t1\t1" in out
+    assert "Europe\tFrance\t1\t1" in out
+    assert "<unmapped>\t<unmapped>\t1\t1" in out
 
 
 def test_sources_command(spark, wh_dir, tmp_path, capsys):

@@ -8,12 +8,17 @@ import pytest
 from compendium_spark.pipeline.orchestrate import (
     Adapters,
     advance_projects,
+    archive_project,
     autoforward,
     determine_projects,
     dir_probe,
     discard_project,
     initialize_pipeline,
+    rerun_file_prep,
+    rerun_single_end,
     run_project,
+    set_project_status,
+    tar_archive,
 )
 from compendium_spark.sources.tsv import read_summary
 from compendium_spark.storage import Warehouse
@@ -103,11 +108,103 @@ def test_determine_and_advance(spark, wh, tmp_path):
 
     decisions = advance_projects(wh, done, a, auto=True)
     assert decisions == {"PRJGOOD": "save", "PRJBAD": "re_run"}
-    got = {r.project: r.status for r in wh.read("status").collect()}
+    rows = {r.project: r for r in wh.read("status").collect()}
     # re_run under auto resubmits → running again (projects.py:314-329)
-    assert got["PRJBAD"] == "running"
-    assert got["PRJGOOD"] == "complete"
+    assert rows["PRJBAD"].status == "running"
+    assert rows["PRJGOOD"].status == "complete"
     assert ("submit", "PRJBAD") in log[-2:]
+    # the re-run flag is set (projects.py:322-327) and SURVIVES the
+    # subsequent 'running' transition (partial update, not full-row)
+    assert rows["PRJBAD"].rerun_as_single_end == 1
+    assert rows["PRJGOOD"].rerun_as_single_end == 0
+    # the QC error note also survives the auto resubmit
+    assert "merged read count" in rows["PRJBAD"].note1
+
+
+def test_rerun_single_end_file_prep_and_flags(spark, wh, tmp_path):
+    """Mirrors the reference's own unit tests
+    (tests/projects_test.py:16-53): reverse-read removal and the
+    previous_summary rename chain, plus the status/flag writes of
+    Rerun_as_single_end (projects.py:313-329)."""
+    log = []
+    a = _adapters(spark, tmp_path, log)
+    a.prepare_rerun = rerun_file_prep(str(tmp_path / "projects"))
+
+    d = tmp_path / "projects" / "PRJP"
+    (d / "fastq").mkdir(parents=True)
+    for i in range(6):  # 6 paired-end samples → 12 fastq files
+        (d / "fastq" / f"SRR{i}_1.fastq").write_text("@r\nACGT\n+\n!!!!\n")
+        (d / "fastq" / f"SRR{i}_2.fastq").write_text("@r\nACGT\n+\n!!!!\n")
+    (d / "summary.tsv").write_text(HEADER + GOOD_ROW.format(i=0))
+    (d / "intermediate").mkdir()
+    (d / "ASVs.fa").write_text(">x\nACGT\n")
+
+    initialize_pipeline(wh, "PRJP", a)
+    rerun_single_end(wh, "PRJP", a, note1="merged warn", auto=True)
+
+    # _remove_reverse_reads: half the files gone, all forward reads
+    fastqs = sorted(f.name for f in (d / "fastq").iterdir())
+    assert len(fastqs) == 6 and all(f.endswith("_1.fastq") for f in fastqs)
+    # _remove_previous_dada: outputs gone, summary scooted aside
+    assert not (d / "intermediate").exists()
+    assert not (d / "ASVs.fa").exists()
+    assert not (d / "summary.tsv").exists()
+    assert (d / "previous_summary.tsv").exists()
+
+    # second prep re-renames previous → previous_previous
+    (d / "summary.tsv").write_text(HEADER + GOOD_ROW.format(i=0))
+    a.prepare_rerun("PRJP")
+    names = {f.name for f in d.iterdir()}
+    assert "previous_previous_summary.tsv" in names
+    assert "previous_summary.tsv" in names  # the re-written summary moved in
+
+    row = wh.read("status").filter("project = 'PRJP'").collect()[0]
+    assert row.rerun_as_single_end == 1
+    assert row.status == "running"  # auto resubmit
+    assert row.note1 == "merged warn"
+
+
+def test_rerun_single_end_rejects_unpaired(spark, wh, tmp_path):
+    log = []
+    a = _adapters(spark, tmp_path, log)
+    initialize_pipeline(wh, "PRJS", a)
+    # record that the project's final results were single-ended
+    paired = spark.createDataFrame([("PRJS", 0)], "project string, paired int")
+    wh.partial_update("status", paired, key="project")
+    with pytest.raises(ValueError, match="single-end"):
+        rerun_single_end(wh, "PRJS", a)
+
+
+def test_archive_chain_complete_archived_done(spark, wh, tmp_path):
+    """projects.py:525-551: complete → archived → done, each transition
+    gated on its side effect; a failing archive leaves 'complete'."""
+    log = []
+    a = _adapters(spark, tmp_path, log)
+    d = tmp_path / "projects" / "PRJC"
+    d.mkdir(parents=True)
+    (d / "ASVs_counts.tsv").write_text("x\t1\n")
+    a.archive = tar_archive(str(tmp_path / "projects"), str(tmp_path / "archive"))
+    a.cleanup = lambda p: log.append(("cleanup", p))
+
+    initialize_pipeline(wh, "PRJC", a)
+    set_project_status(wh, "PRJC", "complete")
+    archive_project(wh, "PRJC", a)
+    row = wh.read("status").filter("project = 'PRJC'").collect()[0]
+    assert row.status == "done"
+    assert (tmp_path / "archive" / "PRJC.tar.gz").exists()
+    assert ("cleanup", "PRJC") in log
+
+    # failed archive → status stays where it was
+    def boom(_p):
+        raise RuntimeError("tar failed")
+
+    a.archive = boom
+    initialize_pipeline(wh, "PRJD", a)
+    set_project_status(wh, "PRJD", "complete")
+    with pytest.raises(RuntimeError):
+        archive_project(wh, "PRJD", a)
+    row = wh.read("status").filter("project = 'PRJD'").collect()[0]
+    assert row.status == "complete"
 
 
 def test_autoforward_fills_capacity(spark, wh, tmp_path):
