@@ -528,7 +528,7 @@ def a_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 JSON_SQL = """
 SELECT event_type,
-       SUM(CAST(props->>'k' AS BIGINT)) AS sum_k,
+       CAST(SUM(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k,
        COUNT(*) FILTER (CAST(props->>'k' AS BIGINT) > 50) AS big_k,
        COUNT(*) FILTER (props->>'k' IS NULL) AS bad_rows
 FROM events

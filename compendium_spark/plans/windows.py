@@ -104,9 +104,10 @@ s AS (
                               ROWS UNBOUNDED PRECEDING) AS session_id
   FROM m
 )
-SELECT user_id, session_id, COUNT(*) AS n_events,
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+       COUNT(*) AS n_events,
        MIN(ts) AS session_start,
-       MAX(us) - MIN(us) AS duration_us
+       CAST(MAX(us) - MIN(us) AS BIGINT) AS duration_us
 FROM s
 GROUP BY user_id, session_id
 ORDER BY user_id, session_id

@@ -52,6 +52,18 @@ def test_oracle_parity(spark, name):
         f"{name}: column mismatch {list(got.columns)} vs {list(want.columns)}"
     )
     assert len(got) == len(want), f"{name}: row count {len(got)} vs {len(want)}"
+    # dtype KIND must agree (int vs float): the driver's value hash
+    # serializes cells, so int 50917 vs float 50917.0 hash-mismatch even
+    # when numerically equal (the round-1 mm_feature_pipeline red row —
+    # DuckDB HUGEINT→float). Width (int32 vs int64) and datetime unit
+    # differences serialize identically and are allowed.
+    for c in got.columns:
+        gk, wk = got[c].dtype.kind, want[c].dtype.kind
+        norm = lambda k: "i" if k in "iu" else k
+        assert norm(gk) == norm(wk), (
+            f"{name}.{c}: dtype kind {got[c].dtype} vs {want[c].dtype} — "
+            f"would hash-mismatch in the driver gate"
+        )
     pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)
 
 
