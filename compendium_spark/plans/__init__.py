@@ -7,6 +7,7 @@ Import side effect: importing this package registers every plan in
 
 from compendium_spark.plans import (  # noqa: F401
     ann,
+    curation,
     extended,
     ivf,
     multimodal,
@@ -41,6 +42,9 @@ _ROUND2_NEW = [
     "q15_top_supplier",
     "q20_potential_promotion",
     "q21_waiting_orders",
+    "text_chunk_windows",
+    "curate_pack_sequences",
+    "dedup_normalized",
 ]
 registry.promote(
     [

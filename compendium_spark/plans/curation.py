@@ -1,0 +1,175 @@
+"""Training-corpus curation operators beyond dedup/ANN: chunking,
+sequence packing, normalize-then-dedup.
+
+These are the remaining standard steps of an LLM data pipeline between
+"curated corpus" (plans/extended.py curate_corpus) and "training
+batches": split long documents into overlapping windows, pack variable-
+length documents into fixed-token-budget training sequences, and
+deduplicate on a normalized text form. No counterpart in the reference
+(its corpus is ASV tables); all three are SQL-oracle-checked.
+
+Scale notes: chunking is a pure lateral explode (map-side, no
+shuffle); packing shuffles once per (lang) partition with a documented
+shard key for hot languages; normalized dedup shuffles 16-byte digests
+only, never text (same argument as dedup_exact).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from compendium_spark.plans.registry import plan
+from compendium_spark.tables import load
+
+CHUNK = 200  # window size (chars)
+STRIDE = 150  # window stride (chars) → 50-char overlap
+
+CHUNK_SQL = f"""
+SELECT doc_id,
+       CAST(start // {STRIDE} AS BIGINT) AS chunk_index,
+       substring(text, start + 1, {CHUNK}) AS chunk_text,
+       CAST(length(substring(text, start + 1, {CHUNK})) AS BIGINT) AS chunk_len
+FROM (
+  SELECT doc_id, text,
+         unnest(range(0, greatest(n_chars - 1, 0) + 1, {STRIDE})) AS start
+  FROM documents
+)
+ORDER BY doc_id, chunk_index
+"""
+
+
+@plan("text_chunk_windows", oracle=CHUNK_SQL)
+def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping character-window chunking (context-window prep:
+    long documents become stride-overlapping chunks so no span is lost
+    at a boundary).
+
+    Pure map-side lateral explode — sequence + explode + substring all
+    run in the scan stage, no shuffle; output order is the only sort.
+    At 100 TB chunking is embarrassingly parallel and the write should
+    stay partitioned by the input's partitioning (no orderBy).
+    """
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "doc_id",
+            "text",
+            F.explode(
+                F.sequence(
+                    F.lit(0),
+                    F.greatest(F.col("n_chars") - 1, F.lit(0)),
+                    F.lit(STRIDE),
+                )
+            ).alias("start"),
+        )
+        .select(
+            "doc_id",
+            F.expr(f"start div {STRIDE}").cast("long").alias("chunk_index"),
+            F.expr(f"substring(text, start + 1, {CHUNK})").alias("chunk_text"),
+            F.length(F.expr(f"substring(text, start + 1, {CHUNK})"))
+            .cast("long")
+            .alias("chunk_len"),
+        )
+        .orderBy("doc_id", "chunk_index")
+    )
+
+
+SEQ_BUDGET = 256  # tokens per packed training sequence
+
+PACK_SQL = f"""
+WITH t AS (
+  SELECT doc_id, lang,
+         CAST(len(string_split_regex(trim(text), ' +')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT *,
+         CAST(COALESCE(SUM(n_tokens) OVER (
+             PARTITION BY lang ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS BIGINT) AS tokens_before
+  FROM t
+)
+SELECT lang, doc_id, n_tokens,
+       CAST(tokens_before // {SEQ_BUDGET} AS BIGINT) AS seq_id,
+       CAST(tokens_before % {SEQ_BUDGET} AS BIGINT) AS seq_offset
+FROM c
+ORDER BY lang, doc_id
+"""
+
+
+@plan("curate_pack_sequences", oracle=PACK_SQL)
+def curate_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: assign documents to fixed-token-budget
+    training sequences (deterministic streaming first-fit — a document
+    joins the sequence its running token offset falls into; sequences
+    may overflow by less than one document, the standard concat-and-
+    split packing).
+
+    One window shuffle partitioned by lang. Scale note: language is a
+    skewed key (one lang can be most of 100 TB) — the production form
+    packs per (lang, shard) with shard = pmod(xxhash64(doc_id), K),
+    which is semantically fine because packing only needs SOME stable
+    order, not a global one; kept single-key here for oracle parity.
+    """
+    docs = load(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split(F.trim(F.col("text")), " +")).cast("long")
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        docs.select("lang", "doc_id", n_tokens.alias("n_tokens"))
+        .withColumn(
+            "tokens_before", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+        )
+        .select(
+            "lang",
+            "doc_id",
+            "n_tokens",
+            F.expr(f"tokens_before div {SEQ_BUDGET}").cast("long").alias("seq_id"),
+            (F.col("tokens_before") % SEQ_BUDGET).cast("long").alias("seq_offset"),
+        )
+        .orderBy("lang", "doc_id")
+    )
+
+
+NORM_DEDUP_SQL = """
+WITH n AS (
+  SELECT doc_id,
+         md5(regexp_replace(lower(trim(text)), '[ ]+', ' ', 'g')) AS norm_digest
+  FROM documents
+),
+g AS (
+  SELECT norm_digest, MIN(doc_id) AS keep_doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_copies
+  FROM n GROUP BY norm_digest
+)
+SELECT keep_doc_id, n_copies, norm_digest
+FROM g
+ORDER BY keep_doc_id
+"""
+
+
+@plan("dedup_normalized", oracle=NORM_DEDUP_SQL)
+def dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalize-then-dedup: exact dedup on a canonicalized text form
+    (lowercase, trimmed, whitespace collapsed) — catches the
+    trivially-reformatted copies raw-hash dedup (dedup_exact) misses,
+    at the same cost: the shuffle carries 16-byte digests, never text.
+    Keeper = min doc_id per digest group (deterministic)."""
+    docs = load(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), " +", " ")
+    return (
+        docs.select("doc_id", F.md5(norm).alias("norm_digest"))
+        .groupBy("norm_digest")
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count(F.lit(1)).cast("long").alias("n_copies"),
+        )
+        .select("keep_doc_id", "n_copies", "norm_digest")
+        .orderBy("keep_doc_id")
+    )
