@@ -1,0 +1,107 @@
+"""Property-based check of the MERGE emulation (operators/merge.py).
+
+The engine emulates MERGE INTO three ways (full-row upsert, partial
+non-null-field update, partial upsert with insert defaults) — the write
+path every status transition and enrichment batch goes through. This
+test reimplements the reference semantics as a direct dict model
+(`/root/reference/projects.py:87-106` column-wise UPDATE;
+`db.py:445-462` dynamic non-null-field UPDATE; registration INSERT with
+column DEFAULTs) and asserts the DataFrame operators agree on random
+target/update batches — including duplicate-free key sets, disjoint
+keys, null-heavy updates, and empty sides.
+"""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from compendium_spark.operators.merge import partial_update, partial_upsert, upsert
+
+SCHEMA = "k string, status string, flag int, note string"
+KEYS = ["K1", "K2", "K3", "K4", "K5"]
+
+val = st.one_of(st.none(), st.sampled_from(["a", "b", "c"]))
+flag = st.one_of(st.none(), st.integers(min_value=0, max_value=3))
+
+
+def _rows(draw_keys):
+    return st.lists(
+        st.tuples(st.sampled_from(draw_keys), val, flag, val),
+        min_size=0,
+        max_size=5,
+        unique_by=lambda t: t[0],  # keyed tables: one row per key
+    )
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+def _collect(df):
+    return {r.k: (r.status, r.flag, r.note) for r in df.collect()}
+
+
+@settings(max_examples=10, deadline=None)
+@given(target=_rows(KEYS), updates=_rows(KEYS))
+def test_upsert_matches_dict_model(spark, target, updates):
+    got = _collect(upsert(_df(spark, target), _df(spark, updates), key="k"))
+    model = {k: (s, f, n) for k, s, f, n in target}
+    model.update({k: (s, f, n) for k, s, f, n in updates})  # full-row replace
+    assert got == model
+
+
+@settings(max_examples=10, deadline=None)
+@given(target=_rows(KEYS), updates=_rows(KEYS))
+def test_partial_update_matches_dict_model(spark, target, updates):
+    got = _collect(
+        partial_update(_df(spark, target), _df(spark, updates), key="k")
+    )
+    model = {k: (s, f, n) for k, s, f, n in target}
+    for k, s, f, n in updates:
+        if k in model:  # unknown keys are a silent no-op UPDATE
+            old = model[k]
+            model[k] = (
+                s if s is not None else old[0],  # non-null fields only
+                f if f is not None else old[1],
+                n if n is not None else old[2],
+            )
+    assert got == model
+
+
+@settings(max_examples=10, deadline=None)
+@given(target=_rows(KEYS), updates=_rows(KEYS))
+def test_partial_upsert_matches_dict_model(spark, target, updates):
+    got = _collect(
+        partial_upsert(
+            _df(spark, target),
+            _df(spark, updates),
+            key="k",
+            defaults={"flag": 0},
+        )
+    )
+    model = {k: (s, f, n) for k, s, f, n in target}
+    for k, s, f, n in updates:
+        if k in model:
+            old = model[k]
+            model[k] = (
+                s if s is not None else old[0],
+                f if f is not None else old[1],
+                n if n is not None else old[2],
+            )
+        else:  # new key: insert, defaults fill nothing-provided columns
+            model[k] = (s, f, n)
+    assert got == model
+
+
+def test_partial_upsert_insert_gets_defaults(spark):
+    """A new key whose update frame lacks a column entirely gets the
+    declared default (the reference's DEFAULT 0 on rerun_as_single_end,
+    db.py:137-146)."""
+    target = _df(spark, [("K1", "running", 1, None)])
+    updates = spark.createDataFrame([("K2", "initialized")], "k string, status string")
+    got = _collect(partial_upsert(target, updates, key="k", defaults={"flag": 0}))
+    assert got == {
+        "K1": ("running", 1, None),
+        "K2": ("initialized", 0, None),
+    }
