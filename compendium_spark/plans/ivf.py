@@ -53,6 +53,51 @@ def _cell_scores(emb: DataFrame) -> DataFrame:
     )
 
 
+def _assign_cells(emb: DataFrame) -> DataFrame:
+    """(vec_id, cell) — nearest-centroid assignment computed entirely
+    MAP-SIDE: cell = first index of the max score in the K-element
+    score array. array_position picks the FIRST occurrence of the max,
+    which is exactly the oracle's ROW_NUMBER ... ORDER BY score DESC,
+    cell tie-break, so no explode, no shuffle, no window — the
+    inverted-file build touches each vector once in the scan stage
+    (at 100 TB this IS the index build; a per-vector window over a
+    16x-exploded corpus would shuffle 16 rows per vector instead)."""
+    import pandas as pd  # noqa: PLC0415
+
+    centroids = np.asarray(CENTROIDS, dtype=np.float64)  # (K, DIM)
+
+    def assign(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.vstack(pdf["e"].to_numpy()).astype(np.float64)  # (n, DIM)
+            # accumulate SEQUENTIALLY over dims (vectorized over rows):
+            # identical rounding to the engine's left-fold dot and
+            # DuckDB's list_sum, so the argmax below cannot diverge
+            # from the oracle's score ranking. (np.dot/matmul use
+            # blocked/pairwise accumulation — different rounding.)
+            scores = np.zeros((len(x), N_CELLS))
+            for k in range(N_CELLS):
+                acc = np.zeros(len(x))
+                for d in range(x.shape[1]):
+                    acc = acc + x[:, d] * centroids[k, d]
+                scores[:, k] = acc
+            # np.argmax keeps the FIRST max — the oracle's
+            # ORDER BY score DESC, cell tie-break
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"], "cell": scores.argmax(axis=1).astype("int32")}
+            )
+
+    # Arrow-batched kernel, not 16 interpreted fold-dots per row: dense
+    # K×DIM scoring is exactly the "vectorized Pandas UDF" case — the
+    # fold form costs >1s per 2k vectors interpreted; this is
+    # milliseconds of numpy per batch. Project to the two needed
+    # columns first (mapInPandas ships every input column).
+    return emb.select("vec_id", "e").mapInPandas(
+        assign, schema="vec_id long, cell int"
+    )
+
+
 def _sql_centroid_lit(c: list[float]) -> str:
     return "[" + ", ".join(f"CAST({v!r} AS DOUBLE)" for v in c) + "]"
 
@@ -91,11 +136,8 @@ def sim_ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     from compendium_spark.plans.extended import _load_embeddings  # noqa: PLC0415
 
     emb = _load_embeddings(spark, sf_dir)
-    w = Window.partitionBy("vec_id").orderBy(F.desc("score"), "cell")
     return (
-        _cell_scores(emb)
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
+        _assign_cells(emb)
         .groupBy("cell")
         .agg(F.count(F.lit(1)).alias("n_vectors"))
         .orderBy("cell")
@@ -162,21 +204,25 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = _load_embeddings(spark, sf_dir)
-    scores = _cell_scores(emb)
+    # inverted file: map-side argmax assignment, no explode/window
+    assign = _assign_cells(emb)
+    # probe list: only the ≤10 query vectors explode their 16 scores
     w = Window.partitionBy("vec_id").orderBy(F.desc("score"), "cell")
-    ranked_scores = scores.withColumn("rn", F.row_number().over(w))
-    assign = ranked_scores.filter(F.col("rn") == 1).select("vec_id", "cell")
     probes = (
-        ranked_scores.filter((F.col("vec_id") < 10) & (F.col("rn") <= N_PROBE))
+        _cell_scores(emb.filter(F.col("vec_id") < 10))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= N_PROBE)
         .select(F.col("vec_id").alias("query_id"), "cell")
     )
     n = emb.withColumn("nrm", F.sqrt(_dot_unrolled(F.col("e"), F.col("e"))))
+    # assign is unique per vec_id and a query's probe cells are
+    # distinct, so the cell join cannot duplicate (query, cand) pairs —
+    # no DISTINCT (the oracle's is vacuous for the same reason)
     cand = (
         F.broadcast(probes)
         .join(assign, "cell")
         .filter(F.col("vec_id") != F.col("query_id"))
         .select("query_id", F.col("vec_id").alias("cand_id"))
-        .distinct()
     )
     q = n.select(
         F.col("vec_id").alias("query_id"),
@@ -189,6 +235,11 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nrm").alias("cn"),
     )
     cos = _dot_unrolled(F.col("qe"), F.col("ce")) / (F.col("qn") * F.col("cn"))
+    # (cand ⋈ q) is queries×probes×cell-occupancy rows — small, but NOT
+    # hinted: a forced broadcast spawns an extra eager job that re-runs
+    # the whole cand chain (measured +0.7s); AQE picks the broadcast at
+    # runtime from the materialized stage without the re-execution, and
+    # the 64-dim corpus vectors still never shuffle
     pairs = (
         cand.join(F.broadcast(q), "query_id")
         .join(c, "cand_id")
