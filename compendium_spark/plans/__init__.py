@@ -16,6 +16,7 @@ from compendium_spark.plans import (  # noqa: F401
     reference_ops2,
     registry,
     relational_ext,
+    streaming_plans,
     text,
     tpch,
     tpch2,
@@ -45,6 +46,11 @@ _ROUND2_NEW = [
     "text_chunk_windows",
     "curate_pack_sequences",
     "dedup_normalized",
+    "streaming_tumbling_counts",
+    "streaming_sliding_counts",
+    "streaming_interval_join",
+    "streaming_dedup",
+    "streaming_running_totals",
 ]
 registry.promote(
     [

@@ -1,0 +1,126 @@
+"""Structured Streaming operators registered as oracle-checked plans.
+
+The streaming forms in compendium_spark/streaming/windows.py drain a
+bounded file-source stream synchronously (one AvailableNow-style pass
+over the testdata events), so their results are deterministic — which
+means they don't have to settle for rows-only checks: each plan here
+reuses the event-time semantics of its batch twin as a DuckDB oracle
+and is VALUE-hash-checked like any batch plan. The reference has no
+streaming at all (SURVEY §2.9 — its incremental loop is SLURM re-runs);
+this is the engine's incremental-execution surface.
+
+Scale notes: every plan's state is watermark-bounded (windows, join
+buffers, dedup id-sets); swapping the file source for Kafka changes
+config, not plan shape. The memory sink is the test/gate harness —
+production writes parquet/Delta via writeStream.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from compendium_spark.plans.registry import plan
+from compendium_spark.streaming import windows as sw
+
+# Spark's F.window aligns to the epoch; DuckDB time_bucket's default
+# origin (2000-01-01) is itself epoch-aligned for these bucket widths,
+# so the two produce identical window starts.
+
+STREAM_TUMBLING_SQL = """
+SELECT time_bucket(INTERVAL 5 MINUTE, ts) AS window_start,
+       event_type,
+       COUNT(*) AS n_events
+FROM events
+GROUP BY window_start, event_type
+ORDER BY window_start, event_type
+"""
+
+
+@plan("streaming_tumbling_counts", oracle=STREAM_TUMBLING_SQL)
+def streaming_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """w1's tumbling aggregation run INCREMENTALLY: watermarked
+    event-time windows, per-(window, type) state, drained to a memory
+    sink. The oracle proves stream ≡ batch at value level."""
+    return sw.streaming_tumbling_counts(spark, sf_dir).orderBy(
+        "window_start", "event_type"
+    )
+
+
+STREAM_SLIDING_SQL = """
+SELECT window_start, COUNT(*) AS n_events
+FROM (
+  SELECT unnest([time_bucket(INTERVAL 5 MINUTE, ts),
+                 time_bucket(INTERVAL 5 MINUTE, ts) - INTERVAL 5 MINUTE])
+           AS window_start
+  FROM events
+)
+GROUP BY window_start
+ORDER BY window_start
+"""
+
+
+@plan("streaming_sliding_counts", oracle=STREAM_SLIDING_SQL)
+def streaming_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """w2's sliding windows (10 min every 5 min) streaming: each event
+    lands in exactly two overlapping windows — the oracle materializes
+    both window starts per event and re-aggregates."""
+    return sw.streaming_sliding_counts(spark, sf_dir).orderBy("window_start")
+
+
+STREAM_INTERVAL_JOIN_SQL = """
+SELECT v.event_id AS view_id, c.event_id AS click_id
+FROM events v
+JOIN events c
+  ON v.user_id = c.user_id
+ AND c.ts > v.ts
+ AND c.ts <= v.ts + INTERVAL 5 MINUTE
+WHERE v.event_type = 'view' AND c.event_type = 'click'
+ORDER BY view_id, click_id
+"""
+
+
+@plan("streaming_interval_join", oracle=STREAM_INTERVAL_JOIN_SQL)
+def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join with an event-time range bound —
+    watermarks on both sides derive state eviction for both buffers
+    (state is O(15-minute horizon), not O(stream)). Value-checked
+    against the equivalent batch range join."""
+    return sw.streaming_interval_join(spark, sf_dir).orderBy(
+        "view_id", "click_id"
+    )
+
+
+STREAM_DEDUP_SQL = """
+SELECT event_id, user_id, event_type
+FROM events
+ORDER BY event_id
+"""
+
+
+@plan("streaming_dedup", oracle=STREAM_DEDUP_SQL)
+def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """At-least-once delivery repair: every event arrives twice and
+    dropDuplicatesWithinWatermark keeps exactly one per event_id with a
+    watermark-bounded id set — the oracle is simply the original event
+    set, proving the duplicate stream collapses back to it."""
+    return sw.streaming_dedup(spark, sf_dir).orderBy("event_id")
+
+
+STREAM_RUNNING_SQL = """
+SELECT user_id,
+       COUNT(*) AS events_seen,
+       ROUND(SUM(value), 4) AS total_value
+FROM events
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+@plan("streaming_running_totals", oracle=STREAM_RUNNING_SQL)
+def streaming_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState): per-user
+    running totals carried in explicit keyed state across microbatches.
+    After draining the bounded stream the state equals the batch
+    aggregate; totals round to 4 decimals on both sides to absorb
+    float accumulation-order differences."""
+    return sw.streaming_running_totals(spark, sf_dir).orderBy("user_id")
