@@ -60,6 +60,10 @@ BROADCAST_BUDGET_BYTES = 64 * 1024 * 1024
 def _on_disk_bytes(path: str) -> int:
     if os.path.isfile(path):
         return os.path.getsize(path)
+    if not os.path.isdir(path):
+        # unknown footprint must mean NO hint — os.walk on a missing
+        # path yields nothing, which would read as "0 bytes, broadcast!"
+        raise OSError(f"no such table path: {path}")
     total = 0
     for root, _dirs, files in os.walk(path):
         total += sum(os.path.getsize(os.path.join(root, f)) for f in files)
