@@ -80,6 +80,47 @@ def cmd_init(wh: Warehouse, args) -> int:
     return 0
 
 
+def cmd_plans(wh: Warehouse, args) -> int:
+    """List the registered query plans (the engine's operator
+    inventory; each is oracle-checked unless marked rows-only)."""
+    from compendium_spark.plans import all_plans  # noqa: PLC0415
+
+    for name, p in sorted(all_plans().items()):
+        kind = "oracle" if p.oracle is not None else "rows-only"
+        first_line = p.doc.splitlines()[0] if p.doc else ""
+        print(f"{name}\t{kind}\t{first_line}")
+    return 0
+
+
+def _get_plan(name: str):
+    from compendium_spark.plans import all_plans  # noqa: PLC0415
+
+    plans = all_plans()
+    if name not in plans:
+        raise SystemExit(
+            f"unknown plan {name!r}; `compendium_spark plans` lists all "
+            f"{len(plans)} registered plans"
+        )
+    return plans[name]
+
+
+def cmd_run_plan(wh: Warehouse, args) -> int:
+    """Execute one registered plan against a testdata dir and print
+    the first rows — the ad-hoc query surface."""
+    df = _get_plan(args.plan).fn(wh.spark, args.sf_dir)
+    df.show(args.limit, truncate=False)
+    return 0
+
+
+def cmd_explain(wh: Warehouse, args) -> int:
+    """Print the optimized physical plan for a registered plan —
+    the operator-facing view of pushed filters, join strategies, and
+    exchanges (what PLANS_AUDIT.md summarizes in bulk)."""
+    df = _get_plan(args.plan).fn(wh.spark, args.sf_dir)
+    df.explain("formatted")
+    return 0
+
+
 def cmd_xml(wh: Warehouse, args) -> int:
     parsed = read_biosample_xml(wh.spark, args.file)
     existing = wh.read("samples")
@@ -384,6 +425,14 @@ def build_parser() -> argparse.ArgumentParser:
     af = sub.add_parser("autoforward")
     af.add_argument("--projects-dir", default="./projects")
     af.add_argument("--max-projects", type=int, default=8)  # config_template.py:17
+    sub.add_parser("plans")
+    rp = sub.add_parser("run")
+    rp.add_argument("plan")
+    rp.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    rp.add_argument("--limit", type=int, default=20)
+    ex = sub.add_parser("explain")
+    ex.add_argument("plan")
+    ex.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     lc = sub.add_parser("load-countries")
     lc.add_argument("--geo-locs", required=True)
     lc.add_argument("--countries", required=True)
@@ -413,6 +462,9 @@ COMMANDS = {
     "discard": cmd_discard,
     "forward": cmd_forward,
     "autoforward": cmd_autoforward,
+    "plans": cmd_plans,
+    "run": cmd_run_plan,
+    "explain": cmd_explain,
     "load-countries": cmd_load_countries,
     "geo": cmd_geo,
     "status": cmd_status,

@@ -151,6 +151,28 @@ def test_load_countries_and_geo_report(spark, wh_dir, tmp_path, capsys):
     assert "<unmapped>\t<unmapped>\t1\t1" in out
 
 
+def test_plans_run_explain_commands(spark, wh_dir, capsys):
+    assert run(spark, wh_dir, "plans") == 0
+    out = capsys.readouterr().out
+    assert "q1_pricing_summary\toracle" in out
+    assert "o2_stratified_sample\trows-only" in out
+
+    assert run(spark, wh_dir, "run", "q1_pricing_summary",
+               "--sf-dir", "/root/testdata/sf0.001") == 0
+    out = capsys.readouterr().out
+    assert "l_returnflag" in out and "sum_qty" in out
+
+    assert run(spark, wh_dir, "explain", "q6_forecast_revenue",
+               "--sf-dir", "/root/testdata/sf0.001") == 0
+    out = capsys.readouterr().out
+    assert "Physical Plan" in out and "PushedFilters" in out
+
+    import pytest as _pytest
+
+    with _pytest.raises(SystemExit, match="unknown plan"):
+        run(spark, wh_dir, "run", "nope")
+
+
 def test_sources_command(spark, wh_dir, tmp_path, capsys):
     src = tmp_path / "sources.txt"
     src.write_text("human stool\nsoil core\n")
