@@ -18,6 +18,7 @@ from compendium_spark.plans import (  # noqa: F401
     relational_ext,
     streaming_plans,
     text,
+    timeseries,
     tpch,
     tpch2,
     tpch3,
@@ -51,6 +52,7 @@ _ROUND2_NEW = [
     "streaming_interval_join",
     "streaming_dedup",
     "streaming_running_totals",
+    "ts_resample_ffill",
 ]
 registry.promote(
     [

@@ -1,0 +1,104 @@
+"""Time-series gap filling: per-key resample to a fixed grid with
+forward-fill — the standard "make the series dense" step before
+feature windows or charting, which none of the existing window plans
+(w1-w8, sessionization) cover. No counterpart in the reference (its
+time handling is pubdate bookkeeping, SURVEY §2.7 F9).
+
+Scale: the spine explode is bounded by (active span / bucket) per key,
+not by event count; observation picking and the forward-fill window
+both partition by user — no global sort, no cross-key state. At 100 TB
+the spine join is a co-partitioned shuffle on (user, bucket).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from compendium_spark.plans.registry import plan
+from compendium_spark.tables import load
+
+BUCKET_US = 3_600_000_000  # 1 hour
+
+RESAMPLE_SQL = f"""
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us, value,
+         epoch_us(ts) // {BUCKET_US} AS b
+  FROM events
+),
+bounds AS (SELECT user_id, MIN(b) AS b0, MAX(b) AS b1 FROM e GROUP BY user_id),
+spine AS (SELECT user_id, unnest(range(b0, b1 + 1)) AS b FROM bounds),
+obs AS (
+  SELECT user_id, b, value FROM (
+    SELECT user_id, b, value,
+           ROW_NUMBER() OVER (PARTITION BY user_id, b
+                              ORDER BY us DESC, event_id DESC) AS rn
+    FROM e
+  ) WHERE rn = 1
+)
+SELECT s.user_id,
+       make_timestamp(s.b * {BUCKET_US}) AS bucket_start,
+       last_value(o.value IGNORE NULLS) OVER (
+         PARTITION BY s.user_id ORDER BY s.b
+         ROWS UNBOUNDED PRECEDING
+       ) AS value_ffill,
+       o.value IS NOT NULL AS is_observed
+FROM spine s LEFT JOIN obs o ON s.user_id = o.user_id AND s.b = o.b
+ORDER BY s.user_id, s.b
+"""
+
+
+@plan("ts_resample_ffill", oracle=RESAMPLE_SQL)
+def ts_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resample each user's event stream onto an hourly grid and
+    forward-fill the last observed value across gaps.
+
+    Three pieces, all per-user-parallel:
+      1. bounds + sequence-explode build the dense bucket spine
+         (bounded by active span, not event count);
+      2. the per-bucket observation is the LAST event in the bucket,
+         picked deterministically by (us, event_id) row_number;
+      3. `last(value, ignorenulls=True)` over an unbounded-preceding
+         ROWS frame carries it forward — the first bucket is always
+         observed (the spine starts at the user's first event), so the
+         fill is total.
+    """
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("us"),
+        "value",
+        F.expr(f"unix_micros(ts) div {BUCKET_US}").alias("b"),
+    )
+    bounds = ev.groupBy("user_id").agg(
+        F.min("b").alias("b0"), F.max("b").alias("b1")
+    )
+    spine = bounds.select(
+        "user_id", F.explode(F.sequence("b0", "b1")).alias("b")
+    )
+    w_pick = Window.partitionBy("user_id", "b").orderBy(
+        F.desc("us"), F.desc("event_id")
+    )
+    obs = (
+        ev.withColumn("rn", F.row_number().over(w_pick))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "b", F.col("value").alias("obs_value"))
+    )
+    w_fill = (
+        Window.partitionBy("user_id")
+        .orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        spine.join(obs, ["user_id", "b"], "left")
+        .select(
+            "user_id",
+            F.timestamp_micros(F.col("b") * BUCKET_US).alias("bucket_start"),
+            F.last("obs_value", ignorenulls=True).over(w_fill).alias("value_ffill"),
+            F.col("obs_value").isNotNull().alias("is_observed"),
+            "b",
+        )
+        .orderBy("user_id", "b")
+        .drop("b")
+    )
