@@ -121,6 +121,20 @@ def cmd_explain(wh: Warehouse, args) -> int:
     return 0
 
 
+def cmd_sql(wh: Warehouse, args) -> int:
+    """Ad-hoc Spark SQL over the testdata tables (registered as views)
+    and the warehouse tables (prefixed `wh_`) — the free-form query
+    surface next to the registered plans."""
+    from compendium_spark.schemas import ALL_TABLES  # noqa: PLC0415
+    from compendium_spark.tables import register_views  # noqa: PLC0415
+
+    register_views(wh.spark, args.sf_dir)
+    for name in ALL_TABLES:
+        wh.read(name).createOrReplaceTempView(f"wh_{name}")
+    wh.spark.sql(args.query).show(args.limit, truncate=False)
+    return 0
+
+
 def cmd_xml(wh: Warehouse, args) -> int:
     parsed = read_biosample_xml(wh.spark, args.file)
     existing = wh.read("samples")
@@ -433,6 +447,10 @@ def build_parser() -> argparse.ArgumentParser:
     ex = sub.add_parser("explain")
     ex.add_argument("plan")
     ex.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    sq = sub.add_parser("sql")
+    sq.add_argument("query")
+    sq.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    sq.add_argument("--limit", type=int, default=20)
     lc = sub.add_parser("load-countries")
     lc.add_argument("--geo-locs", required=True)
     lc.add_argument("--countries", required=True)
@@ -465,6 +483,7 @@ COMMANDS = {
     "plans": cmd_plans,
     "run": cmd_run_plan,
     "explain": cmd_explain,
+    "sql": cmd_sql,
     "load-countries": cmd_load_countries,
     "geo": cmd_geo,
     "status": cmd_status,

@@ -172,6 +172,16 @@ def test_plans_run_explain_commands(spark, wh_dir, capsys):
     with _pytest.raises(SystemExit, match="unknown plan"):
         run(spark, wh_dir, "run", "nope")
 
+    # free-form SQL over testdata views + wh_-prefixed warehouse tables
+    assert run(
+        spark, wh_dir, "sql",
+        "SELECT r_name, (SELECT COUNT(*) FROM wh_status) AS n_status "
+        "FROM region ORDER BY r_name LIMIT 2",
+        "--sf-dir", "/root/testdata/sf0.001",
+    ) == 0
+    out = capsys.readouterr().out
+    assert "AFRICA" in out and "n_status" in out
+
 
 def test_sources_command(spark, wh_dir, tmp_path, capsys):
     src = tmp_path / "sources.txt"

@@ -1,0 +1,64 @@
+"""Physical plan-shape regression guard.
+
+A plan that silently picks up a CartesianProduct or a
+BroadcastNestedLoopJoin is a 100 TB incident waiting to happen, even
+if it stays correct at test scale. This walks EVERY registered plan at
+the smoke scale factor and asserts those strategies appear only where
+they are the documented design:
+
+  * the two labeled exact all-pairs baselines (the production paths
+    are the LSH/IVF candidate plans registered alongside);
+  * single-row scalar-subquery broadcasts (a 1×N join has no keys —
+    BNLJ of one row is the correct physical form).
+
+PLANS_AUDIT.md shows the same facts as a human-readable table; this
+test makes the invariant executable so a plan edit can't regress it
+unnoticed.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from compendium_spark.plans import all_plans
+
+from .conftest import SF_SMOKE
+
+PLANS = all_plans()
+
+# documented exact brute-force baselines (never the scale default —
+# the ANN/LSH candidate plans registered alongside are the scale path);
+# sim_cosine_topk's broadcast-queries × corpus sweep is keyless by design
+ALLPAIRS_BASELINES = {
+    "dedup_embedding_cosine",
+    "dedup_ngram_jaccard",
+    "sim_cosine_topk",
+}
+# plans whose only BNLJ/cartesian is a broadcast single-row scalar
+# (threshold / total / max) joined against every row — keyless by nature
+SCALAR_SUBQUERY = {
+    "q11_important_stock",
+    "q15_top_supplier",
+    "q22_global_sales_opportunity",
+    "a2_multi_count_distinct",
+    "dedup_neardup_pipeline",
+    "curate_corpus",
+    "dedup_cluster_labels",
+}
+
+
+def _executed(df) -> str:
+    df.collect()  # let AQE settle on the final plan
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return plan.split("== Initial Plan ==")[0]
+
+
+@pytest.mark.parametrize("name", sorted(PLANS))
+def test_no_accidental_allpairs_join(spark, name):
+    plan = _executed(PLANS[name].fn(spark, SF_SMOKE))
+    has_cartesian = "CartesianProduct" in plan
+    has_bnlj = "BroadcastNestedLoopJoin" in plan
+    if name in ALLPAIRS_BASELINES or name in SCALAR_SUBQUERY:
+        return  # documented
+    assert not has_cartesian, f"{name}: unexpected CartesianProduct"
+    assert not has_bnlj, f"{name}: unexpected BroadcastNestedLoopJoin"
