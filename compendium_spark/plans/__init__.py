@@ -53,6 +53,7 @@ _ROUND2_NEW = [
     "streaming_dedup",
     "streaming_running_totals",
     "ts_resample_ffill",
+    "curate_decontaminate",
 ]
 registry.promote(
     [

@@ -137,6 +137,67 @@ def curate_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+NGRAM_N = 3  # suits the synthetic small-vocab corpus; production
+# decontamination uses 8-13-gram fingerprints — N is the only knob
+EVAL_MOD = 97  # doc_id % 97 == 0 defines the held-out eval set
+
+DECONTAM_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), ' +') AS t FROM documents
+),
+grams AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, len(t) - {NGRAM_N} + 2),
+                i -> array_to_string(list_slice(t, i, i + {NGRAM_N} - 1), ' ')))
+           AS g
+  FROM toks
+),
+eval_grams AS (
+  SELECT DISTINCT g FROM grams WHERE doc_id % {EVAL_MOD} = 0
+)
+SELECT g.doc_id, CAST(COUNT(DISTINCT g.g) AS BIGINT) AS n_shared
+FROM grams g JOIN eval_grams e ON g.g = e.g
+WHERE g.doc_id % {EVAL_MOD} <> 0
+GROUP BY g.doc_id
+ORDER BY g.doc_id
+"""
+
+
+@plan("curate_decontaminate", oracle=DECONTAM_SQL)
+def curate_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing any
+    token {NGRAM_N}-gram with the held-out eval set (doc_id %
+    {EVAL_MOD} == 0 here; in production the eval suite is an external
+    table). Reports the per-document count of shared n-grams so the
+    caller can threshold.
+
+    Scale shape: the eval side's distinct n-grams are tiny (eval sets
+    are thousands of docs) and BROADCAST into the corpus n-gram stream
+    — the corpus is never shuffled on text; only matching (doc_id,
+    gram) pairs reach the final small aggregate. The n-gram explode is
+    map-side (transform over a token slice range).
+    """
+    docs = load(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), " +")
+    grams_arr = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - NGRAM_N + 1, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, NGRAM_N)),
+    )
+    grams = docs.select(
+        "doc_id", F.explode(grams_arr).alias("g")
+    ).distinct()
+    eval_grams = (
+        grams.filter(F.col("doc_id") % EVAL_MOD == 0).select("g").distinct()
+    )
+    return (
+        grams.filter(F.col("doc_id") % EVAL_MOD != 0)
+        .join(F.broadcast(eval_grams), "g", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("g").alias("n_shared"))
+        .orderBy("doc_id")
+    )
+
+
 NORM_DEDUP_SQL = """
 WITH n AS (
   SELECT doc_id,
