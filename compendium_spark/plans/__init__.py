@@ -54,6 +54,8 @@ _ROUND2_NEW = [
     "streaming_running_totals",
     "ts_resample_ffill",
     "curate_decontaminate",
+    "curate_cap_per_source",
+    "emb_lang_centroids",
 ]
 registry.promote(
     [

@@ -198,6 +198,93 @@ def curate_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CAP_PER_SOURCE = 50  # max docs kept per source
+
+CAP_SQL = f"""
+SELECT doc_id, source
+FROM (
+  SELECT doc_id, source,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+           AS rn
+  FROM documents
+)
+WHERE rn <= {CAP_PER_SOURCE}
+ORDER BY source, doc_id
+"""
+
+
+@plan("curate_cap_per_source", oracle=CAP_SQL)
+def curate_cap_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain balancing: cap the corpus at {CAP_PER_SOURCE} documents
+    per source, picked by deterministic pseudo-random order
+    (md5 of the doc id — engine-portable, seedless, and stable across
+    runs, unlike rand()). The standard guard against one crawl domain
+    dominating the training mix.
+
+    Scale: one window shuffle partitioned by source; a skewed source
+    only costs its own partition's sort. For whale sources the md5
+    order means an early-out top-K per partition (rank ≤ K) rather
+    than a full sort in principle — Spark's WindowGroupLimit pushes
+    the rn<=K filter into the sort for exactly this shape.
+    """
+    docs = load(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        docs.select("doc_id", "source", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= CAP_PER_SOURCE)
+        .select("doc_id", "source")
+        .orderBy("source", "doc_id")
+    )
+
+
+CENTROID_SQL = """
+SELECT lang, pos,
+       ROUND(AVG(x), 6) AS centroid_val,
+       CAST(COUNT(*) AS BIGINT) AS n_vectors
+FROM (
+  SELECT d.lang,
+         unnest(list_transform(e.embedding, v -> CAST(v AS DOUBLE)))
+           AS x,
+         unnest(range(1, len(e.embedding) + 1)) AS pos
+  FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
+)
+GROUP BY lang, pos
+HAVING pos <= 8
+ORDER BY lang, pos
+"""
+
+
+@plan("emb_lang_centroids", oracle=CENTROID_SQL)
+def emb_lang_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language embedding centroids (first 8 dims reported) — the
+    statistic behind IVF coarse-quantizer training and per-slice drift
+    monitoring. posexplode → per-(lang, position) average: the explode
+    is map-side and the aggregate combines partially, so shuffle volume
+    is O(langs × dims), not O(vectors). AVG is order-dependent in
+    floats → ROUND(6) on both engines."""
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda v: v.cast("double")).alias("e")
+    )
+    docs = load(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("vec_id"), "lang"
+    )
+    return (
+        emb.join(F.broadcast(docs), "vec_id")
+        .select("lang", F.posexplode("e").alias("pos0", "x"))
+        .select("lang", (F.col("pos0") + 1).alias("pos"), "x")
+        .filter(F.col("pos") <= 8)
+        .groupBy("lang", "pos")
+        .agg(
+            F.round(F.avg("x"), 6).alias("centroid_val"),
+            F.count(F.lit(1)).alias("n_vectors"),
+        )
+        .orderBy("lang", "pos")
+    )
+
+
 NORM_DEDUP_SQL = """
 WITH n AS (
   SELECT doc_id,
