@@ -56,6 +56,7 @@ _ROUND2_NEW = [
     "curate_decontaminate",
     "curate_cap_per_source",
     "emb_lang_centroids",
+    "curate_mixture_sample",
 ]
 registry.promote(
     [

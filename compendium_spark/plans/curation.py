@@ -285,6 +285,49 @@ def emb_lang_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# per-language keep fractions expressed as md5-hex prefix thresholds:
+# a doc survives iff md5(doc_id)[:8] < threshold. 8 hex digits of an
+# md5 are uniform, so '80000000' keeps ~50%, 'ffffffff…' keeps all —
+# deterministic, engine-portable sampling (rand() would be
+# seed/engine-specific and unverifiable).
+MIX_THRESHOLDS = {
+    "en": "80000000",  # downsample the dominant language to ~50%
+    "zh": "ffffffff",
+    "es": "ffffffff",
+    "de": "ffffffff",
+    "fr": "ffffffff",
+}
+
+_MIX_CASE = "CASE lang " + " ".join(
+    f"WHEN '{k}' THEN '{v}'" for k, v in MIX_THRESHOLDS.items()
+) + " ELSE 'ffffffff' END"
+
+MIX_SQL = f"""
+SELECT doc_id, lang
+FROM documents
+WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) < {_MIX_CASE}
+ORDER BY doc_id
+"""
+
+
+@plan("curate_mixture_sample", oracle=MIX_SQL)
+def curate_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-mixture rebalancing: per-language deterministic
+    downsampling to target mixture weights (here: halve the dominant
+    language, keep the rest). The keep decision is a string compare of
+    an md5 prefix against the language's hex threshold — a pure
+    scan-stage predicate: no shuffle, no state, reproducible across
+    engines and runs, and composable with every other gate in
+    curate_corpus. The standard mixture-weights step before training.
+    """
+    docs = load(spark, sf_dir, "documents")
+    threshold = F.lit("ffffffff")
+    for k, v in MIX_THRESHOLDS.items():
+        threshold = F.when(F.col("lang") == k, F.lit(v)).otherwise(threshold)
+    keep = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8) < threshold
+    return docs.filter(keep).select("doc_id", "lang").orderBy("doc_id")
+
+
 NORM_DEDUP_SQL = """
 WITH n AS (
   SELECT doc_id,
