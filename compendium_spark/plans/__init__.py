@@ -57,6 +57,7 @@ _ROUND2_NEW = [
     "curate_cap_per_source",
     "emb_lang_centroids",
     "curate_mixture_sample",
+    "streaming_session_windows",
 ]
 registry.promote(
     [

@@ -106,6 +106,49 @@ def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sw.streaming_dedup(spark, sf_dir).orderBy("event_id")
 
 
+SESSION_GAP_US = 30 * 60 * 1_000_000
+
+STREAM_SESSION_SQL = f"""
+WITH o AS (
+  SELECT user_id, event_id, ts, epoch_us(ts) AS us,
+         LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_us
+  FROM events
+),
+m AS (
+  SELECT *, CASE WHEN prev_us IS NULL OR us - prev_us >= {SESSION_GAP_US}
+                 THEN 1 ELSE 0 END AS is_new
+  FROM o
+),
+s AS (
+  SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS sid
+  FROM m
+)
+SELECT make_timestamp(MIN(us)) AS session_start,
+       make_timestamp(MAX(us) + {SESSION_GAP_US}) AS session_end,
+       user_id,
+       COUNT(*) AS n_events
+FROM s
+GROUP BY user_id, sid
+ORDER BY user_id, session_start
+"""
+
+
+@plan("streaming_session_windows", oracle=STREAM_SESSION_SQL)
+def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native streaming session windows (30-minute gap): Spark merges
+    events into a session while each arrives strictly before the
+    current session end (last_ts + gap, end-exclusive — hence the
+    oracle's `gap >= 30min starts a new session`), and reports
+    [first_ts, last_ts + gap). State per open session, evicted by the
+    watermark. The oracle rebuilds the same sessions with the lag-gap
+    idiom."""
+    return sw.streaming_session_windows(spark, sf_dir).orderBy(
+        "user_id", "session_start"
+    )
+
+
 STREAM_RUNNING_SQL = """
 SELECT user_id,
        COUNT(*) AS events_seen,
