@@ -58,6 +58,7 @@ _ROUND2_NEW = [
     "emb_lang_centroids",
     "curate_mixture_sample",
     "streaming_session_windows",
+    "text_lm_score",
 ]
 registry.promote(
     [

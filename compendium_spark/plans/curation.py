@@ -328,6 +328,58 @@ def curate_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.filter(keep).select("doc_id", "lang").orderBy("doc_id")
 
 
+LM_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), ' +')) AS tok
+  FROM documents
+),
+vocab AS (
+  SELECT tok, CAST(COUNT(*) AS DOUBLE) AS cnt FROM toks GROUP BY tok
+),
+tot AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS total FROM vocab)
+SELECT t.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       ROUND(AVG(ln(v.cnt / tot.total)), 6) AS avg_logp
+FROM toks t JOIN vocab v ON t.tok = v.tok, tot
+GROUP BY t.doc_id
+ORDER BY t.doc_id
+"""
+
+
+@plan("text_lm_score", oracle=LM_SQL)
+def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram language-model scoring: per-document mean log-prob of
+    its tokens under the corpus's own unigram distribution — the
+    perplexity-proxy quality filter (documents full of rare/garbage
+    tokens score low and get culled before training).
+
+    Two passes, both cheap: the vocabulary aggregate (distinct tokens —
+    tiny relative to the corpus) broadcasts back into the token
+    stream, so the big side shuffles only for the per-document
+    average. Floating log/avg rounds to 6 on both engines.
+    """
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.trim(F.col("text")), " +")).alias("tok")
+    )
+    vocab = toks.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("double").alias("cnt")
+    )
+    total = vocab.agg(F.sum("cnt").cast("double").alias("total"))
+    return (
+        toks.join(F.broadcast(vocab), "tok")
+        .join(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.avg(F.log(F.col("cnt") / F.col("total"))), 6).alias(
+                "avg_logp"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
 NORM_DEDUP_SQL = """
 WITH n AS (
   SELECT doc_id,
