@@ -44,6 +44,7 @@ SCALAR_SUBQUERY = {
     "dedup_neardup_pipeline",
     "curate_corpus",
     "dedup_cluster_labels",
+    "text_lm_score",  # 1-row vocabulary total broadcast
 }
 
 
