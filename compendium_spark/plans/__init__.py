@@ -59,6 +59,7 @@ _ROUND2_NEW = [
     "curate_mixture_sample",
     "streaming_session_windows",
     "text_lm_score",
+    "j13_blocked_fuzzy_join",
 ]
 registry.promote(
     [

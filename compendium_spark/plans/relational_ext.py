@@ -750,3 +750,54 @@ def w8_ntile_bands_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         tile = tile + F.when(below, 1).otherwise(0)
     return docs.select("doc_id", "n_chars", tile.alias("quartile")).orderBy("doc_id")
+
+
+J13_SQL = """
+WITH n AS (SELECT DISTINCT p_name FROM part)
+SELECT a.p_name AS name_a, b.p_name AS name_b,
+       CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS edit_dist
+FROM n a
+JOIN n b
+  ON split_part(a.p_name, ' ', 2) = split_part(b.p_name, ' ', 2)
+ AND a.p_name < b.p_name
+ AND levenshtein(a.p_name, b.p_name) <= 2
+ORDER BY name_a, name_b
+"""
+
+
+@plan("j13_blocked_fuzzy_join", oracle=J13_SQL)
+def j13_blocked_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy matching — the entity-resolution join shape:
+    candidate pairs come from an EQUI-join on a blocking key (here the
+    name's noun), and the expensive edit-distance predicate runs only
+    within blocks. Never pairwise over the corpus: at 100 TB the
+    all-pairs levenshtein is quadratic death, while blocking keeps it
+    O(sum of block² over distinct keys) — the same
+    candidates-not-pairs argument as the MinHash-LSH dedup family.
+    Both engines share levenshtein's exact integer semantics, so the
+    pair set is hash-checked, not approximated."""
+    names = (
+        load(spark, sf_dir, "part").select("p_name").distinct()
+    )
+    a = names.select(
+        F.col("p_name").alias("name_a"),
+        F.split(F.col("p_name"), " ").getItem(1).alias("block_a"),
+    )
+    b = names.select(
+        F.col("p_name").alias("name_b"),
+        F.split(F.col("p_name"), " ").getItem(1).alias("block_b"),
+    )
+    return (
+        a.join(
+            b,
+            (F.col("block_a") == F.col("block_b"))
+            & (F.col("name_a") < F.col("name_b"))
+            & (F.levenshtein("name_a", "name_b") <= 2),
+        )
+        .select(
+            "name_a",
+            "name_b",
+            F.levenshtein("name_a", "name_b").cast("long").alias("edit_dist"),
+        )
+        .orderBy("name_a", "name_b")
+    )
