@@ -60,6 +60,7 @@ _ROUND2_NEW = [
     "streaming_session_windows",
     "text_lm_score",
     "j13_blocked_fuzzy_join",
+    "w9_rank_distributions",
 ]
 registry.promote(
     [

@@ -217,10 +217,14 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = emb.withColumn("nrm", F.sqrt(_dot_unrolled(F.col("e"), F.col("e"))))
     # assign is unique per vec_id and a query's probe cells are
     # distinct, so the cell join cannot duplicate (query, cand) pairs —
-    # no DISTINCT (the oracle's is vacuous for the same reason)
+    # no DISTINCT (the oracle's is vacuous for the same reason).
+    # NO forced broadcast hints anywhere in this chain: every forced
+    # hint spawns an eager broadcast job that re-executes its subtree
+    # (measured: all-hinted 4.0s vs all-AQE 3.0s at sf0.1); AQE
+    # broadcasts the same small sides from already-materialized shuffle
+    # stages, and the 64-dim corpus vectors still never shuffle.
     cand = (
-        F.broadcast(probes)
-        .join(assign, "cell")
+        probes.join(assign, "cell")
         .filter(F.col("vec_id") != F.col("query_id"))
         .select("query_id", F.col("vec_id").alias("cand_id"))
     )
@@ -235,13 +239,8 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nrm").alias("cn"),
     )
     cos = _dot_unrolled(F.col("qe"), F.col("ce")) / (F.col("qn") * F.col("cn"))
-    # (cand ⋈ q) is queries×probes×cell-occupancy rows — small, but NOT
-    # hinted: a forced broadcast spawns an extra eager job that re-runs
-    # the whole cand chain (measured +0.7s); AQE picks the broadcast at
-    # runtime from the materialized stage without the re-execution, and
-    # the 64-dim corpus vectors still never shuffle
     pairs = (
-        cand.join(F.broadcast(q), "query_id")
+        cand.join(q, "query_id")
         .join(c, "cand_id")
         .select("query_id", "cand_id", cos.alias("cos_full"))
     )

@@ -801,3 +801,38 @@ def j13_blocked_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("name_a", "name_b")
     )
+
+
+W9_SQL = """
+SELECT c_custkey,
+       c_nationkey,
+       ROUND(percent_rank() OVER w, 6) AS bal_pct_rank,
+       ROUND(cume_dist() OVER w, 6) AS bal_cume_dist,
+       ntile(10) OVER w AS decile
+FROM customer
+WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+ORDER BY c_custkey
+"""
+
+
+@plan("w9_rank_distributions", oracle=W9_SQL)
+def w9_rank_distributions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-distribution window functions: percent_rank, cume_dist,
+    and per-partition deciles over customer balances within each
+    nation. All rank-based (exact rational values — (rank-1)/(n-1)
+    and rank/n compute identically in both engines; ROUND(6) only
+    guards the double formatting). One shuffle on the partition key;
+    the (c_acctbal, c_custkey) ordering is total so every rank is
+    deterministic."""
+    cust = load(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    return (
+        cust.select(
+            "c_custkey",
+            "c_nationkey",
+            F.round(F.percent_rank().over(w), 6).alias("bal_pct_rank"),
+            F.round(F.cume_dist().over(w), 6).alias("bal_cume_dist"),
+            F.ntile(10).over(w).alias("decile"),
+        )
+        .orderBy("c_custkey")
+    )
