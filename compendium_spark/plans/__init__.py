@@ -12,6 +12,7 @@ from compendium_spark.plans import (  # noqa: F401
     ivf,
     multimodal,
     olap_ext,
+    quality,
     reference_ops,
     reference_ops2,
     registry,
@@ -61,6 +62,12 @@ _ROUND2_NEW = [
     "text_lm_score",
     "j13_blocked_fuzzy_join",
     "w9_rank_distributions",
+    "text_repetition_ratio",
+    "curate_pii_redact",
+    "curate_split_assign",
+    "corpus_stats_report",
+    "emb_quantize_int8",
+    "emb_outlier_filter",
 ]
 registry.promote(
     [

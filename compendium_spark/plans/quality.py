@@ -1,0 +1,541 @@
+"""Corpus-quality and embedding-compression operators: repetition
+filtering, PII scrubbing, deterministic dataset splits, corpus health
+reports, int8 embedding quantization, and centroid-distance outlier
+culling.
+
+These complete the standard pre-training curation loop around
+plans/curation.py (chunk/pack/decontaminate/rebalance) and
+plans/extended.py (dedup/ANN). No counterpart in the reference (its
+corpus is ASV tables; these are generic large-corpus operators). All
+six are SQL-oracle-checked.
+
+Scale notes are per plan; the common theme: every per-document
+statistic is a scan-stage array/regex expression (embarrassingly
+parallel, no shuffle), and every global statistic is a tiny aggregate
+broadcast back into the scan — the corpus itself is never shuffled on
+text or vectors.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from compendium_spark.plans.registry import plan
+from compendium_spark.tables import load
+
+# ---------------------------------------------------------------------------
+# repetition-ratio quality filter (Gopher-style)
+# ---------------------------------------------------------------------------
+
+# thresholds tuned so the synthetic corpus splits ~80/20 — production
+# values come from Rae et al. 2021 (Gopher) table A1-style sweeps
+MIN_DISTINCT_RATIO = 0.35
+MAX_TOP_TOKEN_FRAC = 0.20
+MAX_TOP_BIGRAM_FRAC = 0.10
+
+REPETITION_SQL = f"""
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(text), ' +') AS toks
+  FROM documents
+),
+b AS (
+  SELECT doc_id, toks,
+         list_transform(range(1, len(toks)),
+                        i -> toks[i] || ' ' || toks[i + 1]) AS bg
+  FROM t
+),
+s AS (
+  SELECT doc_id,
+         CAST(len(toks) AS BIGINT) AS n_tokens,
+         CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
+           AS distinct_ratio,
+         CAST(list_max(list_transform(list_distinct(toks),
+              u -> len(list_filter(toks, x -> x = u)))) AS DOUBLE)
+           / len(toks) AS top_token_frac,
+         CAST(list_max(list_transform(list_distinct(bg),
+              u -> len(list_filter(bg, x -> x = u)))) AS DOUBLE)
+           / len(bg) AS top_bigram_frac
+  FROM b
+)
+SELECT doc_id, n_tokens,
+       ROUND(distinct_ratio, 6) AS distinct_ratio,
+       ROUND(top_token_frac, 6) AS top_token_frac,
+       ROUND(top_bigram_frac, 6) AS top_bigram_frac,
+       (distinct_ratio >= {MIN_DISTINCT_RATIO}
+        AND top_token_frac <= {MAX_TOP_TOKEN_FRAC}
+        AND top_bigram_frac <= {MAX_TOP_BIGRAM_FRAC}) AS keep
+FROM s
+ORDER BY doc_id
+"""
+
+
+def _top_count(arr: Column) -> Column:
+    """Highest multiplicity of any element in ``arr`` (int)."""
+    return F.array_max(
+        F.transform(
+            F.array_distinct(arr),
+            lambda u: F.size(F.filter(arr, lambda x: x == u)),
+        )
+    )
+
+
+@plan("text_repetition_ratio", oracle=REPETITION_SQL)
+def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-based quality filter (the Gopher-rules family):
+    per-document distinct-token ratio, most-frequent-token fraction,
+    and most-frequent-bigram fraction, plus the keep/toss flag — boiler-
+    plate and degenerate generated text score high on repetition and
+    get culled before training.
+
+    All three statistics are integer-count divisions computed from
+    array expressions in the scan stage — bit-exact across engines (no
+    float rounding concerns beyond display) and embarrassingly
+    parallel; no shuffle at any scale, only the output sort. The
+    per-doc cost is O(distinct x length) per document — bounded by
+    document length, not corpus size; for book-length documents the
+    production form swaps the array expression for the explode +
+    count form (same answer, linear per doc).
+    """
+    docs = load(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), " +")
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - 1),
+        lambda i: F.concat_ws(
+            " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+        ),
+    )
+    base = docs.select(
+        "doc_id", toks.alias("toks"), bigrams.alias("bg")
+    ).select(
+        "doc_id",
+        F.size("toks").cast("long").alias("n_tokens"),
+        (
+            F.size(F.array_distinct("toks")).cast("double")
+            / F.size("toks")
+        ).alias("distinct_ratio"),
+        (
+            _top_count(F.col("toks")).cast("double") / F.size("toks")
+        ).alias("top_token_frac"),
+        (_top_count(F.col("bg")).cast("double") / F.size("bg")).alias(
+            "top_bigram_frac"
+        ),
+    )
+    return base.select(
+        "doc_id",
+        "n_tokens",
+        F.round("distinct_ratio", 6).alias("distinct_ratio"),
+        F.round("top_token_frac", 6).alias("top_token_frac"),
+        F.round("top_bigram_frac", 6).alias("top_bigram_frac"),
+        (
+            (F.col("distinct_ratio") >= MIN_DISTINCT_RATIO)
+            & (F.col("top_token_frac") <= MAX_TOP_TOKEN_FRAC)
+            & (F.col("top_bigram_frac") <= MAX_TOP_BIGRAM_FRAC)
+        ).alias("keep"),
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing
+# ---------------------------------------------------------------------------
+
+# Patterns stay in the RE2 ∩ java.util.regex common dialect so Spark
+# and DuckDB agree: character classes, bounded quantifiers, \b.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE = r"\+?[0-9][0-9() \-]{6,}[0-9]"
+PII_IPV4 = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+# the term blocklist stands in for org-specific scrub lists (internal
+# hostnames, project codenames); these two appear in the synthetic
+# corpus so the plan exercises real replacements at test scale
+BLOCKED_TERMS = r"\b(spark|hash)\b"
+
+PII_SQL = f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{PII_EMAIL}')) AS BIGINT)
+         AS n_email,
+       CAST(len(regexp_extract_all(text, '{PII_PHONE}')) AS BIGINT)
+         AS n_phone,
+       CAST(len(regexp_extract_all(text, '{PII_IPV4}')) AS BIGINT)
+         AS n_ip,
+       CAST(len(regexp_extract_all(text, '{BLOCKED_TERMS}')) AS BIGINT)
+         AS n_blocked,
+       md5(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+             text,
+             '{PII_EMAIL}', '<EMAIL>', 'g'),
+             '{PII_PHONE}', '<PHONE>', 'g'),
+             '{PII_IPV4}', '<IP>', 'g'),
+             '{BLOCKED_TERMS}', '<TERM>', 'g')) AS redacted_digest,
+       CAST(length(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+             text,
+             '{PII_EMAIL}', '<EMAIL>', 'g'),
+             '{PII_PHONE}', '<PHONE>', 'g'),
+             '{PII_IPV4}', '<IP>', 'g'),
+             '{BLOCKED_TERMS}', '<TERM>', 'g')) AS BIGINT) AS redacted_len
+FROM documents
+ORDER BY doc_id
+"""
+
+
+def redact(text: Column) -> Column:
+    """The four-stage redaction chain (email → phone → IPv4 → term
+    blocklist), identical order to the oracle so digests match."""
+    out = F.regexp_replace(text, PII_EMAIL, "<EMAIL>")
+    out = F.regexp_replace(out, PII_PHONE, "<PHONE>")
+    out = F.regexp_replace(out, PII_IPV4, "<IP>")
+    return F.regexp_replace(out, BLOCKED_TERMS, "<TERM>")
+
+
+@plan("curate_pii_redact", oracle=PII_SQL)
+def curate_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing: count and redact emails, phone numbers, IPv4
+    addresses, and a term blocklist per document; emit match counts
+    (on the original text) and the digest + length of the redacted
+    form. The synthetic corpus contains no raw PII, so the regex paths
+    are additionally exercised on adversarial fixtures in
+    tests/test_quality.py; the blocklist terms do occur here, making
+    the digest a real end-to-end check.
+
+    Pure scan-stage regex expressions (JVM codegen, no Python): no
+    shuffle, no state — at 100 TB this is a map-only rewrite whose
+    output keeps the input partitioning. Counting on the original and
+    replacing in a fixed chain keeps both engines byte-identical.
+    """
+    docs = load(spark, sf_dir, "documents")
+    red = redact(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.regexp_count(F.col("text"), F.lit(PII_EMAIL))
+        .cast("long")
+        .alias("n_email"),
+        F.regexp_count(F.col("text"), F.lit(PII_PHONE))
+        .cast("long")
+        .alias("n_phone"),
+        F.regexp_count(F.col("text"), F.lit(PII_IPV4))
+        .cast("long")
+        .alias("n_ip"),
+        F.regexp_count(F.col("text"), F.lit(BLOCKED_TERMS))
+        .cast("long")
+        .alias("n_blocked"),
+        F.md5(red).alias("redacted_digest"),
+        F.length(red).cast("long").alias("redacted_len"),
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# deterministic train/val/test split
+# ---------------------------------------------------------------------------
+
+# md5-prefix thresholds (uniform over 16^8): ~80% / ~10% / ~10%
+TRAIN_MAX = "cccccccc"
+VAL_MAX = "e6666666"
+
+SPLIT_SQL = f"""
+WITH s AS (
+  SELECT doc_id, lang,
+         CAST(len(string_split_regex(trim(text), ' +')) AS BIGINT)
+           AS n_tokens,
+         CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                   < '{TRAIN_MAX}' THEN 'train'
+              WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                   < '{VAL_MAX}' THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+)
+SELECT split, lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+FROM s
+GROUP BY split, lang
+ORDER BY split, lang
+"""
+
+
+@plan("curate_split_assign", oracle=SPLIT_SQL)
+def curate_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment by md5-prefix threshold
+    (~80/10/10), reported as per-(split, language) document and token
+    counts. Content-addressed splits survive re-ingestion and
+    resharding — the property rand()-based splits lack — and the same
+    hash prefix doubles as the mixture-sampling key
+    (curate_mixture_sample), so split and mixture decisions compose.
+
+    The assignment is a scan-stage expression; the only shuffle is the
+    tiny (split x lang) aggregate, with map-side partials. At 100 TB
+    the assignment column is written back with the data (a map-only
+    job); this report is the audit query over it.
+    """
+    docs = load(spark, sf_dir, "documents")
+    h = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8)
+    split = (
+        F.when(h < TRAIN_MAX, "train")
+        .when(h < VAL_MAX, "val")
+        .otherwise("test")
+    )
+    n_tokens = F.size(F.split(F.trim(F.col("text")), " +")).cast("long")
+    return (
+        docs.select(split.alias("split"), "lang", n_tokens.alias("n_tokens"))
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
+        .orderBy("split", "lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# corpus health report
+# ---------------------------------------------------------------------------
+
+STATS_SQL = """
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+       CAST(SUM(len(string_split_regex(trim(text), ' +'))) AS BIGINT)
+         AS total_tokens,
+       ROUND(AVG(CAST(n_chars AS DOUBLE)), 6) AS avg_chars,
+       ROUND(quantile_cont(CAST(n_chars AS DOUBLE), 0.5), 6) AS p50_chars,
+       ROUND(quantile_cont(CAST(n_chars AS DOUBLE), 0.9), 6) AS p90_chars
+FROM documents
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+@plan("corpus_stats_report", oracle=STATS_SQL)
+def corpus_stats_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus health report: document/source counts,
+    token totals, and character-length mean and exact percentiles —
+    the summary a curation run prints before and after each gate.
+
+    One aggregate over (lang): counts and sums combine partially;
+    exact percentiles need the group's values in one place, which is
+    fine for a per-language report (langs are few) — the 100 TB
+    monitoring path swaps quantile_cont for the mergeable
+    percentile_approx sketch (a_approx_aggregates pattern).
+    """
+    docs = load(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split(F.trim(F.col("text")), " +")).cast("long")
+    return (
+        docs.select(
+            "lang",
+            "source",
+            n_tokens.alias("n_tokens"),
+            F.col("n_chars").cast("double").alias("chars"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("source").alias("n_sources"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.round(F.avg("chars"), 6).alias("avg_chars"),
+            F.round(F.percentile("chars", F.lit(0.5)), 6).alias("p50_chars"),
+            F.round(F.percentile("chars", F.lit(0.9)), 6).alias("p90_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# int8 embedding quantization
+# ---------------------------------------------------------------------------
+
+EMB_DIM = 64
+
+QUANT_SQL = """
+WITH v AS (
+  SELECT vec_id,
+         unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS x,
+         unnest(range(1, len(embedding) + 1)) AS pos
+  FROM embeddings
+),
+mm AS (
+  SELECT pos, MIN(x) AS mn, MAX(x) AS mx FROM v GROUP BY pos
+),
+q AS (
+  SELECT v.vec_id, v.pos, v.x, mm.mn, mm.mx,
+         CASE WHEN mm.mx = mm.mn THEN CAST(0 AS BIGINT)
+              ELSE CAST(floor((v.x - mm.mn) / (mm.mx - mm.mn) * 255 + 0.5)
+                        AS BIGINT) - 128 END AS code
+  FROM v JOIN mm USING (pos)
+),
+r AS (
+  SELECT vec_id, code, x,
+         mn + CAST(code + 128 AS DOUBLE) / 255 * (mx - mn) AS xhat
+  FROM q
+)
+SELECT vec_id,
+       CAST(SUM(code) AS BIGINT) AS code_sum,
+       ROUND(AVG(ABS(x - xhat)), 6) AS mean_abs_err
+FROM r
+GROUP BY vec_id
+ORDER BY vec_id
+"""
+
+
+@plan("emb_quantize_int8", oracle=QUANT_SQL)
+def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar int8 quantization of the embedding column: global
+    per-dimension min/max → 255-step affine codes → per-vector code
+    checksum and mean absolute reconstruction error. The standard 4×
+    compression step before ANN serving; the checksum value-checks
+    every code against the oracle without emitting an array column
+    (which the driver canonicalizer cannot sort).
+
+    Shape: the min/max aggregate sees (vector x dim) exploded rows but
+    combines partially to 64 groups; the 64-row result is collected
+    into ONE broadcast row, and quantization + error fold run as array
+    expressions in the corpus scan — the corpus itself never shuffles,
+    and the only wide exchange is the final output sort. floor(x+0.5)
+    rounding and sequential error folds keep both engines bit-equal
+    (Spark double->int CAST truncates while DuckDB rounds, so CAST is
+    never applied to a fractional value directly).
+    """
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("e"),
+    )
+    mm = (
+        emb.select(F.posexplode("e").alias("pos0", "x"))
+        .groupBy("pos0")
+        .agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("pos0", "mn", "mx"))
+            ).alias("mm")
+        )
+    )
+    withmm = emb.join(F.broadcast(mm))  # single-row scalar broadcast
+    mn = lambda i: F.element_at(F.col("mm"), i).getField("mn")  # noqa: E731
+    mx = lambda i: F.element_at(F.col("mm"), i).getField("mx")  # noqa: E731
+    code = lambda i: (  # noqa: E731
+        F.when(mx(i) == mn(i), F.lit(0).cast("long")).otherwise(
+            F.floor(
+                (F.element_at(F.col("e"), i) - mn(i))
+                / (mx(i) - mn(i))
+                * 255
+                + 0.5
+            )
+            - 128
+        )
+    )
+    xhat = lambda i: (  # noqa: E731
+        mn(i) + (code(i) + 128).cast("double") / 255 * (mx(i) - mn(i))
+    )
+    dims = F.sequence(F.lit(1), F.lit(EMB_DIM))
+    return withmm.select(
+        "vec_id",
+        F.aggregate(
+            dims,
+            F.lit(0).cast("long"),
+            lambda acc, i: acc + code(i),
+        ).alias("code_sum"),
+        F.round(
+            F.aggregate(
+                dims,
+                F.lit(0.0),
+                lambda acc, i: acc
+                + F.abs(F.element_at(F.col("e"), i) - xhat(i)),
+            )
+            / EMB_DIM,
+            6,
+        ).alias("mean_abs_err"),
+    ).orderBy("vec_id")
+
+
+# ---------------------------------------------------------------------------
+# centroid-distance outlier culling
+# ---------------------------------------------------------------------------
+
+OUTLIER_COS_MAX = 0.0  # cull vectors whose cosine to their label
+# centroid is below this (~10% of the synthetic corpus)
+
+OUTLIER_SQL = f"""
+WITH v AS (
+  SELECT vec_id, label,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+),
+c AS (
+  SELECT label, pos, ROUND(AVG(x), 6) AS cv
+  FROM (
+    SELECT label, unnest(e) AS x, unnest(range(1, len(e) + 1)) AS pos
+    FROM v
+  )
+  GROUP BY label, pos
+),
+ca AS (
+  SELECT label, list(cv ORDER BY pos) AS cent FROM c GROUP BY label
+),
+s AS (
+  SELECT v.vec_id, v.label,
+         list_sum(list_transform(v.e, (x, i) -> x * ca.cent[i]))
+           / (sqrt(list_sum(list_transform(v.e, x -> x * x)))
+              * sqrt(list_sum(list_transform(ca.cent, x -> x * x))))
+           AS cos
+  FROM v JOIN ca USING (label)
+)
+SELECT vec_id, label, ROUND(cos, 6) AS centroid_cosine
+FROM s
+WHERE cos < {OUTLIER_COS_MAX}
+ORDER BY vec_id
+"""
+
+
+@plan("emb_outlier_filter", oracle=OUTLIER_SQL)
+def emb_outlier_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding outlier culling: flag vectors far from their own
+    label's centroid (cosine below threshold) — the cheap semantic
+    sanity gate that catches mislabeled or garbage embeddings before
+    they pollute retrieval training.
+
+    The centroid aggregate shuffles (label x dim) partial sums, is
+    rounded to 6 decimals (AVG is float-order-dependent; rounding the
+    centroid itself makes every downstream cosine deterministic), and
+    broadcasts ~labels rows back into the corpus scan where the cosine
+    is an unrolled codegen expression — corpus never shuffles; same
+    broadcast-the-small-statistic shape as curate_decontaminate.
+    """
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("e"),
+    )
+    cent = (
+        emb.select("label", F.posexplode("e").alias("pos0", "x"))
+        .groupBy("label", "pos0")
+        .agg(F.round(F.avg("x"), 6).alias("cv"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos0", "cv"))),
+                lambda s: s.getField("cv"),
+            ).alias("cent")
+        )
+    )
+    joined = emb.join(F.broadcast(cent), "label")
+    dot = F.aggregate(
+        F.zip_with("e", "cent", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    nrm = lambda col: F.sqrt(  # noqa: E731
+        F.aggregate(
+            F.transform(col, lambda x: x * x),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    cos = dot / (nrm(F.col("e")) * nrm(F.col("cent")))
+    return (
+        joined.select(
+            "vec_id",
+            "label",
+            cos.alias("cos"),
+        )
+        .filter(F.col("cos") < OUTLIER_COS_MAX)
+        .select(
+            "vec_id", "label", F.round("cos", 6).alias("centroid_cosine")
+        )
+        .orderBy("vec_id")
+    )

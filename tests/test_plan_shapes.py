@@ -45,6 +45,7 @@ SCALAR_SUBQUERY = {
     "curate_corpus",
     "dedup_cluster_labels",
     "text_lm_score",  # 1-row vocabulary total broadcast
+    "emb_quantize_int8",  # 1-row per-dim min/max broadcast
 }
 
 
