@@ -68,6 +68,8 @@ _ROUND2_NEW = [
     "corpus_stats_report",
     "emb_quantize_int8",
     "emb_outlier_filter",
+    "streaming_enrich_join",
+    "dedup_cluster_stats",
 ]
 registry.promote(
     [

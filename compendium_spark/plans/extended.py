@@ -825,3 +825,71 @@ def curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "n_tokens", "n_chars")
         .orderBy("doc_id")
     )
+
+
+def _cluster_stats_sql() -> str:
+    body = _MINHASH_CAND_SQL_BODY.format(
+        sigs=_minhash_sql_sigs(), bands=_minhash_sql_bands()
+    )
+    return f"""
+WITH RECURSIVE {body},
+sh_arr AS (SELECT doc_id, {_SHINGLES_SQL} AS sh FROM documents),
+pairs AS (
+  SELECT doc_a, doc_b
+  FROM cand
+  JOIN sh_arr a ON doc_a = a.doc_id
+  JOIN sh_arr b ON doc_b = b.doc_id
+  WHERE 1.0 * len(list_intersect(a.sh, b.sh))
+          / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+        >= {JACCARD_THRESHOLD}
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+nodes AS (SELECT DISTINCT src AS doc FROM edges),
+reach(doc, lbl) AS (
+  SELECT doc, doc FROM nodes
+  UNION
+  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.doc
+),
+clusters AS (
+  SELECT doc, MIN(lbl) AS cluster_id FROM reach GROUP BY doc
+),
+sizes AS (
+  SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+  FROM clusters GROUP BY cluster_id
+)
+SELECT cluster_size,
+       CAST(COUNT(*) AS BIGINT) AS n_clusters,
+       CAST(SUM(cluster_size) AS BIGINT) AS n_docs
+FROM sizes
+GROUP BY cluster_size
+ORDER BY cluster_size
+"""
+
+
+@plan("dedup_cluster_stats", oracle=_cluster_stats_sql())
+def dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-size histogram over the near-dup components — the
+    dedup audit table (how many pair clusters vs. giant blobs a
+    threshold produces; a fat tail means the threshold is too loose
+    or a boilerplate template is stitching the corpus together).
+
+    Two tiny aggregates on top of dedup_cluster_labels' fixpoint —
+    costs nothing beyond it; shuffle volume is O(clusters). The same
+    recursive-CTE oracle recomputes the components so the histogram
+    is value-checked end to end.
+    """
+    labels = dedup_cluster_labels(spark, sf_dir)
+    return (
+        labels.groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).alias("cluster_size"))
+        .groupBy("cluster_size")
+        .agg(
+            F.count(F.lit(1)).alias("n_clusters"),
+            F.sum("cluster_size").alias("n_docs"),
+        )
+        .orderBy("cluster_size")
+    )

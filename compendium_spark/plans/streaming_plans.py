@@ -167,3 +167,27 @@ def streaming_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate; totals round to 4 decimals on both sides to absorb
     float accumulation-order differences."""
     return sw.streaming_running_totals(spark, sf_dir).orderBy("user_id")
+
+
+STREAM_ENRICH_SQL = """
+SELECT n.n_name AS nation, e.event_type,
+       COUNT(*) AS n_events,
+       ROUND(SUM(e.value), 4) AS total_value
+FROM events e
+JOIN customer c ON e.user_id = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name, e.event_type
+ORDER BY nation, event_type
+"""
+
+
+@plan("streaming_enrich_join", oracle=STREAM_ENRICH_SQL)
+def streaming_enrich_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment: events join the broadcast
+    customer→nation dimension per microbatch (stateless on the static
+    side), aggregated per (nation, type). Value-checked against the
+    equivalent batch join; totals round to 4 decimals to absorb float
+    accumulation order."""
+    return sw.streaming_enrich_join(spark, sf_dir).orderBy(
+        "nation", "event_type"
+    )

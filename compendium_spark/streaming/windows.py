@@ -293,3 +293,38 @@ def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "user_id", "event_type"
     )
     return _run_to_memory(deduped, "stream_dedup", "append")
+
+
+def streaming_enrich_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join: the event stream joins the
+    static customer→nation dimension (re-read and broadcast per
+    microbatch — Spark's stream-static join keeps NO state for the
+    static side), then aggregates value per (nation, event_type).
+
+    The canonical "enrich the firehose with reference data" shape: at
+    100 TB/day the static side is a slowly-changing dim refreshed by
+    swapping the table under the path; per-batch re-resolution picks
+    up the swap without restarting the query.
+    """
+    from compendium_spark.tables import load
+
+    ev = read_events_stream(spark, sf_dir)
+    cust = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_nationkey"
+    )
+    nation = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nationkey"),
+        F.col("n_name").alias("nation"),
+    )
+    dim = cust.join(F.broadcast(nation), "c_nationkey").select(
+        "user_id", "nation"
+    )
+    agg = (
+        ev.join(F.broadcast(dim), "user_id")
+        .groupBy("nation", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+    )
+    return _run_to_memory(agg, "stream_enrich", "complete")

@@ -44,6 +44,7 @@ SCALAR_SUBQUERY = {
     "dedup_neardup_pipeline",
     "curate_corpus",
     "dedup_cluster_labels",
+    "dedup_cluster_stats",  # same fixpoint subtree as cluster_labels
     "text_lm_score",  # 1-row vocabulary total broadcast
     "emb_quantize_int8",  # 1-row per-dim min/max broadcast
 }
