@@ -12,6 +12,7 @@ from compendium_spark.plans import (  # noqa: F401
     ivf,
     multimodal,
     olap_ext,
+    pq,
     quality,
     reference_ops,
     reference_ops2,
@@ -70,6 +71,8 @@ _ROUND2_NEW = [
     "emb_outlier_filter",
     "streaming_enrich_join",
     "dedup_cluster_stats",
+    "sim_pq_codes",
+    "sim_pq_adc_topk",
 ]
 registry.promote(
     [

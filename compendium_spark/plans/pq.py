@@ -1,0 +1,248 @@
+"""Product quantization (PQ): compressed-domain similarity search.
+
+The third ANN family next to random-hyperplane LSH (plans/ann.py) and
+IVF cells (plans/ivf.py), and the missing memory axis: LSH/IVF prune
+CANDIDATES, PQ compresses STORAGE — each 64-dim float vector becomes
+M=16 one-byte codes (16× smaller), and queries score the compressed
+codes directly via per-subspace lookup tables (asymmetric distance
+computation, ADC — Jégou et al., PAMI 2011).
+
+At 100 TB: the code table (M bytes + id per vector) is what a
+compressed-domain scan reads — the float vectors stay in cold
+storage and are touched only to re-rank a final shortlist. Real
+deployments train codebooks per subspace with k-means; here they are
+fixed seeded Gaussians scaled to the data's std (0.12), which keeps
+the operator deterministic and lets the SAME literal codebooks be
+embedded in the DuckDB oracle — the PQ path is value-hash-checked
+like everything else (recall vs exact is asserted separately in
+tests/test_ann.py; trained codebooks raise recall, they don't change
+the plan shape). Composing with IVF (IVF-PQ) is a filter on the cell
+column before the ADC scan.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from compendium_spark.plans.registry import plan
+
+DIM = 64
+M = 16  # subspaces
+SUB = DIM // M  # dims per subspace
+K = 16  # codebook entries per subspace
+_rng = np.random.default_rng(11)
+# scaled to the embedding distribution's std (~0.125) so assignments
+# spread over all K entries (unit-scale Gaussians would collapse onto
+# the few smallest-norm entries)
+CODEBOOKS: list[list[list[float]]] = [
+    [[round(float(x) * 0.12, 6) for x in _rng.standard_normal(SUB)] for _ in range(K)]
+    for _ in range(M)
+]
+
+_CODE_COLS = [f"code{m}" for m in range(M)]
+
+
+def _assign_codes(emb: DataFrame) -> DataFrame:
+    """(vec_id, code0..code{M-1}) — nearest codebook entry per
+    subspace, computed MAP-SIDE in an Arrow-batched numpy kernel (the
+    same sequential-over-dims accumulation as ivf._assign_cells, so
+    the argmin ties out bit-for-bit with the oracle's ROW_NUMBER over
+    list_sum distances; np.argmin keeps the FIRST minimum — the
+    oracle's `dist ASC, k` tie-break). One pass over the corpus, no
+    shuffle: this IS the index build."""
+    import pandas as pd  # noqa: PLC0415
+
+    cbs = [np.asarray(CODEBOOKS[m], dtype=np.float64) for m in range(M)]
+
+    def assign(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.vstack(pdf["e"].to_numpy()).astype(np.float64)
+            out = {"vec_id": pdf["vec_id"]}
+            for m in range(M):
+                xs = x[:, m * SUB : (m + 1) * SUB]
+                dists = np.zeros((len(xs), K))
+                for k in range(K):
+                    acc = np.zeros(len(xs))
+                    for d in range(SUB):
+                        diff = xs[:, d] - cbs[m][k, d]
+                        acc = acc + diff * diff
+                    dists[:, k] = acc
+                out[f"code{m}"] = dists.argmin(axis=1).astype("int32")
+            yield pd.DataFrame(out)
+
+    schema = "vec_id long, " + ", ".join(f"{c} int" for c in _CODE_COLS)
+    return emb.select("vec_id", "e").mapInPandas(assign, schema=schema)
+
+
+def _sql_vec_lit(c: list[float]) -> str:
+    return "[" + ", ".join(f"CAST({v!r} AS DOUBLE)" for v in c) + "]"
+
+
+def _sql_codebook(m: int) -> str:
+    return " UNION ALL ".join(
+        f"SELECT {k} AS k, {_sql_vec_lit(CODEBOOKS[m][k])} AS cvec"
+        for k in range(K)
+    )
+
+
+def _sql_assign(m: int) -> str:
+    lo = m * SUB + 1
+    return f"""
+  SELECT vec_id, k AS code{m} FROM (
+    SELECT v.vec_id, c.k,
+           ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+             list_sum(list_transform(list_slice(v.e, {lo}, {lo + SUB - 1}),
+                      (x, i) -> (x - c.cvec[i]) * (x - c.cvec[i]))) ASC,
+             c.k) AS rn
+    FROM v CROSS JOIN cb{m} c
+  ) WHERE rn = 1
+"""
+
+
+_SQL_PQ_BASE = (
+    "v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE))"
+    " AS e FROM embeddings),\n"
+    + ",\n".join(f"cb{m} AS ({_sql_codebook(m)})" for m in range(M))
+    + ",\n"
+    + ",\n".join(f"a{m} AS ({_sql_assign(m)})" for m in range(M))
+    + ",\ncodes AS (SELECT a0.vec_id, "
+    + ", ".join(_CODE_COLS)
+    + " FROM a0 "
+    + " ".join(f"JOIN a{m} USING (vec_id)" for m in range(1, M))
+    + ")"
+)
+
+PQ_CODES_SQL = f"""
+WITH {_SQL_PQ_BASE}
+SELECT subspace, code, CAST(COUNT(*) AS BIGINT) AS n_vectors
+FROM (
+  {" UNION ALL ".join(f"SELECT {m} AS subspace, code{m} AS code FROM codes" for m in range(M))}
+)
+GROUP BY subspace, code
+ORDER BY subspace, code
+"""
+
+
+@plan("sim_pq_codes", oracle=PQ_CODES_SQL)
+def sim_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ code-occupancy histogram — the index-build half plus the
+    codebook-health diagnostic (an empty or dominant entry means the
+    codebook needs retraining on the data's distribution)."""
+    from compendium_spark.plans.extended import _load_embeddings  # noqa: PLC0415
+
+    codes = _assign_codes(_load_embeddings(spark, sf_dir))
+    return (
+        codes.select(
+            "vec_id",
+            F.posexplode(F.array(*_CODE_COLS)).alias("subspace", "code"),
+        )
+        .groupBy("subspace", "code")
+        .agg(F.count(F.lit(1)).alias("n_vectors"))
+        .orderBy("subspace", "code")
+    )
+
+
+def _lut(m: int) -> Column:
+    """Per-query ADC lookup table for subspace ``m``: the K dot
+    products of the query's subvector with every codebook entry —
+    computed ONCE per query row (sequential fold, DuckDB list_sum
+    order), then each candidate costs M array lookups + M-1 adds."""
+    sub = F.slice(F.col("qe"), m * SUB + 1, SUB)
+    return F.array(
+        *[
+            F.aggregate(
+                F.zip_with(
+                    sub,
+                    F.array(*[F.lit(v) for v in CODEBOOKS[m][k]]),
+                    lambda x, y: x * y,
+                ),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            )
+            for k in range(K)
+        ]
+    )
+
+
+_SQL_ADC_TERMS = "\n         + ".join(
+    f"list_sum(list_transform(b{m}.cvec, (y, i) -> y * q.e[{m * SUB} + i]))"
+    for m in range(M)
+)
+_SQL_ADC_JOINS = "\n  ".join(
+    f"JOIN cb{m} b{m} ON b{m}.k = c.code{m}" for m in range(M)
+)
+
+PQ_ADC_SQL = f"""
+WITH {_SQL_PQ_BASE},
+q AS (SELECT vec_id AS query_id, e FROM v WHERE vec_id < 10),
+adc AS (
+  SELECT q.query_id, c.vec_id AS cand_id,
+         {_SQL_ADC_TERMS}
+           AS adc
+  FROM codes c
+  CROSS JOIN q
+  {_SQL_ADC_JOINS}
+  WHERE c.vec_id <> q.query_id
+)
+SELECT query_id, cand_id, ROUND(adc, 6) AS adc_score, rn AS rank
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY adc DESC, cand_id) AS rn
+  FROM adc
+)
+WHERE rn <= 5
+ORDER BY query_id, rank
+"""
+
+
+@plan("sim_pq_adc_topk", oracle=PQ_ADC_SQL)
+def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ asymmetric-distance top-5: each query builds its M×{K}
+    lookup table once, then every corpus vector is scored from its M
+    codes alone — element_at + adds per candidate, pure codegen over
+    the compressed code table; the float corpus is never read in the
+    scoring scan.
+
+    Plan shape: the ≤10-query LUT side broadcasts over the code table
+    (keyless by design — this IS the compressed-domain linear scan;
+    at 100 TB it reads M bytes + id per vector instead of 256 bytes,
+    and composing with IVF cells prunes it to nprobe/K of the data).
+    Recall vs the exact dot-product ranking is asserted in
+    tests/test_ann.py.
+    """
+    from compendium_spark.plans.extended import _load_embeddings  # noqa: PLC0415
+
+    emb = _load_embeddings(spark, sf_dir)
+    codes = _assign_codes(emb)
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+    )
+    luts = queries.select(
+        "query_id", *[_lut(m).alias(f"lut{m}") for m in range(M)]
+    )
+    adc = F.element_at(F.col("lut0"), F.col("code0") + 1)
+    for m in range(1, M):
+        adc = adc + F.element_at(F.col(f"lut{m}"), F.col(f"code{m}") + 1)
+    pairs = (
+        codes.join(F.broadcast(luts))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id", F.col("vec_id").alias("cand_id"), adc.alias("adc")
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("adc"), "cand_id")
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select(
+            "query_id",
+            "cand_id",
+            F.round("adc", 6).alias("adc_score"),
+            F.col("rn").alias("rank"),
+        )
+        .orderBy("query_id", "rank")
+    )

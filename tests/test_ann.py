@@ -82,3 +82,39 @@ def test_ivf_cells_cover_corpus(spark):
     rows = PLANS["sim_ivf_cells"].fn(spark, SF_ORACLE).collect()
     assert sum(r.n_vectors for r in rows) == 500  # every vector in exactly 1 cell
     assert len(rows) > 1  # centroids actually partition the space
+
+
+def test_pq_adc_recall_against_exact(spark):
+    """ADC over M=16 seeded-Gaussian codebooks must rank clearly above
+    the random-candidate floor (5/500 = 1%); measured ~0.30 recall@5 vs
+    the exact dot-product ranking on the synthetic corpus. (Trained
+    k-means codebooks raise recall; they don't change the plan shape.)
+    """
+    import numpy as np
+
+    emb = load(spark, SF_ORACLE, "embeddings").orderBy("vec_id").collect()
+    ids = np.array([r.vec_id for r in emb])
+    x = np.array([r.embedding for r in emb], dtype=np.float64)
+    approx = PLANS["sim_pq_adc_topk"].fn(spark, SF_ORACLE).collect()
+    approx_sets = {}
+    for r in approx:
+        approx_sets.setdefault(r.query_id, set()).add(r.cand_id)
+    recalls = []
+    for qi in range(10):
+        dots = x @ x[qi]
+        dots[qi] = -np.inf
+        exact5 = set(ids[np.argsort(-dots)[:5]].tolist())
+        recalls.append(len(exact5 & approx_sets.get(qi, set())) / 5)
+    avg = sum(recalls) / len(recalls)
+    assert avg >= 0.2, f"PQ ADC recall {avg:.2f} too low"
+
+
+def test_pq_codes_cover_corpus(spark):
+    rows = PLANS["sim_pq_codes"].fn(spark, SF_ORACLE).collect()
+    assert sum(r.n_vectors for r in rows) == 500 * 16  # M codes per vector
+    by_sub = {}
+    for r in rows:
+        by_sub.setdefault(r.subspace, 0)
+        by_sub[r.subspace] += 1
+    # every subspace uses a healthy share of its 16 entries
+    assert all(n >= 8 for n in by_sub.values()), by_sub

@@ -33,6 +33,7 @@ ALLPAIRS_BASELINES = {
     "dedup_embedding_cosine",
     "dedup_ngram_jaccard",
     "sim_cosine_topk",
+    "sim_pq_adc_topk",  # broadcast query LUTs × compressed code scan
 }
 # plans whose only BNLJ/cartesian is a broadcast single-row scalar
 # (threshold / total / max) joined against every row — keyless by nature
