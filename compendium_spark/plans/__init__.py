@@ -73,6 +73,7 @@ _ROUND2_NEW = [
     "dedup_cluster_stats",
     "sim_pq_codes",
     "sim_pq_adc_topk",
+    "sim_ivfpq_topk",
 ]
 registry.promote(
     [

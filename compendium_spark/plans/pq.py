@@ -246,3 +246,110 @@ def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id", "rank")
     )
+
+
+def _ivfpq_sql() -> str:
+    from compendium_spark.plans.ivf import _SQL_SCORES, N_PROBE
+
+    return f"""
+WITH {_SQL_PQ_BASE},
+scores AS ({_SQL_SCORES}),
+assign AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+                              ORDER BY score DESC, cell) AS rn
+    FROM scores
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT vec_id AS query_id, cell FROM (
+    SELECT vec_id, cell,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+                              ORDER BY score DESC, cell) AS rn
+    FROM scores WHERE vec_id < 10
+  ) WHERE rn <= {N_PROBE}
+),
+cand AS (
+  SELECT p.query_id, a.vec_id AS cand_id
+  FROM probes p JOIN assign a ON p.cell = a.cell
+  WHERE a.vec_id <> p.query_id
+),
+q AS (SELECT vec_id AS query_id, e FROM v WHERE vec_id < 10),
+adc AS (
+  SELECT cand.query_id, cand.cand_id,
+         {_SQL_ADC_TERMS}
+           AS adc
+  FROM cand
+  JOIN codes c ON c.vec_id = cand.cand_id
+  JOIN q ON q.query_id = cand.query_id
+  {_SQL_ADC_JOINS}
+)
+SELECT query_id, cand_id, ROUND(adc, 6) AS adc_score, rn AS rank
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY adc DESC, cand_id) AS rn
+  FROM adc
+)
+WHERE rn <= 5
+ORDER BY query_id, rank
+"""
+
+
+@plan("sim_ivfpq_topk", oracle=_ivfpq_sql())
+def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ: the full production ANN composition — IVF probes prune
+    the corpus to nprobe/{K} of its cells, then ADC scores the
+    survivors from their codes alone. Neither stage reads the float
+    corpus after index build: candidates come from the (cell)
+    equi-join of the probe list against the inverted file, scoring
+    joins the compressed code table by id with broadcast query LUTs —
+    every join keyed, no all-pairs anywhere, which is what makes this
+    (unlike the two labeled exact baselines) the shape that survives
+    100 TB.
+    """
+    from compendium_spark.plans.extended import _load_embeddings  # noqa: PLC0415
+    from compendium_spark.plans.ivf import (  # noqa: PLC0415
+        N_PROBE,
+        _assign_cells,
+        _cell_scores,
+    )
+
+    emb = _load_embeddings(spark, sf_dir)
+    assign = _assign_cells(emb)
+    w = Window.partitionBy("vec_id").orderBy(F.desc("score"), "cell")
+    probes = (
+        _cell_scores(emb.filter(F.col("vec_id") < 10))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= N_PROBE)
+        .select(F.col("vec_id").alias("query_id"), "cell")
+    )
+    cand = (
+        probes.join(assign, "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("cand_id"))
+    )
+    codes = _assign_codes(emb)
+    luts = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+    ).select("query_id", *[_lut(m).alias(f"lut{m}") for m in range(M)])
+    adc = F.element_at(F.col("lut0"), F.col("code0") + 1)
+    for m in range(1, M):
+        adc = adc + F.element_at(F.col(f"lut{m}"), F.col(f"code{m}") + 1)
+    scored = (
+        cand.join(codes, cand.cand_id == codes.vec_id)
+        .join(F.broadcast(luts), "query_id")
+        .select("query_id", "cand_id", adc.alias("adc"))
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.desc("adc"), "cand_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") <= 5)
+        .select(
+            "query_id",
+            "cand_id",
+            F.round("adc", 6).alias("adc_score"),
+            F.col("rn").alias("rank"),
+        )
+        .orderBy("query_id", "rank")
+    )
