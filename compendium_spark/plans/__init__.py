@@ -74,6 +74,7 @@ _ROUND2_NEW = [
     "sim_pq_codes",
     "sim_pq_adc_topk",
     "sim_ivfpq_topk",
+    "curate_gate_funnel",
 ]
 registry.promote(
     [

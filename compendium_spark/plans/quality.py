@@ -539,3 +539,131 @@ def emb_outlier_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# gate funnel report
+# ---------------------------------------------------------------------------
+
+MIN_TOKENS = 20  # length gate
+
+FUNNEL_SQL = f"""
+WITH t AS (
+  SELECT doc_id,
+         string_split_regex(trim(text), ' +') AS toks,
+         md5(regexp_replace(lower(trim(text)), '[ ]+', ' ', 'g'))
+           AS norm_digest
+  FROM documents
+),
+s AS (
+  SELECT doc_id, norm_digest,
+         CAST(len(toks) AS BIGINT) AS n_tokens,
+         len(toks) >= {MIN_TOKENS} AS pass_len,
+         (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
+            >= {MIN_DISTINCT_RATIO}
+          AND CAST(list_max(list_transform(list_distinct(toks),
+                u -> len(list_filter(toks, x -> x = u)))) AS DOUBLE)
+              / len(toks) <= {MAX_TOP_TOKEN_FRAC}) AS pass_rep,
+         doc_id = MIN(doc_id) OVER (PARTITION BY norm_digest)
+           AS pass_dedup
+  FROM t
+)
+SELECT stage, n_docs, total_tokens FROM (
+  SELECT 0 AS ord, 'ingested' AS stage,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n_tokens) AS BIGINT) AS total_tokens FROM s
+  UNION ALL
+  SELECT 1, 'length', CAST(COUNT(*) FILTER (pass_len) AS BIGINT),
+         CAST(SUM(n_tokens) FILTER (pass_len) AS BIGINT) FROM s
+  UNION ALL
+  SELECT 2, 'repetition', CAST(COUNT(*) FILTER (pass_len AND pass_rep) AS BIGINT),
+         CAST(SUM(n_tokens) FILTER (pass_len AND pass_rep) AS BIGINT) FROM s
+  UNION ALL
+  SELECT 3, 'dedup', CAST(COUNT(*) FILTER (pass_len AND pass_rep AND pass_dedup) AS BIGINT),
+         CAST(SUM(n_tokens) FILTER (pass_len AND pass_rep AND pass_dedup) AS BIGINT) FROM s
+)
+ORDER BY ord
+"""
+
+
+@plan("curate_gate_funnel", oracle=FUNNEL_SQL)
+def curate_gate_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation-funnel report: documents and tokens surviving each
+    successive gate (length → repetition → normalized dedup) — the
+    observability table a corpus run prints so a threshold change or a
+    boilerplate flood is visible as a stage-level drop, before anyone
+    trains on the result.
+
+    One scan computes every gate flag as a column expression; the
+    dedup flag is a min-over-digest window (digests shuffle, text
+    doesn't); the funnel itself is four conditional aggregates over
+    the flag columns (one partial-combining pass), NOT four separate
+    filtered scans. Stage order is an explicit column so the report
+    sorts stably.
+    """
+    docs = load(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), " +")
+    norm = F.md5(
+        F.regexp_replace(F.lower(F.trim(F.col("text"))), " +", " ")
+    )
+    from pyspark.sql.window import Window as W
+
+    s = docs.select(
+        "doc_id",
+        toks.alias("toks"),
+        norm.alias("norm_digest"),
+    ).select(
+        "doc_id",
+        "norm_digest",
+        F.size("toks").cast("long").alias("n_tokens"),
+        (F.size("toks") >= MIN_TOKENS).alias("pass_len"),
+        (
+            (
+                F.size(F.array_distinct("toks")).cast("double")
+                / F.size("toks")
+                >= MIN_DISTINCT_RATIO
+            )
+            & (
+                _top_count(F.col("toks")).cast("double") / F.size("toks")
+                <= MAX_TOP_TOKEN_FRAC
+            )
+        ).alias("pass_rep"),
+    ).withColumn(
+        "pass_dedup",
+        F.col("doc_id")
+        == F.min("doc_id").over(W.partitionBy("norm_digest")),
+    )
+    stages = [
+        (0, "ingested", F.lit(True)),
+        (1, "length", F.col("pass_len")),
+        (2, "repetition", F.col("pass_len") & F.col("pass_rep")),
+        (
+            3,
+            "dedup",
+            F.col("pass_len") & F.col("pass_rep") & F.col("pass_dedup"),
+        ),
+    ]
+    aggs = []
+    for ord_, name, cond in stages:
+        aggs.append(
+            F.sum(F.when(cond, 1).otherwise(0)).alias(f"d{ord_}")
+        )
+        aggs.append(
+            F.sum(F.when(cond, F.col("n_tokens")).otherwise(0)).alias(
+                f"t{ord_}"
+            )
+        )
+    row = s.agg(*aggs)
+    parts = [
+        row.select(
+            F.lit(ord_).alias("ord"),
+            F.lit(name).alias("stage"),
+            F.col(f"d{ord_}").cast("long").alias("n_docs"),
+            F.col(f"t{ord_}").cast("long").alias("total_tokens"),
+        )
+        for ord_, name, _ in stages
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("ord").select("stage", "n_docs", "total_tokens")
