@@ -75,6 +75,7 @@ _ROUND2_NEW = [
     "sim_pq_adc_topk",
     "sim_ivfpq_topk",
     "curate_gate_funnel",
+    "o2_stratified_deterministic",
 ]
 registry.promote(
     [

@@ -215,3 +215,47 @@ def a14_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+# per-status md5-prefix keep thresholds (~10% / ~10% / ~50%)
+_O2B_THRESHOLDS = {"O": "19999999", "F": "19999999", "P": "80000000"}
+
+_O2B_CASE = (
+    "CASE o_orderstatus "
+    + " ".join(f"WHEN '{k}' THEN '{v}'" for k, v in _O2B_THRESHOLDS.items())
+    + " ELSE '00000000' END"
+)
+
+O2B_SQL = f"""
+SELECT o_orderkey, o_orderstatus
+FROM orders
+WHERE substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 8) < {_O2B_CASE}
+ORDER BY o_orderkey
+"""
+
+
+@plan("o2_stratified_deterministic", oracle=O2B_SQL)
+def o2_stratified_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-addressed stratified sampling: per-stratum keep
+    fractions expressed as md5-prefix thresholds — the same per-row
+    scan-stage filter as o2_stratified_sample's Bernoulli sampleBy,
+    but reproducible across engines, runs, and reshards (and therefore
+    value-hash-checked, where the seeded variant is rows-only). The
+    trade: rates tied to a hash of the key, so resampling with a new
+    "seed" means salting the hash input, not changing a seed int.
+    """
+    orders = load(spark, sf_dir, "orders")
+    threshold = F.lit("00000000")
+    for k, v in _O2B_THRESHOLDS.items():
+        threshold = F.when(F.col("o_orderstatus") == k, F.lit(v)).otherwise(
+            threshold
+        )
+    keep = (
+        F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 8)
+        < threshold
+    )
+    return (
+        orders.filter(keep)
+        .select("o_orderkey", "o_orderstatus")
+        .orderBy("o_orderkey")
+    )
