@@ -54,6 +54,14 @@ BENCH_QUERIES = [
     "q9_product_type_profit",
     "q21_waiting_orders",
     "w8_ntile_bands_scaled",
+    # round 2, late additions (quality / compression / PQ surface)
+    "text_repetition_ratio",
+    "curate_pii_redact",
+    "curate_gate_funnel",
+    "emb_quantize_int8",
+    "sim_pq_adc_topk",
+    "sim_ivfpq_topk",
+    "streaming_enrich_join",
 ]
 
 
