@@ -76,16 +76,23 @@ def _baseline() -> dict[str, float]:
         glob.glob(os.path.join(here, "BENCH_r*.json")),
         key=lambda p: int(re.search(r"BENCH_r(\d+)", p).group(1)),
     )
-    if not runs:
-        return {}
-    try:
-        with open(runs[-1]) as f:
-            doc = json.load(f)
-        # the driver wraps our JSON line under "parsed"
-        doc = doc.get("parsed", doc)
-        return dict(doc.get("queries", {}))
-    except (OSError, json.JSONDecodeError):
-        return {}
+    # walk newest-first, skipping rounds whose run crashed (BENCH_r02
+    # has "parsed": null) so the guard compares against real timings
+    for path in reversed(runs):
+        try:
+            with open(path) as f:
+                doc = json.load(f)
+            # the driver wraps our JSON line under "parsed"
+            doc = doc.get("parsed", doc) or {}
+            queries = {
+                k: v for k, v in dict(doc.get("queries", {})).items()
+                if isinstance(v, (int, float))
+            }
+            if queries:
+                return queries
+        except (OSError, json.JSONDecodeError, AttributeError, TypeError):
+            continue
+    return {}
 
 
 def main() -> None:
@@ -114,11 +121,19 @@ def main() -> None:
     base = _baseline() if sf == "0.1" else {}
     timings: dict[str, float] = {}
     rows: dict[str, int] = {}
+    errors: dict[str, str] = {}
 
+    # One broken query must never zero out the whole artifact (round 2's
+    # j10_range_join aborted the entire bench): every execution is
+    # wrapped, failures are recorded under "errors", and the run goes on.
     def run_once(name: str) -> None:
-        t0 = time.perf_counter()
-        rows[name] = plans[name].fn(spark, sf_dir).count()
-        t = time.perf_counter() - t0
+        try:
+            t0 = time.perf_counter()
+            rows[name] = plans[name].fn(spark, sf_dir).count()
+            t = time.perf_counter() - t0
+        except Exception as exc:  # noqa: BLE001 — survive any plan failure
+            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+            return
         timings[name] = min(timings.get(name, float("inf")), t)
 
     for _pass in range(2):
@@ -129,9 +144,12 @@ def main() -> None:
     # is not a plan regression
     for name in BENCH_QUERIES:
         b = base.get(name)
-        if b and timings[name] > 1.3 * b:
+        if b and name in timings and timings[name] > 1.3 * b:
             run_once(name)
     for name in BENCH_QUERIES:
+        if name in errors and name not in timings:
+            print(f"# {name}: ERROR {errors[name]}", file=sys.stderr)
+            continue
         timings[name] = round(timings[name], 4)
         print(f"# {name}: {timings[name]:.3f}s ({rows[name]} rows)", file=sys.stderr)
 
@@ -151,17 +169,16 @@ def main() -> None:
         )
 
     total = round(sum(timings.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    if errors:
+        out["errors"] = {k: v for k, v in errors.items() if k not in timings}
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -27,25 +27,34 @@ from compendium_spark.plans import (  # noqa: F401
     windows,
 )
 
-# The driver's correctness gate samples a prefix of the registry
-# (50 plans in round 1), so the iteration order is explicitly tiered:
-#   tier 1 — plans with no driver-green row in CORRECTNESS_r01.json
-#            (all of tpch/tpch2/windows/relational_ext/text, j9) plus
-#            the two whose round-1 rows were red and are fixed this
-#            round (mm_feature_pipeline dtype, a_approx_aggregates
-#            array output);
-#   tier 2 — plans new in round 2 (tpch3's q2/q9/q11/q15/q20/q21 and
-#            the w8 scale form) — whatever fits the remaining window
-#            goes green now, the rest lead the next round's window;
-#   tier 3 — everything already green in round 1.
-_ROUND2_NEW = [
-    "w8_ntile_bands_scaled",
-    "q2_min_cost_supplier",
-    "q9_product_type_profit",
+# The driver's correctness gate samples a 50-plan prefix of the
+# registry per round, so iteration order is explicitly tiered each
+# round to burn down plans without a driver-green row. Round 3:
+#   tier 1 — every oracle-checked plan with no green row in
+#            CORRECTNESS_r01/r02 (round-2 additions never sampled, the
+#            four TIMESTAMP_NTZ-broken plans now fixed, TPC-H
+#            q11/q15/q20/q21) plus the new a_approx_error_bound twin;
+#   tier 2 — the three rows-only-by-design plans (seeded samples,
+#            sketch aggregates) so the driver records their weaker
+#            rows-only check this round;
+#   tier 3 — re-verification slots: timestamp-consuming plans already
+#            green in r02, re-sampled to prove the central NTZ
+#            normalization changed no values;
+#   tier 4 — everything else (green in r01/r02), registration order.
+_ROUND3_NEVER_GREEN = [
+    # fixed this round (TIMESTAMP_NTZ)
+    "w7_range_frame",
+    "j10_range_join",
+    "w3_sessionization",
+    "ts_resample_ffill",
+    # new this round
+    "a_approx_error_bound",
+    # TPC-H stragglers
     "q11_important_stock",
     "q15_top_supplier",
     "q20_potential_promotion",
     "q21_waiting_orders",
+    # round-2 additions the window never reached
     "text_chunk_windows",
     "curate_pack_sequences",
     "dedup_normalized",
@@ -54,56 +63,44 @@ _ROUND2_NEW = [
     "streaming_interval_join",
     "streaming_dedup",
     "streaming_running_totals",
-    "ts_resample_ffill",
+    "streaming_session_windows",
+    "streaming_enrich_join",
     "curate_decontaminate",
     "curate_cap_per_source",
-    "emb_lang_centroids",
     "curate_mixture_sample",
-    "streaming_session_windows",
-    "text_lm_score",
-    "j13_blocked_fuzzy_join",
-    "w9_rank_distributions",
-    "text_repetition_ratio",
     "curate_pii_redact",
     "curate_split_assign",
+    "curate_gate_funnel",
     "corpus_stats_report",
+    "emb_lang_centroids",
     "emb_quantize_int8",
     "emb_outlier_filter",
-    "streaming_enrich_join",
+    "text_lm_score",
+    "text_repetition_ratio",
+    "j13_blocked_fuzzy_join",
+    "w9_rank_distributions",
     "dedup_cluster_stats",
     "sim_pq_codes",
     "sim_pq_adc_topk",
     "sim_ivfpq_topk",
-    "curate_gate_funnel",
     "o2_stratified_deterministic",
 ]
-registry.promote(
-    [
-        # TPC-H family as of round 1
-        *[
-            n
-            for n, p in registry.all_plans().items()
-            if n.startswith("q") and n not in _ROUND2_NEW
-        ],
-        # windows, sessionization, scalar/date/json functions, set ops,
-        # pivot, as-of/range/skew joins, argmax, grouping sets
-        *[
-            n
-            for n, p in registry.all_plans().items()
-            if p.fn.__module__.endswith(("relational_ext", "windows"))
-            and n not in _ROUND2_NEW
-        ],
-        # text analysis + keyword filter (SURVEY P6)
-        *[
-            n
-            for n, p in registry.all_plans().items()
-            if p.fn.__module__.endswith("plans.text")
-        ],
-        "j9_semi_join",
-        "mm_feature_pipeline",
-        "a_approx_aggregates",
-        *_ROUND2_NEW,
-    ]
-)
+_ROWS_ONLY_BY_DESIGN = [
+    "a_approx_aggregates",
+    "o1_seeded_sample",
+    "o2_stratified_sample",
+]
+_NTZ_REVERIFY = [
+    "w1_tumbling_window",
+    "w2_sliding_window",
+    "j8_asof_join",
+    "w4_running_sum",
+    "w6_lag_lead_delta",
+    "f_date_functions",
+    "q1_pricing_summary",
+    "q4_order_priority",
+    "q16_supplier_count",
+]
+registry.promote([*_ROUND3_NEVER_GREEN, *_ROWS_ONLY_BY_DESIGN, *_NTZ_REVERIFY])
 
 all_plans = registry.all_plans

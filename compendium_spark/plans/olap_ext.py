@@ -103,6 +103,55 @@ def a_approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+APPROX_BOUND_SQL = """
+SELECT l_returnflag,
+       COUNT(DISTINCT l_orderkey) AS exact_orders,
+       CAST(ROUND(CAST(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.5) AS DOUBLE), 2) AS DOUBLE)
+           AS exact_q50,
+       TRUE AS distinct_ok,
+       TRUE AS q50_ok
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+@plan("a_approx_error_bound", oracle=APPROX_BOUND_SQL)
+def a_approx_error_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verifiable twin of ``a_approx_aggregates``: sketch values are
+    engine-specific (no hash oracle possible), but their *error bounds*
+    are checkable. Computes exact count-distinct / exact median
+    alongside the HLL++ / KLL approximations in ONE aggregate pass and
+    emits booleans asserting the approximations sit within their
+    documented relative error (HLL rsd=0.02 → allow 5x margin; KLL at
+    accuracy 10000 is near-exact → 1% bound). The oracle computes the
+    exact values and TRUE literals — a hash match therefore proves the
+    sketches were within bound. Exact aggregates here are the
+    verification cost; production uses the sketch-only sibling."""
+    li = load(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_returnflag").agg(
+        F.count_distinct("l_orderkey").alias("exact_orders"),
+        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
+        F.percentile("l_extendedprice", 0.5).cast("double").alias("exact_q50_raw"),
+        F.percentile_approx("l_extendedprice", 0.5, 10000)
+        .cast("double")
+        .alias("approx_q50"),
+    )
+    return agg.select(
+        "l_returnflag",
+        "exact_orders",
+        F.round("exact_q50_raw", 2).cast("double").alias("exact_q50"),
+        (
+            F.abs(F.col("approx_orders") - F.col("exact_orders"))
+            <= 0.10 * F.col("exact_orders")
+        ).alias("distinct_ok"),
+        (
+            F.abs(F.col("approx_q50") - F.col("exact_q50_raw"))
+            <= 0.01 * F.abs(F.col("exact_q50_raw"))
+        ).alias("q50_ok"),
+    ).orderBy("l_returnflag")
+
+
 @plan("o2_stratified_sample", oracle=None)  # sampling is engine-specific
 def o2_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Seeded stratified sampling per key — the distributed form of the

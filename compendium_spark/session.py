@@ -39,6 +39,12 @@ def get_session(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # Timezone-less parquet timestamps read as TIMESTAMP (UTC), not
+        # TIMESTAMP_NTZ: keeps unix_micros()/time funcs valid directly on
+        # the scan output (no cast Project) regardless of how the driver
+        # regenerates testdata. tables._normalize_timestamps covers
+        # sessions not built through this factory.
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.ui.enabled", "false")

@@ -26,16 +26,17 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-EVENTS_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # nanos-as-long (see tables.load)
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+def _events_schema(ts_type: T.DataType) -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", ts_type),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -43,6 +44,14 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The file stream source requires a *directory*; testdata is a bare
     read-only file, so stage a symlink dir under /tmp.
+
+    The stream schema must track the on-disk `ts` physical type, which
+    the driver has regenerated across rounds (TIMESTAMP(NANOS) → plain
+    timestamp[us]): a batch probe of the footer decides whether we read
+    nanos-as-long + convert, or read the timestamp directly. Hardcoding
+    either layout silently mis-times every event under the other
+    (round-3 fix — the nanos assumption put all events in Jan 1970 and
+    collapsed the window counts).
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     stream_dir = Path(tempfile.gettempdir()) / (
@@ -52,12 +61,18 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     link = stream_dir / "events.parquet"
     if not link.exists():
         link.symlink_to(Path(sf_dir) / "events.parquet")
+    on_disk = dict(spark.read.parquet(f"{sf_dir}/events.parquet").dtypes).get("ts")
+    nanos = on_disk == "bigint"
     raw = (
-        spark.readStream.schema(EVENTS_SCHEMA)
+        spark.readStream.schema(
+            _events_schema(T.LongType() if nanos else T.TimestampType())
+        )
         .option("maxFilesPerTrigger", 1)
         .parquet(str(stream_dir))
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if nanos:
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def _run_to_memory(stream: DataFrame, name: str, output_mode: str) -> DataFrame:

@@ -30,12 +30,29 @@ TABLE_NAMES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def _normalize_timestamps(df: DataFrame) -> DataFrame:
+    """Cast every TIMESTAMP_NTZ column to TIMESTAMP.
+
+    The driver's parquet stores `events.ts` as timezone-less
+    timestamp[us]; Spark 4 infers TIMESTAMP_NTZ for it, but functions
+    like ``F.unix_micros`` require TIMESTAMP. The session timezone is
+    pinned to UTC (session.py), so the cast is lossless — wall-clock
+    values are unchanged — and doing it once here keeps every plan free
+    of per-column casts (and immune to future testdata dtype drift).
+    """
+    ntz_cols = [f.name for f in df.schema.fields if f.dataType.typeName() == "timestamp_ntz"]
+    for c in ntz_cols:
+        df = df.withColumn(c, F.col(c).cast("timestamp"))
+    return df
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one testdata table. Parquet → full pushdown/pruning.
 
-    `events.ts` is stored as parquet TIMESTAMP(NANOS), which Spark
-    rejects by default; we read nanos as long and convert to a
-    microsecond timestamp (truncation — matches DuckDB's µs read).
+    Timestamp handling has to survive driver-side data regeneration:
+    older testdata stored `events.ts` as parquet TIMESTAMP(NANOS)
+    (read as long + converted), newer testdata stores timestamp[us]
+    with no timezone (inferred TIMESTAMP_NTZ, normalized to TIMESTAMP).
     """
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
@@ -44,8 +61,8 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         if dict(df.dtypes).get("ts") == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        return df
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        return _normalize_timestamps(df)
+    return _normalize_timestamps(spark.read.parquet(f"{sf_dir}/{name}.parquet"))
 
 
 # Broadcast only dims whose on-disk parquet stays under this budget.
