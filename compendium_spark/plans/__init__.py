@@ -9,6 +9,7 @@ from compendium_spark.plans import (  # noqa: F401
     ann,
     curation,
     extended,
+    incremental,
     ivf,
     multimodal,
     olap_ext,
@@ -84,6 +85,10 @@ _ROUND3_NEVER_GREEN = [
     "sim_pq_adc_topk",
     "sim_ivfpq_topk",
     "o2_stratified_deterministic",
+    # new in round 3
+    "mv_incremental_refresh",
+    "w10_funnel_conversion",
+    "dedup_substring_shingle",
 ]
 _ROWS_ONLY_BY_DESIGN = [
     "a_approx_aggregates",
@@ -94,12 +99,9 @@ _NTZ_REVERIFY = [
     "w1_tumbling_window",
     "w2_sliding_window",
     "j8_asof_join",
-    "w4_running_sum",
-    "w6_lag_lead_delta",
     "f_date_functions",
     "q1_pricing_summary",
     "q4_order_priority",
-    "q16_supplier_count",
 ]
 registry.promote([*_ROUND3_NEVER_GREEN, *_ROWS_ONLY_BY_DESIGN, *_NTZ_REVERIFY])
 

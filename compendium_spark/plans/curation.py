@@ -416,3 +416,61 @@ def dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("keep_doc_id", "n_copies", "norm_digest")
         .orderBy("keep_doc_id")
     )
+
+
+SUBSTRING_DEDUP_SQL = """
+WITH pos AS (
+  SELECT doc_id, text,
+         unnest(generate_series(1, greatest(length(text) - 39, 1), 20)) AS i
+  FROM documents
+  WHERE length(text) >= 40
+),
+sh AS (
+  SELECT doc_id, substr(text, CAST(i AS INTEGER), 40) AS shingle FROM pos
+),
+first_seen AS (
+  SELECT shingle, MIN(doc_id) AS first_doc FROM sh GROUP BY shingle
+)
+SELECT DISTINCT s.doc_id
+FROM sh s JOIN first_seen f USING (shingle)
+WHERE s.doc_id > f.first_doc
+ORDER BY doc_id
+"""
+
+
+@plan("dedup_substring_shingle", oracle=SUBSTRING_DEDUP_SQL)
+def dedup_substring_shingle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level dedup: flag every document that shares ANY
+    40-char shingle (stride 20) with an earlier document — the
+    distributed approximation of suffix-array substring dedup (Lee et
+    al. 2022, "Deduplicating Training Data Makes Language Models
+    Better"): a suffix array finds repeated substrings exactly; strided
+    fixed-length shingles find every repeat of length >= 59 (a 40-gram
+    window is guaranteed to land fully inside it) at a cost Spark can
+    shuffle.
+
+    Scale shape: explode is map-side (rows ~ total_chars/stride), the
+    min-per-shingle groupBy and the shingle equi-join are the only
+    shuffles, both keyed — never all-pairs. At 100 TB the shuffle key
+    would be xxhash64(shingle) (8 bytes instead of 40) with the raw
+    shingle kept only for a collision-killing residual compare; the
+    test-scale plan joins on the raw shingle so the DuckDB oracle is
+    hash-free."""
+    docs = load(spark, sf_dir, "documents").where(F.length("text") >= 40)
+    sh = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, greatest(length(text) - 39, 1), 20),"
+                " i -> substr(text, i, 40))"
+            )
+        ).alias("shingle"),
+    )
+    first_seen = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        sh.join(first_seen, "shingle")
+        .where(F.col("doc_id") > F.col("first_doc"))
+        .select("doc_id")
+        .distinct()
+        .orderBy("doc_id")
+    )

@@ -147,3 +147,84 @@ def w3_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "session_id")
     )
+
+
+FUNNEL_SQL = """
+WITH u AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'signup' THEN ts END) AS st
+  FROM events GROUP BY user_id
+),
+v AS (
+  SELECT u.user_id, MIN(e.ts) AS vt
+  FROM u JOIN events e
+    ON e.user_id = u.user_id AND e.event_type = 'view' AND e.ts > u.st
+  GROUP BY u.user_id
+),
+c AS (
+  SELECT v.user_id, MIN(e.ts) AS ct
+  FROM v JOIN events e
+    ON e.user_id = v.user_id AND e.event_type = 'click' AND e.ts > v.vt
+  GROUP BY v.user_id
+),
+p AS (
+  SELECT c.user_id, MIN(e.ts) AS pt
+  FROM c JOIN events e
+    ON e.user_id = c.user_id AND e.event_type = 'purchase' AND e.ts > c.ct
+  GROUP BY c.user_id
+)
+SELECT (SELECT COUNT(st) FROM u) AS n_signup,
+       (SELECT COUNT(*) FROM v) AS n_view,
+       (SELECT COUNT(*) FROM c) AS n_click,
+       (SELECT COUNT(*) FROM p) AS n_purchase
+"""
+
+
+@plan("w10_funnel_conversion", oracle=FUNNEL_SQL)
+def w10_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel (signup -> view -> click -> purchase):
+    how many users reach each stage, where every stage's event must be
+    strictly AFTER the previous stage's first event.
+
+    Scale shape: ONE shuffle. Each user's per-type timestamps are
+    gathered in a single groupBy into sorted arrays, then the stage
+    chain is resolved with array higher-order functions (filter +
+    element_at) — no per-stage self-join of the 100 TB event table,
+    which is what the equivalent SQL (see oracle) would do. State per
+    user is O(events of that user), the same as any sessionization.
+    The oracle expresses the identical semantics as a per-stage
+    min-join chain, which DuckDB can run on test-scale data.
+    """
+    ev = load(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias("st"),
+        F.array_sort(
+            F.collect_list(F.when(F.col("event_type") == "view", F.col("ts")))
+        ).alias("views"),
+        F.array_sort(
+            F.collect_list(F.when(F.col("event_type") == "click", F.col("ts")))
+        ).alias("clicks"),
+        F.array_sort(
+            F.collect_list(F.when(F.col("event_type") == "purchase", F.col("ts")))
+        ).alias("purchases"),
+    )
+    staged = (
+        per_user.withColumn(
+            "vt",
+            F.element_at(F.filter("views", lambda x: x > F.col("st")), 1),
+        )
+        .withColumn(
+            "ct",
+            F.element_at(F.filter("clicks", lambda x: x > F.col("vt")), 1),
+        )
+        .withColumn(
+            "pt",
+            F.element_at(F.filter("purchases", lambda x: x > F.col("ct")), 1),
+        )
+    )
+    return staged.agg(
+        F.count("st").alias("n_signup"),
+        F.count("vt").alias("n_view"),
+        F.count("ct").alias("n_click"),
+        F.count("pt").alias("n_purchase"),
+    )
