@@ -62,6 +62,11 @@ BENCH_QUERIES = [
     "sim_pq_adc_topk",
     "sim_ivfpq_topk",
     "streaming_enrich_join",
+    # round 3 additions
+    "mv_incremental_refresh",
+    "w10_funnel_conversion",
+    "dedup_substring_shingle",
+    "a_approx_error_bound",
 ]
 
 
