@@ -89,6 +89,7 @@ _ROUND3_NEVER_GREEN = [
     "mv_incremental_refresh",
     "w10_funnel_conversion",
     "dedup_substring_shingle",
+    "sim_sq_topk_recall",
 ]
 _ROWS_ONLY_BY_DESIGN = [
     "a_approx_aggregates",
@@ -101,7 +102,6 @@ _NTZ_REVERIFY = [
     "j8_asof_join",
     "f_date_functions",
     "q1_pricing_summary",
-    "q4_order_priority",
 ]
 registry.promote([*_ROUND3_NEVER_GREEN, *_ROWS_ONLY_BY_DESIGN, *_NTZ_REVERIFY])
 

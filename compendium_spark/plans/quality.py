@@ -18,7 +18,7 @@ text or vectors.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from compendium_spark.plans.registry import plan
@@ -441,6 +441,140 @@ def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("mean_abs_err"),
     ).orderBy("vec_id")
+
+
+SQ_TOPK = 5
+SQ_N_QUERIES = 10
+SQ_RECALL_MIN = 0.6
+
+SQ_RECALL_SQL = f"""
+SELECT vec_id AS query_id, TRUE AS recall_ok
+FROM embeddings
+WHERE vec_id < {SQ_N_QUERIES}
+ORDER BY query_id
+"""
+
+
+@plan("sim_sq_topk_recall", oracle=SQ_RECALL_SQL)
+def sim_sq_topk_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-quantized (int8) similarity search, recall-verified.
+
+    The serving-side composition of ``emb_quantize_int8`` with top-k
+    search: vectors are reconstructed from their 255-step affine codes
+    (global per-dim min/max, single-row broadcast) and ranked by
+    quantized cosine; the plan computes the EXACT top-{SQ_TOPK} and the
+    QUANTIZED top-{SQ_TOPK} in the same pairs pass and emits, per
+    query, a boolean asserting recall@{SQ_TOPK} >= {SQ_RECALL_MIN}.
+    Like ``a_approx_error_bound``, the approximation itself is
+    engine-specific but its quality bound is oracle-checkable: the
+    oracle emits TRUE per query, so a hash match proves the quantized
+    index met the recall bar. Production serves codes only (4x less
+    memory bandwidth than float32); this plan is the verification twin
+    that keeps that path honest.
+
+    Shape: quantize + reconstruct are scan-stage array expressions
+    (codes built once per vector, map-side); one broadcast-queries x
+    corpus pass scores both exact and quantized cosine per pair; two
+    window ranks + one per-query aggregate compute the set overlap.
+    The corpus never shuffles; cost is O(queries x corpus), the same
+    as the labeled-exact baseline it verifies against.
+    """
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("e"),
+    )
+    mm = (
+        emb.select(F.posexplode("e").alias("pos0", "x"))
+        .groupBy("pos0")
+        .agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+        .agg(
+            F.array_sort(F.collect_list(F.struct("pos0", "mn", "mx"))).alias(
+                "mm"
+            )
+        )
+    )
+    withmm = emb.join(F.broadcast(mm))  # single-row scalar broadcast
+    mn = lambda i: F.element_at(F.col("mm"), i).getField("mn")  # noqa: E731
+    mx = lambda i: F.element_at(F.col("mm"), i).getField("mx")  # noqa: E731
+    code = lambda i: (  # noqa: E731
+        F.when(mx(i) == mn(i), F.lit(0).cast("long")).otherwise(
+            F.floor(
+                (F.element_at(F.col("e"), i) - mn(i)) / (mx(i) - mn(i)) * 255
+                + 0.5
+            )
+            - 128
+        )
+    )
+    xhat = lambda i: (  # noqa: E731
+        mn(i) + (code(i) + 128).cast("double") / 255 * (mx(i) - mn(i))
+    )
+    dims = F.sequence(F.lit(1), F.lit(EMB_DIM))
+    vecs = withmm.select(
+        "vec_id",
+        "e",
+        F.transform(dims, lambda i: xhat(i)).alias("eq"),
+    )
+
+    def _dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    vecs = vecs.withColumn("nrm", F.sqrt(_dot(F.col("e"), F.col("e")))).withColumn(
+        "nrmq", F.sqrt(_dot(F.col("eq"), F.col("eq")))
+    )
+    q = vecs.filter(F.col("vec_id") < SQ_N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("e").alias("q_e"),
+        F.col("eq").alias("q_eq"),
+        F.col("nrm").alias("q_nrm"),
+        F.col("nrmq").alias("q_nrmq"),
+    )
+    c = vecs.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("e").alias("c_e"),
+        F.col("eq").alias("c_eq"),
+        F.col("nrm").alias("c_nrm"),
+        F.col("nrmq").alias("c_nrmq"),
+    )
+    pairs = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            (_dot(F.col("q_e"), F.col("c_e")) / (F.col("q_nrm") * F.col("c_nrm"))).alias(
+                "cos_exact"
+            ),
+            (
+                _dot(F.col("q_eq"), F.col("c_eq"))
+                / (F.col("q_nrmq") * F.col("c_nrmq"))
+            ).alias("cos_sq"),
+        )
+    )
+    w_e = Window.partitionBy("query_id").orderBy(F.desc("cos_exact"), "cand_id")
+    w_q = Window.partitionBy("query_id").orderBy(F.desc("cos_sq"), "cand_id")
+    ranked = pairs.withColumn("rn_e", F.row_number().over(w_e)).withColumn(
+        "rn_q", F.row_number().over(w_q)
+    )
+    per_query = ranked.groupBy("query_id").agg(
+        F.collect_set(F.when(F.col("rn_e") <= SQ_TOPK, F.col("cand_id"))).alias(
+            "exact_set"
+        ),
+        F.collect_set(F.when(F.col("rn_q") <= SQ_TOPK, F.col("cand_id"))).alias(
+            "sq_set"
+        ),
+    )
+    return per_query.select(
+        "query_id",
+        (
+            F.size(F.array_intersect("exact_set", "sq_set"))
+            >= F.lit(int(SQ_TOPK * SQ_RECALL_MIN))
+        ).alias("recall_ok"),
+    ).orderBy("query_id")
 
 
 # ---------------------------------------------------------------------------
