@@ -100,6 +100,48 @@ def _baseline() -> dict[str, float]:
     return {}
 
 
+def run_suite(
+    names: list[str],
+    execute,
+    base: dict[str, float],
+) -> tuple[dict[str, float], dict[str, int], dict[str, str]]:
+    """Run the suite (2 interleaved passes + late confirmation pass for
+    >1.3x-vs-baseline outliers), returning (timings, rows, errors).
+
+    One broken query must never zero out the whole artifact (round 2's
+    j10_range_join aborted the entire bench): every execution is
+    wrapped, failures are recorded under ``errors``, and the run goes
+    on. ``execute(name) -> row_count`` is injected so
+    tests/test_bench_harness.py can prove the isolation without a
+    SparkSession.
+    """
+    timings: dict[str, float] = {}
+    rows: dict[str, int] = {}
+    errors: dict[str, str] = {}
+
+    def run_once(name: str) -> None:
+        try:
+            t0 = time.perf_counter()
+            rows[name] = execute(name)
+            t = time.perf_counter() - t0
+        except Exception as exc:  # noqa: BLE001 — survive any plan failure
+            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+            return
+        timings[name] = min(timings.get(name, float("inf")), t)
+
+    for _pass in range(2):
+        for name in names:
+            run_once(name)
+    # confirmation pass: anything still >1.3x its recorded baseline
+    # gets one more (late, outside the earlier windows) run — a spike
+    # is not a plan regression
+    for name in names:
+        b = base.get(name)
+        if b and name in timings and timings[name] > 1.3 * b:
+            run_once(name)
+    return timings, rows, errors
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -124,33 +166,11 @@ def main() -> None:
     # interleaving puts a query's reps minutes apart so the min sees at
     # least one un-throttled run. Pass 1 also pays per-plan codegen.
     base = _baseline() if sf == "0.1" else {}
-    timings: dict[str, float] = {}
-    rows: dict[str, int] = {}
-    errors: dict[str, str] = {}
-
-    # One broken query must never zero out the whole artifact (round 2's
-    # j10_range_join aborted the entire bench): every execution is
-    # wrapped, failures are recorded under "errors", and the run goes on.
-    def run_once(name: str) -> None:
-        try:
-            t0 = time.perf_counter()
-            rows[name] = plans[name].fn(spark, sf_dir).count()
-            t = time.perf_counter() - t0
-        except Exception as exc:  # noqa: BLE001 — survive any plan failure
-            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
-            return
-        timings[name] = min(timings.get(name, float("inf")), t)
-
-    for _pass in range(2):
-        for name in BENCH_QUERIES:
-            run_once(name)
-    # confirmation pass: anything still >1.3x its recorded baseline
-    # gets one more (late, outside the earlier windows) run — a spike
-    # is not a plan regression
-    for name in BENCH_QUERIES:
-        b = base.get(name)
-        if b and name in timings and timings[name] > 1.3 * b:
-            run_once(name)
+    timings, rows, errors = run_suite(
+        BENCH_QUERIES,
+        lambda name: plans[name].fn(spark, sf_dir).count(),
+        base,
+    )
     for name in BENCH_QUERIES:
         if name in errors and name not in timings:
             print(f"# {name}: ERROR {errors[name]}", file=sys.stderr)

@@ -34,6 +34,9 @@ ALLPAIRS_BASELINES = {
     "dedup_ngram_jaccard",
     "sim_cosine_topk",
     "sim_pq_adc_topk",  # broadcast query LUTs × compressed code scan
+    # verification twin: exact + quantized cosine in one broadcast
+    # queries × corpus sweep, plus two single-row min/max broadcasts
+    "sim_sq_topk_recall",
 }
 # plans whose only BNLJ/cartesian is a broadcast single-row scalar
 # (threshold / total / max) joined against every row — keyless by nature
