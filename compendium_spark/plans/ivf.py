@@ -19,7 +19,7 @@ engines share one formulation.
 from __future__ import annotations
 
 import numpy as np
-from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from compendium_spark.plans.registry import plan
@@ -31,26 +31,6 @@ _rng = np.random.default_rng(7)
 CENTROIDS: list[list[float]] = [
     [round(float(x), 6) for x in _rng.standard_normal(DIM)] for _ in range(N_CELLS)
 ]
-
-
-def _dot_lit(e: Column, centroid: list[float]) -> Column:
-    # fold form, not unrolled: 16 centroids × 64 dims in one projection
-    # would blow Janino's 64 KB method limit (see plans/ann.py)
-    arr = F.array(*[F.lit(v) for v in centroid])
-    return F.aggregate(
-        F.zip_with(e, arr, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
-    )
-
-
-def _cell_scores(emb: DataFrame) -> DataFrame:
-    """(vec_id, cell, score) — dot of every vector with every centroid,
-    via one posexplode of a K-element score array (map-side only)."""
-    scores = F.array(
-        *[_dot_lit(F.col("e"), CENTROIDS[c]) for c in range(N_CELLS)]
-    )
-    return emb.select(
-        "vec_id", F.posexplode(scores).alias("cell", "score")
-    )
 
 
 def _assign_cells(emb: DataFrame) -> DataFrame:
@@ -95,6 +75,46 @@ def _assign_cells(emb: DataFrame) -> DataFrame:
     # columns first (mapInPandas ships every input column).
     return emb.select("vec_id", "e").mapInPandas(
         assign, schema="vec_id long, cell int"
+    )
+
+
+def _probe_cells(emb: DataFrame, n_probe: int) -> DataFrame:
+    """(query_id, cell) — the ``n_probe`` best cells per query vector,
+    computed in the SAME sequential-accumulation Arrow kernel as
+    ``_assign_cells`` (scores bit-identical to the fold-dot / DuckDB
+    list_sum), with the oracle's ROW_NUMBER ORDER BY score DESC, cell
+    tie-break via a stable lexsort. Replaces a 16-fold-dot + window
+    subtree whose codegen alone cost ~1 s per run at any scale — the
+    probe list is tiny (queries × n_probe rows), the work belongs in
+    one NumPy batch."""
+    import pandas as pd  # noqa: PLC0415
+
+    centroids = np.asarray(CENTROIDS, dtype=np.float64)  # (K, DIM)
+
+    def probe(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.vstack(pdf["e"].to_numpy()).astype(np.float64)
+            scores = np.zeros((len(x), N_CELLS))
+            for k in range(N_CELLS):
+                acc = np.zeros(len(x))
+                for d in range(x.shape[1]):
+                    acc = acc + x[:, d] * centroids[k, d]
+                scores[:, k] = acc
+            qids, cells = [], []
+            cell_idx = np.arange(N_CELLS)
+            for r in range(len(x)):
+                # stable: cell ascending as secondary, -score primary
+                order = np.lexsort((cell_idx, -scores[r]))[:n_probe]
+                qids.extend([pdf["vec_id"].iloc[r]] * n_probe)
+                cells.extend(order.tolist())
+            yield pd.DataFrame(
+                {"query_id": qids, "cell": np.asarray(cells, dtype="int32")}
+            )
+
+    return emb.select("vec_id", "e").mapInPandas(
+        probe, schema="query_id long, cell int"
     )
 
 
@@ -206,14 +226,9 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _load_embeddings(spark, sf_dir)
     # inverted file: map-side argmax assignment, no explode/window
     assign = _assign_cells(emb)
-    # probe list: only the ≤10 query vectors explode their 16 scores
-    w = Window.partitionBy("vec_id").orderBy(F.desc("score"), "cell")
-    probes = (
-        _cell_scores(emb.filter(F.col("vec_id") < 10))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= N_PROBE)
-        .select(F.col("vec_id").alias("query_id"), "cell")
-    )
+    # probe list: the ≤10 query vectors ranked in the same Arrow kernel
+    # as the assignment (no 16-fold-dot codegen subtree, no window)
+    probes = _probe_cells(emb.filter(F.col("vec_id") < 10), N_PROBE)
     n = emb.withColumn("nrm", F.sqrt(_dot_unrolled(F.col("e"), F.col("e"))))
     # assign is unique per vec_id and a query's probe cells are
     # distinct, so the cell join cannot duplicate (query, cand) pairs —
@@ -228,7 +243,11 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("vec_id") != F.col("query_id"))
         .select("query_id", F.col("vec_id").alias("cand_id"))
     )
-    q = n.select(
+    # query-side norms only for the 10 query vectors: Catalyst cannot
+    # push cand's query_id < 10 constraint through the join, so without
+    # this filter the q subtree computes 64-dim norms for the WHOLE
+    # corpus a second time
+    q = n.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"),
         F.col("e").alias("qe"),
         F.col("nrm").alias("qn"),

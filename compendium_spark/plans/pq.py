@@ -79,6 +79,51 @@ def _assign_codes(emb: DataFrame) -> DataFrame:
     return emb.select("vec_id", "e").mapInPandas(assign, schema=schema)
 
 
+def _assign_index(emb: DataFrame) -> DataFrame:
+    """(vec_id, cell, code0..code{M-1}) — the FUSED IVF-PQ index build:
+    coarse-cell assignment and all M subspace codes computed in ONE
+    Arrow pass over the corpus (this is how a real IVF-PQ build works —
+    FAISS emits the inverted list id and the code word together).
+    Versus composing ``ivf._assign_cells`` + ``_assign_codes``, this
+    halves the corpus→Python Arrow transfers and removes one corpus-
+    sized join downstream. Same sequential-accumulation arithmetic, so
+    cell/code values are bit-identical to the unfused kernels and the
+    oracle."""
+    import pandas as pd  # noqa: PLC0415
+
+    from compendium_spark.plans.ivf import CENTROIDS, N_CELLS  # noqa: PLC0415
+
+    centroids = np.asarray(CENTROIDS, dtype=np.float64)
+    cbs = [np.asarray(CODEBOOKS[m], dtype=np.float64) for m in range(M)]
+
+    def assign(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.vstack(pdf["e"].to_numpy()).astype(np.float64)
+            scores = np.zeros((len(x), N_CELLS))
+            for k in range(N_CELLS):
+                acc = np.zeros(len(x))
+                for d in range(x.shape[1]):
+                    acc = acc + x[:, d] * centroids[k, d]
+                scores[:, k] = acc
+            out = {
+                "vec_id": pdf["vec_id"],
+                "cell": scores.argmax(axis=1).astype("int32"),
+            }
+            for m in range(M):
+                xs = x[:, m * SUB : (m + 1) * SUB]
+                dists = np.zeros((len(xs), K))
+                for d in range(SUB):
+                    diff = xs[:, d][:, None] - cbs[m][None, :, d]
+                    dists = dists + diff * diff
+                out[f"code{m}"] = dists.argmin(axis=1).astype("int32")
+            yield pd.DataFrame(out)
+
+    schema = "vec_id long, cell int, " + ", ".join(f"{c} int" for c in _CODE_COLS)
+    return emb.select("vec_id", "e").mapInPandas(assign, schema=schema)
+
+
 def _sql_vec_lit(c: list[float]) -> str:
     return "[" + ", ".join(f"CAST({v!r} AS DOUBLE)" for v in c) + "]"
 
@@ -319,27 +364,22 @@ def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB.
     """
     from compendium_spark.plans.extended import _load_embeddings  # noqa: PLC0415
-    from compendium_spark.plans.ivf import (  # noqa: PLC0415
-        N_PROBE,
-        _assign_cells,
-        _cell_scores,
-    )
+    from compendium_spark.plans.ivf import N_PROBE, _probe_cells  # noqa: PLC0415
 
     emb = _load_embeddings(spark, sf_dir)
-    assign = _assign_cells(emb)
-    w = Window.partitionBy("vec_id").orderBy(F.desc("score"), "cell")
-    probes = (
-        _cell_scores(emb.filter(F.col("vec_id") < 10))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= N_PROBE)
-        .select(F.col("vec_id").alias("query_id"), "cell")
-    )
+    # FUSED index build: one Arrow pass emits (cell, code0..codeM-1)
+    # per vector, and the probe join therefore delivers candidates
+    # WITH their codes — no second corpus pass, no corpus-sized
+    # cand ⋈ codes join (the unfused composition had both)
+    index = _assign_index(emb)
+    # probe ranking in the shared Arrow kernel (see ivf._probe_cells):
+    # the fold-dot + window subtree it replaces cost ~1 s of codegen
+    probes = _probe_cells(emb.filter(F.col("vec_id") < 10), N_PROBE)
     cand = (
-        probes.join(assign, "cell")
+        probes.join(index, "cell")
         .filter(F.col("vec_id") != F.col("query_id"))
-        .select("query_id", F.col("vec_id").alias("cand_id"))
+        .select("query_id", F.col("vec_id").alias("cand_id"), *_CODE_COLS)
     )
-    codes = _assign_codes(emb)
     luts = _query_luts(
         emb.filter(F.col("vec_id") < 10).select(
             F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
@@ -348,10 +388,8 @@ def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     adc = F.element_at(F.col("lut0"), F.col("code0") + 1)
     for m in range(1, M):
         adc = adc + F.element_at(F.col(f"lut{m}"), F.col(f"code{m}") + 1)
-    scored = (
-        cand.join(codes, cand.cand_id == codes.vec_id)
-        .join(F.broadcast(luts), "query_id")
-        .select("query_id", "cand_id", adc.alias("adc"))
+    scored = cand.join(F.broadcast(luts), "query_id").select(
+        "query_id", "cand_id", adc.alias("adc")
     )
     w2 = Window.partitionBy("query_id").orderBy(F.desc("adc"), "cand_id")
     return (
