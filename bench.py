@@ -67,6 +67,7 @@ BENCH_QUERIES = [
     "w10_funnel_conversion",
     "dedup_substring_shingle",
     "a_approx_error_bound",
+    "text_token_entropy",
 ]
 
 

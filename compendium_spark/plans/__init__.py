@@ -90,6 +90,7 @@ _ROUND3_NEVER_GREEN = [
     "w10_funnel_conversion",
     "dedup_substring_shingle",
     "sim_sq_topk_recall",
+    "text_token_entropy",
 ]
 _ROWS_ONLY_BY_DESIGN = [
     "a_approx_aggregates",
@@ -100,7 +101,6 @@ _NTZ_REVERIFY = [
     "w1_tumbling_window",
     "w2_sliding_window",
     "j8_asof_join",
-    "f_date_functions",
     "q1_pricing_summary",
 ]
 registry.promote([*_ROUND3_NEVER_GREEN, *_ROWS_ONLY_BY_DESIGN, *_NTZ_REVERIFY])

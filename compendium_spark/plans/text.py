@@ -241,3 +241,62 @@ def text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+ENTROPY_SQL = """
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), ' +') AS toks
+  FROM documents
+),
+c AS (
+  SELECT doc_id, len(toks) AS n,
+         list_sort(list_transform(list_distinct(toks),
+                                  d -> CAST(len(list_filter(toks, x -> x = d))
+                                            AS DOUBLE))) AS counts
+  FROM t
+)
+SELECT doc_id,
+       ROUND(ln(n) - list_sum(list_transform(counts, c -> c * ln(c))) / n, 6)
+         AS token_entropy
+FROM c
+ORDER BY doc_id
+"""
+
+
+@plan("text_token_entropy", oracle=ENTROPY_SQL)
+def text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of each document's token distribution — the
+    information-density curation signal: near-zero entropy means
+    degenerate repetition (spam, boilerplate, keyword stuffing) that
+    per-token repetition ratios (text_repetition_ratio) can miss, and
+    entropy far above the corpus norm flags encoding junk. Uses the
+    identity H = ln(n) - (1/n)·Σ c·ln(c) over per-token counts.
+
+    Scale shape: pure scan-stage array math, O(distinct × len) per
+    document, no shuffle but the output sort. Parity detail: the count
+    multiset is SORTED before the Σ c·ln(c) fold, so both engines add
+    the same doubles in the same order (array_distinct preserves
+    first-occurrence order in Spark but DuckDB's list_distinct makes no
+    order promise — folding in distinct-order would be
+    nondeterministic across engines at the last ulp)."""
+    docs = load(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.lower(F.col("text"))), " +")
+    counts = F.array_sort(
+        F.transform(
+            F.array_distinct(toks),
+            lambda d: F.size(F.filter(toks, lambda x: x == d)).cast("double"),
+        )
+    )
+    n = F.size(toks)
+    plogp = F.aggregate(
+        counts, F.lit(0.0), lambda acc, c: acc + c * F.log(c)
+    )
+    return (
+        docs.select(
+            "doc_id",
+            F.round(F.log(n.cast("double")) - plogp / n, 6).alias(
+                "token_entropy"
+            ),
+        )
+        .orderBy("doc_id")
+    )
