@@ -91,10 +91,12 @@ _ROUND3_NEVER_GREEN = [
     "dedup_substring_shingle",
     "sim_sq_topk_recall",
     "text_token_entropy",
+    "emb_covariance",
+    "emb_pca_variance_check",
 ]
+# a_approx_aggregates and o1_seeded_sample already have their
+# rows-only rows recorded (r02/r01); only o2 still needs one
 _ROWS_ONLY_BY_DESIGN = [
-    "a_approx_aggregates",
-    "o1_seeded_sample",
     "o2_stratified_sample",
 ]
 _NTZ_REVERIFY = [

