@@ -300,3 +300,75 @@ def text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+COOC_SQL = """
+WITH t AS (
+  SELECT string_split_regex(trim(lower(text)), ' +') AS toks FROM documents
+),
+p1 AS (
+  SELECT unnest(list_transform(range(1, len(toks)),
+                i -> struct_pack(a := toks[i], b := toks[i + 1]))) AS pr
+  FROM t WHERE len(toks) >= 2
+),
+p2 AS (
+  SELECT unnest(list_transform(range(1, len(toks) - 1),
+                i -> struct_pack(a := toks[i], b := toks[i + 2]))) AS pr
+  FROM t WHERE len(toks) >= 3
+),
+pairs AS (
+  SELECT pr.a AS a, pr.b AS b FROM p1
+  UNION ALL
+  SELECT pr.a AS a, pr.b AS b FROM p2
+)
+SELECT a, b, COUNT(*) AS n
+FROM pairs
+GROUP BY a, b
+ORDER BY n DESC, a, b
+LIMIT 20
+"""
+
+
+def _offset_pairs(toks, d: int):
+    """Array of (token_i, token_{i+d}) structs, empty when too short."""
+    n = F.size(toks)
+    return F.when(
+        n >= d + 1,
+        F.transform(
+            F.sequence(F.lit(1), n - d),
+            lambda i: F.struct(
+                F.element_at(toks, i).alias("a"),
+                F.element_at(toks, i + d).alias("b"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+
+
+@plan("text_cooccurrence", oracle=COOC_SQL)
+def text_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directional skip-gram co-occurrence counts (window +1/+2) — the
+    corpus statistic word-embedding training (word2vec/GloVe) and
+    collocation mining start from.
+
+    Scale shape: pair generation is a scan-stage array expression +
+    explode (map-side, rows = 2·tokens per doc); the single shuffle is
+    the (a, b) count aggregate, which partial-aggregates map-side so
+    the exchange carries O(distinct pairs), not O(token pairs); the
+    top-20 is a TakeOrdered, never a global sort. At 100 TB vocabulary
+    skew (stopword pairs are whales) is handled by the same two-stage
+    salted-aggregation pattern as a11 — the count here is algebraic.
+    """
+    docs = load(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.lower(F.col("text"))), " +")
+    pairs = docs.select(
+        F.explode(F.concat(_offset_pairs(toks, 1), _offset_pairs(toks, 2))).alias(
+            "pr"
+        )
+    )
+    return (
+        pairs.select(F.col("pr.a").alias("a"), F.col("pr.b").alias("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "a", "b")
+        .limit(20)
+    )
