@@ -836,3 +836,85 @@ def w9_rank_distributions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_custkey")
     )
+
+
+J14_SQL = """
+WITH a AS (
+  SELECT event_id AS a_id, user_id,
+         epoch_us(ts) AS a_start, epoch_us(ts) + 600000000 AS a_end
+  FROM events WHERE event_type = 'view'
+),
+b AS (
+  SELECT event_id AS b_id, user_id,
+         epoch_us(ts) AS b_start, epoch_us(ts) + 600000000 AS b_end
+  FROM events WHERE event_type = 'click'
+)
+SELECT a.a_id, b.b_id
+FROM a JOIN b
+  ON a.user_id = b.user_id
+ AND a.a_start < b.b_end
+ AND b.b_start < a.a_end
+ORDER BY a_id, b_id
+"""
+
+_IVAL_US = 600_000_000  # each event owns a 10-minute interval
+
+
+@plan("j14_interval_overlap_join", oracle=J14_SQL)
+def j14_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join: both sides are INTERVALS (each view/click
+    owns [ts, ts+10min)) and a pair matches when the intervals overlap
+    — the genomics/session-span cousin of j10's point-in-range join,
+    and another operator a bare Spark inequality join degenerates to a
+    nested loop on.
+
+    Scale path: bin both interval sets into interval-width time bins;
+    an interval spans at most 2 bins, so BOTH sides explode exactly
+    2x and the join is a hash equi-join on (user_id, bin). Overlapping
+    intervals always share >= 1 bin (overlap length > 0 inside a bin
+    boundary or across it — with bin = interval width, any overlap
+    includes one of the two bins each side covers), and a pair sharing
+    both bins would duplicate, so the exact overlap predicate filters
+    the residual and distinct() collapses double-bin matches.
+    Candidate pairs are O(events x density per bin), never
+    O(per-user^2).
+    """
+    ev = load(spark, sf_dir, "events")
+
+    def side(event_type: str, prefix: str) -> DataFrame:
+        us = F.unix_micros("ts")
+        return (
+            ev.filter(F.col("event_type") == event_type)
+            .select(
+                F.col("event_id").alias(f"{prefix}_id"),
+                F.col("user_id").alias(f"{prefix}_user"),
+                us.alias(f"{prefix}_start"),
+                (us + _IVAL_US).alias(f"{prefix}_end"),
+            )
+            .withColumn(
+                "bin",
+                F.explode(
+                    F.array_distinct(
+                        F.array(
+                            F.floor(F.col(f"{prefix}_start") / _IVAL_US),
+                            F.floor((F.col(f"{prefix}_end") - 1) / _IVAL_US),
+                        )
+                    )
+                ),
+            )
+        )
+
+    a = side("view", "a")
+    b = side("click", "b")
+    return (
+        a.join(
+            b,
+            (F.col("a_user") == F.col("b_user"))
+            & (a.bin == b.bin)
+            & (F.col("a_start") < F.col("b_end"))
+            & (F.col("b_start") < F.col("a_end")),
+        )
+        .select("a_id", "b_id")
+        .distinct()
+        .orderBy("a_id", "b_id")
+    )
