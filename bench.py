@@ -68,6 +68,10 @@ BENCH_QUERIES = [
     "dedup_substring_shingle",
     "a_approx_error_bound",
     "text_token_entropy",
+    "text_cooccurrence",
+    "emb_covariance",
+    "sim_sq_topk_recall",
+    "j14_interval_overlap_join",
 ]
 
 

@@ -95,6 +95,7 @@ _ROUND3_NEVER_GREEN = [
     "emb_pca_variance_check",
     "text_cooccurrence",
     "j14_interval_overlap_join",
+    "streaming_mv_refresh",
 ]
 # a_approx_aggregates and o1_seeded_sample already have their
 # rows-only rows recorded (r02/r01); only o2 still needs one
@@ -103,7 +104,6 @@ _ROWS_ONLY_BY_DESIGN = [
 ]
 _NTZ_REVERIFY = [
     "w1_tumbling_window",
-    "w2_sliding_window",
 ]
 registry.promote([*_ROUND3_NEVER_GREEN, *_ROWS_ONLY_BY_DESIGN, *_NTZ_REVERIFY])
 

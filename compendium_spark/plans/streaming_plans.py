@@ -191,3 +191,25 @@ def streaming_enrich_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sw.streaming_enrich_join(spark, sf_dir).orderBy(
         "nation", "event_type"
     )
+
+
+STREAM_MV_SQL = """
+SELECT date_trunc('hour', ts) AS hour,
+       event_type,
+       COUNT(*) AS n_events,
+       ROUND(SUM(value), 4) AS total_value
+FROM events
+GROUP BY hour, event_type
+ORDER BY hour, event_type
+"""
+
+
+@plan("streaming_mv_refresh", oracle=STREAM_MV_SQL)
+def streaming_mv_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mv_incremental_refresh's streaming face: per-microbatch partial
+    aggregates ADD-merged into the maintained MV inside foreachBatch;
+    after the AvailableNow drain the MV must equal the batch aggregate
+    over everything — which is exactly what the oracle computes."""
+    return sw.streaming_mv_refresh(spark, sf_dir).orderBy(
+        "hour", "event_type"
+    )

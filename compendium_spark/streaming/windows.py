@@ -343,3 +343,60 @@ def streaming_enrich_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _run_to_memory(agg, "stream_enrich", "complete")
+
+
+def streaming_mv_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming materialized-view maintenance — the incremental
+    counterpart of plans/incremental.mv_incremental_refresh driven by
+    foreachBatch: each microbatch aggregates to MERGEABLE partials
+    ((window, event_type) -> count + sum, never averages) and folds
+    them into the maintained MV by per-key ADDITION. Because the fold
+    is add-merge (not overwrite), the MV after draining the stream
+    equals the batch aggregate over all data regardless of how events
+    were split across microbatches — the invariant the oracle checks.
+
+    The driver-side dict stands in for the warehouse MV table exactly
+    as in streaming_status_merge (production: storage.Warehouse
+    MERGE on Parquet/Delta); rows are O(windows x event types) per
+    batch, never O(events).
+    """
+    ev = read_events_stream(spark, sf_dir)
+    updates = ev.select(
+        F.date_trunc("hour", "ts").alias("hour"),
+        "event_type",
+        "value",
+    )
+
+    state: dict[tuple, tuple] = {}
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        rows = (
+            batch_df.groupBy("hour", "event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("value").alias("total"),
+            )
+            .collect()
+        )
+        for r in rows:
+            k = (r.hour, r.event_type)
+            n0, t0 = state.get(k, (0, 0.0))
+            state[k] = (n0 + r.n, t0 + (r.total or 0.0))
+
+    q = (
+        updates.writeStream.foreachBatch(apply_batch)
+        .trigger(availableNow=True)
+        .option(
+            "checkpointLocation",
+            tempfile.mkdtemp(prefix="cs_mv_refresh_ckpt_"),
+        )
+        .start()
+    )
+    q.awaitTermination()
+    return spark.createDataFrame(
+        [
+            (h, et, n, round(t, 4))
+            for (h, et), (n, t) in sorted(state.items())
+        ],
+        schema="hour timestamp, event_type string, n_events long, total_value double",
+    )
