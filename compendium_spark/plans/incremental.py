@@ -20,9 +20,13 @@ from compendium_spark.tables import load
 
 DEC = "decimal(18,4)"
 
-# History/delta split: everything before 1999 is the "already
-# materialized" half; 1999+ is the newly-arrived partition.
-MV_SPLIT = "1999-01-01"
+# History/delta split: everything before the cut is the "already
+# materialized" half; the rest is the newly-arrived partition. The cut
+# is deliberately MID-month so January 1999 exists in BOTH halves —
+# the merge must fold the delta's partial into an existing MV row
+# (the late/out-of-order-data path), not just append new months. A
+# month-boundary cut would leave that core path untested.
+MV_SPLIT = "1999-01-15"
 
 MV_REFRESH_SQL = f"""
 SELECT o_orderstatus AS status,

@@ -208,18 +208,25 @@ def w10_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.collect_list(F.when(F.col("event_type") == "purchase", F.col("ts")))
         ).alias("purchases"),
     )
+    # try_element_at, not element_at: a user missing a stage has an
+    # EMPTY filtered array, and under ANSI mode (Spark 4 default)
+    # element_at(empty, 1) THROWS instead of returning null — a latent
+    # crash on any corpus where some user lacks an event type
+    # (tests/test_funnel.py pins this case)
     staged = (
         per_user.withColumn(
             "vt",
-            F.element_at(F.filter("views", lambda x: x > F.col("st")), 1),
+            F.try_element_at(F.filter("views", lambda x: x > F.col("st")), F.lit(1)),
         )
         .withColumn(
             "ct",
-            F.element_at(F.filter("clicks", lambda x: x > F.col("vt")), 1),
+            F.try_element_at(F.filter("clicks", lambda x: x > F.col("vt")), F.lit(1)),
         )
         .withColumn(
             "pt",
-            F.element_at(F.filter("purchases", lambda x: x > F.col("ct")), 1),
+            F.try_element_at(
+                F.filter("purchases", lambda x: x > F.col("ct")), F.lit(1)
+            ),
         )
     )
     return staged.agg(
