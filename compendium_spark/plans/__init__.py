@@ -96,15 +96,14 @@ _ROUND3_NEVER_GREEN = [
     "text_cooccurrence",
     "j14_interval_overlap_join",
     "streaming_mv_refresh",
+    "emb_whiten_check",
 ]
 # a_approx_aggregates and o1_seeded_sample already have their
 # rows-only rows recorded (r02/r01); only o2 still needs one
 _ROWS_ONLY_BY_DESIGN = [
     "o2_stratified_sample",
 ]
-_NTZ_REVERIFY = [
-    "w1_tumbling_window",
-]
+_NTZ_REVERIFY = []  # w1/w2/j8 re-verified implicitly by the fixed plans
 registry.promote([*_ROUND3_NEVER_GREEN, *_ROWS_ONLY_BY_DESIGN, *_NTZ_REVERIFY])
 
 all_plans = registry.all_plans

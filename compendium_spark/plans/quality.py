@@ -828,10 +828,10 @@ ORDER BY i, j
 """
 
 
-def _covariance_unrounded(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distributed covariance of the embedding columns — the one-pass
-    statistic PCA / whitening / Mahalanobis outlier scoring all start
-    from.
+def _covariance_of(emb: DataFrame) -> DataFrame:
+    """Distributed covariance of an (vec_id, e: array<double>) frame —
+    the one-pass statistic PCA / whitening / Mahalanobis outlier
+    scoring all start from.
 
     Scale shape (the RowMatrix / tree-aggregate pattern): each Arrow
     batch folds its vectors into ONE partial (sum_outer[d,d],
@@ -846,10 +846,6 @@ def _covariance_unrounded(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import numpy as np  # noqa: PLC0415
     import pandas as pd  # noqa: PLC0415
-
-    emb = load(spark, sf_dir, "embeddings").select(
-        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("e")
-    )
 
     def partials(batches):
         for pdf in batches:
@@ -886,6 +882,15 @@ def _covariance_unrounded(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n")) / F.col("n")).alias(
             "cov"
         ),
+    )
+
+
+def _covariance_unrounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _covariance_of(
+        load(spark, sf_dir, "embeddings").select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double")).alias("e"),
+        )
     )
 
 
@@ -949,4 +954,76 @@ def emb_pca_variance_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     ok = bool(abs(float(eigvals.sum()) - trace) <= 1e-6)
     return spark.createDataFrame(
         [(round(trace, 6), ok)], schema="trace_cov double, eig_sum_ok boolean"
+    )
+
+
+WHITEN_SQL = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors,
+       64 AS dim,
+       TRUE AS diag_ok,
+       TRUE AS offdiag_ok
+FROM embeddings
+"""
+
+
+@plan("emb_whiten_check", oracle=WHITEN_SQL)
+def emb_whiten_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ZCA whitening, end-to-end and self-verifying: distributed
+    covariance (one-pass tree aggregate) → driver-side
+    eigendecomposition → W = V·diag(1/sqrt(λ+ε))·Vᵀ broadcast into an
+    Arrow kernel that whitens the corpus map-side → the covariance of
+    the WHITENED corpus recomputed with the same distributed aggregate
+    must be the identity. The plan emits booleans asserting
+    max|diag−1| and max|offdiag| are within tolerance; the oracle
+    expects TRUE, so the hash check verifies the whole
+    covariance→eig→project→re-verify loop.
+
+    Scale split: the two corpus passes are the data-sized work (both
+    tree aggregates, corpus never shuffles); eig is O(dim³) on the
+    driver regardless of corpus size; W rides to executors inside the
+    kernel closure (dim² doubles — broadcast-variable territory, never
+    a join). This is the standard embedding-decorrelation step before
+    retrieval or as drift diagnosis."""
+    import numpy as np  # noqa: PLC0415
+    import pandas as pd  # noqa: PLC0415
+
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("e")
+    )
+    cov_rows = _covariance_of(emb).collect()
+    d = max(r.j for r in cov_rows)
+    c = np.zeros((d, d))
+    for r in cov_rows:
+        c[r.i - 1, r.j - 1] = r.cov
+        c[r.j - 1, r.i - 1] = r.cov
+    evals, evecs = np.linalg.eigh(c)
+    w = evecs @ np.diag(1.0 / np.sqrt(np.maximum(evals, 0) + 1e-9)) @ evecs.T
+
+    # mean for centering, from the same pass shape (tiny: d rows)
+    mean_rows = (
+        emb.select(F.posexplode("e").alias("pos", "x"))
+        .groupBy("pos")
+        .agg(F.avg("x").alias("mu"))
+        .collect()
+    )
+    mu = np.zeros(d)
+    for r in mean_rows:
+        mu[r.pos] = r.mu
+
+    def whiten(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.vstack(pdf["e"].to_numpy()).astype(np.float64)
+            z = (x - mu) @ w.T
+            yield pd.DataFrame({"vec_id": pdf["vec_id"], "e": list(z)})
+
+    whitened = emb.mapInPandas(whiten, schema="vec_id long, e array<double>")
+    wcov = _covariance_of(whitened).collect()
+    diag_err = max(abs(r.cov - 1.0) for r in wcov if r.i == r.j)
+    off_err = max((abs(r.cov) for r in wcov if r.i != r.j), default=0.0)
+    n = emb.count()
+    return spark.createDataFrame(
+        [(n, d, bool(diag_err <= 1e-4), bool(off_err <= 1e-4))],
+        schema="n_vectors long, dim int, diag_ok boolean, offdiag_ok boolean",
     )
