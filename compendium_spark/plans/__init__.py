@@ -11,6 +11,7 @@ from compendium_spark.plans import (  # noqa: F401
     extended,
     incremental,
     ivf,
+    kmeans,
     multimodal,
     olap_ext,
     pq,
@@ -97,12 +98,16 @@ _ROUND3_NEVER_GREEN = [
     "j14_interval_overlap_join",
     "streaming_mv_refresh",
     "emb_whiten_check",
+    "cluster_kmeans",
 ]
 # a_approx_aggregates and o1_seeded_sample already have their
 # rows-only rows recorded (r02/r01); only o2 still needs one
-_ROWS_ONLY_BY_DESIGN = [
-    "o2_stratified_sample",
-]
+# No rows-only plans spend window slots this round: a rows-only row is
+# a weak `no_oracle` record, and o2_stratified_sample's semantics are
+# already hash-verified through its deterministic md5-threshold twin
+# (o2_stratified_deterministic, in the window above). a_approx and o1
+# have their rows-only rows from r02/r01.
+_ROWS_ONLY_BY_DESIGN: list[str] = []
 _NTZ_REVERIFY = []  # w1/w2/j8 re-verified implicitly by the fixed plans
 registry.promote([*_ROUND3_NEVER_GREEN, *_ROWS_ONLY_BY_DESIGN, *_NTZ_REVERIFY])
 
