@@ -72,6 +72,10 @@ BENCH_QUERIES = [
     "emb_covariance",
     "sim_sq_topk_recall",
     "j14_interval_overlap_join",
+    "emb_whiten_check",
+    "cluster_kmeans",
+    "streaming_mv_refresh",
+    "dedup_normalized",
 ]
 
 
