@@ -9,6 +9,7 @@ from compendium_spark.plans import (  # noqa: F401
     ann,
     curation,
     extended,
+    graph,
     incremental,
     ivf,
     kmeans,
@@ -99,9 +100,10 @@ _ROUND3_NEVER_GREEN = [
     "streaming_mv_refresh",
     "emb_whiten_check",
     "cluster_kmeans",
+    # position 51: first in line for the round-4 window (the driver
+    # samples a 50-plan prefix; everything above fills it exactly)
+    "graph_pagerank",
 ]
-# a_approx_aggregates and o1_seeded_sample already have their
-# rows-only rows recorded (r02/r01); only o2 still needs one
 # No rows-only plans spend window slots this round: a rows-only row is
 # a weak `no_oracle` record, and o2_stratified_sample's semantics are
 # already hash-verified through its deterministic md5-threshold twin

@@ -1,0 +1,141 @@
+"""Graph analytics: weighted PageRank by power iteration.
+
+Third member of the engine's iterative family (connected components =
+fixpoint label propagation in plans/extended.py, k-means = Lloyd
+rounds in plans/kmeans.py, PageRank = damped power iteration here),
+value-checked across iteration boundaries with the same discipline:
+round the per-round state to 6 dp so both engines agree on the exact
+doubles entering the next round.
+
+The graph: nation→nation trade edges weighted by order volume
+(supplier's nation ships to customer's nation — the q7 trade
+relationship as an adjacency list). 25 nodes at any SF, but the PLAN
+SHAPE is the distributed one: each round is one edge-keyed join
+(contributions = pr[src]·w/out_w[src]) plus one dst-keyed aggregate —
+exactly what a billion-edge PageRank runs per round on a cluster,
+where rank state stays partitioned by node id and only (node, rank)
+pairs shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from compendium_spark.plans.registry import plan
+from compendium_spark.tables import load, maybe_broadcast
+
+DAMPING = 0.85
+N_ROUNDS = 2
+
+_EDGES_SQL = """
+  SELECT sn.n_name AS src, cn.n_name AS dst,
+         CAST(COUNT(*) AS DOUBLE) AS w
+  FROM lineitem l
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN orders o   ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation sn  ON s.s_nationkey = sn.n_nationkey
+  JOIN nation cn  ON c.c_nationkey = cn.n_nationkey
+  WHERE sn.n_name <> cn.n_name
+  GROUP BY sn.n_name, cn.n_name
+"""
+
+PAGERANK_SQL = f"""
+WITH edges AS ({_EDGES_SQL}),
+nodes AS (SELECT n_name AS node FROM nation),
+nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+outw AS (SELECT src, SUM(w) AS ow FROM edges GROUP BY src),
+pr0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS pr FROM nodes),
+c1 AS (
+  SELECT e.dst AS node, SUM(p.pr * e.w / o.ow) AS contrib
+  FROM edges e JOIN pr0 p ON e.src = p.node JOIN outw o ON e.src = o.src
+  GROUP BY e.dst
+),
+pr1 AS (
+  SELECT n.node,
+         ROUND((1 - {DAMPING}) / (SELECT n FROM nn)
+               + {DAMPING} * COALESCE(c1.contrib, 0), 6) AS pr
+  FROM nodes n LEFT JOIN c1 ON n.node = c1.node
+),
+c2 AS (
+  SELECT e.dst AS node, SUM(p.pr * e.w / o.ow) AS contrib
+  FROM edges e JOIN pr1 p ON e.src = p.node JOIN outw o ON e.src = o.src
+  GROUP BY e.dst
+),
+pr2 AS (
+  SELECT n.node,
+         ROUND((1 - {DAMPING}) / (SELECT n FROM nn)
+               + {DAMPING} * COALESCE(c2.contrib, 0), 6) AS pr
+  FROM nodes n LEFT JOIN c2 ON n.node = c2.node
+)
+SELECT node, pr FROM pr2 ORDER BY pr DESC, node
+"""
+
+
+def _trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").select("l_suppkey", "l_orderkey")
+    supp = maybe_broadcast(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = maybe_broadcast(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    nation = maybe_broadcast(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    return (
+        li.join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(
+            nation.select(
+                F.col("n_nationkey").alias("sk"), F.col("n_name").alias("src")
+            ),
+            F.col("s_nationkey") == F.col("sk"),
+        )
+        .join(
+            nation.select(
+                F.col("n_nationkey").alias("ck"), F.col("n_name").alias("dst")
+            ),
+            F.col("c_nationkey") == F.col("ck"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).cast("double").alias("w"))
+    )
+
+
+@plan("graph_pagerank", oracle=PAGERANK_SQL)
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """{N_ROUNDS} damped power-iteration rounds of weighted PageRank
+    over the nation trade graph — see module docstring. Per round: one
+    edge⋈rank join + one dst aggregate; rank state is rounded to 6 dp
+    between rounds for cross-engine parity (same discipline as
+    cluster_kmeans' centroid update)."""
+    edges = _trade_edges(spark, sf_dir).localCheckpoint(eager=True)
+    nodes = load(spark, sf_dir, "nation").select(F.col("n_name").alias("node"))
+    n = nodes.count()  # 25 at every SF (constant dim of the graph)
+    outw = edges.groupBy("src").agg(F.sum("w").alias("ow"))
+    pr = nodes.withColumn("pr", F.lit(1.0 / n))
+    for _ in range(N_ROUNDS):
+        contrib = (
+            edges.join(pr, edges.src == pr.node)
+            .join(outw, "src")
+            .select(
+                F.col("dst").alias("node"),
+                (F.col("pr") * F.col("w") / F.col("ow")).alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("contrib"))
+        )
+        pr = nodes.join(contrib, "node", "left").select(
+            "node",
+            F.round(
+                F.lit((1 - DAMPING) / n)
+                + DAMPING * F.coalesce("contrib", F.lit(0.0)),
+                6,
+            ).alias("pr"),
+        )
+    return pr.orderBy(F.desc("pr"), "node")
