@@ -76,6 +76,7 @@ BENCH_QUERIES = [
     "cluster_kmeans",
     "streaming_mv_refresh",
     "dedup_normalized",
+    "graph_pagerank",
 ]
 
 
