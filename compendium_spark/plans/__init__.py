@@ -32,85 +32,91 @@ from compendium_spark.plans import (  # noqa: F401
 
 # The driver's correctness gate samples a 50-plan prefix of the
 # registry per round, so iteration order is explicitly tiered each
-# round to burn down plans without a driver-green row. Round 3:
-#   tier 1 — every oracle-checked plan with no green row in
-#            CORRECTNESS_r01/r02 (round-2 additions never sampled, the
-#            four TIMESTAMP_NTZ-broken plans now fixed, TPC-H
-#            q11/q15/q20/q21) plus the new a_approx_error_bound twin;
-#   tier 2 — the three rows-only-by-design plans (seeded samples,
-#            sketch aggregates) so the driver records their weaker
-#            rows-only check this round;
-#   tier 3 — re-verification slots: timestamp-consuming plans already
-#            green in r02, re-sampled to prove the central NTZ
-#            normalization changed no values;
-#   tier 4 — everything else (green in r01/r02), registration order.
-_ROUND3_NEVER_GREEN = [
-    # fixed this round (TIMESTAMP_NTZ)
-    "w7_range_frame",
-    "j10_range_join",
+# round to burn down plans without a driver-green row. Round 4
+# (CORRECTNESS union r01–r03: 145/146 then-registered plans sampled,
+# emb_covariance the only red, graph_pagerank the only never-sampled):
+#   tier 1 — the three plans that MUST green this round:
+#            graph_pagerank (queued at position 51 of round 3's
+#            50-slot window — never sampled), emb_covariance (round-3
+#            hash red, now rebuilt on exact integer partials), and
+#            mm_decode (new: binary encode→decode with a value oracle);
+#   tier 2 — plans whose code changed this round, re-sampled to prove
+#            the change is value-neutral: emb_pca_variance_check +
+#            the streaming rounding sites (half-up driver rounding),
+#            emb_whiten_check (spectrum-scaled tolerance);
+#   tier 3 — re-verification slots (the round-3 verdict's standing
+#            advice): every timestamp-consuming and float-rounding
+#            plan gets re-sampled against the freshly regenerated
+#            testdata — these are the two value classes a dtype or
+#            distribution drift can silently flip, and re-greens are
+#            the early-warning system the NTZ incident proved out.
+#   Everything else (hash-green r01–r03, integer/string-valued,
+#   drift-insensitive) follows in registration order.
+_ROUND4_MUST_GREEN = [
+    "graph_pagerank",
+    "emb_covariance",
+    "mm_decode",
+]
+_ROUND4_CHANGED_THIS_ROUND = [
+    "emb_pca_variance_check",
+    "emb_whiten_check",
+    "streaming_running_totals",
+    "streaming_mv_refresh",
+]
+_ROUND4_REVERIFY_TIMESTAMP = [
+    "w1_tumbling_window",
+    "w2_sliding_window",
     "w3_sessionization",
+    "w4_running_sum",
+    "w6_lag_lead_delta",
+    "w7_range_frame",
+    "w10_funnel_conversion",
+    "j8_asof_join",
+    "j10_range_join",
+    "j14_interval_overlap_join",
     "ts_resample_ffill",
-    # new this round
-    "a_approx_error_bound",
-    # TPC-H stragglers
-    "q11_important_stock",
-    "q15_top_supplier",
-    "q20_potential_promotion",
-    "q21_waiting_orders",
-    # round-2 additions the window never reached
-    "text_chunk_windows",
-    "curate_pack_sequences",
-    "dedup_normalized",
+    "f_date_functions",
+    "mv_incremental_refresh",
     "streaming_tumbling_counts",
     "streaming_sliding_counts",
     "streaming_interval_join",
     "streaming_dedup",
-    "streaming_running_totals",
     "streaming_session_windows",
     "streaming_enrich_join",
-    "curate_decontaminate",
-    "curate_cap_per_source",
-    "curate_mixture_sample",
-    "curate_pii_redact",
-    "curate_split_assign",
-    "curate_gate_funnel",
-    "corpus_stats_report",
-    "emb_lang_centroids",
-    "emb_quantize_int8",
-    "emb_outlier_filter",
-    "text_lm_score",
-    "text_repetition_ratio",
-    "j13_blocked_fuzzy_join",
-    "w9_rank_distributions",
-    "dedup_cluster_stats",
-    "sim_pq_codes",
-    "sim_pq_adc_topk",
-    "sim_ivfpq_topk",
-    "o2_stratified_deterministic",
-    # new in round 3
-    "mv_incremental_refresh",
-    "w10_funnel_conversion",
-    "dedup_substring_shingle",
-    "sim_sq_topk_recall",
-    "text_token_entropy",
-    "emb_covariance",
-    "emb_pca_variance_check",
-    "text_cooccurrence",
-    "j14_interval_overlap_join",
-    "streaming_mv_refresh",
-    "emb_whiten_check",
-    "cluster_kmeans",
-    # position 51: first in line for the round-4 window (the driver
-    # samples a 50-plan prefix; everything above fills it exactly)
-    "graph_pagerank",
 ]
-# No rows-only plans spend window slots this round: a rows-only row is
-# a weak `no_oracle` record, and o2_stratified_sample's semantics are
-# already hash-verified through its deterministic md5-threshold twin
-# (o2_stratified_deterministic, in the window above). a_approx and o1
-# have their rows-only rows from r02/r01.
-_ROWS_ONLY_BY_DESIGN: list[str] = []
-_NTZ_REVERIFY = []  # w1/w2/j8 re-verified implicitly by the fixed plans
-registry.promote([*_ROUND3_NEVER_GREEN, *_ROWS_ONLY_BY_DESIGN, *_NTZ_REVERIFY])
+_ROUND4_REVERIFY_FLOAT = [
+    "cluster_kmeans",
+    "a8_mean_stddev",
+    "a12_stats_moments",
+    "a13_exact_quantiles",
+    "sim_cosine_topk",
+    "sim_lsh_topk",
+    "sim_ivf_topk",
+    "sim_ivfpq_topk",
+    "sim_pq_adc_topk",
+    "sim_pq_codes",
+    "sim_sq_topk_recall",
+    "emb_lang_centroids",
+    "emb_outlier_filter",
+    "emb_quantize_int8",
+    "text_lm_score",
+    "text_token_entropy",
+    "dedup_embedding_cosine",
+    "text_quality_score",
+    "w9_rank_distributions",
+    "a_approx_error_bound",
+    "f_ratio_nullsafe",
+    "q1_pricing_summary",
+    "q6_forecast_revenue",
+    "q8_market_share",
+]
+_ROUND4_WINDOW = [
+    *_ROUND4_MUST_GREEN,
+    *_ROUND4_CHANGED_THIS_ROUND,
+    *_ROUND4_REVERIFY_TIMESTAMP,
+    *_ROUND4_REVERIFY_FLOAT,
+]
+assert len(_ROUND4_WINDOW) == 50, len(_ROUND4_WINDOW)
+registry.promote(_ROUND4_WINDOW)
 
 all_plans = registry.all_plans

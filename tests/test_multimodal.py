@@ -72,3 +72,62 @@ def test_frame_sample(spark, media):
         by_media.setdefault(r.media_id, []).append(r.frame_index)
     assert by_media[5] == [0, 10, 20]
     assert by_media[6] == [0]  # zero-frame video degrades to frame 0
+
+
+# --- CSM1 synthetic container ----------------------------------------------
+
+
+def test_csm1_roundtrip(spark):
+    import struct
+
+    from pyspark.sql import functions as F
+
+    from compendium_spark.operators.multimodal import (
+        CSM1_HEADER_LEN,
+        CSM1_MAGIC,
+        CSM1_STRUCT,
+        decode_media,
+        synth_encode_expr,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 640, 480, 3, 100, b"hello"), (2, 16, 16, 1, 0, b"")],
+        "media_id long, w int, h int, ch int, nf int, payload binary",
+    )
+    encoded = df.select(
+        "media_id",
+        synth_encode_expr(
+            code=F.pmod(F.col("media_id"), F.lit(3)),
+            width=F.col("w"),
+            height=F.col("h"),
+            channels=F.col("ch"),
+            n_frames=F.col("nf"),
+            payload=F.col("payload"),
+        ).alias("content"),
+    )
+    # the JVM-built blob parses with plain struct.unpack — format parity
+    blob = {r.media_id: bytes(r.content) for r in encoded.collect()}
+    magic, ver, code, w, h, ch, nf = struct.unpack(
+        CSM1_STRUCT, blob[1][:CSM1_HEADER_LEN]
+    )
+    assert (magic, ver, code, w, h, ch, nf) == (CSM1_MAGIC, 1, 1, 640, 480, 3, 100)
+    assert blob[1][CSM1_HEADER_LEN:] == b"hello"
+
+    out = {r.media_id: r for r in decode_media(encoded).collect()}
+    assert (out[1].media_type, out[1].width, out[1].height) == ("audio", 640, 480)
+    assert (out[1].channels, out[1].n_frames, out[1].payload_bytes) == (3, 100, 5)
+    assert (out[2].media_type, out[2].payload_bytes, out[2].n_frames) == (
+        "video", 0, 0,
+    )
+
+
+def test_csm1_corrupt_header_raises(spark):
+    from pyspark.sql import functions as F
+
+    from compendium_spark.operators.multimodal import decode_media
+
+    bad = spark.createDataFrame(
+        [(1, b"NOTCSM1-garbage-bytes")], "media_id long, content binary"
+    )
+    with pytest.raises(Exception, match="bad CSM1 header|ValueError"):
+        decode_media(bad).collect()
