@@ -77,6 +77,9 @@ BENCH_QUERIES = [
     "streaming_mv_refresh",
     "dedup_normalized",
     "graph_pagerank",
+    # round 4 additions
+    "mm_decode",
+    "dedup_incremental_lsh",
 ]
 
 

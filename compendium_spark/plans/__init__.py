@@ -56,6 +56,7 @@ _ROUND4_MUST_GREEN = [
     "graph_pagerank",
     "emb_covariance",
     "mm_decode",
+    "dedup_incremental_lsh",
 ]
 _ROUND4_CHANGED_THIS_ROUND = [
     "emb_pca_variance_check",
@@ -108,7 +109,6 @@ _ROUND4_REVERIFY_FLOAT = [
     "f_ratio_nullsafe",
     "q1_pricing_summary",
     "q6_forecast_revenue",
-    "q8_market_share",
 ]
 _ROUND4_WINDOW = [
     *_ROUND4_MUST_GREEN,
