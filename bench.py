@@ -80,6 +80,8 @@ BENCH_QUERIES = [
     # round 4 additions
     "mm_decode",
     "dedup_incremental_lsh",
+    "dedup_signature_jaccard",
+    "curate_token_budget",
 ]
 
 

@@ -57,6 +57,8 @@ _ROUND4_MUST_GREEN = [
     "emb_covariance",
     "mm_decode",
     "dedup_incremental_lsh",
+    "dedup_signature_jaccard",
+    "curate_token_budget",
 ]
 _ROUND4_CHANGED_THIS_ROUND = [
     "emb_pca_variance_check",
@@ -106,9 +108,7 @@ _ROUND4_REVERIFY_FLOAT = [
     "text_quality_score",
     "w9_rank_distributions",
     "a_approx_error_bound",
-    "f_ratio_nullsafe",
     "q1_pricing_summary",
-    "q6_forecast_revenue",
 ]
 _ROUND4_WINDOW = [
     *_ROUND4_MUST_GREEN,

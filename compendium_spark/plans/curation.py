@@ -474,3 +474,75 @@ def dedup_substring_shingle(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# per-language token-budget selection (mixture planning)
+# ---------------------------------------------------------------------------
+
+TOKEN_BUDGET_PER_LANG = 20_000
+
+BUDGET_SQL = f"""
+WITH t AS (
+  SELECT doc_id, lang,
+         len(string_split_regex(trim(text), ' +')) AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT doc_id, lang, n_tokens,
+         SUM(n_tokens) OVER (PARTITION BY lang
+                             ORDER BY n_tokens DESC, doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum_tokens
+  FROM t
+)
+SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(cum_tokens AS BIGINT) AS cum_tokens
+FROM c
+WHERE cum_tokens <= {TOKEN_BUDGET_PER_LANG}
+ORDER BY lang, cum_tokens
+"""
+
+
+@plan("curate_token_budget", oracle=BUDGET_SQL)
+def curate_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget selection per language — the mixture-planning step
+    that turns "train on X tokens per language" into a concrete doc
+    list: rank docs within each language (longest-first here;
+    production swaps in a quality score, the mechanics are identical,
+    doc_id breaks ties deterministically), take the running-token
+    prefix that fits the budget.
+
+    Distinct from curate_cap_per_source (a COUNT cap): this caps the
+    integral of a per-row weight, the unit training budgets are
+    actually denominated in. All-integer cumsum → engine-exact.
+
+    Scale shape: one shuffle on lang, then a per-language sort feeding
+    a running-sum window. Language skew is real (one lang can be half
+    the corpus) — the production variant presorts into bucketed files
+    per lang and computes the cumulative sum with a two-level pass
+    (per-bucket subtotals, then offsets — exactly how
+    curate_pack_sequences documents its sharded-key form); the
+    windowed form here is the semantics both engines can hash-check.
+    """
+    docs = load(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        "lang",
+        F.size(F.split(F.trim(F.col("text")), " +")).alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy(F.col("n_tokens").desc(), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        t.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .filter(F.col("cum_tokens") <= TOKEN_BUDGET_PER_LANG)
+        .select(
+            "doc_id",
+            "lang",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.col("cum_tokens").cast("long").alias("cum_tokens"),
+        )
+        .orderBy("lang", "cum_tokens")
+    )

@@ -275,6 +275,19 @@ def _minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sig_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, s0..s{N_HASHES-1}) — per-doc MinHash signature (lane
+    mins of one md5 per shingle). The persisted artifact of the index
+    build; bands and signature-overlap estimates both derive from it."""
+    sh = _doc_shingles(spark, sf_dir).withColumn("h", F.md5("shingle"))
+    return sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.substring(F.col("h"), 4 * i + 1, 4)).alias(f"s{i}")
+            for i in range(N_HASHES)
+        ]
+    )
+
+
 def _band_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, band, bkey) — the LSH band table, i.e. the persisted
     inverted index of production near-dedup: shingle → md5 lanes →
@@ -282,13 +295,7 @@ def _band_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-dedup (``_minhash_candidates``) and the incremental
     delta-vs-corpus dedup (``dedup_incremental_lsh``) share one
     definition."""
-    sh = _doc_shingles(spark, sf_dir).withColumn("h", F.md5("shingle"))
-    sig = sh.groupBy("doc_id").agg(
-        *[
-            F.min(F.substring(F.col("h"), 4 * i + 1, 4)).alias(f"s{i}")
-            for i in range(N_HASHES)
-        ]
-    )
+    sig = _sig_table(spark, sf_dir)
     return sig.select(
         "doc_id",
         F.explode(
@@ -995,4 +1002,95 @@ def dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("cluster_size").alias("n_docs"),
         )
         .orderBy("cluster_size")
+    )
+
+
+def _sig_est_sql() -> str:
+    lane_eq = " + ".join(
+        f"(CASE WHEN sa.s{i} = sb.s{i} THEN 1 ELSE 0 END)"
+        for i in range(N_HASHES)
+    )
+    return f"""
+WITH sh AS (
+  SELECT doc_id, unnest({_SHINGLES_SQL}) AS shingle FROM documents
+),
+sig AS (SELECT doc_id, {_minhash_sql_sigs()} FROM sh GROUP BY doc_id),
+bands AS ({_minhash_sql_bands()}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a
+  JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+),
+sh_arr AS (SELECT doc_id, {_SHINGLES_SQL} AS sh FROM documents)
+SELECT doc_a, doc_b,
+       ROUND(({lane_eq}) / {N_HASHES}.0, 6) AS est_jaccard,
+       ROUND(1.0 * len(list_intersect(a.sh, b.sh))
+             / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6)
+         AS jaccard
+FROM cand
+JOIN sig sa ON doc_a = sa.doc_id
+JOIN sig sb ON doc_b = sb.doc_id
+JOIN sh_arr a ON doc_a = a.doc_id
+JOIN sh_arr b ON doc_b = b.doc_id
+ORDER BY doc_a, doc_b
+"""
+
+
+@plan("dedup_signature_jaccard", oracle=_sig_est_sql())
+def dedup_signature_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signature-based Jaccard ESTIMATION next to the exact value —
+    the triage step production near-dedup runs between candidate
+    generation and exact verification.
+
+    The MinHash estimator is the fraction of agreeing signature lanes
+    (E[lane match] = Jaccard); at scale the estimate decides which
+    candidates are worth fetching full shingle sets for, so the
+    expensive exact verify touches only pairs the cheap integer
+    comparison already ranked — signatures are {N_HASHES} small values
+    per doc vs arbitrarily large shingle arrays. Emitting both values
+    per candidate makes the estimator itself auditable: the driver
+    hash-checks estimate AND exact side by side (both integer-ratio
+    math, engine-exact; lanes/{N_HASHES}.0 is an exact binary
+    fraction).
+
+    Shape: candidates from band buckets (bounded, never all-pairs);
+    two keyed joins fetch 8-lane signatures; two fetch shingle arrays
+    for the exact column. In production the exact legs run only on
+    the estimate's survivors.
+    """
+    cand = _minhash_candidates(spark, sf_dir)
+    sig = _sig_table(spark, sf_dir)
+    sa = sig.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"s{i}").alias(f"a{i}") for i in range(N_HASHES)],
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"s{i}").alias(f"b{i}") for i in range(N_HASHES)],
+    )
+    lane_eq = None
+    for i in range(N_HASHES):
+        term = F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        lane_eq = term if lane_eq is None else lane_eq + term
+    sh_arr = (
+        _doc_shingles(spark, sf_dir)
+        .groupBy("doc_id")
+        .agg(F.collect_set("shingle").alias("sh"))
+    )
+    a = sh_arr.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sha"))
+    b = sh_arr.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("shb"))
+    inter = F.size(F.array_intersect(F.col("sha"), F.col("shb")))
+    jac = F.lit(1.0) * inter / (F.size("sha") + F.size("shb") - inter)
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(lane_eq / F.lit(float(N_HASHES)), 6).alias("est_jaccard"),
+            F.round(jac, 6).alias("jaccard"),
+        )
+        .orderBy("doc_a", "doc_b")
     )
