@@ -176,19 +176,35 @@ def synth_encode_expr(
     return F.concat(F.unhex(header_hex), payload)
 
 
+def parse_csm1(b: bytes) -> tuple[str, int, int, int, int, int]:
+    """Parse one CSM1 blob → (media_type, width, height, channels,
+    n_frames, payload_bytes). Validates magic + version — a corrupt
+    byte raises, it does not pass silently. Pure function so the
+    format contract is property-testable without a SparkSession."""
+    import struct  # noqa: PLC0415
+
+    magic, ver, code, w, h, ch, nf = struct.unpack(
+        CSM1_STRUCT, bytes(b[:CSM1_HEADER_LEN])
+    )
+    if magic != CSM1_MAGIC or ver != 1:
+        raise ValueError(
+            f"bad CSM1 header: magic={magic!r} version={ver}"
+        )
+    return (
+        MEDIA_TYPE_NAMES[code], w, h, ch, nf, len(b) - CSM1_HEADER_LEN
+    )
+
+
 def decode_media(media: DataFrame) -> DataFrame:
     """Decode CSM1 payloads batch-wise in mapInPandas.
 
     This is the real decode seam exercised end-to-end: Arrow moves the
-    binary column into pandas, `struct.unpack` parses the fixed-layout
-    header (validating magic + version — a corrupt byte raises, it
-    does not pass silently), and only typed scalars leave the kernel.
-    Swapping CSM1 for JPEG/WAV means swapping the unpack for
-    PIL/librosa inside the same kernel — schema, batching, and
-    partitioning are unchanged.
+    binary column into pandas, `parse_csm1` unpacks the fixed-layout
+    header per row, and only typed scalars leave the kernel. Swapping
+    CSM1 for JPEG/WAV means swapping the parse call for PIL/librosa
+    inside the same kernel — schema, batching, and partitioning are
+    unchanged.
     """
-    import struct  # noqa: PLC0415
-
     media = media.select("media_id", "content")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -198,21 +214,14 @@ def decode_media(media: DataFrame) -> DataFrame:
                 "channels", "n_frames", "payload_bytes",
             )}
             for mid, b in zip(pdf["media_id"], pdf["content"]):
-                magic, ver, code, w, h, ch, nf = struct.unpack(
-                    CSM1_STRUCT, bytes(b[:CSM1_HEADER_LEN])
-                )
-                if magic != CSM1_MAGIC or ver != 1:
-                    raise ValueError(
-                        f"bad CSM1 header for media_id={mid}: "
-                        f"magic={magic!r} version={ver}"
-                    )
+                mt, w, h, ch, nf, nbytes = parse_csm1(b)
                 rows["media_id"].append(mid)
-                rows["media_type"].append(MEDIA_TYPE_NAMES[code])
+                rows["media_type"].append(mt)
                 rows["width"].append(w)
                 rows["height"].append(h)
                 rows["channels"].append(ch)
                 rows["n_frames"].append(nf)
-                rows["payload_bytes"].append(len(b) - CSM1_HEADER_LEN)
+                rows["payload_bytes"].append(nbytes)
             yield pd.DataFrame(rows)
 
     return media.mapInPandas(run, schema=DECODED_SCHEMA)

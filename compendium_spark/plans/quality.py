@@ -925,6 +925,14 @@ def _covariance_exact(emb_q: DataFrame) -> DataFrame:
                 if not len(chunk):
                     continue
                 q = np.vstack(chunk["q"].to_numpy()).astype(np.int64)
+                # loud guard, not silent wrap: 4096 rows × (2^21)^2
+                # stays under 2^63; a testdata regen with |x| > ~2
+                # must fail here, not corrupt sums
+                if np.abs(q).max(initial=0) >= 1 << 21:
+                    raise ValueError(
+                        f"quantized magnitude {np.abs(q).max()} exceeds "
+                        f"int64-exact bound 2^21; shrink chunk or rescale"
+                    )
                 outer = q.T @ q  # exact int64 sum of outer products
                 sums = q.sum(axis=0)
                 d = q.shape[1]

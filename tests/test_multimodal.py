@@ -131,3 +131,50 @@ def test_csm1_corrupt_header_raises(spark):
     )
     with pytest.raises(Exception, match="bad CSM1 header|ValueError"):
         decode_media(bad).collect()
+
+
+def test_csm1_property_roundtrip():
+    """Format contract, property-tested without Spark: any header the
+    spec admits packs with struct and parses back exactly."""
+    import struct
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from compendium_spark.operators.multimodal import (
+        CSM1_MAGIC,
+        CSM1_STRUCT,
+        MEDIA_TYPE_NAMES,
+        parse_csm1,
+    )
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        code=st.integers(0, 2),
+        w=st.integers(0, 65535),
+        h=st.integers(0, 65535),
+        ch=st.integers(0, 255),
+        nf=st.integers(0, 2**32 - 1),
+        payload=st.binary(max_size=64),
+    )
+    def check(code, w, h, ch, nf, payload):
+        blob = struct.pack(CSM1_STRUCT, CSM1_MAGIC, 1, code, w, h, ch, nf) + payload
+        assert parse_csm1(blob) == (
+            MEDIA_TYPE_NAMES[code], w, h, ch, nf, len(payload)
+        )
+
+    check()
+
+
+def test_csm1_rejects_wrong_version():
+    import struct
+
+    from compendium_spark.operators.multimodal import (
+        CSM1_MAGIC,
+        CSM1_STRUCT,
+        parse_csm1,
+    )
+
+    blob = struct.pack(CSM1_STRUCT, CSM1_MAGIC, 2, 0, 1, 1, 1, 1)
+    with pytest.raises(ValueError, match="version=2"):
+        parse_csm1(blob)

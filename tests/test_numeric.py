@@ -34,3 +34,29 @@ def test_agrees_with_spark_and_duckdb(spark):
         )
         d = duckdb.sql(f"SELECT ROUND(CAST({v!r} AS DOUBLE), 6)").fetchone()[0]
         assert round_half_up(v, 6) == s == d, v
+
+
+def test_property_matches_duckdb_round():
+    """round_half_up vs DuckDB ROUND on arbitrary finite doubles —
+    the cross-engine contract the helper exists for."""
+    import duckdb
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    con = duckdb.connect()
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        x=st.floats(
+            allow_nan=False, allow_infinity=False, min_value=-1e9, max_value=1e9
+        ),
+        nd=st.integers(0, 6),
+    )
+    def check(x, nd):
+        d = con.execute(
+            "SELECT ROUND(CAST(? AS DOUBLE), ?)", [x, nd]
+        ).fetchone()[0]
+        assert round_half_up(x, nd) == d, (x, nd)
+
+    check()
