@@ -82,6 +82,12 @@ BENCH_QUERIES = [
     "dedup_incremental_lsh",
     "dedup_signature_jaccard",
     "curate_token_budget",
+    "dedup_semdedup",
+    "text_shingle_containment",
+    "graph_triangle_count",
+    "w11_sequence_pattern",
+    "a16_grouping_sets",
+    "text_tfidf_topk",
 ]
 
 

@@ -21,6 +21,7 @@ from compendium_spark.plans import (  # noqa: F401
     reference_ops2,
     registry,
     relational_ext,
+    semantic,
     streaming_plans,
     text,
     timeseries,
@@ -35,11 +36,15 @@ from compendium_spark.plans import (  # noqa: F401
 # round to burn down plans without a driver-green row. Round 4
 # (CORRECTNESS union r01–r03: 145/146 then-registered plans sampled,
 # emb_covariance the only red, graph_pagerank the only never-sampled):
-#   tier 1 — the three plans that MUST green this round:
-#            graph_pagerank (queued at position 51 of round 3's
-#            50-slot window — never sampled), emb_covariance (round-3
-#            hash red, now rebuilt on exact integer partials), and
-#            mm_decode (new: binary encode→decode with a value oracle);
+#   tier 1 — the plans that MUST green this round: graph_pagerank
+#            (queued at position 51 of round 3's 50-slot window —
+#            never sampled), emb_covariance (round-3 hash red, now
+#            rebuilt on exact integer partials), and the ten plans NEW
+#            in round 4 (mm_decode, dedup_incremental_lsh,
+#            dedup_signature_jaccard, curate_token_budget,
+#            dedup_semdedup, text_shingle_containment,
+#            graph_triangle_count, w11_sequence_pattern,
+#            a16_grouping_sets, text_tfidf_topk);
 #   tier 2 — plans whose code changed this round, re-sampled to prove
 #            the change is value-neutral: emb_pca_variance_check +
 #            the streaming rounding sites (half-up driver rounding),
@@ -59,6 +64,12 @@ _ROUND4_MUST_GREEN = [
     "dedup_incremental_lsh",
     "dedup_signature_jaccard",
     "curate_token_budget",
+    "dedup_semdedup",
+    "text_shingle_containment",
+    "graph_triangle_count",
+    "w11_sequence_pattern",
+    "a16_grouping_sets",
+    "text_tfidf_topk",
 ]
 _ROUND4_CHANGED_THIS_ROUND = [
     "emb_pca_variance_check",
@@ -91,7 +102,6 @@ _ROUND4_REVERIFY_FLOAT = [
     "cluster_kmeans",
     "a8_mean_stddev",
     "a12_stats_moments",
-    "a13_exact_quantiles",
     "sim_cosine_topk",
     "sim_lsh_topk",
     "sim_ivf_topk",
@@ -103,12 +113,12 @@ _ROUND4_REVERIFY_FLOAT = [
     "emb_outlier_filter",
     "emb_quantize_int8",
     "text_lm_score",
+    # six float re-verify slots (q1_pricing_summary, a13_exact_quantiles,
+    # dedup_embedding_cosine, text_quality_score, w9_rank_distributions,
+    # a_approx_error_bound — all hash-green r01–r03, decimal/integer-exact
+    # or already re-proven) gave way to the six NEW round-4 plans in
+    # tier 1, which have no green row yet and must be sampled.
     "text_token_entropy",
-    "dedup_embedding_cosine",
-    "text_quality_score",
-    "w9_rank_distributions",
-    "a_approx_error_bound",
-    "q1_pricing_summary",
 ]
 _ROUND4_WINDOW = [
     *_ROUND4_MUST_GREEN,

@@ -139,3 +139,68 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pr"),
         )
     return pr.orderBy(F.desc("pr"), "node")
+
+
+TRIANGLE_SQL = f"""
+WITH edges AS ({_EDGES_SQL}),
+und AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM edges
+),
+tri AS (
+  SELECT e1.a, e1.b, e2.b AS c
+  FROM und e1
+  JOIN und e2 ON e2.a = e1.b
+  JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+member AS (
+  SELECT a AS node FROM tri
+  UNION ALL SELECT b FROM tri
+  UNION ALL SELECT c FROM tri
+)
+SELECT node, COUNT(*) AS n_triangles
+FROM member
+GROUP BY node
+ORDER BY node
+"""
+
+
+@plan("graph_triangle_count", oracle=TRIANGLE_SQL)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle count over the undirected trade graph.
+
+    Canonical-orientation triangle enumeration: orient every edge
+    low→high (a < b), then each triangle {a<b<c} is found exactly once
+    as e1=(a,b) ⋈ e2=(b,c) ⋈ e3=(a,c) — two equi-joins, no candidate
+    ever counted twice, no DISTINCT over triangles. At billion-edge
+    scale the same shape holds with one refinement: orient by
+    (degree, id) instead of id alone, so every node's out-list is
+    O(sqrt(edges)) even for celebrity nodes and the e1⋈e2 wedge join
+    cannot blow up on a hub (the standard compact-forward algorithm).
+    Only (node, node) string pairs shuffle. All-integer math.
+    """
+    edges = _trade_edges(spark, sf_dir)
+    und = (
+        edges.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)  # reused 3×; 25-node graph, tiny
+    )
+    e2 = und.select(F.col("a").alias("b2"), F.col("b").alias("c"))
+    e3 = und.select(F.col("a").alias("a3"), F.col("b").alias("c3"))
+    tri = (
+        und.join(e2, F.col("b") == F.col("b2"))
+        .join(e3, (F.col("a") == F.col("a3")) & (F.col("c") == F.col("c3")))
+        .select("a", "b", "c")
+    )
+    member = (
+        tri.select(F.col("a").alias("node"))
+        .unionAll(tri.select(F.col("b").alias("node")))
+        .unionAll(tri.select(F.col("c").alias("node")))
+    )
+    return (
+        member.groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+        .orderBy("node")
+    )

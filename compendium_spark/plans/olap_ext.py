@@ -308,3 +308,47 @@ def o2_stratified_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_orderkey", "o_orderstatus")
         .orderBy("o_orderkey")
     )
+
+
+GROUPING_SETS_SQL = """
+SELECT COALESCE(l_returnflag, '<all>') AS returnflag,
+       COALESCE(l_linestatus, '<all>') AS linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+       COUNT(*) AS n
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+ORDER BY returnflag, linestatus
+"""
+
+
+@plan("a16_grouping_sets", oracle=GROUPING_SETS_SQL)
+def a16_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS ((flag), (status)) — two independent
+    one-dimensional reports in ONE scan + ONE shuffle.
+
+    The set list here is deliberately NOT a rollup/cube prefix (those
+    are a_rollup / a_cube): two disjoint single-column groupings is the
+    multi-report shape where GROUPING SETS actually saves work — Spark's
+    Expand node emits one row per set per input row, so the corpus is
+    read once instead of once per report; at 100 TB that halves the
+    scan bytes vs two separate queries. DECIMAL sums keep it exact.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupingSets(
+            [["l_returnflag"], ["l_linestatus"]],
+            "l_returnflag",
+            "l_linestatus",
+        )
+        .agg(
+            F.sum(F.col("l_quantity").cast(DEC)).cast("double").alias("sum_qty"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("<all>")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("<all>")).alias("linestatus"),
+            "sum_qty",
+            "n",
+        )
+        .orderBy("returnflag", "linestatus")
+    )

@@ -11,7 +11,7 @@ linearly with input splits (no shuffle except where grouped).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from compendium_spark.plans.registry import plan
@@ -372,4 +372,80 @@ def text_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy(F.desc("n"), "a", "b")
         .limit(20)
+    )
+
+
+TFIDF_TOPK = 3
+
+TFIDF_SQL = f"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(string_split_regex(trim(lower(text)), ' +')) AS token
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY doc_id, token
+),
+df AS (
+  SELECT token, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY token
+),
+nn AS (SELECT COUNT(*) AS n FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.token,
+         ROUND(1.0 * tf.tf * (SELECT n FROM nn) / df.df, 6) AS score
+  FROM tf JOIN df ON tf.token = df.token
+),
+ranked AS (
+  SELECT doc_id, token, score,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, token) AS rn
+  FROM scored
+)
+SELECT doc_id, token, score, rn AS rank
+FROM ranked WHERE rn <= {TFIDF_TOPK}
+ORDER BY doc_id, rank
+"""
+
+
+@plan("text_tfidf_topk", oracle=TFIDF_SQL)
+def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k distinguishing terms per document by tf·idf.
+
+    Keyword extraction over the corpus: tf = per-(doc, token) count,
+    idf = N/df as an exact RATIONAL (the conventional log(N/df) is
+    deliberately replaced — ln is a libm call whose last ulp differs
+    between engines, while one IEEE division of two integers is
+    bit-exact everywhere, and log is monotone in N/df so the per-doc
+    RANKING is identical). Three shuffles total, each carrying tokens
+    not text: tf groupBy, df groupBy (broadcast back — vocab ≪
+    corpus), and the per-doc top-k window, which AQE/WindowGroupLimit
+    push down to rank≤k per partition before the shuffle. The single
+    scalar N joins as a broadcast literal, never a collect-loop.
+    """
+    docs = load(spark, sf_dir, "documents")
+    par = spark.sparkContext.defaultParallelism
+    tok = docs.repartition(par, "doc_id").select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), " +")).alias("token"),
+    )
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    n = docs.groupBy().agg(F.count(F.lit(1)).alias("n"))
+    scored = (
+        tf.join(F.broadcast(df), "token")
+        .join(F.broadcast(n))
+        .select(
+            "doc_id",
+            "token",
+            F.round(
+                F.lit(1.0) * F.col("tf") * F.col("n") / F.col("df"), 6
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), "token")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TFIDF_TOPK)
+        .select("doc_id", "token", "score", "rank")
+        .orderBy("doc_id", "rank")
     )

@@ -235,3 +235,71 @@ def w10_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("ct").alias("n_click"),
         F.count("pt").alias("n_purchase"),
     )
+
+
+# Event types map to unique initials (click/error/purchase/signup/view
+# → C/E/P/S/V), so a user's ordered history becomes a string and
+# sequence patterns become regexes. Both engines' regex dialects agree
+# on these patterns (greedy, non-overlapping leftmost scan; no
+# backrefs/lookaround, which RE2 lacks).
+_SEQ_PATTERN_BURST = "E{2,}"          # runs of consecutive errors
+_SEQ_PATTERN_FUNNEL = "S.*V.*C.*P"    # signup..view..click..purchase
+
+SEQ_PATTERN_SQL = f"""
+WITH seqs AS (
+  SELECT user_id,
+         string_agg(upper(substr(event_type, 1, 1)), ''
+                    ORDER BY ts, event_id) AS seq
+  FROM events
+  GROUP BY user_id
+)
+SELECT user_id,
+       length(seq) AS seq_len,
+       len(regexp_extract_all(seq, '{_SEQ_PATTERN_BURST}')) AS n_error_bursts,
+       regexp_matches(seq, '{_SEQ_PATTERN_FUNNEL}') AS has_funnel
+FROM seqs
+ORDER BY user_id
+"""
+
+
+@plan("w11_sequence_pattern", oracle=SEQ_PATTERN_SQL)
+def w11_sequence_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE-style sequence detection: events → per-user
+    ordered symbol string → regex.
+
+    The classic distributed substitute for SQL's MATCH_RECOGNIZE (which
+    Spark lacks): one shuffle groups each user's events, array_sort
+    orders them by (ts, event_id) WITHIN the aggregation (no global
+    sort, no window), and pattern matching is scan-stage regex on the
+    compacted string. At 100 TB the per-user string is bounded by
+    per-user event count — for heavy users, sessionize first
+    (w3_sessionization) and match per session; the shuffle carries one
+    symbol char per event either way, never the event payload.
+    Detects: error bursts (`E{{2,}}`) and the full signup→purchase
+    funnel (`S.*V.*C.*P`) — the ordered-regex twin of
+    w10_funnel_conversion's timestamp-based form.
+    """
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        F.struct(
+            F.col("ts"),
+            F.col("event_id"),
+            F.upper(F.substring("event_type", 1, 1)).alias("ch"),
+        ).alias("s"),
+    )
+    seqs = ev.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list("s")), lambda x: x["ch"]
+            ),
+            "",
+        ).alias("seq")
+    )
+    return seqs.select(
+        "user_id",
+        F.length("seq").alias("seq_len"),
+        F.size(
+            F.regexp_extract_all(F.col("seq"), F.lit(_SEQ_PATTERN_BURST), F.lit(0))
+        ).alias("n_error_bursts"),
+        F.col("seq").rlike(_SEQ_PATTERN_FUNNEL).alias("has_funnel"),
+    ).orderBy("user_id")

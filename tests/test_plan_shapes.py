@@ -51,6 +51,7 @@ SCALAR_SUBQUERY = {
     "dedup_cluster_stats",  # same fixpoint subtree as cluster_labels
     "text_lm_score",  # 1-row vocabulary total broadcast
     "emb_quantize_int8",  # 1-row per-dim min/max broadcast
+    "text_tfidf_topk",  # 1-row corpus-size N broadcast into the idf
 }
 
 
