@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from compendium_spark.functions.numeric import round_half_up
+from compendium_spark.functions.numeric import quantize6, round_half_up, sql_quantize6
 from compendium_spark.plans.registry import plan
 from compendium_spark.tables import load
 
@@ -825,10 +825,11 @@ p AS (
 ),
 n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM embeddings)
 SELECT i, j,
-       ROUND((CAST(SUM(qi * qj) AS DOUBLE)
+       CAST(FLOOR(((CAST(SUM(qi * qj) AS DOUBLE)
               - CAST(SUM(qi) AS DOUBLE) * CAST(SUM(qj) AS DOUBLE)
                 / (SELECT n FROM n))
-             / (SELECT n FROM n) / 1000000000000.0, 6) AS cov
+             / (SELECT n FROM n) / 1000000000000.0)
+            * 1000000.0 + 0.5) AS BIGINT) / 1000000.0 AS cov
 FROM p
 GROUP BY i, j
 ORDER BY i, j
@@ -986,7 +987,13 @@ def emb_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     ulp flipped entries that landed near a ROUND(6) boundary.
     Downstream consumers that keep computing (PCA trace/eig) use the
     unrounded float helper ``_covariance_unrounded`` — they need the
-    un-quantized statistic, not cross-engine hash parity."""
+    un-quantized statistic, not cross-engine hash parity.
+
+    The OUTPUT is quantized with the same FLOOR idiom (quantize6), not
+    ROUND: at sf0.01 cell (6,10) is a tiny negative that ROUND(…,6)
+    turns into ``-0.0`` in DuckDB but ``+0.0`` in Spark — numerically
+    equal, hash-unequal. FLOOR-quantize never emits a signed zero and
+    is the identical IEEE expression on both engines."""
     emb_q = load(spark, sf_dir, "embeddings").select(
         "vec_id",
         F.transform(
@@ -996,7 +1003,7 @@ def emb_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         _covariance_exact(emb_q)
-        .select("i", "j", F.round("cov", 6).alias("cov"))
+        .select("i", "j", quantize6(F.col("cov")).alias("cov"))
         .orderBy("i", "j")
     )
 

@@ -42,12 +42,18 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df.reset_index(drop=True)
 
 
-@pytest.mark.parametrize("name", WITH_ORACLE)
-def test_oracle_parity(spark, name):
-    p = PLANS[name]
-    got = _normalize(p.fn(spark, SF_ORACLE).toPandas())
-    con = _duck_conn(SF_ORACLE)
-    want = _normalize(con.execute(p.oracle).df())
+def _assert_hash_equal(got: pd.DataFrame, want: pd.DataFrame, name: str) -> None:
+    """Assert equality at the strength of the driver's value hash.
+
+    ``assert_frame_equal(check_exact=True)`` still treats ``-0.0 ==
+    0.0`` — but the driver serializes cell bytes, so a signed zero on
+    one engine only IS a hash mismatch (the round-4 ``emb_covariance``
+    red row, cell (6,10)). Float columns are therefore compared
+    BITWISE via an int64 view; NaN==NaN is accepted (both engines
+    serialize the canonical quiet NaN).
+    """
+    import numpy as np
+
     assert list(got.columns) == list(want.columns), (
         f"{name}: column mismatch {list(got.columns)} vs {list(want.columns)}"
     )
@@ -65,6 +71,39 @@ def test_oracle_parity(spark, name):
             f"would hash-mismatch in the driver gate"
         )
     pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)
+    for c in got.columns:
+        if got[c].dtype.kind == "f":
+            g = got[c].to_numpy(dtype="float64")
+            w = want[c].to_numpy(dtype="float64")
+            bit_same = g.view("int64") == w.view("int64")
+            both_nan = np.isnan(g) & np.isnan(w)
+            bad = ~(bit_same | both_nan)
+            if bad.any():
+                i = int(np.argmax(bad))
+                raise AssertionError(
+                    f"{name}.{c}[{i}]: bitwise float mismatch {g[i]!r} vs "
+                    f"{w[i]!r} (e.g. -0.0 vs 0.0, or last-ulp drift) — "
+                    f"numerically equal values can still hash-mismatch "
+                    f"in the driver gate"
+                )
+
+
+@pytest.mark.parametrize("name", WITH_ORACLE)
+def test_oracle_parity(spark, name):
+    p = PLANS[name]
+    got = _normalize(p.fn(spark, SF_ORACLE).toPandas())
+    con = _duck_conn(SF_ORACLE)
+    want = _normalize(con.execute(p.oracle).df())
+    _assert_hash_equal(got, want, name)
+
+
+def test_gate_rejects_signed_zero():
+    """The hardened gate must fail a frame differing ONLY by a signed
+    zero — the exact failure class assert_frame_equal cannot see."""
+    got = pd.DataFrame({"v": [1.5, 0.0]})
+    want = pd.DataFrame({"v": [1.5, -0.0]})
+    with pytest.raises(AssertionError, match="bitwise float mismatch"):
+        _assert_hash_equal(got, want, "signed_zero_probe")
 
 
 @pytest.mark.parametrize("name", ROWS_ONLY)
