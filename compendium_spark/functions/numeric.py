@@ -38,19 +38,42 @@ from pyspark.sql import functions as F
 _Q6 = 1000000.0
 
 
-def quantize6(col: Column) -> Column:
-    """Spark side of the 6-decimal output quantizer. Pair with
-    :func:`sql_quantize6` in the oracle — both engines evaluate the
+def quantize(col: Column | str, ndigits: int) -> Column:
+    """Spark side of the n-decimal output quantizer. Pair with
+    :func:`sql_quantize` in the oracle — both engines evaluate the
     identical IEEE expression, so results are bit-identical."""
-    return F.floor(col.cast("double") * F.lit(_Q6) + F.lit(0.5)) / F.lit(_Q6)
+    c = F.col(col) if isinstance(col, str) else col
+    scale = float(10**ndigits)
+    return F.floor(c.cast("double") * F.lit(scale) + F.lit(0.5)) / F.lit(scale)
+
+
+def sql_quantize(expr: str, ndigits: int) -> str:
+    """ANSI-SQL fragment matching :func:`quantize` (DuckDB oracle)."""
+    scale = f"{float(10 ** ndigits):.1f}"
+    return (
+        f"CAST(FLOOR(CAST(({expr}) AS DOUBLE) * {scale} + 0.5) AS BIGINT)"
+        f" / {scale}"
+    )
+
+
+def quantize_float(x: float, ndigits: int) -> float:
+    """Driver-side / stateful-UDF twin of :func:`quantize`: the same
+    FLOOR(x*scale + 0.5)/scale evaluated on a Python float (IEEE
+    double) — bit-identical to the Spark and DuckDB expressions."""
+    import math
+
+    scale = float(10**ndigits)
+    return math.floor(float(x) * scale + 0.5) / scale
+
+
+def quantize6(col: Column | str) -> Column:
+    """6-decimal :func:`quantize` — the default output scale."""
+    return quantize(col, 6)
 
 
 def sql_quantize6(expr: str) -> str:
-    """ANSI-SQL fragment matching :func:`quantize6` (DuckDB oracle)."""
-    return (
-        f"CAST(FLOOR(CAST(({expr}) AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)"
-        f" / 1000000.0"
-    )
+    """6-decimal :func:`sql_quantize`."""
+    return sql_quantize(expr, 6)
 
 
 def round_half_up(x: float, ndigits: int) -> float:

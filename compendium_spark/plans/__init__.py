@@ -33,100 +33,100 @@ from compendium_spark.plans import (  # noqa: F401
 
 # The driver's correctness gate samples a 50-plan prefix of the
 # registry per round, so iteration order is explicitly tiered each
-# round to burn down plans without a driver-green row. Round 4
-# (CORRECTNESS union r01–r03: 145/146 then-registered plans sampled,
-# emb_covariance the only red, graph_pagerank the only never-sampled):
-#   tier 1 — the plans that MUST green this round: graph_pagerank
-#            (queued at position 51 of round 3's 50-slot window —
-#            never sampled), emb_covariance (round-3 hash red, now
-#            rebuilt on exact integer partials), and the ten plans NEW
-#            in round 4 (mm_decode, dedup_incremental_lsh,
-#            dedup_signature_jaccard, curate_token_budget,
-#            dedup_semdedup, text_shingle_containment,
-#            graph_triangle_count, w11_sequence_pattern,
-#            a16_grouping_sets, text_tfidf_topk);
-#   tier 2 — plans whose code changed this round, re-sampled to prove
-#            the change is value-neutral: emb_pca_variance_check +
-#            the streaming rounding sites (half-up driver rounding),
-#            emb_whiten_check (spectrum-scaled tolerance);
-#   tier 3 — re-verification slots (the round-3 verdict's standing
-#            advice): every timestamp-consuming and float-rounding
-#            plan gets re-sampled against the freshly regenerated
-#            testdata — these are the two value classes a dtype or
-#            distribution drift can silently flip, and re-greens are
-#            the early-warning system the NTZ incident proved out.
-#   Everything else (hash-green r01–r03, integer/string-valued,
-#   drift-insensitive) follows in registration order.
-_ROUND4_MUST_GREEN = [
-    "graph_pagerank",
+# round. Round 5 (CORRECTNESS union r01–r04: all 156 plans sampled,
+# emb_covariance the only red):
+#   tier 1 — emb_covariance: the one red row (4 rounds running);
+#            round 5 replaced its terminal ROUND with the
+#            FLOOR-quantize idiom that kills the DuckDB -0.0 vs Spark
+#            +0.0 serialization diff — this row greening is the
+#            round's headline;
+#   tier 2 — every plan whose OUTPUT idiom changed in the round-5
+#            FLOOR-quantize sweep (ROUND(double, n) is not
+#            parity-safe as a hash-compared terminal op; ~40 plans
+#            swapped to the shared quantize/sql_quantize helpers) or
+#            whose kernel changed (dedup_semdedup's grouped-map
+#            NumPy pair scorer, graph lazy checkpoints). These are
+#            new code paths and must re-green.
+#   Everything else (hash-green r01–r04, idiom untouched) follows in
+#   registration order — the timestamp family re-greened in r04
+#   against the current testdata and its code is unchanged this
+#   round, so it cedes its slots to the swept plans.
+_ROUND5_MUST_GREEN = [
     "emb_covariance",
-    "mm_decode",
-    "dedup_incremental_lsh",
-    "dedup_signature_jaccard",
-    "curate_token_budget",
-    "dedup_semdedup",
-    "text_shingle_containment",
-    "graph_triangle_count",
-    "w11_sequence_pattern",
-    "a16_grouping_sets",
-    "text_tfidf_topk",
 ]
-_ROUND4_CHANGED_THIS_ROUND = [
+_ROUND5_QUANTIZE_SWEPT = [
+    # quality.py
+    "text_repetition_ratio",
+    "corpus_stats_report",
+    "emb_quantize_int8",
+    "emb_outlier_filter",
     "emb_pca_variance_check",
     "emb_whiten_check",
-    "streaming_running_totals",
-    "streaming_mv_refresh",
-]
-_ROUND4_REVERIFY_TIMESTAMP = [
-    "w1_tumbling_window",
-    "w2_sliding_window",
-    "w3_sessionization",
-    "w4_running_sum",
-    "w6_lag_lead_delta",
-    "w7_range_frame",
-    "w10_funnel_conversion",
-    "j8_asof_join",
-    "j10_range_join",
-    "j14_interval_overlap_join",
-    "ts_resample_ffill",
-    "f_date_functions",
-    "mv_incremental_refresh",
-    "streaming_tumbling_counts",
-    "streaming_sliding_counts",
-    "streaming_interval_join",
-    "streaming_dedup",
-    "streaming_session_windows",
-    "streaming_enrich_join",
-]
-_ROUND4_REVERIFY_FLOAT = [
-    "cluster_kmeans",
-    "a8_mean_stddev",
-    "a12_stats_moments",
-    "sim_cosine_topk",
-    "sim_lsh_topk",
-    "sim_ivf_topk",
-    "sim_ivfpq_topk",
-    "sim_pq_adc_topk",
-    "sim_pq_codes",
     "sim_sq_topk_recall",
+    # semantic.py (semdedup also switched to the grouped-map kernel)
+    "dedup_semdedup",
+    "text_shingle_containment",
+    # extended.py
+    "dedup_ngram_jaccard",
+    "dedup_incremental_lsh",
+    "dedup_neardup_pipeline",
+    "sim_cosine_topk",
+    "dedup_embedding_cosine",
+    "dedup_signature_jaccard",
+    # ann/ivf/pq
+    "sim_lsh_topk",
+    "sim_ivf_cells",
+    "sim_ivf_topk",
+    "sim_pq_adc_topk",
+    "sim_ivfpq_topk",
+    # curation.py
     "emb_lang_centroids",
-    "emb_outlier_filter",
-    "emb_quantize_int8",
     "text_lm_score",
-    # six float re-verify slots (q1_pricing_summary, a13_exact_quantiles,
-    # dedup_embedding_cosine, text_quality_score, w9_rank_distributions,
-    # a_approx_error_bound — all hash-green r01–r03, decimal/integer-exact
-    # or already re-proven) gave way to the six NEW round-4 plans in
-    # tier 1, which have no green row yet and must be sampled.
+    # graph/kmeans/incremental (state rounding between iterations)
+    "graph_pagerank",
+    "graph_triangle_count",
+    "cluster_kmeans",
+    "mv_incremental_refresh",
+    # olap_ext.py
+    "a13_exact_quantiles",
+    "a_approx_error_bound",
+    # reference_ops / reference_ops2
+    "a8_mean_stddev",
+    "p10_proportional_span_filter",
+    "a6_threshold_disposition",
+    "f_ratio_nullsafe",
+    # relational_ext.py
+    "e_array_positional",
+    "a12_stats_moments",
+    "w9_rank_distributions",
+    # streaming (driver-side quantize_float + agg quantize)
+    "streaming_running_totals",
+    "streaming_enrich_join",
+    "streaming_mv_refresh",
+    # text.py
+    "text_quality_score",
+    "text_bpe_tokens",
     "text_token_entropy",
+    "text_tfidf_topk",
 ]
-_ROUND4_WINDOW = [
-    *_ROUND4_MUST_GREEN,
-    *_ROUND4_CHANGED_THIS_ROUND,
-    *_ROUND4_REVERIFY_TIMESTAMP,
-    *_ROUND4_REVERIFY_FLOAT,
+_ROUND5_REVERIFY = [
+    # timestamp-family sentinels (canaries for a testdata dtype
+    # drift; the family's code is unchanged this round)
+    "w1_tumbling_window",
+    "j8_asof_join",
+    "f_date_functions",
+    # float plans not in the sweep (kept idioms; drift canaries)
+    "sim_pq_codes",
+    "sim_lsh_buckets",
+    "mm_decode",
+    "curate_token_budget",
 ]
-assert len(_ROUND4_WINDOW) == 50, len(_ROUND4_WINDOW)
-registry.promote(_ROUND4_WINDOW)
+_ROUND5_WINDOW = [
+    *_ROUND5_MUST_GREEN,
+    *_ROUND5_QUANTIZE_SWEPT,
+    *_ROUND5_REVERIFY,
+]
+assert len(_ROUND5_WINDOW) == 50, len(_ROUND5_WINDOW)
+registry.promote(_ROUND5_WINDOW)
 
 all_plans = registry.all_plans

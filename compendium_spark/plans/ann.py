@@ -23,6 +23,7 @@ import numpy as np
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from compendium_spark.functions.numeric import quantize6
 from compendium_spark.plans.registry import plan
 
 N_TABLES = 4
@@ -149,7 +150,7 @@ ranked AS (
                             ORDER BY cos_full DESC, cand_id) AS rn
   FROM pairs
 )
-SELECT query_id, cand_id, ROUND(cos_full, 6) AS cosine, rn AS rank
+SELECT query_id, cand_id, CAST(FLOOR(CAST((cos_full) AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) / 1000000.0 AS cosine, rn AS rank
 FROM ranked WHERE rn <= 5
 ORDER BY query_id, rank
 """
@@ -207,7 +208,7 @@ def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             "cand_id",
-            F.round("cos_full", 6).alias("cosine"),
+            quantize6("cos_full").alias("cosine"),
             F.col("rn").alias("rank"),
         )
         .orderBy("query_id", "rank")

@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from compendium_spark.functions.numeric import quantize6
 from compendium_spark.plans.registry import plan
 from compendium_spark.tables import load
 
@@ -242,7 +243,7 @@ def curate_cap_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 CENTROID_SQL = """
 SELECT lang, pos,
-       ROUND(AVG(x), 6) AS centroid_val,
+       CAST(FLOOR(CAST((AVG(x)) AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) / 1000000.0 AS centroid_val,
        CAST(COUNT(*) AS BIGINT) AS n_vectors
 FROM (
   SELECT d.lang,
@@ -278,7 +279,7 @@ def emb_lang_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("pos") <= 8)
         .groupBy("lang", "pos")
         .agg(
-            F.round(F.avg("x"), 6).alias("centroid_val"),
+            quantize6(F.avg("x")).alias("centroid_val"),
             F.count(F.lit(1)).alias("n_vectors"),
         )
         .orderBy("lang", "pos")
@@ -339,7 +340,7 @@ vocab AS (
 tot AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS total FROM vocab)
 SELECT t.doc_id,
        CAST(COUNT(*) AS BIGINT) AS n_tokens,
-       ROUND(AVG(ln(v.cnt / tot.total)), 6) AS avg_logp
+       CAST(FLOOR(CAST((AVG(ln(v.cnt / tot.total))) AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) / 1000000.0 AS avg_logp
 FROM toks t JOIN vocab v ON t.tok = v.tok, tot
 GROUP BY t.doc_id
 ORDER BY t.doc_id
@@ -372,7 +373,7 @@ def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),
-            F.round(F.avg(F.log(F.col("cnt") / F.col("total"))), 6).alias(
+            quantize6(F.avg(F.log(F.col("cnt") / F.col("total")))).alias(
                 "avg_logp"
             ),
         )

@@ -26,6 +26,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from compendium_spark.functions.numeric import quantize6
 from compendium_spark.plans.registry import plan
 from compendium_spark.tables import load
 
@@ -135,7 +136,7 @@ inter AS (
   GROUP BY a.doc_id, b.doc_id
 )
 SELECT doc_a, doc_b,
-       ROUND(1.0 * n_common / (ca.n + cb.n - n_common), 6) AS jaccard
+       CAST(FLOOR(CAST((1.0 * n_common / (ca.n + cb.n - n_common)) AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) / 1000000.0 AS jaccard
 FROM inter
 JOIN cnt ca ON doc_a = ca.doc_id
 JOIN cnt cb ON doc_b = cb.doc_id
@@ -177,7 +178,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         inter.join(ca, F.col("doc_a") == F.col("ca.doc_id"))
         .join(cb, F.col("doc_b") == F.col("cb.doc_id"))
         .filter(jac >= JACCARD_THRESHOLD)
-        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+        .select("doc_a", "doc_b", quantize6(jac).alias("jaccard"))
         .orderBy("doc_a", "doc_b")
     )
 
@@ -326,8 +327,8 @@ cand AS (
 ),
 sh_arr AS (SELECT doc_id, {{shingles}} AS sh FROM documents)
 SELECT delta_id, base_id,
-       round(1.0 * len(list_intersect(d.sh, c.sh))
-             / (len(d.sh) + len(c.sh) - len(list_intersect(d.sh, c.sh))), 6)
+       CAST(FLOOR(CAST((1.0 * len(list_intersect(d.sh, c.sh))
+             / (len(d.sh) + len(c.sh) - len(list_intersect(d.sh, c.sh)))) AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) / 1000000.0
          AS jaccard
 FROM cand
 JOIN sh_arr d ON delta_id = d.doc_id
@@ -400,7 +401,7 @@ def dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand.join(d, "delta_id")
         .join(c, "base_id")
         .filter(jac >= JACCARD_THRESHOLD)
-        .select("delta_id", "base_id", F.round(jac, 6).alias("jaccard"))
+        .select("delta_id", "base_id", quantize6(jac).alias("jaccard"))
         .orderBy("delta_id", "base_id")
     )
 
@@ -431,8 +432,8 @@ def _neardup_sql() -> str:
 WITH {body},
 sh_arr AS (SELECT doc_id, {_SHINGLES_SQL} AS sh FROM documents)
 SELECT doc_a, doc_b,
-       round(1.0 * len(list_intersect(a.sh, b.sh))
-             / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6)
+       CAST(FLOOR(CAST((1.0 * len(list_intersect(a.sh, b.sh))
+             / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))) AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) / 1000000.0
          AS jaccard
 FROM cand
 JOIN sh_arr a ON doc_a = a.doc_id
@@ -470,7 +471,7 @@ def dedup_neardup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand.join(a, "doc_a")
         .join(b, "doc_b")
         .filter(jac >= JACCARD_THRESHOLD)
-        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+        .select("doc_a", "doc_b", quantize6(jac).alias("jaccard"))
         .orderBy("doc_a", "doc_b")
     )
 
@@ -638,7 +639,7 @@ ranked AS (
                             ORDER BY cos_full DESC, cand_id) AS rn
   FROM pairs
 )
-SELECT query_id, cand_id, ROUND(cos_full, 6) AS cosine, rn AS rank
+SELECT query_id, cand_id, CAST(FLOOR(CAST((cos_full) AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) / 1000000.0 AS cosine, rn AS rank
 FROM ranked WHERE rn <= 5
 ORDER BY query_id, rank
 """
@@ -687,7 +688,7 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             "cand_id",
-            F.round("cos_full", 6).alias("cosine"),
+            quantize6("cos_full").alias("cosine"),
             F.col("rn").alias("rank"),
         )
         .orderBy("query_id", "rank")
@@ -705,8 +706,8 @@ n AS (
   FROM v
 )
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-       ROUND(list_sum(list_transform(a.e, (x, i) -> x * b.e[i]))
-             / (a.nrm * b.nrm), 6) AS cosine
+       CAST(FLOOR(CAST((list_sum(list_transform(a.e, (x, i) -> x * b.e[i]))
+             / (a.nrm * b.nrm)) AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) / 1000000.0 AS cosine
 FROM n a, n b
 WHERE a.vec_id < b.vec_id
   AND list_sum(list_transform(a.e, (x, i) -> x * b.e[i])) / (a.nrm * b.nrm) >= 0.5
@@ -744,7 +745,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.crossJoin(F.broadcast(b))
         .filter(F.col("vec_a") < F.col("vec_b"))
         .filter(cos >= 0.5)
-        .select("vec_a", "vec_b", F.round(cos, 6).alias("cosine"))
+        .select("vec_a", "vec_b", quantize6(cos).alias("cosine"))
         .orderBy("vec_a", "vec_b")
     )
 
@@ -1023,9 +1024,9 @@ cand AS (
 ),
 sh_arr AS (SELECT doc_id, {_SHINGLES_SQL} AS sh FROM documents)
 SELECT doc_a, doc_b,
-       ROUND(({lane_eq}) / {N_HASHES}.0, 6) AS est_jaccard,
-       ROUND(1.0 * len(list_intersect(a.sh, b.sh))
-             / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6)
+       CAST(FLOOR(CAST((({lane_eq}) / {N_HASHES}.0) AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) / 1000000.0 AS est_jaccard,
+       CAST(FLOOR(CAST((1.0 * len(list_intersect(a.sh, b.sh))
+             / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))) AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) / 1000000.0
          AS jaccard
 FROM cand
 JOIN sig sa ON doc_a = sa.doc_id
@@ -1089,8 +1090,8 @@ def dedup_signature_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_a",
             "doc_b",
-            F.round(lane_eq / F.lit(float(N_HASHES)), 6).alias("est_jaccard"),
-            F.round(jac, 6).alias("jaccard"),
+            quantize6(lane_eq / F.lit(float(N_HASHES))).alias("est_jaccard"),
+            quantize6(jac).alias("jaccard"),
         )
         .orderBy("doc_a", "doc_b")
     )

@@ -22,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from compendium_spark.functions.numeric import quantize6
 from compendium_spark.plans.registry import plan
 from compendium_spark.tables import load, maybe_broadcast
 
@@ -54,8 +55,8 @@ c1 AS (
 ),
 pr1 AS (
   SELECT n.node,
-         ROUND((1 - {DAMPING}) / (SELECT n FROM nn)
-               + {DAMPING} * COALESCE(c1.contrib, 0), 6) AS pr
+         CAST(FLOOR(CAST(((1 - {DAMPING}) / (SELECT n FROM nn)
+               + {DAMPING} * COALESCE(c1.contrib, 0)) AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) / 1000000.0 AS pr
   FROM nodes n LEFT JOIN c1 ON n.node = c1.node
 ),
 c2 AS (
@@ -65,8 +66,8 @@ c2 AS (
 ),
 pr2 AS (
   SELECT n.node,
-         ROUND((1 - {DAMPING}) / (SELECT n FROM nn)
-               + {DAMPING} * COALESCE(c2.contrib, 0), 6) AS pr
+         CAST(FLOOR(CAST(((1 - {DAMPING}) / (SELECT n FROM nn)
+               + {DAMPING} * COALESCE(c2.contrib, 0)) AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) / 1000000.0 AS pr
   FROM nodes n LEFT JOIN c2 ON n.node = c2.node
 )
 SELECT node, pr FROM pr2 ORDER BY pr DESC, node
@@ -114,7 +115,9 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     edge⋈rank join + one dst aggregate; rank state is rounded to 6 dp
     between rounds for cross-engine parity (same discipline as
     cluster_kmeans' centroid update)."""
-    edges = _trade_edges(spark, sf_dir).localCheckpoint(eager=True)
+    # lazy for the same reason as graph_triangle_count: plan
+    # construction must not trigger a Spark job
+    edges = _trade_edges(spark, sf_dir).localCheckpoint(eager=False)
     nodes = load(spark, sf_dir, "nation").select(F.col("n_name").alias("node"))
     n = nodes.count()  # 25 at every SF (constant dim of the graph)
     outw = edges.groupBy("src").agg(F.sum("w").alias("ow"))
@@ -132,11 +135,8 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         pr = nodes.join(contrib, "node", "left").select(
             "node",
-            F.round(
-                F.lit((1 - DAMPING) / n)
-                + DAMPING * F.coalesce("contrib", F.lit(0.0)),
-                6,
-            ).alias("pr"),
+            quantize6(F.lit((1 - DAMPING) / n)
+                + DAMPING * F.coalesce("contrib", F.lit(0.0))).alias("pr"),
         )
     return pr.orderBy(F.desc("pr"), "node")
 
@@ -185,7 +185,10 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
         )
         .distinct()
-        .localCheckpoint(eager=True)  # reused 3×; 25-node graph, tiny
+        # reused 3x; lazy checkpoint so merely BUILDING the plan
+        # (explain/plan-shape tooling) stays job-free — lineage is
+        # truncated at first materialization, not at construction
+        .localCheckpoint(eager=False)
     )
     e2 = und.select(F.col("a").alias("b2"), F.col("b").alias("c"))
     e3 = und.select(F.col("a").alias("a3"), F.col("b").alias("c3"))

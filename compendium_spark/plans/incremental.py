@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from compendium_spark.functions.numeric import quantize
 from compendium_spark.plans.registry import plan
 from compendium_spark.tables import load
 
@@ -33,7 +34,7 @@ SELECT o_orderstatus AS status,
        date_trunc('month', o_orderdate) AS month,
        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_price,
        COUNT(*) AS n_orders,
-       CAST(ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*), 4)
+       CAST(CAST(FLOOR(CAST((CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*)) AS DOUBLE) * 10000.0 + 0.5) AS BIGINT) / 10000.0
             AS DOUBLE) AS avg_price
 FROM orders
 GROUP BY status, month
@@ -91,7 +92,7 @@ def mv_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         "month",
         F.col("sum_price").cast("double").alias("total_price"),
         "n_orders",
-        F.round(F.col("sum_price").cast("double") / F.col("n_orders"), 4)
+        quantize(F.col("sum_price").cast("double") / F.col("n_orders"), 4)
         .cast("double")
         .alias("avg_price"),
     ).orderBy("status", "month")

@@ -22,18 +22,33 @@ import numpy as np
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from compendium_spark.functions.numeric import quantize6
 from compendium_spark.plans.registry import plan
 
 N_CELLS = 16
 N_PROBE = 4
 DIM = 64
-_rng = np.random.default_rng(7)
-CENTROIDS: list[list[float]] = [
-    [round(float(x), 6) for x in _rng.standard_normal(DIM)] for _ in range(N_CELLS)
-]
 
 
-def _assign_cells(emb: DataFrame) -> DataFrame:
+def make_centroids(k: int, dim: int = DIM, seed: int = 7) -> list[list[float]]:
+    """Seeded coarse-quantizer centroids for any K.
+
+    K is the scale knob of every cell-bounded operator (IVF probe
+    cost, SemDeDup pair cost): per-cell work grows ~ (n/K)^2, so K
+    must scale ~ n to hold cell occupancy (and thus per-cell cost)
+    constant — SemDeDup production runs ~1e5 clusters. The draw order
+    matches the original literal table, so ``make_centroids(16)`` is
+    bit-identical to the CENTROIDS baked into the DuckDB oracles."""
+    rng = np.random.default_rng(seed)
+    return [
+        [round(float(x), 6) for x in rng.standard_normal(dim)] for _ in range(k)
+    ]
+
+
+CENTROIDS: list[list[float]] = make_centroids(N_CELLS)
+
+
+def _assign_cells(emb: DataFrame, centroids: list[list[float]] | None = None) -> DataFrame:
     """(vec_id, cell) — nearest-centroid assignment computed entirely
     MAP-SIDE: cell = first index of the max score in the K-element
     score array. array_position picks the FIRST occurrence of the max,
@@ -44,7 +59,10 @@ def _assign_cells(emb: DataFrame) -> DataFrame:
     16x-exploded corpus would shuffle 16 rows per vector instead)."""
     import pandas as pd  # noqa: PLC0415
 
-    centroids = np.asarray(CENTROIDS, dtype=np.float64)  # (K, DIM)
+    cent = np.asarray(
+        CENTROIDS if centroids is None else centroids, dtype=np.float64
+    )  # (K, DIM)
+    n_cells = len(cent)
 
     def assign(batches):
         for pdf in batches:
@@ -56,11 +74,11 @@ def _assign_cells(emb: DataFrame) -> DataFrame:
             # DuckDB's list_sum, so the argmax below cannot diverge
             # from the oracle's score ranking. (np.dot/matmul use
             # blocked/pairwise accumulation — different rounding.)
-            scores = np.zeros((len(x), N_CELLS))
-            for k in range(N_CELLS):
+            scores = np.zeros((len(x), n_cells))
+            for k in range(n_cells):
                 acc = np.zeros(len(x))
                 for d in range(x.shape[1]):
-                    acc = acc + x[:, d] * centroids[k, d]
+                    acc = acc + x[:, d] * cent[k, d]
                 scores[:, k] = acc
             # np.argmax keeps the FIRST max — the oracle's
             # ORDER BY score DESC, cell tie-break
@@ -203,7 +221,7 @@ ranked AS (
   JOIN n q ON cand.query_id = q.vec_id
   JOIN n c ON cand.cand_id = c.vec_id
 )
-SELECT query_id, cand_id, ROUND(cos_full, 6) AS cosine, rn AS rank
+SELECT query_id, cand_id, CAST(FLOOR(CAST((cos_full) AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) / 1000000.0 AS cosine, rn AS rank
 FROM ranked WHERE rn <= 5
 ORDER BY query_id, rank
 """
@@ -270,7 +288,7 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             "cand_id",
-            F.round("cos_full", 6).alias("cosine"),
+            quantize6("cos_full").alias("cosine"),
             F.col("rn").alias("rank"),
         )
         .orderBy("query_id", "rank")

@@ -24,6 +24,7 @@ import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from compendium_spark.functions.numeric import quantize6
 from compendium_spark.plans.registry import plan
 from compendium_spark.tables import load
 
@@ -76,7 +77,7 @@ def _update(emb: DataFrame, assign: DataFrame) -> list[list[float]]:
         emb.join(assign, "vec_id")
         .select("cluster", F.posexplode("e").alias("pos", "x"))
         .groupBy("cluster", "pos")
-        .agg(F.round(F.avg("x"), 6).alias("m"))
+        .agg(quantize6(F.avg("x")).alias("m"))
         .collect()
     )
     cent = [list(c) for c in CENTROIDS0]
@@ -110,7 +111,7 @@ a1 AS (
   ) WHERE rn = 1
 ),
 m1 AS (
-  SELECT a1.cluster, pos, ROUND(AVG(x), 6) AS m
+  SELECT a1.cluster, pos, CAST(FLOOR(CAST((AVG(x)) AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) / 1000000.0 AS m
   FROM (
     SELECT vec_id, unnest(e) AS x, unnest(range(1, len(e) + 1)) AS pos FROM v
   ) ex JOIN a1 USING (vec_id)

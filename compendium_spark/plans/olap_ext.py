@@ -10,6 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from compendium_spark.functions.numeric import quantize, quantize6
 from compendium_spark.plans.registry import plan
 from compendium_spark.tables import load
 
@@ -106,7 +107,7 @@ def a_approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
 APPROX_BOUND_SQL = """
 SELECT l_returnflag,
        COUNT(DISTINCT l_orderkey) AS exact_orders,
-       CAST(ROUND(CAST(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.5) AS DOUBLE), 2) AS DOUBLE)
+       CAST(CAST(FLOOR(CAST((CAST(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.5) AS DOUBLE)) AS DOUBLE) * 100.0 + 0.5) AS BIGINT) / 100.0 AS DOUBLE)
            AS exact_q50,
        TRUE AS distinct_ok,
        TRUE AS q50_ok
@@ -140,7 +141,7 @@ def a_approx_error_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select(
         "l_returnflag",
         "exact_orders",
-        F.round("exact_q50_raw", 2).cast("double").alias("exact_q50"),
+        quantize("exact_q50_raw", 2).cast("double").alias("exact_q50"),
         (
             F.abs(F.col("approx_orders") - F.col("exact_orders"))
             <= 0.10 * F.col("exact_orders")
@@ -210,9 +211,9 @@ def a11_salted_twostage_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 MEDIAN_SQL = """
 SELECT l_returnflag,
-       round(quantile_cont(l_quantity, 0.5), 6) AS qty_median,
-       round(quantile_cont(l_extendedprice, [0.25, 0.75])[1], 6) AS price_q1,
-       round(quantile_cont(l_extendedprice, [0.25, 0.75])[2], 6) AS price_q3
+       CAST(FLOOR(CAST((quantile_cont(l_quantity, 0.5)) AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) / 1000000.0 AS qty_median,
+       CAST(FLOOR(CAST((quantile_cont(l_extendedprice, [0.25, 0.75])[1]) AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) / 1000000.0 AS price_q1,
+       CAST(FLOOR(CAST((quantile_cont(l_extendedprice, [0.25, 0.75])[2]) AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) / 1000000.0 AS price_q3
 FROM lineitem
 GROUP BY l_returnflag
 ORDER BY l_returnflag
@@ -229,9 +230,9 @@ def a13_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.groupBy("l_returnflag")
         .agg(
-            F.round(F.percentile("l_quantity", F.lit(0.5)), 6).alias("qty_median"),
-            F.round(F.percentile("l_extendedprice", F.lit(0.25)), 6).alias("price_q1"),
-            F.round(F.percentile("l_extendedprice", F.lit(0.75)), 6).alias("price_q3"),
+            quantize6(F.percentile("l_quantity", F.lit(0.5))).alias("qty_median"),
+            quantize6(F.percentile("l_extendedprice", F.lit(0.25))).alias("price_q1"),
+            quantize6(F.percentile("l_extendedprice", F.lit(0.75))).alias("price_q3"),
         )
         .orderBy("l_returnflag")
     )

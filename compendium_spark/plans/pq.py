@@ -26,6 +26,7 @@ import numpy as np
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from compendium_spark.functions.numeric import quantize6
 from compendium_spark.plans.registry import plan
 
 DIM = 64
@@ -245,7 +246,7 @@ adc AS (
   {_SQL_ADC_JOINS}
   WHERE c.vec_id <> q.query_id
 )
-SELECT query_id, cand_id, ROUND(adc, 6) AS adc_score, rn AS rank
+SELECT query_id, cand_id, CAST(FLOOR(CAST((adc) AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) / 1000000.0 AS adc_score, rn AS rank
 FROM (
   SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
                                ORDER BY adc DESC, cand_id) AS rn
@@ -296,7 +297,7 @@ def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             "cand_id",
-            F.round("adc", 6).alias("adc_score"),
+            quantize6("adc").alias("adc_score"),
             F.col("rn").alias("rank"),
         )
         .orderBy("query_id", "rank")
@@ -340,7 +341,7 @@ adc AS (
   JOIN q ON q.query_id = cand.query_id
   {_SQL_ADC_JOINS}
 )
-SELECT query_id, cand_id, ROUND(adc, 6) AS adc_score, rn AS rank
+SELECT query_id, cand_id, CAST(FLOOR(CAST((adc) AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) / 1000000.0 AS adc_score, rn AS rank
 FROM (
   SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
                                ORDER BY adc DESC, cand_id) AS rn
@@ -398,7 +399,7 @@ def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             "cand_id",
-            F.round("adc", 6).alias("adc_score"),
+            quantize6("adc").alias("adc_score"),
             F.col("rn").alias("rank"),
         )
         .orderBy("query_id", "rank")

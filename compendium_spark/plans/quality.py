@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from compendium_spark.functions.numeric import quantize6, round_half_up, sql_quantize6
+from compendium_spark.functions.numeric import quantize6, quantize_float
 from compendium_spark.plans.registry import plan
 from compendium_spark.tables import load
 
@@ -60,9 +60,9 @@ s AS (
   FROM b
 )
 SELECT doc_id, n_tokens,
-       ROUND(distinct_ratio, 6) AS distinct_ratio,
-       ROUND(top_token_frac, 6) AS top_token_frac,
-       ROUND(top_bigram_frac, 6) AS top_bigram_frac,
+       CAST(FLOOR(CAST((distinct_ratio) AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) / 1000000.0 AS distinct_ratio,
+       CAST(FLOOR(CAST((top_token_frac) AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) / 1000000.0 AS top_token_frac,
+       CAST(FLOOR(CAST((top_bigram_frac) AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) / 1000000.0 AS top_bigram_frac,
        (distinct_ratio >= {MIN_DISTINCT_RATIO}
         AND top_token_frac <= {MAX_TOP_TOKEN_FRAC}
         AND top_bigram_frac <= {MAX_TOP_BIGRAM_FRAC}) AS keep
@@ -125,9 +125,9 @@ def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     return base.select(
         "doc_id",
         "n_tokens",
-        F.round("distinct_ratio", 6).alias("distinct_ratio"),
-        F.round("top_token_frac", 6).alias("top_token_frac"),
-        F.round("top_bigram_frac", 6).alias("top_bigram_frac"),
+        quantize6("distinct_ratio").alias("distinct_ratio"),
+        quantize6("top_token_frac").alias("top_token_frac"),
+        quantize6("top_bigram_frac").alias("top_bigram_frac"),
         (
             (F.col("distinct_ratio") >= MIN_DISTINCT_RATIO)
             & (F.col("top_token_frac") <= MAX_TOP_TOKEN_FRAC)
@@ -294,9 +294,9 @@ SELECT lang,
        CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
        CAST(SUM(len(string_split_regex(trim(text), ' +'))) AS BIGINT)
          AS total_tokens,
-       ROUND(AVG(CAST(n_chars AS DOUBLE)), 6) AS avg_chars,
-       ROUND(quantile_cont(CAST(n_chars AS DOUBLE), 0.5), 6) AS p50_chars,
-       ROUND(quantile_cont(CAST(n_chars AS DOUBLE), 0.9), 6) AS p90_chars
+       CAST(FLOOR(CAST((AVG(CAST(n_chars AS DOUBLE))) AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) / 1000000.0 AS avg_chars,
+       CAST(FLOOR(CAST((quantile_cont(CAST(n_chars AS DOUBLE), 0.5)) AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) / 1000000.0 AS p50_chars,
+       CAST(FLOOR(CAST((quantile_cont(CAST(n_chars AS DOUBLE), 0.9)) AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) / 1000000.0 AS p90_chars
 FROM documents
 GROUP BY lang
 ORDER BY lang
@@ -329,9 +329,9 @@ def corpus_stats_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_docs"),
             F.countDistinct("source").alias("n_sources"),
             F.sum("n_tokens").alias("total_tokens"),
-            F.round(F.avg("chars"), 6).alias("avg_chars"),
-            F.round(F.percentile("chars", F.lit(0.5)), 6).alias("p50_chars"),
-            F.round(F.percentile("chars", F.lit(0.9)), 6).alias("p90_chars"),
+            quantize6(F.avg("chars")).alias("avg_chars"),
+            quantize6(F.percentile("chars", F.lit(0.5))).alias("p50_chars"),
+            quantize6(F.percentile("chars", F.lit(0.9))).alias("p90_chars"),
         )
         .orderBy("lang")
     )
@@ -367,7 +367,7 @@ r AS (
 )
 SELECT vec_id,
        CAST(SUM(code) AS BIGINT) AS code_sum,
-       ROUND(AVG(ABS(x - xhat)), 6) AS mean_abs_err
+       CAST(FLOOR(CAST((AVG(ABS(x - xhat))) AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) / 1000000.0 AS mean_abs_err
 FROM r
 GROUP BY vec_id
 ORDER BY vec_id
@@ -431,16 +431,13 @@ def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0).cast("long"),
             lambda acc, i: acc + code(i),
         ).alias("code_sum"),
-        F.round(
-            F.aggregate(
+        quantize6(F.aggregate(
                 dims,
                 F.lit(0.0),
                 lambda acc, i: acc
                 + F.abs(F.element_at(F.col("e"), i) - xhat(i)),
             )
-            / EMB_DIM,
-            6,
-        ).alias("mean_abs_err"),
+            / EMB_DIM).alias("mean_abs_err"),
     ).orderBy("vec_id")
 
 
@@ -592,7 +589,7 @@ WITH v AS (
   FROM embeddings
 ),
 c AS (
-  SELECT label, pos, ROUND(AVG(x), 6) AS cv
+  SELECT label, pos, CAST(FLOOR(CAST((AVG(x)) AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) / 1000000.0 AS cv
   FROM (
     SELECT label, unnest(e) AS x, unnest(range(1, len(e) + 1)) AS pos
     FROM v
@@ -610,7 +607,7 @@ s AS (
            AS cos
   FROM v JOIN ca USING (label)
 )
-SELECT vec_id, label, ROUND(cos, 6) AS centroid_cosine
+SELECT vec_id, label, CAST(FLOOR(CAST((cos) AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) / 1000000.0 AS centroid_cosine
 FROM s
 WHERE cos < {OUTLIER_COS_MAX}
 ORDER BY vec_id
@@ -639,7 +636,7 @@ def emb_outlier_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     cent = (
         emb.select("label", F.posexplode("e").alias("pos0", "x"))
         .groupBy("label", "pos0")
-        .agg(F.round(F.avg("x"), 6).alias("cv"))
+        .agg(quantize6(F.avg("x")).alias("cv"))
         .groupBy("label")
         .agg(
             F.transform(
@@ -670,7 +667,7 @@ def emb_outlier_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("cos") < OUTLIER_COS_MAX)
         .select(
-            "vec_id", "label", F.round("cos", 6).alias("centroid_cosine")
+            "vec_id", "label", quantize6("cos").alias("centroid_cosine")
         )
         .orderBy("vec_id")
     )
@@ -990,7 +987,7 @@ def emb_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     un-quantized statistic, not cross-engine hash parity.
 
     The OUTPUT is quantized with the same FLOOR idiom (quantize6), not
-    ROUND: at sf0.01 cell (6,10) is a tiny negative that ROUND(…,6)
+    ROUND: at sf0.01 cell (6,10) is a tiny negative that ROUND-to-6dp
     turns into ``-0.0`` in DuckDB but ``+0.0`` in Spark — numerically
     equal, hash-unequal. FLOOR-quantize never emits a signed zero and
     is the identical IEEE expression on both engines."""
@@ -1020,7 +1017,7 @@ diag AS (
               / (SELECT n FROM n) AS var
   FROM v GROUP BY i
 )
-SELECT ROUND(SUM(var), 6) AS trace_cov, TRUE AS eig_sum_ok
+SELECT CAST(FLOOR(CAST((SUM(var)) AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) / 1000000.0 AS trace_cov, TRUE AS eig_sum_ok
 FROM diag
 """
 
@@ -1053,7 +1050,7 @@ def emb_pca_variance_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     trace = float(np.trace(c))
     ok = bool(abs(float(eigvals.sum()) - trace) <= 1e-6)
     return spark.createDataFrame(
-        [(round_half_up(trace, 6), ok)], schema="trace_cov double, eig_sum_ok boolean"
+        [(quantize_float(trace, 6), ok)], schema="trace_cov double, eig_sum_ok boolean"
     )
 
 

@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from compendium_spark.functions.numeric import quantize6
 from compendium_spark.plans.registry import plan
 from compendium_spark.tables import load
 
@@ -380,7 +381,7 @@ def a5_all_quantifier(spark: SparkSession, sf_dir: str) -> DataFrame:
 A8_SQL = """
 SELECT lang,
        CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_len,
-       ROUND(STDDEV_SAMP(CAST(n_chars AS DOUBLE)), 6) AS stddev_len
+       CAST(FLOOR(CAST((STDDEV_SAMP(CAST(n_chars AS DOUBLE))) AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) / 1000000.0 AS stddev_len
 FROM documents
 GROUP BY lang
 ORDER BY lang
@@ -397,7 +398,7 @@ def a8_mean_stddev(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.groupBy("lang")
         .agg(
             (F.sum("n_chars").cast("double") / F.count(F.lit(1))).alias("avg_len"),
-            F.round(F.stddev_samp(F.col("n_chars").cast("double")), 6).alias("stddev_len"),
+            quantize6(F.stddev_samp(F.col("n_chars").cast("double"))).alias("stddev_len"),
         )
         .orderBy("lang")
     )

@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from compendium_spark.functions.numeric import quantize6
 from compendium_spark.plans.registry import plan
 from compendium_spark.tables import load
 
@@ -97,7 +98,7 @@ def p8_nonempty_array_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 P10_SQL = """
 SELECT doc_id,
-       round(length(replace(text, ' ', '')) * 1.0 / length(text), 6) AS span_frac
+       CAST(FLOOR(CAST((length(replace(text, ' ', '')) * 1.0 / length(text)) AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) / 1000000.0 AS span_frac
 FROM documents
 WHERE length(replace(text, ' ', '')) * 1.0 / length(text) > 0.82
 ORDER BY doc_id
@@ -119,7 +120,7 @@ def p10_proportional_span_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         docs.select("doc_id", frac.alias("_f"))
         .filter(F.col("_f") > 0.82)
-        .select("doc_id", F.round("_f", 6).alias("span_frac"))
+        .select("doc_id", quantize6("_f").alias("span_frac"))
         .orderBy("doc_id")
     )
 
@@ -245,9 +246,9 @@ flagged AS (
   FROM stats
 )
 SELECT l_suppkey, sample_count,
-       round(frac_r, 6) AS frac_r,
-       round(frac_a, 6) AS frac_a,
-       round(frac_lowqty, 6) AS frac_lowqty,
+       CAST(FLOOR(CAST((frac_r) AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) / 1000000.0 AS frac_r,
+       CAST(FLOOR(CAST((frac_a) AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) / 1000000.0 AS frac_a,
+       CAST(FLOOR(CAST((frac_lowqty) AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) / 1000000.0 AS frac_lowqty,
        re_run, discard,
        CASE WHEN discard THEN 'discard'
             WHEN re_run THEN 're_run'
@@ -310,9 +311,9 @@ def a6_threshold_disposition(spark: SparkSession, sf_dir: str) -> DataFrame:
         stats.select(
             "l_suppkey",
             "sample_count",
-            F.round("frac_r", 6).alias("frac_r"),
-            F.round("frac_a", 6).alias("frac_a"),
-            F.round("frac_lowqty", 6).alias("frac_lowqty"),
+            quantize6("frac_r").alias("frac_r"),
+            quantize6("frac_a").alias("frac_a"),
+            quantize6("frac_lowqty").alias("frac_lowqty"),
             re_run.alias("re_run"),
             discard.alias("discard"),
             F.when(discard, "discard").when(re_run, "re_run").otherwise("save").alias(
@@ -380,11 +381,11 @@ def a9_majority_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 F5_SQL = """
 SELECT l_orderkey, l_linenumber,
-       round(CAST(l_discount AS DOUBLE) / nullif(CAST(l_tax AS DOUBLE), 0), 6)
+       CAST(FLOOR(CAST((CAST(l_discount AS DOUBLE) / nullif(CAST(l_tax AS DOUBLE), 0)) AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) / 1000000.0
          AS disc_tax_ratio,
        coalesce(CAST(l_discount AS DOUBLE)
                   / nullif(CAST(l_tax AS DOUBLE), 0) > 1.0, FALSE) AS flag_high,
-       round(CAST(l_quantity AS DOUBLE) / 50.0, 6) AS retained_frac,
+       CAST(FLOOR(CAST((CAST(l_quantity AS DOUBLE) / 50.0) AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) / 1000000.0 AS retained_frac,
        CAST(l_quantity AS DOUBLE) / 50.0 < 0.2 AS flag_low
 FROM lineitem
 WHERE l_orderkey < 5000
@@ -409,9 +410,9 @@ def f_ratio_nullsafe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "l_orderkey",
             "l_linenumber",
-            F.round(ratio, 6).alias("disc_tax_ratio"),
+            quantize6(ratio).alias("disc_tax_ratio"),
             F.coalesce(ratio > 1.0, F.lit(False)).alias("flag_high"),
-            F.round(retained, 6).alias("retained_frac"),
+            quantize6(retained).alias("retained_frac"),
             (retained < 0.2).alias("flag_low"),
         )
         .orderBy("l_orderkey", "l_linenumber")

@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from compendium_spark.functions.numeric import quantize6
 from compendium_spark.plans.registry import plan
 from compendium_spark.tables import load
 
@@ -261,7 +262,7 @@ def j8_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 POSEXPLODE_SQL = """
-SELECT vec_id, p.p AS pos, ROUND(CAST(embedding[p.p + 1] AS DOUBLE), 6) AS val
+SELECT vec_id, p.p AS pos, CAST(FLOOR(CAST((CAST(embedding[p.p + 1] AS DOUBLE)) AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) / 1000000.0 AS val
 FROM embeddings, (SELECT unnest(range(4)) AS p) p
 WHERE vec_id < 20
 ORDER BY vec_id, pos
@@ -279,7 +280,7 @@ def e_array_positional(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "vec_id",
             "pos",
-            F.round(F.element_at("embedding", F.col("pos") + 1).cast("double"), 6).alias("val"),
+            quantize6(F.element_at("embedding", F.col("pos") + 1).cast("double")).alias("val"),
         )
         .orderBy("vec_id", "pos")
     )
@@ -323,10 +324,10 @@ def w6_lag_lead_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 A12_SQL = """
 SELECT l_returnflag,
-       round(var_samp(l_quantity), 6) AS qty_var,
-       round(stddev_samp(l_discount), 6) AS disc_stddev,
-       round(corr(l_quantity, l_discount), 6) AS qty_disc_corr,
-       round(covar_samp(l_quantity, l_tax), 6) AS qty_tax_covar
+       CAST(FLOOR(CAST((var_samp(l_quantity)) AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) / 1000000.0 AS qty_var,
+       CAST(FLOOR(CAST((stddev_samp(l_discount)) AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) / 1000000.0 AS disc_stddev,
+       CAST(FLOOR(CAST((corr(l_quantity, l_discount)) AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) / 1000000.0 AS qty_disc_corr,
+       CAST(FLOOR(CAST((covar_samp(l_quantity, l_tax)) AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) / 1000000.0 AS qty_tax_covar
 FROM lineitem
 GROUP BY l_returnflag
 ORDER BY l_returnflag
@@ -344,10 +345,10 @@ def a12_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.groupBy("l_returnflag")
         .agg(
-            F.round(F.var_samp("l_quantity"), 6).alias("qty_var"),
-            F.round(F.stddev_samp("l_discount"), 6).alias("disc_stddev"),
-            F.round(F.corr("l_quantity", "l_discount"), 6).alias("qty_disc_corr"),
-            F.round(F.covar_samp("l_quantity", "l_tax"), 6).alias("qty_tax_covar"),
+            quantize6(F.var_samp("l_quantity")).alias("qty_var"),
+            quantize6(F.stddev_samp("l_discount")).alias("disc_stddev"),
+            quantize6(F.corr("l_quantity", "l_discount")).alias("qty_disc_corr"),
+            quantize6(F.covar_samp("l_quantity", "l_tax")).alias("qty_tax_covar"),
         )
         .orderBy("l_returnflag")
     )
@@ -806,8 +807,8 @@ def j13_blocked_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 W9_SQL = """
 SELECT c_custkey,
        c_nationkey,
-       ROUND(percent_rank() OVER w, 6) AS bal_pct_rank,
-       ROUND(cume_dist() OVER w, 6) AS bal_cume_dist,
+       CAST(FLOOR(CAST((percent_rank() OVER w) AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) / 1000000.0 AS bal_pct_rank,
+       CAST(FLOOR(CAST((cume_dist() OVER w) AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) / 1000000.0 AS bal_cume_dist,
        ntile(10) OVER w AS decile
 FROM customer
 WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
@@ -830,8 +831,8 @@ def w9_rank_distributions(spark: SparkSession, sf_dir: str) -> DataFrame:
         cust.select(
             "c_custkey",
             "c_nationkey",
-            F.round(F.percent_rank().over(w), 6).alias("bal_pct_rank"),
-            F.round(F.cume_dist().over(w), 6).alias("bal_cume_dist"),
+            quantize6(F.percent_rank().over(w)).alias("bal_pct_rank"),
+            quantize6(F.cume_dist().over(w)).alias("bal_cume_dist"),
             F.ntile(10).over(w).alias("decile"),
         )
         .orderBy("c_custkey")

@@ -40,6 +40,7 @@ from compendium_spark.plans.extended import (
     _load_embeddings,
 )
 from compendium_spark.plans.ivf import _SQL_SCORES, _assign_cells
+from compendium_spark.functions.numeric import quantize6
 from compendium_spark.plans.registry import plan
 
 # SemDeDup proper uses a high cosine bar (0.95+) on real text
@@ -77,7 +78,7 @@ pairs AS (
 )
 SELECT vb AS vec_id, cell,
        COUNT(*) AS n_dups,
-       ROUND(MAX(cos), 6) AS max_cosine
+       CAST(FLOOR(CAST((MAX(cos)) AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) / 1000000.0 AS max_cosine
 FROM pairs
 WHERE cos >= {COS_TAU}
 GROUP BY vb, cell
@@ -85,35 +86,62 @@ ORDER BY vec_id
 """
 
 
-@plan("dedup_semdedup", oracle=SEMDEDUP_SQL)
-def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SemDeDup: drop embeddings with a same-cell smaller-id near-dup.
+def _cell_pair_cosines(sided: DataFrame, tau: float) -> DataFrame:
+    """(cell, va, vb, cos) for every same-cell pair clearing ``tau`` —
+    the per-cell pairwise scorer as a grouped-map NumPy kernel.
 
-    Output = the DROPPED vectors (keeper policy: min vec_id per
-    near-dup relation wins, deterministic on both engines), with the
-    cell they were caught in, how many kept/smaller near-dups they
-    have, and the strongest cosine. At 100 TB:
+    One BLAS-shaped pass per cell instead of a 64-term codegen
+    expression per pair (the round-4 form: correct, but 64 scalar ops
+    x pairs of JVM codegen — 2.7x the wall of the next-slowest plan at
+    sf0.1). Bit-parity with the oracle's list_sum left fold is kept by
+    accumulating SEQUENTIALLY over dims — 64 vectorized rank-1 updates
+    (same trick as ivf._assign_cells), NOT np.matmul (blocked/pairwise
+    accumulation, different rounding). Norms fold the same way; sqrt,
+    multiply, divide are single correctly-rounded IEEE ops on both
+    engines. Only pairs >= tau leave the kernel, so the output is
+    O(near-dups), never O(cell^2)."""
+    import pandas as pd  # noqa: PLC0415
 
-    * cell assignment is the one map-only pass over the corpus
-      (plans/ivf.py `_assign_cells` — Arrow kernel, no shuffle);
-    * the pair join is an EQUI-join on the cell key — both sides
-      hash-partition by cell, so pairwise work is Σ over cells of
-      cell², bounded by quantizer balance (SemDeDup trains balanced
-      k-means for exactly this reason; re-seed/split any overfull
-      cell). The corpus-wide O(n²) of the exact baseline never occurs
-      and nothing is broadcast;
-    * cosine parity with the DuckDB oracle is inherited from the
-      exact baseline: left-to-right `_dot_unrolled` ≡ list_sum fold.
+    import numpy as np  # noqa: PLC0415
 
-    Subset invariant: every (va, vb) pair here appears in the exact
-    all-pairs cosine graph at the same bar; recall loss is exactly the
-    pairs split across cells — measured in tests/test_semantic.py,
-    like the ANN recall assertions.
-    """
-    emb = _load_embeddings(spark, sf_dir)
-    emb = emb.withColumn("nrm", F.sqrt(_dot_unrolled(F.col("e"), F.col("e"))))
-    cells = _assign_cells(emb)
-    sided = emb.join(cells, "vec_id")
+    out_schema = "cell int, va long, vb long, cos double"
+
+    def pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 2:
+            return pd.DataFrame(
+                {"cell": pd.Series(dtype="int32"), "va": pd.Series(dtype="int64"),
+                 "vb": pd.Series(dtype="int64"), "cos": pd.Series(dtype="float64")}
+            )
+        pdf = pdf.sort_values("vec_id")
+        x = np.vstack(pdf["e"].to_numpy()).astype(np.float64)
+        m = len(x)
+        acc = np.zeros((m, m))
+        nsq = np.zeros(m)
+        for d in range(x.shape[1]):
+            col = x[:, d]
+            acc += col[:, None] * col[None, :]
+            nsq += col * col
+        nrm = np.sqrt(nsq)
+        cos = acc / (nrm[:, None] * nrm[None, :])
+        iu, ju = np.triu_indices(m, k=1)
+        keep = cos[iu, ju] >= tau
+        ids = pdf["vec_id"].to_numpy()
+        return pd.DataFrame(
+            {
+                "cell": np.full(int(keep.sum()), pdf["cell"].iloc[0], dtype="int32"),
+                "va": ids[iu[keep]],
+                "vb": ids[ju[keep]],
+                "cos": cos[iu, ju][keep],
+            }
+        )
+
+    return sided.groupBy("cell").applyInPandas(pairs, schema=out_schema)
+
+
+def _semdedup_pairs_codegen(sided: DataFrame) -> DataFrame:
+    """The round-4 unrolled-codegen pair scorer — kept as the
+    oracle-parity twin of `_cell_pair_cosines` (tests assert the two
+    produce bitwise-identical pairs)."""
     a = sided.select(
         F.col("cell"),
         F.col("vec_id").alias("va"),
@@ -130,13 +158,71 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         a.join(b, (F.col("cell") == F.col("cellb")) & (F.col("va") < F.col("vb")))
         .filter(cos >= COS_TAU)
-        .groupBy(F.col("vb").alias("vec_id"), "cell")
+        .select("cell", "va", "vb", cos.alias("cos"))
+    )
+
+
+def _semdedup(
+    spark: SparkSession,
+    sf_dir: str,
+    centroids: list[list[float]] | None = None,
+    use_kernel: bool = True,
+) -> DataFrame:
+    """Parameterized SemDeDup core. ``centroids`` sets the coarse
+    quantizer (default: the 16-cell IVF table the oracle embeds);
+    production picks K ~ n / target_cell_size — see
+    ivf.make_centroids for the K-scaling rule."""
+    emb = _load_embeddings(spark, sf_dir)
+    cells = _assign_cells(emb, centroids)
+    if use_kernel:
+        sided = emb.join(cells, "vec_id")
+        surv = _cell_pair_cosines(sided, COS_TAU)
+    else:
+        emb = emb.withColumn("nrm", F.sqrt(_dot_unrolled(F.col("e"), F.col("e"))))
+        surv = _semdedup_pairs_codegen(emb.join(cells, "vec_id"))
+    return (
+        surv.groupBy(F.col("vb").alias("vec_id"), "cell")
         .agg(
             F.count(F.lit(1)).alias("n_dups"),
-            F.round(F.max(cos), 6).alias("max_cosine"),
+            quantize6(F.max("cos")).alias("max_cosine"),
         )
         .orderBy("vec_id")
     )
+
+
+@plan("dedup_semdedup", oracle=SEMDEDUP_SQL)
+def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup: drop embeddings with a same-cell smaller-id near-dup.
+
+    Output = the DROPPED vectors (greedy pairwise keeper policy: a
+    vector survives iff it has NO smaller-id same-cell near-dup —
+    deterministic on both engines; note this can keep several members
+    of one connected near-dup relation, e.g. edges {a-c, b-c} with
+    a<b<c keep both a and b), with the cell each drop was caught in,
+    how many smaller near-dups it has, and the strongest cosine.
+    At 100 TB:
+
+    * cell assignment is the one map-only pass over the corpus
+      (plans/ivf.py `_assign_cells` — Arrow kernel, no shuffle);
+    * K (the quantizer size) is now a PARAMETER (`_semdedup` /
+      ivf.make_centroids): per-cell pair cost is (n/K)^2, so K scales
+      ~ n to hold cell occupancy constant (SemDeDup production uses
+      ~1e5 clusters). The registered plan runs K=16 to match the
+      oracle's embedded centroid table;
+    * pair scoring is ONE grouped-map NumPy pass per cell
+      (`_cell_pair_cosines` — dim-sequential accumulation keeps
+      list_sum-fold bit-parity); the hash-partition is the cell key,
+      so pairwise work is sum over cells of cell^2, and nothing is
+      broadcast. The corpus-wide O(n^2) of the exact baseline never
+      occurs. The round-4 unrolled-codegen scorer remains as the
+      tested parity twin (`_semdedup_pairs_codegen`).
+
+    Subset invariant: every (va, vb) pair here appears in the exact
+    all-pairs cosine graph at the same bar; recall loss is exactly the
+    pairs split across cells — measured in tests/test_semantic.py,
+    like the ANN recall assertions.
+    """
+    return _semdedup(spark, sf_dir)
 
 
 # Containment bar: higher than the Jaccard bar (0.2) because
@@ -155,8 +241,8 @@ inter AS (
   GROUP BY a.doc_id, b.doc_id
 )
 SELECT doc_a, doc_b,
-       ROUND(1.0 * n_common / ca.n, 6) AS cont_a_in_b,
-       ROUND(1.0 * n_common / cb.n, 6) AS cont_b_in_a
+       CAST(FLOOR(CAST((1.0 * n_common / ca.n) AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) / 1000000.0 AS cont_a_in_b,
+       CAST(FLOOR(CAST((1.0 * n_common / cb.n) AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) / 1000000.0 AS cont_b_in_a
 FROM inter
 JOIN cnt ca ON doc_a = ca.doc_id
 JOIN cnt cb ON doc_b = cb.doc_id
@@ -203,8 +289,8 @@ def text_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_a",
             "doc_b",
-            F.round(c_ab, 6).alias("cont_a_in_b"),
-            F.round(c_ba, 6).alias("cont_b_in_a"),
+            quantize6(c_ab).alias("cont_a_in_b"),
+            quantize6(c_ba).alias("cont_b_in_a"),
         )
         .orderBy("doc_a", "doc_b")
     )

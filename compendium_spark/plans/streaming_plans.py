@@ -152,7 +152,7 @@ def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 STREAM_RUNNING_SQL = """
 SELECT user_id,
        COUNT(*) AS events_seen,
-       ROUND(SUM(value), 4) AS total_value
+       CAST(FLOOR(CAST((SUM(value)) AS DOUBLE) * 10000.0 + 0.5) AS BIGINT) / 10000.0 AS total_value
 FROM events
 GROUP BY user_id
 ORDER BY user_id
@@ -172,7 +172,7 @@ def streaming_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 STREAM_ENRICH_SQL = """
 SELECT n.n_name AS nation, e.event_type,
        COUNT(*) AS n_events,
-       ROUND(SUM(e.value), 4) AS total_value
+       CAST(FLOOR(CAST((SUM(e.value)) AS DOUBLE) * 10000.0 + 0.5) AS BIGINT) / 10000.0 AS total_value
 FROM events e
 JOIN customer c ON e.user_id = c.c_custkey
 JOIN nation n ON c.c_nationkey = n.n_nationkey
@@ -197,7 +197,7 @@ STREAM_MV_SQL = """
 SELECT date_trunc('hour', ts) AS hour,
        event_type,
        COUNT(*) AS n_events,
-       ROUND(SUM(value), 4) AS total_value
+       CAST(FLOOR(CAST((SUM(value)) AS DOUBLE) * 10000.0 + 0.5) AS BIGINT) / 10000.0 AS total_value
 FROM events
 GROUP BY hour, event_type
 ORDER BY hour, event_type

@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from compendium_spark.functions.numeric import quantize6
 from compendium_spark.plans.registry import plan
 from compendium_spark.tables import load
 
@@ -76,8 +77,8 @@ def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUALITY_SQL = """
 SELECT doc_id,
        n_tokens,
-       ROUND(CAST(n_stop AS DOUBLE) / n_tokens, 6) AS stopword_ratio,
-       ROUND(CAST(n_chars - n_tokens + 1 AS DOUBLE) / n_tokens, 6) AS avg_token_len,
+       CAST(FLOOR(CAST((CAST(n_stop AS DOUBLE) / n_tokens) AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) / 1000000.0 AS stopword_ratio,
+       CAST(FLOOR(CAST((CAST(n_chars - n_tokens + 1 AS DOUBLE) / n_tokens) AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) / 1000000.0 AS avg_token_len,
        CASE WHEN n_tokens >= 50 AND n_stop > 0 THEN 'keep' ELSE 'flag' END AS verdict
 FROM (
   SELECT doc_id, n_chars,
@@ -109,14 +110,11 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             "n_tokens",
-            F.round(F.col("n_stop").cast("double") / F.col("n_tokens"), 6).alias(
+            quantize6(F.col("n_stop").cast("double") / F.col("n_tokens")).alias(
                 "stopword_ratio"
             ),
-            F.round(
-                (F.col("n_chars") - F.col("n_tokens") + 1).cast("double")
-                / F.col("n_tokens"),
-                6,
-            ).alias("avg_token_len"),
+            quantize6((F.col("n_chars") - F.col("n_tokens") + 1).cast("double")
+                / F.col("n_tokens")).alias("avg_token_len"),
             F.when((F.col("n_tokens") >= 50) & (F.col("n_stop") > 0), "keep")
             .otherwise("flag")
             .alias("verdict"),
@@ -213,8 +211,8 @@ BPE_SQL = f"""
 SELECT doc_id,
        len(string_split_regex(trim(text), ' +')) AS ws_tokens,
        len(regexp_extract_all(text, '{BPE_PATTERN}')) AS bpe_tokens,
-       round(CAST(n_chars AS DOUBLE)
-             / len(regexp_extract_all(text, '{BPE_PATTERN}')), 6)
+       CAST(FLOOR(CAST((CAST(n_chars AS DOUBLE)
+             / len(regexp_extract_all(text, '{BPE_PATTERN}'))) AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) / 1000000.0
          AS chars_per_token
 FROM documents
 ORDER BY doc_id
@@ -235,7 +233,7 @@ def text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             F.size(F.split(F.trim(F.col("text")), " +")).alias("ws_tokens"),
             bpe.alias("bpe_tokens"),
-            F.round(F.col("n_chars").cast("double") / bpe, 6).alias(
+            quantize6(F.col("n_chars").cast("double") / bpe).alias(
                 "chars_per_token"
             ),
         )
@@ -256,7 +254,7 @@ c AS (
   FROM t
 )
 SELECT doc_id,
-       ROUND(ln(n) - list_sum(list_transform(counts, c -> c * ln(c))) / n, 6)
+       CAST(FLOOR(CAST((ln(n) - list_sum(list_transform(counts, c -> c * ln(c))) / n) AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) / 1000000.0
          AS token_entropy
 FROM c
 ORDER BY doc_id
@@ -294,7 +292,7 @@ def text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         docs.select(
             "doc_id",
-            F.round(F.log(n.cast("double")) - plogp / n, 6).alias(
+            quantize6(F.log(n.cast("double")) - plogp / n).alias(
                 "token_entropy"
             ),
         )
@@ -392,7 +390,7 @@ df AS (
 nn AS (SELECT COUNT(*) AS n FROM documents),
 scored AS (
   SELECT tf.doc_id, tf.token,
-         ROUND(1.0 * tf.tf * (SELECT n FROM nn) / df.df, 6) AS score
+         CAST(FLOOR(CAST((1.0 * tf.tf * (SELECT n FROM nn) / df.df) AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) / 1000000.0 AS score
   FROM tf JOIN df ON tf.token = df.token
 ),
 ranked AS (
@@ -409,14 +407,23 @@ ORDER BY doc_id, rank
 
 @plan("text_tfidf_topk", oracle=TFIDF_SQL)
 def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-k distinguishing terms per document by tf·idf.
+    """Top-k distinguishing terms per document by rational-idf tf
+    scoring: score = tf · (N/df).
 
     Keyword extraction over the corpus: tf = per-(doc, token) count,
     idf = N/df as an exact RATIONAL (the conventional log(N/df) is
     deliberately replaced — ln is a libm call whose last ulp differs
     between engines, while one IEEE division of two integers is
-    bit-exact everywhere, and log is monotone in N/df so the per-doc
-    RANKING is identical). Three shuffles total, each carrying tokens
+    bit-exact everywhere). NOTE the substitution is NOT rank-preserving
+    versus log tf-idf: log is monotone in ONE factor, but the ranking
+    is over the PRODUCT tf·idf, and a monotone transform of one factor
+    does not preserve product order (tf=10, N/df=2 scores 20 vs
+    tf=1, N/df=100 scores 100; under log the same pair ranks 6.9 vs
+    4.6 — reversed). This plan's metric is therefore its own
+    well-defined scoring, cross-engine exact; a conventional log
+    tf-idf variant would quantize ln to the 6dp grid before ranking
+    and accept grid-boundary rank risk. Three shuffles total, each
+    carrying tokens
     not text: tf groupBy, df groupBy (broadcast back — vocab ≪
     corpus), and the per-doc top-k window, which AQE/WindowGroupLimit
     push down to rank≤k per partition before the shuffle. The single
@@ -437,9 +444,7 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             "token",
-            F.round(
-                F.lit(1.0) * F.col("tf") * F.col("n") / F.col("df"), 6
-            ).alias("score"),
+            quantize6(F.lit(1.0) * F.col("tf") * F.col("n") / F.col("df")).alias("score"),
         )
     )
     w = Window.partitionBy("doc_id").orderBy(F.desc("score"), "token")

@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-from compendium_spark.functions.numeric import round_half_up
+from compendium_spark.functions.numeric import quantize, quantize_float
 
 def _events_schema(ts_type: T.DataType) -> T.StructType:
     return T.StructType(
@@ -143,7 +143,7 @@ def _running_totals(
         total += float(pdf["value"].sum())
     state.update((seen, total))
     yield pd.DataFrame(
-        {"user_id": [user_id], "events_seen": [seen], "total_value": [round_half_up(total, 4)]}
+        {"user_id": [user_id], "events_seen": [seen], "total_value": [quantize_float(total, 4)]}
     )
 
 
@@ -341,7 +341,7 @@ def streaming_enrich_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("nation", "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 4).alias("total_value"),
+            quantize(F.sum("value"), 4).alias("total_value"),
         )
     )
     return _run_to_memory(agg, "stream_enrich", "complete")
@@ -397,7 +397,7 @@ def streaming_mv_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.awaitTermination()
     return spark.createDataFrame(
         [
-            (h, et, n, round_half_up(t, 4))
+            (h, et, n, quantize_float(t, 4))
             for (h, et), (n, t) in sorted(state.items())
         ],
         schema="hour timestamp, event_type string, n_events long, total_value double",
