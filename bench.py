@@ -88,6 +88,11 @@ BENCH_QUERIES = [
     "w11_sequence_pattern",
     "a16_grouping_sets",
     "text_tfidf_topk",
+    # round 5
+    "text_tfidf_log",
+    "text_quality_classifier",
+    "sim_range_search",
+    "emb_matryoshka_recall",
 ]
 
 

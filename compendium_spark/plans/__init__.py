@@ -21,6 +21,7 @@ from compendium_spark.plans import (  # noqa: F401
     reference_ops2,
     registry,
     relational_ext,
+    scoring,
     semantic,
     streaming_plans,
     text,
@@ -53,6 +54,11 @@ from compendium_spark.plans import (  # noqa: F401
 #   round, so it cedes its slots to the swept plans.
 _ROUND5_MUST_GREEN = [
     "emb_covariance",
+    # NEW in round 5 — no driver-green row yet, must be sampled
+    "text_tfidf_log",
+    "text_quality_classifier",
+    "sim_range_search",
+    "emb_matryoshka_recall",
 ]
 _ROUND5_QUANTIZE_SWEPT = [
     # quality.py
@@ -114,12 +120,7 @@ _ROUND5_REVERIFY = [
     # drift; the family's code is unchanged this round)
     "w1_tumbling_window",
     "j8_asof_join",
-    "f_date_functions",
-    # float plans not in the sweep (kept idioms; drift canaries)
-    "sim_pq_codes",
-    "sim_lsh_buckets",
     "mm_decode",
-    "curate_token_budget",
 ]
 _ROUND5_WINDOW = [
     *_ROUND5_MUST_GREEN,

@@ -293,3 +293,95 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id", "rank")
     )
+
+
+# cosine radius for range search: below the near-dup bar (0.4) so the
+# result set is non-trivial on the near-orthogonal synthetic vectors
+RANGE_TAU = 0.25
+
+RANGE_SEARCH_SQL = f"""
+WITH scores AS ({_SQL_SCORES}),
+assign AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+                              ORDER BY score DESC, cell) AS rn
+    FROM scores
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT vec_id AS query_id, cell FROM (
+    SELECT vec_id, cell,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+                              ORDER BY score DESC, cell) AS rn
+    FROM scores WHERE vec_id < 10
+  ) WHERE rn <= {N_PROBE}
+),
+n AS (
+  SELECT vec_id, e, sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm
+  FROM (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        FROM embeddings)
+),
+cand AS (
+  SELECT DISTINCT p.query_id, a.vec_id AS cand_id
+  FROM probes p JOIN assign a ON p.cell = a.cell
+  WHERE a.vec_id <> p.query_id
+)
+SELECT cand.query_id, cand.cand_id,
+       CAST(FLOOR(CAST((list_sum(list_transform(q.e, (x, i) -> x * c.e[i]))
+            / (q.nrm * c.nrm)) AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)
+         / 1000000.0 AS cosine
+FROM cand
+JOIN n q ON cand.query_id = q.vec_id
+JOIN n c ON cand.cand_id = c.vec_id
+WHERE list_sum(list_transform(q.e, (x, i) -> x * c.e[i])) / (q.nrm * c.nrm)
+      >= {RANGE_TAU}
+ORDER BY query_id, cand_id
+"""
+
+
+@plan("sim_range_search", oracle=RANGE_SEARCH_SQL)
+def sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (radius) search: ALL candidates within cosine >= tau of
+    each query, probe-pruned — the fixed-threshold companion to
+    `sim_ivf_topk`'s fixed-k search (dedup wants "everything closer
+    than tau", not "the 5 closest").
+
+    Same physical shape as the top-k form: cell-key equi-join of the
+    tiny probe list against the inverted file, exact-cosine re-rank of
+    candidates only, filter instead of window — strictly CHEAPER than
+    top-k at scale (no per-query ranking state, the filter is
+    scan-stage). Recall story is the IVF family's: a true neighbor is
+    missed only when its cell is outside the probe set."""
+    from compendium_spark.plans.extended import (  # noqa: PLC0415
+        _dot_unrolled,
+        _load_embeddings,
+    )
+
+    emb = _load_embeddings(spark, sf_dir)
+    assign = _assign_cells(emb)
+    probes = _probe_cells(emb.filter(F.col("vec_id") < 10), N_PROBE)
+    n = emb.withColumn("nrm", F.sqrt(_dot_unrolled(F.col("e"), F.col("e"))))
+    cand = (
+        probes.join(assign, "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("cand_id"))
+    )
+    q = n.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("e").alias("qe"),
+        F.col("nrm").alias("qn"),
+    )
+    c = n.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("e").alias("ce"),
+        F.col("nrm").alias("cn"),
+    )
+    cos = _dot_unrolled(F.col("qe"), F.col("ce")) / (F.col("qn") * F.col("cn"))
+    return (
+        cand.join(q, "query_id")
+        .join(c, "cand_id")
+        .filter(cos >= RANGE_TAU)
+        .select("query_id", "cand_id", quantize6(cos).alias("cosine"))
+        .orderBy("query_id", "cand_id")
+    )

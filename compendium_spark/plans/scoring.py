@@ -1,0 +1,268 @@
+"""Model-based corpus scoring: a hashed-feature linear quality
+classifier (the fastText/CCNet-style filter shape) and a
+Matryoshka-style truncated-dimension retrieval recall check.
+
+Both extend the training-data-pipeline surface beyond rule-based
+gates: `text_quality_classifier` is the shape of every learned
+document filter (hash tokens into a fixed feature space, dot with a
+weight vector, threshold), and `emb_matryoshka_recall` measures what
+retrieval loses when embeddings are truncated to a prefix of their
+dimensions (the MRL deployment trick: store/search short prefixes,
+re-rank with full vectors).
+
+Reference parity note: no counterpart in the reference (relational
+ETL only, reference db.py:89-186); these belong to the brief's
+LLM-data-pipeline extension axis alongside plans/quality.py and
+plans/semantic.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from compendium_spark.functions.numeric import quantize6
+from compendium_spark.plans.registry import plan
+from compendium_spark.tables import load
+
+# ---------------------------------------------------------------------------
+# hashed-feature linear quality classifier
+# ---------------------------------------------------------------------------
+
+# 256 hash buckets; weights are a fixed deterministic function of the
+# bucket id (a Knuth-multiplicative scramble), standing in for trained
+# fastText/logreg weights. Integer weights in [-500, 499] micro-units
+# of 1e-3 keep every accumulation EXACT: the per-doc sum is a BIGINT,
+# float enters once in the final division. Bias chosen so the
+# synthetic corpus splits non-trivially.
+N_BUCKETS = 256
+WEIGHT_SCALE = 1000  # integer weight w_b is in [-500, 499] thousandths
+BIAS_MILLI = 20  # +0.020 bias, in the same thousandth units
+
+CLASSIFIER_SQL = f"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(string_split_regex(trim(lower(text)), ' +')) AS token
+  FROM documents
+),
+feat AS (
+  SELECT doc_id,
+         ((strpos('0123456789abcdef', substr(md5(token), 1, 1)) - 1) * 16
+          + (strpos('0123456789abcdef', substr(md5(token), 2, 1)) - 1))
+           AS bucket
+  FROM tok
+),
+w AS (
+  SELECT doc_id,
+         CAST((bucket * 2654435761) % {WEIGHT_SCALE} AS BIGINT) - 500 AS iw
+  FROM feat
+),
+s AS (
+  SELECT doc_id, SUM(iw) AS sum_iw, COUNT(*) AS n_tokens FROM w
+  GROUP BY doc_id
+)
+SELECT doc_id, n_tokens,
+       CAST(FLOOR(CAST((CAST(sum_iw + n_tokens * {BIAS_MILLI} AS DOUBLE)
+            / (n_tokens * {WEIGHT_SCALE})) AS DOUBLE) * 1000000.0 + 0.5)
+            AS BIGINT) / 1000000.0 AS score,
+       (sum_iw + n_tokens * {BIAS_MILLI}) > 0 AS keep
+FROM s
+ORDER BY doc_id
+"""
+
+
+@plan("text_quality_classifier", oracle=CLASSIFIER_SQL)
+def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed-feature linear document classifier — the fastText/CCNet
+    quality-filter shape: hash each token into one of {N_BUCKETS}
+    buckets (first two md5 hex digits — the engine-parity hash idiom),
+    look up a fixed integer weight, average, add bias, threshold.
+
+    Parity: weights are INTEGER thousandths and the per-doc total is
+    an exact BIGINT sum (order-free), so both engines agree bit-for-
+    bit before the single final division; the keep decision compares
+    INTEGERS, immune to float entirely. Scale: tokenize + hash +
+    weight lookup is scan-stage expression work; the only shuffle is
+    the per-doc sum (map-side combined), carrying two longs per doc.
+    Swapping the scramble for trained weights changes one expression —
+    a broadcast join against a 256-row weight table — and nothing
+    about the plan shape.
+    """
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), " +")).alias("token"),
+    )
+    # first two md5 hex digits -> 0..255 (F.conv = the oracle's
+    # digit-by-digit strpos arithmetic, same value)
+    bucket = F.conv(F.substring(F.md5(F.col("token")), 1, 2), 16, 10).cast(
+        "long"
+    )
+    iw = (bucket * F.lit(2654435761)) % F.lit(WEIGHT_SCALE) - F.lit(500)
+    s = (
+        tok.select("doc_id", iw.alias("iw"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("iw").alias("sum_iw"),
+            F.count(F.lit(1)).alias("n_tokens"),
+        )
+    )
+    raw = F.col("sum_iw") + F.col("n_tokens") * F.lit(BIAS_MILLI)
+    return s.select(
+        "doc_id",
+        "n_tokens",
+        quantize6(
+            raw.cast("double") / (F.col("n_tokens") * F.lit(WEIGHT_SCALE))
+        ).alias("score"),
+        (raw > 0).alias("keep"),
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Matryoshka truncated-dimension retrieval recall
+# ---------------------------------------------------------------------------
+
+MRL_DIM = 16  # prefix dims used for the cheap search
+MRL_K = 5
+MRL_QUERIES = 10
+
+MATRYOSHKA_SQL = f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+),
+n AS (
+  SELECT vec_id, e,
+         sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm,
+         sqrt(list_sum(list_transform(e[1:{MRL_DIM}], x -> x * x))) AS nrm_t
+  FROM v
+),
+pairs AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+         list_sum(list_transform(q.e, (x, i) -> x * c.e[i]))
+           / (q.nrm * c.nrm) AS cos_full,
+         list_sum(list_transform(q.e[1:{MRL_DIM}], (x, i) -> x * c.e[i]))
+           / (q.nrm_t * c.nrm_t) AS cos_trunc
+  FROM n q JOIN n c ON q.vec_id < {MRL_QUERIES} AND c.vec_id <> q.vec_id
+),
+full_top AS (
+  SELECT query_id, cand_id FROM (
+    SELECT query_id, cand_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY cos_full DESC, cand_id) AS rn
+    FROM pairs
+  ) WHERE rn <= {MRL_K}
+),
+trunc_top AS (
+  SELECT query_id, cand_id FROM (
+    SELECT query_id, cand_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY cos_trunc DESC, cand_id) AS rn
+    FROM pairs
+  ) WHERE rn <= {MRL_K}
+)
+SELECT f.query_id,
+       CAST(COUNT(t.cand_id) AS BIGINT) AS n_hits,
+       CAST(COUNT(t.cand_id) AS DOUBLE) / {MRL_K} AS recall_at_{MRL_K}
+FROM full_top f
+LEFT JOIN trunc_top t
+  ON f.query_id = t.query_id AND f.cand_id = t.cand_id
+GROUP BY f.query_id
+ORDER BY f.query_id
+"""
+
+
+@plan("emb_matryoshka_recall", oracle=MATRYOSHKA_SQL)
+def emb_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka (MRL) truncation check: per query, recall@{MRL_K} of
+    a top-k search run on the FIRST {MRL_DIM} of 64 dims against the
+    full-dimension top-k — the measurement that justifies storing and
+    searching short embedding prefixes and re-ranking with the full
+    vector.
+
+    Shape mirrors `sim_cosine_topk`'s legitimate exact form: <=
+    {MRL_QUERIES} query vectors broadcast over the sharded corpus, one
+    pass computes BOTH cosines (full and truncated prefix — the
+    truncated norm is a second fold over {MRL_DIM} terms, no second
+    scan), two WindowGroupLimit top-ks, one join to count overlap.
+    recall = hits/{MRL_K} is one exact small-integer division —
+    engine-identical bits. At 100 TB the candidate source swaps to the
+    IVF/LSH family; the recall arithmetic is unchanged.
+    """
+    from compendium_spark.plans.extended import (  # noqa: PLC0415
+        _dot_unrolled,
+        _load_embeddings,
+    )
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    emb = _load_embeddings(spark, sf_dir)
+    n = emb.select(
+        "vec_id",
+        "e",
+        F.sqrt(_dot_unrolled(F.col("e"), F.col("e"))).alias("nrm"),
+        F.sqrt(
+            _dot_unrolled(F.col("e"), F.col("e"), dim=MRL_DIM)
+        ).alias("nrm_t"),
+    )
+    q = n.filter(F.col("vec_id") < MRL_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("e").alias("qe"),
+        F.col("nrm").alias("qn"),
+        F.col("nrm_t").alias("qnt"),
+    )
+    c = n.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("e").alias("ce"),
+        F.col("nrm").alias("cn"),
+        F.col("nrm_t").alias("cnt_"),
+    )
+    pairs = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            (
+                _dot_unrolled(F.col("qe"), F.col("ce"))
+                / (F.col("qn") * F.col("cn"))
+            ).alias("cos_full"),
+            (
+                _dot_unrolled(F.col("qe"), F.col("ce"), dim=MRL_DIM)
+                / (F.col("qnt") * F.col("cnt_"))
+            ).alias("cos_trunc"),
+        )
+    )
+    w_full = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_full"), "cand_id"
+    )
+    w_trunc = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_trunc"), "cand_id"
+    )
+    full_top = (
+        pairs.withColumn("rn", F.row_number().over(w_full))
+        .filter(F.col("rn") <= MRL_K)
+        .select("query_id", "cand_id")
+    )
+    trunc_top = (
+        pairs.withColumn("rn", F.row_number().over(w_trunc))
+        .filter(F.col("rn") <= MRL_K)
+        .select(
+            F.col("query_id").alias("tq"), F.col("cand_id").alias("tc")
+        )
+    )
+    return (
+        full_top.join(
+            trunc_top,
+            (F.col("query_id") == F.col("tq"))
+            & (F.col("cand_id") == F.col("tc")),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(
+            F.count("tc").cast("long").alias("n_hits"),
+            (F.count("tc").cast("double") / F.lit(MRL_K)).alias(
+                f"recall_at_{MRL_K}"
+            ),
+        )
+        .orderBy("query_id")
+    )

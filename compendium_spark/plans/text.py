@@ -454,3 +454,81 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "token", "score", "rank")
         .orderBy("doc_id", "rank")
     )
+
+
+TFIDF_LOG_SQL = f"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(string_split_regex(trim(lower(text)), ' +')) AS token
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY doc_id, token
+),
+df AS (
+  SELECT token, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY token
+),
+nn AS (SELECT COUNT(*) AS n FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.token,
+         CAST(FLOOR(CAST((tf.tf * ln(1.0 * (SELECT n FROM nn) / df.df))
+              AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) / 1000000.0 AS score
+  FROM tf JOIN df ON tf.token = df.token
+),
+ranked AS (
+  SELECT doc_id, token, score,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, token) AS rn
+  FROM scored
+)
+SELECT doc_id, token, score, rn AS rank
+FROM ranked WHERE rn <= {TFIDF_TOPK}
+ORDER BY doc_id, rank
+"""
+
+
+@plan("text_tfidf_log", oracle=TFIDF_LOG_SQL)
+def text_tfidf_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conventional log-idf tf-idf top-k: score = tf * ln(N/df),
+    QUANTIZED to the 6dp grid BEFORE ranking.
+
+    The rank-honest companion to `text_tfidf_topk` (whose rational-idf
+    metric can order top-k differently — see that docstring): here the
+    scoring is the textbook formula. Cross-engine parity argument:
+    N/df is one exact IEEE division of two integers, so both engines
+    take ln of the SAME double; ln is within 1 ulp across libms, the
+    product with integer tf stays within a few ulps, and the
+    FLOOR-quantize to 1e-6 absorbs sub-grid drift (the standing
+    accepted risk of any quantized float compare — a value landing
+    within ~1e-16 of a grid boundary). Ranking is over the QUANTIZED
+    score with a token tie-break, so both engines rank identical
+    values. Same plan shape and 100 TB story as text_tfidf_topk: tf /
+    df groupBys shuffle tokens never text, df and the scalar N
+    broadcast back, WindowGroupLimit bounds the per-doc top-k."""
+    docs = load(spark, sf_dir, "documents")
+    par = spark.sparkContext.defaultParallelism
+    tok = docs.repartition(par, "doc_id").select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), " +")).alias("token"),
+    )
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    n = docs.groupBy().agg(F.count(F.lit(1)).alias("n"))
+    scored = (
+        tf.join(F.broadcast(df), "token")
+        .join(F.broadcast(n))
+        .select(
+            "doc_id",
+            "token",
+            quantize6(
+                F.col("tf") * F.log(F.lit(1.0) * F.col("n") / F.col("df"))
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), "token")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TFIDF_TOPK)
+        .select("doc_id", "token", "score", "rank")
+        .orderBy("doc_id", "rank")
+    )

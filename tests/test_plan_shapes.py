@@ -37,6 +37,10 @@ ALLPAIRS_BASELINES = {
     # verification twin: exact + quantized cosine in one broadcast
     # queries × corpus sweep, plus two single-row min/max broadcasts
     "sim_sq_topk_recall",
+    # MRL check: <=10 broadcast query vectors × sharded corpus — the
+    # same legitimate exact form as sim_cosine_topk (both cosines
+    # computed in that one pass)
+    "emb_matryoshka_recall",
 }
 # plans whose only BNLJ/cartesian is a broadcast single-row scalar
 # (threshold / total / max) joined against every row — keyless by nature
@@ -52,6 +56,7 @@ SCALAR_SUBQUERY = {
     "text_lm_score",  # 1-row vocabulary total broadcast
     "emb_quantize_int8",  # 1-row per-dim min/max broadcast
     "text_tfidf_topk",  # 1-row corpus-size N broadcast into the idf
+    "text_tfidf_log",  # same 1-row N broadcast, log-idf variant
 }
 
 
