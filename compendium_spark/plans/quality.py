@@ -833,10 +833,11 @@ ORDER BY i, j
 """
 
 
-def _covariance_of(emb: DataFrame) -> DataFrame:
-    """Distributed covariance of an (vec_id, e: array<double>) frame —
-    the one-pass statistic PCA / whitening / Mahalanobis outlier
-    scoring all start from.
+def _covariance_partials(emb: DataFrame) -> DataFrame:
+    """Combined covariance partials (i, j, sxy, sx, sy, n) of a
+    (vec_id, e: array<double>) frame — the one-pass statistic PCA /
+    whitening / Mahalanobis outlier scoring all start from; mean and
+    count fall out of the same rows for free.
 
     Scale shape (the RowMatrix / tree-aggregate pattern): each Arrow
     batch folds its vectors into ONE partial (sum_outer[d,d],
@@ -875,13 +876,18 @@ def _covariance_of(emb: DataFrame) -> DataFrame:
     part = emb.mapInPandas(
         partials, schema="i long, j long, sxy double, sx double, sy double, cnt long"
     )
-    agg = part.groupBy("i", "j").agg(
+    return part.groupBy("i", "j").agg(
         F.sum("sxy").alias("sxy"),
         F.sum("sx").alias("sx"),
         F.sum("sy").alias("sy"),
         F.sum("cnt").alias("n"),
     )
-    return agg.select(
+
+
+def _covariance_of(emb: DataFrame) -> DataFrame:
+    """Finished covariance (i, j, cov) from the combined partials —
+    see `_covariance_partials` for the tree-aggregate scale story."""
+    return _covariance_partials(emb).select(
         "i",
         "j",
         ((F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n")) / F.col("n")).alias(
@@ -1087,27 +1093,27 @@ def emb_whiten_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings").select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("e")
     )
-    cov_rows = _covariance_of(emb).collect()
-    d = max(r.j for r in cov_rows)
+    # ONE corpus pass yields cov, mean AND n: collect the combined
+    # partials (i, j, sxy, sx, sy, n — dim^2/2 rows, tiny) and finish
+    # the cov/mean divisions driver-side. The previous form ran three
+    # extra jobs (separate mean pass + count) for statistics this
+    # aggregate already carries; mean/cov here feed a tolerance check,
+    # not a hash compare, so the driver-side division order is free.
+    agg_rows = _covariance_partials(emb).collect()
+    d = max(r.j for r in agg_rows)
+    n = int(next(r.n for r in agg_rows))
     c = np.zeros((d, d))
-    for r in cov_rows:
-        c[r.i - 1, r.j - 1] = r.cov
-        c[r.j - 1, r.i - 1] = r.cov
+    mu = np.zeros(d)
+    for r in agg_rows:
+        cov = (r.sxy - r.sx * r.sy / n) / n
+        c[r.i - 1, r.j - 1] = cov
+        c[r.j - 1, r.i - 1] = cov
+        if r.i == r.j:
+            mu[r.i - 1] = r.sx / n
     evals, evecs = np.linalg.eigh(c)
     eps = 1e-9
     lam = np.maximum(evals, 0.0)
     w = evecs @ np.diag(1.0 / np.sqrt(lam + eps)) @ evecs.T
-
-    # mean for centering, from the same pass shape (tiny: d rows)
-    mean_rows = (
-        emb.select(F.posexplode("e").alias("pos", "x"))
-        .groupBy("pos")
-        .agg(F.avg("x").alias("mu"))
-        .collect()
-    )
-    mu = np.zeros(d)
-    for r in mean_rows:
-        mu[r.pos] = r.mu
 
     def whiten(batches):
         for pdf in batches:
@@ -1121,7 +1127,6 @@ def emb_whiten_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     wcov = _covariance_of(whitened).collect()
     diag_err = max(abs(r.cov - 1.0) for r in wcov if r.i == r.j)
     off_err = max((abs(r.cov) for r in wcov if r.i != r.j), default=0.0)
-    n = emb.count()
     # The whitened variance along an eigendirection is lambda/(lambda
     # + eps), so a near-degenerate dimension legitimately falls
     # eps/(lambda_min + eps) short of 1 — scale the tolerance to that
