@@ -93,6 +93,9 @@ BENCH_QUERIES = [
     "text_quality_classifier",
     "sim_range_search",
     "emb_matryoshka_recall",
+    "ts_interpolate_linear",
+    "w12_time_bounded_funnel",
+    "a18_freq_items_sketch",
 ]
 
 

@@ -59,6 +59,9 @@ _ROUND5_MUST_GREEN = [
     "text_quality_classifier",
     "sim_range_search",
     "emb_matryoshka_recall",
+    "ts_interpolate_linear",
+    "w12_time_bounded_funnel",
+    "a18_freq_items_sketch",
 ]
 _ROUND5_QUANTIZE_SWEPT = [
     # quality.py
@@ -116,11 +119,10 @@ _ROUND5_QUANTIZE_SWEPT = [
     "text_tfidf_topk",
 ]
 _ROUND5_REVERIFY = [
-    # timestamp-family sentinels (canaries for a testdata dtype
-    # drift; the family's code is unchanged this round)
-    "w1_tumbling_window",
-    "j8_asof_join",
-    "mm_decode",
+    # the timestamp family re-greened in r04 and its code is
+    # unchanged; the seven NEW round-5 plans take its slots
+    # (ts_interpolate_linear and w12 are themselves
+    # timestamp-consuming, so the drift canary role is covered)
 ]
 _ROUND5_WINDOW = [
     *_ROUND5_MUST_GREEN,

@@ -353,3 +353,131 @@ def a16_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("returnflag", "linestatus")
     )
+
+
+# ---------------------------------------------------------------------------
+# Misra-Gries frequent-items sketch (mergeable summaries)
+# ---------------------------------------------------------------------------
+
+MG_COUNTERS = 64  # k: summary size per partition; error <= n/(k+1)
+MG_TOPN = 10
+
+FREQ_SKETCH_SQL = f"""
+WITH tok AS (
+  SELECT unnest(string_split_regex(trim(lower(text)), ' +')) AS token
+  FROM documents
+),
+cnt AS (SELECT token, COUNT(*) AS true_count FROM tok GROUP BY token)
+SELECT token, true_count, TRUE AS bound_ok
+FROM cnt
+ORDER BY true_count DESC, token
+LIMIT {MG_TOPN}
+"""
+
+
+def _mg_merge(acc: dict, other: dict, k: int) -> dict:
+    """Merge two Misra-Gries summaries into one with <= k counters.
+
+    Union-sum, then if over k entries decrement everything by the
+    (k+1)-th largest count and drop the non-positive — the standard
+    mergeable-summaries reduction whose total underestimate stays
+    <= n/(k+1) over the whole stream (Agarwal et al. 2012)."""
+    for t, c in other.items():
+        acc[t] = acc.get(t, 0) + c
+    if len(acc) > k:
+        d = sorted(acc.values(), reverse=True)[k]
+        acc = {t: c - d for t, c in acc.items() if c - d > 0}
+    return acc
+
+
+@plan("a18_freq_items_sketch", oracle=FREQ_SKETCH_SQL)
+def a18_freq_items_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent-items (heavy hitters) via a distributed Misra-Gries
+    sketch, verified against exact counts — the custom mergeable
+    sketch the approx family (`a_approx_aggregates`) doesn't cover:
+    HLL/quantile sketches ship with Spark, a frequency summary does
+    not.
+
+    Each partition folds its token stream into ONE k-counter summary
+    (an Arrow pass, O(k) state); the <= partitions x k summary rows
+    are merged associatively driver-side (mergeable-summaries
+    property — on a cluster this is a treeAggregate). `bound_ok`
+    asserts the MG guarantee per emitted top token: true - 2n/(k+1)
+    <= estimate <= true (see the inline bound note). The exact
+    counts come from the one token groupBy
+    BOTH engines run (that is the output's value surface; the sketch
+    contributes the verified booleans). At 100 TB the exact pass is
+    the expensive one — production keeps only the sketch and drops
+    the verification join, the exact side here is what makes the
+    operator oracle-checkable.
+    """
+    import pandas as pd  # noqa: PLC0415
+
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select(
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), " +")).alias("token")
+    )
+
+    def partials(batches):
+        summary: dict = {}
+        n_seen = 0
+        for pdf in batches:
+            for t in pdf["token"]:
+                n_seen += 1
+                if t in summary:
+                    summary[t] += 1
+                elif len(summary) < MG_COUNTERS:
+                    summary[t] = 1
+                else:
+                    drop = [u for u in summary if summary[u] == 1]
+                    for u in summary:
+                        summary[u] -= 1
+                    for u in drop:
+                        del summary[u]
+        yield pd.DataFrame(
+            {
+                "token": list(summary.keys()) + [None],
+                "est": list(summary.values()) + [0],
+                "n_seen": [0] * len(summary) + [n_seen],
+            }
+        )
+
+    rows = tok.mapInPandas(
+        partials, schema="token string, est long, n_seen long"
+    ).collect()
+    merged: dict = {}
+    n_total = 0
+    for r in rows:
+        if r.token is None:
+            n_total += r.n_seen
+        else:
+            merged = _mg_merge(merged, {r.token: r.est}, MG_COUNTERS)
+    # asserted bound: the streaming phase underestimates by <=
+    # n/(k+1) and the row-at-a-time driver fold adds at most another
+    # n/(k+1) of subtractions (each reduction round removes >=
+    # (k+1)*d counts), so 2n/(k+1) is the safe provable envelope.
+    # A strict pairwise summary merge (Agarwal et al.) tightens this
+    # back to n/(k+1); the looser constant keeps the fold simple.
+    err = 2.0 * n_total / (MG_COUNTERS + 1)
+
+    exact = (
+        tok.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("true_count"))
+        .orderBy(F.desc("true_count"), "token")
+        .limit(MG_TOPN)
+        .collect()
+    )
+    out = [
+        (
+            r.token,
+            r.true_count,
+            bool(
+                merged.get(r.token, 0) <= r.true_count
+                and merged.get(r.token, 0) >= r.true_count - err
+            ),
+        )
+        for r in exact
+    ]
+    return spark.createDataFrame(
+        out, schema="token string, true_count long, bound_ok boolean"
+    )

@@ -102,3 +102,125 @@ def ts_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("user_id", "b")
         .drop("b")
     )
+
+
+INTERP_SQL = f"""
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us, value,
+         epoch_us(ts) // {BUCKET_US} AS b
+  FROM events
+),
+bounds AS (SELECT user_id, MIN(b) AS b0, MAX(b) AS b1 FROM e GROUP BY user_id),
+spine AS (SELECT user_id, unnest(range(b0, b1 + 1)) AS b FROM bounds),
+obs AS (
+  SELECT user_id, b, value FROM (
+    SELECT user_id, b, value,
+           ROW_NUMBER() OVER (PARTITION BY user_id, b
+                              ORDER BY us DESC, event_id DESC) AS rn
+    FROM e
+  ) WHERE rn = 1
+),
+neigh AS (
+  SELECT s.user_id, s.b, o.value AS ov,
+         last_value(o.value IGNORE NULLS) OVER (
+           PARTITION BY s.user_id ORDER BY s.b
+           ROWS UNBOUNDED PRECEDING) AS pv,
+         last_value(CASE WHEN o.value IS NOT NULL THEN s.b END IGNORE NULLS)
+           OVER (PARTITION BY s.user_id ORDER BY s.b
+                 ROWS UNBOUNDED PRECEDING) AS pb,
+         first_value(o.value IGNORE NULLS) OVER (
+           PARTITION BY s.user_id ORDER BY s.b
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+         first_value(CASE WHEN o.value IS NOT NULL THEN s.b END IGNORE NULLS)
+           OVER (PARTITION BY s.user_id ORDER BY s.b
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nb
+  FROM spine s LEFT JOIN obs o ON s.user_id = o.user_id AND s.b = o.b
+)
+SELECT user_id,
+       make_timestamp(b * {BUCKET_US}) AS bucket_start,
+       CAST(FLOOR(CAST((CASE WHEN ov IS NOT NULL THEN ov
+            ELSE pv + (nv - pv) * CAST(b - pb AS DOUBLE) / CAST(nb - pb AS DOUBLE)
+            END) AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) / 1000000.0
+         AS value_interp,
+       ov IS NOT NULL AS is_observed
+FROM neigh
+ORDER BY user_id, b
+"""
+
+
+@plan("ts_interpolate_linear", oracle=INTERP_SQL)
+def ts_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resample each user's stream onto the hourly grid and fill gaps
+    by LINEAR interpolation between the surrounding observations — the
+    numeric companion to `ts_resample_ffill` (sensor/metric series
+    want a slope through a gap, not a step).
+
+    Neighbor discovery is two IGNORE-NULLS window scans over the same
+    per-user spine (previous observation via unbounded-preceding
+    last, next via unbounded-following first) — no self-join, no
+    explode beyond the spine. The spine starts and ends on observed
+    buckets, so every gap is interior and both neighbors exist; the
+    interpolation `pv + (nv - pv) * (b - pb)/(nb - pb)` is written
+    with the identical operation order in both engines and the output
+    rides the FLOOR-quantize idiom. Same 100 TB shape as the ffill
+    plan: everything partitions by user, shuffle keyed (user, bucket).
+    """
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("us"),
+        "value",
+        F.expr(f"unix_micros(ts) div {BUCKET_US}").alias("b"),
+    )
+    bounds = ev.groupBy("user_id").agg(
+        F.min("b").alias("b0"), F.max("b").alias("b1")
+    )
+    spine = bounds.select(
+        "user_id", F.explode(F.sequence("b0", "b1")).alias("b")
+    )
+    w_pick = Window.partitionBy("user_id", "b").orderBy(
+        F.desc("us"), F.desc("event_id")
+    )
+    obs = (
+        ev.withColumn("rn", F.row_number().over(w_pick))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "b", F.col("value").alias("ov"))
+    )
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_next = (
+        Window.partitionBy("user_id")
+        .orderBy("b")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    obs_b = F.when(F.col("ov").isNotNull(), F.col("b"))
+    neigh = spine.join(obs, ["user_id", "b"], "left").select(
+        "user_id",
+        "b",
+        "ov",
+        F.last("ov", ignorenulls=True).over(w_prev).alias("pv"),
+        F.last(obs_b, ignorenulls=True).over(w_prev).alias("pb"),
+        F.first("ov", ignorenulls=True).over(w_next).alias("nv"),
+        F.first(obs_b, ignorenulls=True).over(w_next).alias("nb"),
+    )
+    from compendium_spark.functions.numeric import quantize6  # noqa: PLC0415
+
+    interp = F.col("pv") + (F.col("nv") - F.col("pv")) * (
+        (F.col("b") - F.col("pb")).cast("double")
+    ) / (F.col("nb") - F.col("pb")).cast("double")
+    return (
+        neigh.select(
+            "user_id",
+            F.timestamp_micros(F.col("b") * BUCKET_US).alias("bucket_start"),
+            quantize6(
+                F.when(F.col("ov").isNotNull(), F.col("ov")).otherwise(interp)
+            ).alias("value_interp"),
+            F.col("ov").isNotNull().alias("is_observed"),
+            "b",
+        )
+        .orderBy("user_id", "b")
+        .drop("b")
+    )

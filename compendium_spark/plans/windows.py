@@ -303,3 +303,109 @@ def w11_sequence_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("n_error_bursts"),
         F.col("seq").rlike(_SEQ_PATTERN_FUNNEL).alias("has_funnel"),
     ).orderBy("user_id")
+
+
+# max allowed gap between consecutive funnel stages (time-bounded
+# conversion attribution window)
+FUNNEL_GAP_HOURS = 72
+
+W12_SQL = f"""
+WITH u AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'signup' THEN ts END) AS st
+  FROM events GROUP BY user_id
+),
+v AS (
+  SELECT u.user_id, MIN(e.ts) AS vt
+  FROM u JOIN events e
+    ON e.user_id = u.user_id AND e.event_type = 'view'
+   AND e.ts > u.st AND e.ts <= u.st + INTERVAL {FUNNEL_GAP_HOURS} HOUR
+  GROUP BY u.user_id
+),
+c AS (
+  SELECT v.user_id, MIN(e.ts) AS ct
+  FROM v JOIN events e
+    ON e.user_id = v.user_id AND e.event_type = 'click'
+   AND e.ts > v.vt AND e.ts <= v.vt + INTERVAL {FUNNEL_GAP_HOURS} HOUR
+  GROUP BY v.user_id
+),
+p AS (
+  SELECT c.user_id, MIN(e.ts) AS pt
+  FROM c JOIN events e
+    ON e.user_id = c.user_id AND e.event_type = 'purchase'
+   AND e.ts > c.ct AND e.ts <= c.ct + INTERVAL {FUNNEL_GAP_HOURS} HOUR
+  GROUP BY c.user_id
+)
+SELECT (SELECT COUNT(st) FROM u) AS n_signup,
+       (SELECT COUNT(*) FROM v) AS n_view,
+       (SELECT COUNT(*) FROM c) AS n_click,
+       (SELECT COUNT(*) FROM p) AS n_purchase
+"""
+
+
+@plan("w12_time_bounded_funnel", oracle=W12_SQL)
+def w12_time_bounded_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion funnel with an attribution window: each stage must
+    land within {FUNNEL_GAP_HOURS} h of the previous stage's event —
+    the form real funnel analytics uses (an unbounded funnel credits a
+    purchase months after the click).
+
+    Identical ONE-shuffle shape to `w10_funnel_conversion` (per-user
+    sorted timestamp arrays from a single groupBy, stage chain
+    resolved with array filter + try_element_at), with the gap bound
+    added to each filter predicate — the self-join chain the oracle
+    runs never touches the Spark side. Timestamp arithmetic is integer
+    microseconds on both engines.
+    """
+    gap = F.expr(f"INTERVAL {FUNNEL_GAP_HOURS} HOURS")
+    ev = load(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias("st"),
+        F.array_sort(
+            F.collect_list(F.when(F.col("event_type") == "view", F.col("ts")))
+        ).alias("views"),
+        F.array_sort(
+            F.collect_list(F.when(F.col("event_type") == "click", F.col("ts")))
+        ).alias("clicks"),
+        F.array_sort(
+            F.collect_list(F.when(F.col("event_type") == "purchase", F.col("ts")))
+        ).alias("purchases"),
+    )
+    staged = (
+        per_user.withColumn(
+            "vt",
+            F.try_element_at(
+                F.filter(
+                    "views",
+                    lambda x: (x > F.col("st")) & (x <= F.col("st") + gap),
+                ),
+                F.lit(1),
+            ),
+        )
+        .withColumn(
+            "ct",
+            F.try_element_at(
+                F.filter(
+                    "clicks",
+                    lambda x: (x > F.col("vt")) & (x <= F.col("vt") + gap),
+                ),
+                F.lit(1),
+            ),
+        )
+        .withColumn(
+            "pt",
+            F.try_element_at(
+                F.filter(
+                    "purchases",
+                    lambda x: (x > F.col("ct")) & (x <= F.col("ct") + gap),
+                ),
+                F.lit(1),
+            ),
+        )
+    )
+    return staged.agg(
+        F.count("st").alias("n_signup"),
+        F.count("vt").alias("n_view"),
+        F.count("ct").alias("n_click"),
+        F.count("pt").alias("n_purchase"),
+    )
