@@ -96,6 +96,7 @@ BENCH_QUERIES = [
     "ts_interpolate_linear",
     "w12_time_bounded_funnel",
     "a18_freq_items_sketch",
+    "o5_zorder_layout",
 ]
 
 

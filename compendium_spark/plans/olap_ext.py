@@ -481,3 +481,183 @@ def a18_freq_items_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         out, schema="token string, true_count long, bound_ok boolean"
     )
+
+
+# ---------------------------------------------------------------------------
+# Z-order layout quality (multi-dimensional clustering for scan pruning)
+# ---------------------------------------------------------------------------
+
+Z_BITS = 10  # 10 bits per dimension -> 20-bit z-value
+Z_BUCKETS = 16  # stand-in for files/row-groups
+# fixed probe queries: a selective range on each dimension
+ZQ_X_LO, ZQ_X_HI = 100, 200
+ZQ_Y_LO, ZQ_Y_HI = 100, 300
+
+
+def _sql_interleave(x: str, y: str) -> str:
+    terms = []
+    for i in range(Z_BITS):
+        terms.append(f"((({x} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({y} >> {i}) & 1) << {2 * i + 1})")
+    return " + ".join(terms)
+
+
+ZORDER_SQL = f"""
+WITH base AS (
+  SELECT o_orderkey,
+         o_custkey % 1024 AS x,
+         datediff('day', DATE '1992-01-01', o_orderdate) % 1024 AS y
+  FROM orders
+),
+z AS (
+  SELECT o_orderkey, x, y, {_sql_interleave('x', 'y')} AS zv
+  FROM base
+),
+zb AS (
+  SELECT x, y, NTILE({Z_BUCKETS}) OVER (ORDER BY zv, o_orderkey) AS bucket
+  FROM z
+),
+lb AS (
+  SELECT x, y, NTILE({Z_BUCKETS}) OVER (ORDER BY x, o_orderkey) AS bucket
+  FROM z
+),
+zstat AS (
+  SELECT bucket, MIN(x) AS x0, MAX(x) AS x1, MIN(y) AS y0, MAX(y) AS y1
+  FROM zb GROUP BY bucket
+),
+lstat AS (
+  SELECT bucket, MIN(x) AS x0, MAX(x) AS x1, MIN(y) AS y0, MAX(y) AS y1
+  FROM lb GROUP BY bucket
+),
+probes AS (
+  SELECT 'zorder' AS layout, 'x_range' AS query,
+         COUNT(CASE WHEN x0 <= {ZQ_X_HI} AND x1 >= {ZQ_X_LO} THEN 1 END)
+           AS buckets_touched
+  FROM zstat
+  UNION ALL
+  SELECT 'zorder', 'y_range',
+         COUNT(CASE WHEN y0 <= {ZQ_Y_HI} AND y1 >= {ZQ_Y_LO} THEN 1 END)
+  FROM zstat
+  UNION ALL
+  SELECT 'zorder', 'xy_rect',
+         COUNT(CASE WHEN x0 <= {ZQ_X_HI} AND x1 >= {ZQ_X_LO}
+                     AND y0 <= {ZQ_Y_HI} AND y1 >= {ZQ_Y_LO} THEN 1 END)
+  FROM zstat
+  UNION ALL
+  SELECT 'linear', 'x_range',
+         COUNT(CASE WHEN x0 <= {ZQ_X_HI} AND x1 >= {ZQ_X_LO} THEN 1 END)
+  FROM lstat
+  UNION ALL
+  SELECT 'linear', 'y_range',
+         COUNT(CASE WHEN y0 <= {ZQ_Y_HI} AND y1 >= {ZQ_Y_LO} THEN 1 END)
+  FROM lstat
+  UNION ALL
+  SELECT 'linear', 'xy_rect',
+         COUNT(CASE WHEN x0 <= {ZQ_X_HI} AND x1 >= {ZQ_X_LO}
+                     AND y0 <= {ZQ_Y_HI} AND y1 >= {ZQ_Y_LO} THEN 1 END)
+  FROM lstat
+)
+SELECT layout, query, CAST(buckets_touched AS BIGINT) AS buckets_touched,
+       {Z_BUCKETS} AS n_buckets
+FROM probes
+ORDER BY layout, query
+"""
+
+
+def _spark_interleave(x, y):
+    out = None
+    for i in range(Z_BITS):
+        tx = F.shiftleft(F.shiftright(x, i).bitwiseAND(F.lit(1)), 2 * i)
+        ty = F.shiftleft(F.shiftright(y, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        out = tx + ty if out is None else out + tx + ty
+    return out
+
+
+@plan("o5_zorder_layout", oracle=ZORDER_SQL)
+def o5_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton-curve) layout quality: how many of
+    {Z_BUCKETS} storage buckets a selective range query must touch
+    under a z-ordered layout vs a single-column linear sort — the
+    min/max pruning measurement behind multi-dimensional data layout
+    (Delta/Iceberg OPTIMIZE ZORDER).
+
+    The z-value is a 20-term unrolled bit interleave (integer-exact on
+    both engines). Buckets stand in for files/row-groups; per-bucket
+    min/max are exactly the footer statistics a scan prunes on. The
+    expected result — linear wins only on its own sort column, z-order
+    stays selective on BOTH dimensions — is emitted as counted rows,
+    so the advantage is value-checked, not asserted in prose. At
+    100 TB the NTILE global sort is replaced by
+    `repartitionByRange(zv)` (sampled ranges, no total order) +
+    sortWithinPartitions before the parquet write; per-bucket min/max
+    then materialize as real footer stats, and the probe arithmetic
+    is unchanged.
+    """
+    from pyspark.sql import Window as W  # noqa: PLC0415
+
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        (F.col("o_custkey") % 1024).alias("x"),
+        (F.datediff(F.col("o_orderdate"), F.lit("1992-01-01")) % 1024).alias(
+            "y"
+        ),
+    )
+    z = orders.select(
+        "o_orderkey", "x", "y", _spark_interleave(F.col("x"), F.col("y")).alias("zv")
+    )
+    zb = z.select(
+        "x",
+        "y",
+        F.ntile(Z_BUCKETS).over(W.orderBy("zv", "o_orderkey")).alias("bucket"),
+    )
+    lb = z.select(
+        "x",
+        "y",
+        F.ntile(Z_BUCKETS).over(W.orderBy("x", "o_orderkey")).alias("bucket"),
+    )
+
+    def stats(b: DataFrame) -> DataFrame:
+        return b.groupBy("bucket").agg(
+            F.min("x").alias("x0"),
+            F.max("x").alias("x1"),
+            F.min("y").alias("y0"),
+            F.max("y").alias("y1"),
+        )
+
+    def probes(st: DataFrame, layout: str) -> DataFrame:
+        tx = (F.col("x0") <= ZQ_X_HI) & (F.col("x1") >= ZQ_X_LO)
+        ty = (F.col("y0") <= ZQ_Y_HI) & (F.col("y1") >= ZQ_Y_LO)
+        return st.agg(
+            F.count(F.when(tx, 1)).alias("x_range"),
+            F.count(F.when(ty, 1)).alias("y_range"),
+            F.count(F.when(tx & ty, 1)).alias("xy_rect"),
+        ).select(
+            F.lit(layout).alias("layout"),
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit("x_range").alias("query"),
+                        F.col("x_range").cast("long").alias("buckets_touched"),
+                    ),
+                    F.struct(
+                        F.lit("y_range").alias("query"),
+                        F.col("y_range").cast("long").alias("buckets_touched"),
+                    ),
+                    F.struct(
+                        F.lit("xy_rect").alias("query"),
+                        F.col("xy_rect").cast("long").alias("buckets_touched"),
+                    ),
+                )
+            ).alias("p"),
+        ).select(
+            "layout",
+            F.col("p.query").alias("query"),
+            F.col("p.buckets_touched").alias("buckets_touched"),
+            F.lit(Z_BUCKETS).alias("n_buckets"),
+        )
+
+    return (
+        probes(stats(zb), "zorder")
+        .unionByName(probes(stats(lb), "linear"))
+        .orderBy("layout", "query")
+    )
