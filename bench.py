@@ -97,6 +97,7 @@ BENCH_QUERIES = [
     "w12_time_bounded_funnel",
     "a18_freq_items_sketch",
     "o5_zorder_layout",
+    "a19_robust_stats",
 ]
 
 

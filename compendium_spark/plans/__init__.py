@@ -63,6 +63,7 @@ _ROUND5_MUST_GREEN = [
     "w12_time_bounded_funnel",
     "a18_freq_items_sketch",
     "o5_zorder_layout",
+    "a19_robust_stats",
 ]
 _ROUND5_QUANTIZE_SWEPT = [
     # quality.py
@@ -85,7 +86,8 @@ _ROUND5_QUANTIZE_SWEPT = [
     "dedup_signature_jaccard",
     # ann/ivf/pq
     "sim_lsh_topk",
-    "sim_ivf_cells",
+    # sim_ivf_cells cedes its slot (integer counts; centroid refactor
+    # proven bit-identical by make_centroids draw-order test)
     "sim_ivf_topk",
     "sim_pq_adc_topk",
     "sim_ivfpq_topk",
@@ -122,7 +124,7 @@ _ROUND5_QUANTIZE_SWEPT = [
 ]
 _ROUND5_REVERIFY = [
     # the timestamp family re-greened in r04 and its code is
-    # unchanged; the seven NEW round-5 plans take its slots
+    # unchanged; the nine NEW round-5 plans take its slots
     # (ts_interpolate_linear and w12 are themselves
     # timestamp-consuming, so the drift canary role is covered)
 ]

@@ -661,3 +661,95 @@ def o5_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(probes(stats(lb), "linear"))
         .orderBy("layout", "query")
     )
+
+
+# ---------------------------------------------------------------------------
+# robust statistics: median / MAD / deterministic mode
+# ---------------------------------------------------------------------------
+
+ROBUST_SQL = """
+WITH med AS (
+  SELECT l_returnflag,
+         quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.5) AS med
+  FROM lineitem GROUP BY l_returnflag
+),
+mad AS (
+  SELECT li.l_returnflag,
+         quantile_cont(ABS(CAST(li.l_extendedprice AS DOUBLE) - med.med), 0.5)
+           AS mad
+  FROM lineitem li JOIN med ON li.l_returnflag = med.l_returnflag
+  GROUP BY li.l_returnflag
+),
+mode_rank AS (
+  SELECT l_returnflag, l_quantity, COUNT(*) AS c,
+         ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                            ORDER BY COUNT(*) DESC, l_quantity) AS rn
+  FROM lineitem GROUP BY l_returnflag, l_quantity
+)
+SELECT med.l_returnflag AS returnflag,
+       CAST(FLOOR(CAST((med.med) AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)
+         / 1000000.0 AS price_median,
+       CAST(FLOOR(CAST((mad.mad) AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)
+         / 1000000.0 AS price_mad,
+       CAST(m.l_quantity AS DOUBLE) AS qty_mode
+FROM med
+JOIN mad ON med.l_returnflag = mad.l_returnflag
+JOIN (SELECT l_returnflag, l_quantity FROM mode_rank WHERE rn = 1) m
+  ON med.l_returnflag = m.l_returnflag
+ORDER BY returnflag
+"""
+
+
+@plan("a19_robust_stats", oracle=ROBUST_SQL)
+def a19_robust_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust statistics per group: median, MAD (median absolute
+    deviation — the outlier-resistant spread measure a12's
+    stddev/corr family lacks), and a DETERMINISTIC mode.
+
+    MAD is inherently two-pass (deviations need the median first):
+    pass 1 aggregates the per-group median (3 groups — broadcast back
+    into the scan), pass 2 aggregates the deviations. Mode avoids both
+    engines' native `mode()` (tie-breaking is implementation-defined)
+    in favor of count-rank with an explicit (count DESC, value ASC)
+    order — deterministic everywhere. At scale: two shuffles keyed on
+    the group column plus one distinct-value count shuffle; exact
+    medians at 100 TB swap to the KLL sketch (`a_approx_aggregates`)
+    with this plan as the verification twin."""
+    from pyspark.sql import Window as W  # noqa: PLC0415
+
+    li = load(spark, sf_dir, "lineitem")
+    med = li.groupBy("l_returnflag").agg(
+        F.percentile(F.col("l_extendedprice").cast("double"), F.lit(0.5)).alias(
+            "med"
+        )
+    )
+    mad = (
+        li.join(F.broadcast(med), "l_returnflag")
+        .select(
+            "l_returnflag",
+            F.abs(F.col("l_extendedprice").cast("double") - F.col("med")).alias(
+                "adev"
+            ),
+        )
+        .groupBy("l_returnflag")
+        .agg(F.percentile(F.col("adev"), F.lit(0.5)).alias("mad"))
+    )
+    w = W.partitionBy("l_returnflag").orderBy(F.desc("c"), "l_quantity")
+    mode = (
+        li.groupBy("l_returnflag", "l_quantity")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("l_returnflag", F.col("l_quantity").cast("double").alias("qty_mode"))
+    )
+    return (
+        med.join(mad, "l_returnflag")
+        .join(mode, "l_returnflag")
+        .select(
+            F.col("l_returnflag").alias("returnflag"),
+            quantize6("med").alias("price_median"),
+            quantize6("mad").alias("price_mad"),
+            "qty_mode",
+        )
+        .orderBy("returnflag")
+    )
