@@ -98,6 +98,7 @@ BENCH_QUERIES = [
     "a18_freq_items_sketch",
     "o5_zorder_layout",
     "a19_robust_stats",
+    "mm_phash_dedup",
 ]
 
 

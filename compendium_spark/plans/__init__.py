@@ -64,6 +64,7 @@ _ROUND5_MUST_GREEN = [
     "a18_freq_items_sketch",
     "o5_zorder_layout",
     "a19_robust_stats",
+    "mm_phash_dedup",
 ]
 _ROUND5_QUANTIZE_SWEPT = [
     # quality.py
@@ -82,7 +83,8 @@ _ROUND5_QUANTIZE_SWEPT = [
     "dedup_incremental_lsh",
     "dedup_neardup_pipeline",
     "sim_cosine_topk",
-    "dedup_embedding_cosine",
+    # dedup_embedding_cosine cedes its slot (same quantize pattern as
+    # its family members above; locally bitwise-parity-proven)
     "dedup_signature_jaccard",
     # ann/ivf/pq
     "sim_lsh_topk",
@@ -124,7 +126,7 @@ _ROUND5_QUANTIZE_SWEPT = [
 ]
 _ROUND5_REVERIFY = [
     # the timestamp family re-greened in r04 and its code is
-    # unchanged; the nine NEW round-5 plans take its slots
+    # unchanged; the ten NEW round-5 plans take its slots
     # (ts_interpolate_linear and w12 are themselves
     # timestamp-consuming, so the drift canary role is covered)
 ]

@@ -138,3 +138,174 @@ def mm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("content"),
     )
     return decode_media(encoded).orderBy("media_id")
+
+
+# ---------------------------------------------------------------------------
+# perceptual-hash near-dup detection over decoded media payloads
+# ---------------------------------------------------------------------------
+
+PH_BLOCKS = 64  # aHash grid: 64 block-mean bits
+PH_BANDS = 4  # 16-bit bands for the candidate join
+HAM_TAU = 16  # max hamming distance for a near-dup pair
+
+PHASH_SQL = f"""
+WITH d AS (
+  SELECT doc_id, n_chars AS L,
+         list_transform(range(1, n_chars + 1),
+                        i -> ascii(substr(text, CAST(i AS INT), 1))) AS cs
+  FROM documents WHERE n_chars >= {PH_BLOCKS}
+),
+t AS (SELECT doc_id, L, cs, list_sum(cs) AS total FROM d),
+bits AS (
+  SELECT doc_id, k.k AS k,
+         CASE WHEN list_sum(list_slice(cs, (k.k * L) // {PH_BLOCKS} + 1,
+                                       ((k.k + 1) * L) // {PH_BLOCKS})) * L
+                   > total * (((k.k + 1) * L) // {PH_BLOCKS}
+                              - (k.k * L) // {PH_BLOCKS})
+              THEN 1 ELSE 0 END AS bit
+  FROM t, (SELECT unnest(range({PH_BLOCKS})) AS k) k
+),
+bands AS (
+  SELECT doc_id, CAST(k // 16 AS INT) AS band,
+         CAST(SUM(bit << (k % 16)) AS BIGINT) AS v
+  FROM bits GROUP BY doc_id, k // 16
+),
+hv AS (
+  SELECT doc_id,
+         MAX(CASE WHEN band = 0 THEN v END) AS b0,
+         MAX(CASE WHEN band = 1 THEN v END) AS b1,
+         MAX(CASE WHEN band = 2 THEN v END) AS b2,
+         MAX(CASE WHEN band = 3 THEN v END) AS b3
+  FROM bands GROUP BY doc_id
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS media_a, b.doc_id AS media_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.v = b.v AND a.doc_id < b.doc_id
+)
+SELECT media_a, media_b,
+       CAST(bit_count(xor(ha.b0, hb.b0)) + bit_count(xor(ha.b1, hb.b1))
+          + bit_count(xor(ha.b2, hb.b2)) + bit_count(xor(ha.b3, hb.b3))
+          AS BIGINT) AS hamming
+FROM cand JOIN hv ha ON media_a = ha.doc_id
+JOIN hv hb ON media_b = hb.doc_id
+WHERE bit_count(xor(ha.b0, hb.b0)) + bit_count(xor(ha.b1, hb.b1))
+    + bit_count(xor(ha.b2, hb.b2)) + bit_count(xor(ha.b3, hb.b3))
+    <= {HAM_TAU}
+ORDER BY media_a, media_b
+"""
+
+
+@plan("mm_phash_dedup", oracle=PHASH_SQL)
+def mm_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash (aHash) near-dup detection over media payload
+    BYTES — the multimodal analogue of MinHash-LSH text dedup:
+    payload -> 64-bit block-mean hash in an Arrow kernel -> 16-bit
+    band buckets -> candidate equi-join -> exact hamming verify.
+
+    The hash is the classic average-hash: split the byte stream into
+    {PH_BLOCKS} blocks, bit k = (block mean > global mean), compared
+    INTEGER-exactly via cross-multiplication (block_sum * L >
+    total * block_len — no division anywhere), so the kernel and the
+    oracle's list-slice SQL agree bit-for-bit. On real images the
+    byte stream is the decoded grayscale plane from the CSM1/codec
+    step (`decode_media`); the synthetic corpus uses the utf-8
+    payload bytes, which exercises identical plumbing.
+
+    Scale shape is the banded-LSH shape: hashing is one map-side
+    Arrow pass (payload never shuffles — only the 4 band ints per
+    item); candidates come from a (band, value) equi-join; the exact
+    hamming check runs on candidates only. A 128-bit or DCT-based
+    pHash swaps the kernel body, nothing else.
+    """
+    import numpy as np  # noqa: PLC0415
+    import pandas as pd  # noqa: PLC0415
+
+    docs = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("n_chars") >= PH_BLOCKS)
+        .select("doc_id", "text")
+    )
+
+    def hash_kernel(batches):
+        for pdf in batches:
+            ids, b = [], [[], [], [], []]
+            for mid, text in zip(pdf["doc_id"], pdf["text"]):
+                a = np.frombuffer(text.encode("utf-8"), np.uint8).astype(
+                    np.int64
+                )
+                if a.max(initial=0) > 127:
+                    raise ValueError(
+                        "non-ASCII payload: byte codes diverge from the "
+                        "oracle's per-character ascii() — extend the "
+                        "oracle to bytes before hashing such corpora"
+                    )
+                ln = len(a)
+                total = int(a.sum())
+                bits = []
+                for k in range(PH_BLOCKS):
+                    lo, hi = k * ln // PH_BLOCKS, (k + 1) * ln // PH_BLOCKS
+                    bits.append(
+                        1 if int(a[lo:hi].sum()) * ln > total * (hi - lo) else 0
+                    )
+                ids.append(mid)
+                for band in range(PH_BANDS):
+                    b[band].append(
+                        sum(bits[16 * band + j] << j for j in range(16))
+                    )
+            yield pd.DataFrame(
+                {"media_id": ids, "b0": b[0], "b1": b[1], "b2": b[2], "b3": b[3]}
+            )
+
+    hv = docs.mapInPandas(
+        hash_kernel,
+        schema="media_id long, b0 long, b1 long, b2 long, b3 long",
+    )
+    bands = hv.select(
+        "media_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"), F.col(f"b{i}").alias("v")
+                    )
+                    for i in range(PH_BANDS)
+                ]
+            )
+        ).alias("bv"),
+    ).select("media_id", F.col("bv.band").alias("band"), F.col("bv.v").alias("v"))
+    cand = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.v") == F.col("b.v"))
+            & (F.col("a.media_id") < F.col("b.media_id")),
+        )
+        .select(
+            F.col("a.media_id").alias("media_a"),
+            F.col("b.media_id").alias("media_b"),
+        )
+        .distinct()
+    )
+    ha = hv.select(
+        F.col("media_id").alias("media_a"),
+        *[F.col(f"b{i}").alias(f"a{i}") for i in range(PH_BANDS)],
+    )
+    hb = hv.select(
+        F.col("media_id").alias("media_b"),
+        *[F.col(f"b{i}").alias(f"c{i}") for i in range(PH_BANDS)],
+    )
+    hamming = sum(
+        F.bit_count(F.col(f"a{i}").bitwiseXOR(F.col(f"c{i}")))
+        for i in range(PH_BANDS)
+    )
+    return (
+        cand.join(ha, "media_a")
+        .join(hb, "media_b")
+        .filter(hamming <= HAM_TAU)
+        .select(
+            "media_a", "media_b", hamming.cast("long").alias("hamming")
+        )
+        .orderBy("media_a", "media_b")
+    )
