@@ -99,6 +99,10 @@ BENCH_QUERIES = [
     "o5_zorder_layout",
     "a19_robust_stats",
     "mm_phash_dedup",
+    "a20_hll_sketch",
+    "a21_histogram_quantile",
+    "j16_scd2_intervals",
+    "w13_gap_islands",
 ]
 
 

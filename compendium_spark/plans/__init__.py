@@ -10,6 +10,7 @@ from compendium_spark.plans import (  # noqa: F401
     curation,
     extended,
     graph,
+    history,
     incremental,
     ivf,
     kmeans,
@@ -23,6 +24,7 @@ from compendium_spark.plans import (  # noqa: F401
     relational_ext,
     scoring,
     semantic,
+    sketches,
     streaming_plans,
     text,
     timeseries,

@@ -1,0 +1,202 @@
+"""Temporal history operators: slowly-changing-dimension interval
+builds and gaps-and-islands streak detection.
+
+Both are canonical warehouse patterns the reference's relational
+surface implies but never needs (its tables are append-only metadata,
+reference db.py:89-186): SCD Type-2 is how a 100 TB pipeline persists
+dimension history (every attribute change opens a validity interval),
+and gaps-and-islands is the window-function idiom behind streak /
+continuity analysis (consecutive active days, sensor uptime runs).
+
+Parity: both plans are pure window-function pipelines over integers,
+dates and timestamps — no floats anywhere — so the engines agree
+bit-for-bit with no quantization step at all.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from compendium_spark.plans.registry import plan
+from compendium_spark.tables import load
+
+# ---------------------------------------------------------------------------
+# j16: SCD Type-2 dimension build from an event stream
+# ---------------------------------------------------------------------------
+
+SCD2_SQL = """
+WITH ordered AS (
+  SELECT user_id, event_type, ts,
+         LAG(event_type) OVER w AS prev_type
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+changes AS (
+  SELECT user_id, event_type AS status, ts AS valid_from
+  FROM ordered
+  WHERE prev_type IS NULL OR prev_type <> event_type
+)
+SELECT user_id,
+       CAST(ROW_NUMBER() OVER w2 AS BIGINT) AS version,
+       status,
+       valid_from,
+       LEAD(valid_from) OVER w2 AS valid_to,
+       LEAD(valid_from) OVER w2 IS NULL AS is_current
+FROM changes
+WINDOW w2 AS (PARTITION BY user_id ORDER BY valid_from)
+ORDER BY user_id, version
+"""
+
+
+@plan("j16_scd2_intervals", oracle=SCD2_SQL)
+def j16_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 dimension build: collapse an event stream into
+    versioned validity intervals — one row per status *change*, with
+    half-open [valid_from, valid_to) ranges and an is_current flag on
+    the open interval.
+
+    Shape: two window passes over the same user_id partitioning
+    (change detection via LAG, interval close via LEAD), so Spark
+    plans ONE shuffle — the second window reuses the first's hash
+    partitioning, and the per-user sort is shared. Tie-break on
+    (ts, event_id) makes the change sequence deterministic.
+
+    Scale: the standard dimension-history shape at 100 TB — state per
+    key is the window frame (one previous row), nothing is collected,
+    and the output is bounded by the number of CHANGES, not events.
+    Updating an existing SCD2 table from a delta batch composes this
+    plan with the j6 MERGE (close open intervals, insert new ones).
+    """
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = ev.select(
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+        F.lag("event_type").over(w).alias("prev_type"),
+    )
+    changes = ordered.filter(
+        F.col("prev_type").isNull()
+        | (F.col("prev_type") != F.col("event_type"))
+    ).select(
+        "user_id",
+        F.col("event_type").alias("status"),
+        F.col("ts").alias("valid_from"),
+    )
+    w2 = Window.partitionBy("user_id").orderBy("valid_from")
+    return changes.select(
+        "user_id",
+        F.row_number().over(w2).cast("long").alias("version"),
+        "status",
+        "valid_from",
+        F.lead("valid_from").over(w2).alias("valid_to"),
+        F.lead("valid_from").over(w2).isNull().alias("is_current"),
+    ).orderBy("user_id", "version")
+
+
+# ---------------------------------------------------------------------------
+# w13: gaps and islands — consecutive-day activity streaks
+# ---------------------------------------------------------------------------
+
+GAP_ISLANDS_SQL = """
+WITH days AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d
+  FROM events
+),
+tagged AS (
+  SELECT user_id, d,
+         datediff('day', DATE '1970-01-01', d)
+           - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d) AS island
+  FROM days
+),
+islands AS (
+  SELECT user_id, island,
+         COUNT(*) AS len,
+         MIN(d) AS start_day,
+         MAX(d) AS end_day
+  FROM tagged
+  GROUP BY user_id, island
+),
+ranked AS (
+  SELECT user_id, len, start_day, end_day,
+         COUNT(*) OVER (PARTITION BY user_id) AS n_streaks,
+         CAST(SUM(len) OVER (PARTITION BY user_id) AS BIGINT) AS active_days,
+         ROW_NUMBER() OVER (
+           PARTITION BY user_id ORDER BY len DESC, start_day
+         ) AS rk
+  FROM islands
+)
+SELECT user_id, CAST(n_streaks AS BIGINT) AS n_streaks,
+       active_days,
+       len AS longest_len,
+       -- TIMESTAMP, not DATE: Spark's toPandas renders DATE as python
+       -- objects while DuckDB yields datetime64 — the driver's hash
+       -- serializes them differently. Midnight-UTC timestamps agree.
+       CAST(start_day AS TIMESTAMP) AS longest_start,
+       CAST(end_day AS TIMESTAMP) AS longest_end
+FROM ranked
+WHERE rk = 1
+ORDER BY user_id
+"""
+
+
+@plan("w13_gap_islands", oracle=GAP_ISLANDS_SQL)
+def w13_gap_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: per-user consecutive-day activity streaks via
+    the row_number-difference trick (day_number − row_number is
+    constant exactly within a run of consecutive days), then per-user
+    streak stats with a deterministic longest-streak pick (longest,
+    earliest-start tie-break).
+
+    Parity: all arithmetic is integer (epoch-day difference minus row
+    number) and date — no floats, no quantization needed.
+
+    Scale: one shuffle on user_id serves the dedup, the island tag,
+    the island aggregate AND the final ranking (same partitioning
+    throughout); state per user is one window frame. The classic
+    alternative — self-join on day±1 — is a second O(n) shuffle that
+    this form avoids entirely.
+    """
+    ev = load(spark, sf_dir, "events")
+    days = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    tagged = days.select(
+        "user_id",
+        "d",
+        (
+            F.datediff(F.col("d"), F.lit("1970-01-01"))
+            - F.row_number().over(w)
+        ).alias("island"),
+    )
+    islands = tagged.groupBy("user_id", "island").agg(
+        F.count(F.lit(1)).alias("len"),
+        F.min("d").alias("start_day"),
+        F.max("d").alias("end_day"),
+    )
+    wu = Window.partitionBy("user_id")
+    wrk = Window.partitionBy("user_id").orderBy(
+        F.col("len").desc(), F.col("start_day")
+    )
+    ranked = islands.select(
+        "user_id",
+        "len",
+        "start_day",
+        "end_day",
+        F.count(F.lit(1)).over(wu).cast("long").alias("n_streaks"),
+        F.sum("len").over(wu).alias("active_days"),
+        F.row_number().over(wrk).alias("rk"),
+    )
+    return (
+        ranked.filter(F.col("rk") == 1)
+        .select(
+            "user_id",
+            "n_streaks",
+            "active_days",
+            F.col("len").alias("longest_len"),
+            F.col("start_day").cast("timestamp").alias("longest_start"),
+            F.col("end_day").cast("timestamp").alias("longest_end"),
+        )
+        .orderBy("user_id")
+    )

@@ -1,0 +1,317 @@
+"""Deterministic, cross-engine-exact sketch operators.
+
+``a_approx_aggregates`` (plans/olap_ext.py) uses Spark's native HLL++
+and KLL sketches — engine-specific internals, so it is rows-only in the
+driver gate. These two plans close that gap from the other direction:
+the sketch ALGORITHM itself is implemented from first principles with
+integer/bit-exact arithmetic, so the full sketch state and its estimate
+are bit-identical on Spark and DuckDB and the driver can hash-compare
+them like any relational plan.
+
+* ``a20_hll_sketch`` — textbook HyperLogLog (Flajolet et al. 2007):
+  md5-derived 32-bit hash, m=64 registers, max-of-rho per register,
+  harmonic-mean estimate. Every intermediate is an integer except the
+  final harmonic sum — and that sum is EXACT in IEEE doubles (each term
+  is a power of two ≥ 2^-27 and the total stays below 2^7, so every
+  partial sum fits the 53-bit mantissa with room to spare; order cannot
+  change the value).
+* ``a21_histogram_quantile`` — mergeable fixed-width-bin quantile
+  sketch: integer bin counts (map-side combinable), cumulative walk,
+  linear interpolation inside the target bin. The error bound (≤ one
+  bin width vs the exact quantile) is emitted as an oracle-checked
+  boolean.
+
+Reference parity note: no counterpart in the reference (relational ETL
+only, reference db.py:89-186); these extend the brief's approximate-
+aggregation axis with sketches whose correctness is *provable* in the
+hash gate rather than merely bounded.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from compendium_spark.functions.numeric import quantize6, sql_quantize
+from compendium_spark.plans.registry import plan
+from compendium_spark.tables import load
+
+# ---------------------------------------------------------------------------
+# a20: HyperLogLog with a cross-engine-exact register file
+# ---------------------------------------------------------------------------
+
+HLL_P = 6  # 2^6 = 64 registers
+HLL_M = 1 << HLL_P
+HLL_ALPHA = 0.709  # Flajolet et al. alpha_64
+# hash = first 8 md5 hex digits -> uniform 32-bit word;
+# bucket = low P bits, rho = leading-zeros(+1) of the remaining 26 bits
+HLL_WBITS = 32 - HLL_P
+
+_HEX = "0123456789abcdef"
+
+
+def _sql_hex_to_long(md5_expr: str, ndigits: int) -> str:
+    """DuckDB fragment: integer value of the first ``ndigits`` hex
+    digits of ``md5_expr`` (digit-by-digit strpos arithmetic — DuckDB
+    has no base-16 conv; same value as Spark's ``F.conv``)."""
+    terms = [
+        f"(strpos('{_HEX}', substr({md5_expr}, {i + 1}, 1)) - 1)"
+        f" * {16 ** (ndigits - 1 - i)}"
+        for i in range(ndigits)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def _rho_case(w_expr: str) -> str:
+    """Shared SQL CASE computing rho = (leading zeros of the
+    ``HLL_WBITS``-bit word ``w_expr``) + 1: identical text runs on both
+    engines (Spark ``F.expr`` and DuckDB), so the branch logic cannot
+    diverge. w == 0 (all zeros) -> rho = WBITS + 1, per the paper."""
+    whens = "\n".join(
+        f"WHEN {w_expr} >= {1 << k} THEN {HLL_WBITS - k}"
+        for k in range(HLL_WBITS - 1, -1, -1)
+    )
+    return f"CASE {whens} ELSE {HLL_WBITS + 1} END"
+
+
+_HLL_EST = (
+    f"{HLL_ALPHA} * {HLL_M * HLL_M} / "
+    "(hsum + (64 - n_hit) * 1.0)"  # untouched registers contribute 2^-0 = 1
+)
+
+HLL_SQL = f"""
+WITH h AS (
+  SELECT event_type,
+         {_sql_hex_to_long("md5(CAST(event_id AS VARCHAR))", 8)} AS hv
+  FROM events
+),
+b AS (
+  SELECT event_type,
+         hv % {HLL_M} AS bucket,
+         -- explicit FLOOR: DuckDB's / on integers is float division and
+         -- its double->BIGINT cast ROUNDS (Spark's truncates); FLOOR
+         -- makes both engines take the identical path (exact anyway:
+         -- hv < 2^32 and 64 is a power of two)
+         CAST(FLOOR(hv / {HLL_M}.0) AS BIGINT) AS w
+  FROM h
+),
+regs AS (
+  SELECT event_type, bucket, MAX({_rho_case("w")}) AS r
+  FROM b
+  GROUP BY event_type, bucket
+),
+sk AS (
+  SELECT event_type,
+         COUNT(*) AS n_hit,
+         SUM(pow(2.0, -r)) AS hsum
+  FROM regs
+  GROUP BY event_type
+),
+ex AS (
+  SELECT event_type, COUNT(DISTINCT event_id) AS exact_distinct
+  FROM events
+  GROUP BY event_type
+)
+SELECT sk.event_type,
+       sk.n_hit AS registers_hit,
+       {sql_quantize(_HLL_EST, 6)} AS hll_estimate,
+       ex.exact_distinct,
+       abs(({_HLL_EST}) - ex.exact_distinct)
+         <= 0.35 * ex.exact_distinct AS within_3sigma
+FROM sk JOIN ex ON sk.event_type = ex.event_type
+ORDER BY sk.event_type
+"""
+
+
+@plan("a20_hll_sketch", oracle=HLL_SQL)
+def a20_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-count sketch, implemented from scratch so
+    the register file — not just an error bound — is hash-comparable
+    across engines.
+
+    Parity: the 32-bit hash is the first 8 md5 hex digits (Spark
+    ``conv(..., 16, 10)`` = the oracle's digit-by-digit strpos
+    arithmetic); bucket/word split is integer div/mod; rho comes from
+    a shared SQL CASE evaluated verbatim by both engines; the register
+    is an integer MAX; the harmonic sum is exact in doubles (powers of
+    two only, see module docstring), so the final estimate is one
+    multiply + one divide on bit-identical inputs.
+
+    Scale: this is the mergeable-sketch shape — per-partition register
+    files combine by elementwise MAX (here via groupBy(type, bucket)),
+    the shuffle carries at most m=64 rows per group, and the corpus is
+    read once. The production path for distinct-count at 100 TB; the
+    exact COUNT(DISTINCT) sits alongside only as verification cost
+    (same role as a_approx_error_bound's exact legs).
+    """
+    ev = load(spark, sf_dir, "events")
+    hv = F.conv(
+        F.substring(F.md5(F.col("event_id").cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    b = ev.select(
+        "event_type",
+        (hv % HLL_M).alias("bucket"),
+        F.floor(hv / F.lit(float(HLL_M))).cast("long").alias("w"),
+    )
+    regs = b.groupBy("event_type", "bucket").agg(
+        F.max(F.expr(_rho_case("w"))).alias("r")
+    )
+    sk = regs.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_hit"),
+        F.sum(F.pow(F.lit(2.0), -F.col("r"))).alias("hsum"),
+    )
+    est = (
+        F.lit(HLL_ALPHA)
+        * F.lit(HLL_M * HLL_M)
+        / (F.col("hsum") + (F.lit(64) - F.col("n_hit")) * F.lit(1.0))
+    )
+    ex = ev.groupBy("event_type").agg(
+        F.count_distinct("event_id").alias("exact_distinct")
+    )
+    return (
+        sk.join(F.broadcast(ex), "event_type")
+        .select(
+            "event_type",
+            F.col("n_hit").alias("registers_hit"),
+            quantize6(est).alias("hll_estimate"),
+            "exact_distinct",
+            (
+                F.abs(est - F.col("exact_distinct"))
+                <= F.lit(0.35) * F.col("exact_distinct")
+            ).alias("within_3sigma"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# a21: fixed-width-bin histogram quantile sketch
+# ---------------------------------------------------------------------------
+
+HQ_WIDTH = 1000.0  # bin width over l_extendedprice (~900..105000)
+
+_HQ_EST = "bin * 1000.0 + 1000.0 * (half_n - cum_before) / cnt"
+
+HISTQ_SQL = f"""
+WITH binned AS (
+  SELECT l_returnflag,
+         CAST(FLOOR(l_extendedprice / {HQ_WIDTH}) AS BIGINT) AS bin
+  FROM lineitem
+),
+counts AS (
+  SELECT l_returnflag, bin, COUNT(*) AS cnt
+  FROM binned
+  GROUP BY l_returnflag, bin
+),
+walk AS (
+  SELECT l_returnflag, bin, cnt,
+         CAST(SUM(cnt) OVER (PARTITION BY l_returnflag ORDER BY bin) AS BIGINT) AS cum,
+         CAST(SUM(cnt) OVER (PARTITION BY l_returnflag) AS BIGINT) AS n
+  FROM counts
+),
+hit AS (
+  SELECT l_returnflag, bin, cnt, cum - cnt AS cum_before, n,
+         0.5 * n AS half_n,
+         ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY bin) AS rn
+  FROM walk
+  WHERE cum >= 0.5 * n
+),
+sk AS (
+  SELECT l_returnflag, n, bin AS median_bin,
+         {_HQ_EST} AS est
+  FROM hit WHERE rn = 1
+),
+ex AS (
+  SELECT l_returnflag,
+         quantile_cont(l_extendedprice, 0.5) AS exact_median
+  FROM lineitem
+  GROUP BY l_returnflag
+)
+SELECT sk.l_returnflag, sk.n, sk.median_bin,
+       {sql_quantize("sk.est", 6)} AS est_median,
+       {sql_quantize("ex.exact_median", 6)} AS exact_median,
+       abs(sk.est - ex.exact_median) <= {HQ_WIDTH} AS within_bin_bound
+FROM sk JOIN ex ON sk.l_returnflag = ex.l_returnflag
+ORDER BY sk.l_returnflag
+"""
+
+
+@plan("a21_histogram_quantile", oracle=HISTQ_SQL)
+def a21_histogram_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable fixed-width-bin quantile sketch: integer bin counts →
+    cumulative walk → linear interpolation inside the median bin, with
+    a within-one-bin accuracy check against the exact quantile emitted
+    as an oracle-checked boolean.
+
+    Accuracy contract (see tests/test_sketch.py): the estimate always
+    lies in the median bin and within one bin width of the DISCRETE
+    median; the within-one-bin bound vs the CONTINUOUS
+    (quantile_cont) median additionally holds whenever both central
+    order statistics fall in the median bin — guaranteed dense data
+    like this one, but NOT a universal invariant (with n even the
+    exact median can interpolate toward a far-away order statistic),
+    so the boolean is an accuracy report, not a proof obligation.
+    Either engine flipping it flips both (the inputs are
+    bit-identical), so hash parity never depends on it.
+
+    Parity: bin ids are FLOOR of a double division (identical IEEE op
+    both engines), counts and cumulative sums are integers, and the
+    interpolation is one division of exact integers — deterministic
+    end to end, then FLOOR-quantized per the repo policy. The exact
+    median leg uses the a13 idiom (both engines: linear interpolation).
+
+    Scale: the sketch is the point — bin counts combine by addition
+    (map-side partial agg), the shuffle carries one row per
+    (group, bin), and the cumulative walk runs over a few hundred bins
+    per group, not the data. Unlike exact quantiles (full sorted group
+    in one place) this shape is oblivious to group row count; accuracy
+    is governed by bin width alone. The exact leg exists only as
+    verification cost, same as a20/a_approx_error_bound.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    from pyspark.sql import Window
+
+    counts = (
+        li.select(
+            "l_returnflag",
+            F.floor(F.col("l_extendedprice") / F.lit(HQ_WIDTH)).alias("bin"),
+        )
+        .groupBy("l_returnflag", "bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    wcum = Window.partitionBy("l_returnflag").orderBy("bin")
+    wall = Window.partitionBy("l_returnflag")
+    walk = counts.select(
+        "l_returnflag",
+        "bin",
+        "cnt",
+        F.sum("cnt").over(wcum).alias("cum"),
+        F.sum("cnt").over(wall).alias("n"),
+    )
+    hit = (
+        walk.withColumn("half_n", F.lit(0.5) * F.col("n"))
+        .filter(F.col("cum") >= F.col("half_n"))
+        .withColumn("rn", F.row_number().over(wcum))
+        .filter(F.col("rn") == 1)
+    )
+    est = F.col("bin") * F.lit(1000.0) + F.lit(1000.0) * (
+        F.col("half_n") - (F.col("cum") - F.col("cnt"))
+    ) / F.col("cnt")
+    ex = li.groupBy("l_returnflag").agg(
+        F.percentile("l_extendedprice", F.lit(0.5)).alias("exact_median")
+    )
+    return (
+        hit.select("l_returnflag", "n", F.col("bin").alias("median_bin"), est.alias("est"))
+        .join(F.broadcast(ex), "l_returnflag")
+        .select(
+            "l_returnflag",
+            "n",
+            "median_bin",
+            quantize6(F.col("est")).alias("est_median"),
+            quantize6(F.col("exact_median")).alias("exact_median"),
+            (
+                F.abs(F.col("est") - F.col("exact_median")) <= F.lit(HQ_WIDTH)
+            ).alias("within_bin_bound"),
+        )
+        .orderBy("l_returnflag")
+    )

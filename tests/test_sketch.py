@@ -64,3 +64,130 @@ def test_mg_merge_respects_capacity():
     for i in range(100):
         acc = _mg_merge(acc, {f"x{i}": 1}, 8)
     assert len(acc) <= 8
+
+
+# ---------------------------------------------------------------------------
+# a20 HyperLogLog: the SQL rho CASE must equal Python's bit_length rho
+# ---------------------------------------------------------------------------
+
+
+def _py_rho(w: int, wbits: int) -> int:
+    """Leading zeros of the wbits-bit word + 1 (paper definition)."""
+    return wbits - w.bit_length() + 1
+
+
+@settings(max_examples=300, deadline=None)
+@given(w=st.integers(0, (1 << 26) - 1))
+def test_hll_rho_case_matches_bit_length(w):
+    """The generated CASE chain (shared verbatim by Spark and DuckDB)
+    computes the same rho as Python's int.bit_length for every 26-bit
+    word, including the all-zeros sentinel (rho = 27)."""
+    import duckdb
+
+    from compendium_spark.plans.sketches import HLL_WBITS, _rho_case
+
+    got = duckdb.sql(f"SELECT {_rho_case(str(w))} AS r").fetchone()[0]
+    assert got == _py_rho(w, HLL_WBITS)
+
+
+def test_hll_harmonic_sum_exact_any_order():
+    """Every 2^-r term (r in 1..27) is a multiple of 2^-27 and the
+    64-register sum stays below 2^7, so IEEE addition is EXACT and
+    order-independent — the property the plan's parity story rests on."""
+    import itertools
+    import random
+    from fractions import Fraction
+
+    rng = random.Random(7)
+    regs = [rng.randint(1, 27) for _ in range(64)]
+    exact = sum(Fraction(1, 2**r) for r in regs)
+    sums = set()
+    for _ in range(20):
+        rng.shuffle(regs)
+        acc = 0.0
+        for r in regs:
+            acc += 2.0**-r
+        sums.add(acc)
+    assert sums == {float(exact)}
+
+
+def test_hll_estimate_within_bound_small_sim():
+    """Pure-Python simulation of the plan's exact pipeline (md5 hash,
+    bucket/word split, rho, harmonic estimate) on a known cardinality:
+    the estimate must sit within the 0.35 relative bound the plan
+    asserts as its oracle-checked boolean."""
+    import hashlib
+
+    from compendium_spark.plans.sketches import (
+        HLL_ALPHA,
+        HLL_M,
+        HLL_WBITS,
+    )
+
+    n = 2000
+    regs = [0] * HLL_M
+    for i in range(n):
+        hv = int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16)
+        j, w = hv % HLL_M, hv // HLL_M
+        regs[j] = max(regs[j], _py_rho(w, HLL_WBITS))
+    hsum = sum(2.0**-r for r in regs)
+    est = HLL_ALPHA * HLL_M * HLL_M / hsum
+    assert abs(est - n) <= 0.35 * n
+
+
+# ---------------------------------------------------------------------------
+# a21 histogram quantile: interpolation error is bounded by bin width
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    values=st.lists(
+        st.floats(0.0, 100.0, allow_nan=False, allow_infinity=False),
+        min_size=1,
+        max_size=300,
+    ),
+    width=st.sampled_from([1.0, 5.0, 25.0]),
+)
+def test_histogram_median_bin_invariants(values, width):
+    """The TRUE invariants of the fixed-bin sketch (a within-one-bin
+    claim vs quantile_cont would be FALSE in general — with n even the
+    exact median interpolates toward the order statistic at position
+    n/2+1, which can sit many empty bins to the right; Hypothesis
+    found est 1.5 widths from exact on a 2-element input):
+
+      1. the estimate lies inside the median bin [B_lo, B_hi];
+      2. the mass-median order statistic (1-indexed ceil(n/2)) lies in
+         that same bin — so est is within one bin width of the
+         *discrete* median always;
+      3. whenever BOTH central order statistics fall in the median bin
+         (the dense-data case the plan's boolean reports on), the
+         continuous median does satisfy |est - exact| <= width.
+    """
+    import math
+
+    n = len(values)
+    s = sorted(values)
+    h = 0.5 * (n - 1)
+    lo, hi = s[math.floor(h)], s[math.ceil(h)]
+    exact = lo + (h - math.floor(h)) * (hi - lo)
+    from collections import Counter
+
+    counts = Counter(math.floor(v / width) for v in values)
+    half_n = 0.5 * n
+    cum = 0
+    for b in sorted(counts):
+        cum_before, cum = cum, cum + counts[b]
+        if cum >= half_n:
+            est = b * width + width * (half_n - cum_before) / counts[b]
+            break
+    eps = 1e-9
+    # 1. estimate inside the median bin
+    assert b * width - eps <= est <= (b + 1) * width + eps
+    # 2. discrete median in the same bin
+    disc = s[math.ceil(half_n) - 1]
+    assert math.floor(disc / width) == b
+    assert abs(est - disc) <= width + eps
+    # 3. dense case -> continuous median within one bin of the estimate
+    if math.floor(lo / width) == b and math.floor(hi / width) == b:
+        assert abs(est - exact) <= width + eps
