@@ -103,6 +103,10 @@ BENCH_QUERIES = [
     "a21_histogram_quantile",
     "j16_scd2_intervals",
     "w13_gap_islands",
+    "sim_knn_graph",
+    "emb_kcenter_init",
+    "w14_attribution",
+    "a22_hll_setops",
 ]
 
 

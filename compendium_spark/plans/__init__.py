@@ -14,6 +14,7 @@ from compendium_spark.plans import (  # noqa: F401
     incremental,
     ivf,
     kmeans,
+    knn,
     multimodal,
     olap_ext,
     pq,

@@ -200,3 +200,85 @@ def w13_gap_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# w14: last-touch attribution
+# ---------------------------------------------------------------------------
+
+ATTRIBUTION_SQL = """
+WITH carried AS (
+  SELECT user_id, event_id, event_type, ts,
+         LAST_VALUE(CASE WHEN event_type = 'click' THEN event_id END
+                    IGNORE NULLS) OVER w AS click_id,
+         LAST_VALUE(CASE WHEN event_type = 'click' THEN ts END
+                    IGNORE NULLS) OVER w AS click_ts
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT user_id,
+       event_id AS purchase_id,
+       ts AS purchase_ts,
+       click_id,
+       CASE WHEN click_id IS NOT NULL
+            THEN datediff('microsecond', click_ts, ts) END AS lag_us
+FROM carried
+WHERE event_type = 'purchase'
+ORDER BY user_id, purchase_id
+"""
+
+
+@plan("w14_attribution", oracle=ATTRIBUTION_SQL)
+def w14_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: each purchase is credited to the most
+    recent preceding click by the same user (the marketing-analytics
+    staple; first-touch is the same plan with an unbounded-following
+    FIRST_VALUE). A running IGNORE-NULLS LAST_VALUE carries the click
+    forward — the same one-pass idiom as ts_resample_ffill — so there
+    is NO self-join between purchases and clicks.
+
+    Parity: ids and timestamps carry exactly; the attribution lag is
+    an INTEGER microsecond difference (epoch microseconds on both
+    engines), no floats anywhere. The explicit ROWS frame pins the
+    (ts, event_id) tie order on both engines.
+
+    Scale: one shuffle on user_id, state per row is one carried
+    (id, ts) pair. The join formulation — purchases ASOF-joined to
+    clicks (j8's shape) — shuffles both sides instead; this form reads
+    the stream once and is the one that survives a 100 TB event log.
+    """
+    ev = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    click_id = F.last(
+        F.when(F.col("event_type") == "click", F.col("event_id")), True
+    ).over(w)
+    click_ts = F.last(
+        F.when(F.col("event_type") == "click", F.col("ts")), True
+    ).over(w)
+    carried = ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "ts",
+        click_id.alias("click_id"),
+        click_ts.alias("click_ts"),
+    )
+    return (
+        carried.filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+            "click_id",
+            F.when(
+                F.col("click_id").isNotNull(),
+                F.unix_micros(F.col("ts")) - F.unix_micros(F.col("click_ts")),
+            ).alias("lag_us"),
+        )
+        .orderBy("user_id", "purchase_id")
+    )

@@ -1,0 +1,279 @@
+"""k-NN graph construction and diversity (k-center) selection over
+the embedding corpus.
+
+Two more building blocks of an embedding-centric curation pipeline:
+
+* ``sim_knn_graph`` — the all-vectors k-nearest-neighbor graph,
+  cell-bounded exactly like SemDeDup: neighbors are searched within a
+  vector's IVF cell only, so the pair cost is Σ(cell²) instead of n²
+  and the per-vector top-k leaves the kernel pre-ranked (output is
+  O(n·k), never O(n·cell)). The k-NN graph is the substrate for graph
+  clustering, label propagation and connectivity-based dedup
+  (plans/extended.py's connected components can run directly on it).
+
+* ``emb_kcenter_init`` — greedy farthest-point (k-center) selection:
+  the classic 2-approximation for diverse subset picking and the
+  standard k-means++-style seeding when determinism is required.
+  Each round is one full scan computing every vector's distance to
+  the selected set (LEAST of per-center squared distances), then an
+  argmax; the selected set stays tiny and rides along as literals.
+
+Reference parity note: the reference has no embedding surface
+(reference db.py:89-186); both plans belong to the brief's
+similarity-search extension axis, composing the IVF primitives in
+plans/ivf.py whose cross-engine parity carries over.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from compendium_spark.functions.numeric import quantize6, sql_quantize
+from compendium_spark.plans.extended import _load_embeddings
+from compendium_spark.plans.ivf import _SQL_SCORES, _assign_cells
+from compendium_spark.plans.registry import plan
+
+# ---------------------------------------------------------------------------
+# sim_knn_graph
+# ---------------------------------------------------------------------------
+
+KNN_K = 3
+
+KNN_SQL = f"""
+WITH scores AS ({_SQL_SCORES}),
+assign AS (
+  SELECT vec_id, cell,
+         ROW_NUMBER() OVER (PARTITION BY vec_id
+                            ORDER BY score DESC, cell) AS rn
+  FROM scores
+),
+cells AS (SELECT vec_id, cell FROM assign WHERE rn = 1),
+n AS (
+  SELECT vec_id, e,
+         sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm
+  FROM (SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        FROM embeddings)
+),
+pairs AS (
+  SELECT ca.vec_id AS src, cb.vec_id AS nbr,
+         list_sum(list_transform(a.e, (x, i) -> x * b.e[i]))
+           / (a.nrm * b.nrm) AS cos
+  FROM cells ca
+  JOIN cells cb ON ca.cell = cb.cell AND ca.vec_id <> cb.vec_id
+  JOIN n a ON a.vec_id = ca.vec_id
+  JOIN n b ON b.vec_id = cb.vec_id
+),
+ranked AS (
+  SELECT src, nbr, cos,
+         ROW_NUMBER() OVER (PARTITION BY src
+                            ORDER BY cos DESC, nbr) AS rk
+  FROM pairs
+)
+SELECT src AS vec_id, nbr AS nbr_id,
+       {sql_quantize("cos", 6)} AS cosine,
+       rk AS rank
+FROM ranked WHERE rk <= {KNN_K}
+ORDER BY vec_id, rank
+"""
+
+
+def _cell_knn_kernel(sided: DataFrame, k: int) -> DataFrame:
+    """Per-cell k-NN as ONE grouped-map NumPy pass: the full in-cell
+    cosine matrix (sequential dim accumulation — 64 rank-1 updates,
+    bit-matching the oracle's list_sum left fold, same trick as
+    semantic._cell_pair_cosines), then each row's top-k by
+    (cos DESC, id ASC) via a stable lexsort — the exact comparison
+    ROW_NUMBER uses, on bit-identical doubles. Only n·k edges leave
+    the kernel; the O(cell²) matrix never hits a shuffle."""
+    import numpy as np  # noqa: PLC0415
+    import pandas as pd  # noqa: PLC0415
+
+    out_schema = "vec_id long, nbr_id long, cos double, rank int"
+
+    def knn(pdf: pd.DataFrame) -> pd.DataFrame:
+        m = len(pdf)
+        if m < 2:
+            return pd.DataFrame(
+                {
+                    "vec_id": pd.Series(dtype="int64"),
+                    "nbr_id": pd.Series(dtype="int64"),
+                    "cos": pd.Series(dtype="float64"),
+                    "rank": pd.Series(dtype="int32"),
+                }
+            )
+        pdf = pdf.sort_values("vec_id")
+        x = np.vstack(pdf["e"].to_numpy()).astype(np.float64)
+        acc = np.zeros((m, m))
+        nsq = np.zeros(m)
+        for d in range(x.shape[1]):
+            col = x[:, d]
+            acc += col[:, None] * col[None, :]
+            nsq += col * col
+        nrm = np.sqrt(nsq)
+        cos = acc / (nrm[:, None] * nrm[None, :])
+        ids = pdf["vec_id"].to_numpy()
+        kk = min(k, m - 1)
+        rows = {"vec_id": [], "nbr_id": [], "cos": [], "rank": []}
+        for i in range(m):
+            others = np.delete(np.arange(m), i)
+            # lexsort: last key is primary -> (-cos asc = cos desc),
+            # ties by ascending neighbor id — ROW_NUMBER's comparison
+            order = others[np.lexsort((ids[others], -cos[i, others]))][:kk]
+            rows["vec_id"].extend([ids[i]] * len(order))
+            rows["nbr_id"].extend(ids[order])
+            rows["cos"].extend(cos[i, order])
+            rows["rank"].extend(range(1, len(order) + 1))
+        return pd.DataFrame(
+            {
+                "vec_id": np.asarray(rows["vec_id"], dtype="int64"),
+                "nbr_id": np.asarray(rows["nbr_id"], dtype="int64"),
+                "cos": np.asarray(rows["cos"], dtype="float64"),
+                "rank": np.asarray(rows["rank"], dtype="int32"),
+            }
+        )
+
+    return sided.groupBy("cell").applyInPandas(knn, schema=out_schema)
+
+
+@plan("sim_knn_graph", oracle=KNN_SQL)
+def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cell-bounded k-NN graph: each vector's top-{KNN_K} neighbors
+    WITHIN its IVF cell, exact-cosine ranked (cos DESC, id ASC
+    tie-break). Single-probe recall tradeoff is the SemDeDup contract:
+    neighbors in other cells are unseen — acceptable for graph-dedup /
+    clustering substrates, and the multi-probe extension is the
+    sim_ivf_topk probe list applied per corpus vector.
+
+    Scale: one map-only assignment pass (no shuffle), one shuffle on
+    the cell key into the grouped-map kernel, and the kernel emits the
+    PRE-RANKED top-k — O(n·k) rows out, no per-vector window over
+    O(n·cell) pair rows. K scales ~ n (ivf.make_centroids rule) to
+    hold the in-kernel (n/K)² matrix constant."""
+    emb = _load_embeddings(spark, sf_dir)
+    cells = _assign_cells(emb)
+    sided = emb.join(cells, "vec_id")
+    edges = _cell_knn_kernel(sided, KNN_K)
+    return edges.select(
+        "vec_id",
+        "nbr_id",
+        quantize6(F.col("cos")).alias("cosine"),
+        F.col("rank"),
+    ).orderBy("vec_id", "rank")
+
+
+# ---------------------------------------------------------------------------
+# emb_kcenter_init
+# ---------------------------------------------------------------------------
+
+KCENTER_ROUNDS = 4  # centers selected (including the seed)
+
+_SQL_EMB = """
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+"""
+
+_SQL_SQDIST = (
+    "list_sum(list_transform(v.e, (x, i) -> (x - c.e[i]) * (x - c.e[i])))"
+)
+
+
+def _kcenter_sql() -> str:
+    """Unrolled greedy farthest-point SQL: c0 = min vec_id; each round
+    r picks argmax over vectors of LEAST(sqdist to every selected
+    center), ties to the smaller id. The per-round CTEs mirror the
+    Spark driver loop exactly (same fold order in the distance, same
+    LEAST, same ORDER BY d DESC, vec_id LIMIT 1)."""
+    parts = [f"WITH v AS ({_SQL_EMB}),"]
+    parts.append("c0 AS (SELECT vec_id, e FROM v ORDER BY vec_id LIMIT 1)")
+    dist_terms = []
+    for r in range(1, KCENTER_ROUNDS):
+        dist_terms.append(
+            _SQL_SQDIST.replace("c.e", f"c{r - 1}.e")
+        )
+        least = (
+            dist_terms[0]
+            if len(dist_terms) == 1
+            else "LEAST(" + ", ".join(dist_terms) + ")"
+        )
+        joins = " ".join(f"CROSS JOIN c{i}" for i in range(r))
+        parts.append(
+            f", d{r} AS (SELECT v.vec_id, {least} AS d FROM v {joins}"
+            f" WHERE v.vec_id NOT IN ({', '.join(f'(SELECT vec_id FROM c{i})' for i in range(r))}))"
+        )
+        parts.append(
+            f", pick{r} AS (SELECT vec_id, d FROM d{r}"
+            f" ORDER BY d DESC, vec_id LIMIT 1)"
+        )
+        parts.append(
+            f", c{r} AS (SELECT v.vec_id, v.e FROM v"
+            f" JOIN pick{r} p ON v.vec_id = p.vec_id)"
+        )
+    selects = ["SELECT 0 AS round, vec_id, 0.0 AS dist FROM c0"]
+    for r in range(1, KCENTER_ROUNDS):
+        selects.append(
+            f"SELECT {r} AS round, vec_id, {sql_quantize('d', 6)} AS dist"
+            f" FROM pick{r}"
+        )
+    parts.append(" " + " UNION ALL ".join(selects) + " ORDER BY round")
+    return "\n".join(parts)
+
+
+KCENTER_SQL = _kcenter_sql()
+
+
+def _sqdist_unrolled(a, center: list[float], dim: int = 64):
+    """Squared L2 distance to a literal center, unrolled left-to-right
+    — the same fold order as the oracle's list_sum(list_transform)."""
+    d0 = F.element_at(a, 1) - F.lit(center[0])
+    out = d0 * d0
+    for i in range(2, dim + 1):
+        di = F.element_at(a, i) - F.lit(center[i - 1])
+        out = out + di * di
+    return out
+
+
+@plan("emb_kcenter_init", oracle=KCENTER_SQL)
+def emb_kcenter_init(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center (farthest-point) selection: the deterministic
+    2-approximation for diverse subset picking / seeding. Round 0
+    seeds with the smallest vec_id; each later round scans the corpus
+    once for every vector's distance-to-selected-set (LEAST of
+    per-center unrolled squared distances — pure codegen, centers are
+    literals) and picks the farthest, smaller-id tie-break.
+
+    Scale: rounds are strictly sequential by definition, but each is
+    ONE map pass + a 1-row argmax (orderBy(...).limit(1) plans as
+    TakeOrderedAndProject: per-partition top-1 then driver merge — no
+    global sort). The selected set (k × dim floats) rides in the
+    closure; the k tiny collects are the selection itself, documented
+    driver-side state like kmeans.py's centroids. Output is the pick
+    trace (round, id, distance) — the sampling certificate."""
+    emb = _load_embeddings(spark, sf_dir)
+    first = emb.orderBy("vec_id").limit(1).collect()[0]
+    centers = [[float(x) for x in first["e"]]]
+    ids = [int(first["vec_id"])]
+    out = [(0, ids[0], 0.0)]
+    for r in range(1, KCENTER_ROUNDS):
+        dists = [_sqdist_unrolled(F.col("e"), c) for c in centers]
+        d = dists[0] if len(dists) == 1 else F.least(*dists)
+        pick = (
+            emb.filter(~F.col("vec_id").isin(ids))
+            .select("vec_id", d.alias("d"))
+            .orderBy(F.col("d").desc(), "vec_id")
+            .limit(1)
+            .collect()[0]
+        )
+        nxt = emb.filter(F.col("vec_id") == int(pick["vec_id"])).collect()[0]
+        centers.append([float(x) for x in nxt["e"]])
+        ids.append(int(pick["vec_id"]))
+        out.append((r, ids[-1], float(pick["d"])))
+    res = spark.createDataFrame(out, "round int, vec_id long, dist double")
+    return res.select(
+        "round",
+        "vec_id",
+        F.when(F.col("round") == 0, F.lit(0.0))
+        .otherwise(quantize6(F.col("dist")))
+        .alias("dist"),
+    ).orderBy("round")

@@ -2,7 +2,7 @@
 
 ``a_approx_aggregates`` (plans/olap_ext.py) uses Spark's native HLL++
 and KLL sketches — engine-specific internals, so it is rows-only in the
-driver gate. These two plans close that gap from the other direction:
+driver gate. These plans close that gap from the other direction:
 the sketch ALGORITHM itself is implemented from first principles with
 integer/bit-exact arithmetic, so the full sketch state and its estimate
 are bit-identical on Spark and DuckDB and the driver can hash-compare
@@ -17,9 +17,12 @@ them like any relational plan.
   change the value).
 * ``a21_histogram_quantile`` — mergeable fixed-width-bin quantile
   sketch: integer bin counts (map-side combinable), cumulative walk,
-  linear interpolation inside the target bin. The error bound (≤ one
-  bin width vs the exact quantile) is emitted as an oracle-checked
-  boolean.
+  linear interpolation inside the target bin, with a within-one-bin
+  accuracy check vs the exact quantile as an oracle-checked boolean.
+* ``a22_hll_setops`` — HLL set algebra: two cohorts' register files
+  merge into the union sketch by elementwise MAX (the mergeability
+  property that makes sketches work on a 1000-executor fleet), and
+  the intersection estimate falls out of inclusion–exclusion.
 
 Reference parity note: no counterpart in the reference (relational ETL
 only, reference db.py:89-186); these extend the brief's approximate-
@@ -314,4 +317,174 @@ def a21_histogram_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("within_bin_bound"),
         )
         .orderBy("l_returnflag")
+    )
+
+
+# ---------------------------------------------------------------------------
+# a22: HLL set operations — the mergeability payoff
+# ---------------------------------------------------------------------------
+
+# element = one (user, activity-day) pair; cohort A = days with a
+# click, cohort B = days with a purchase — overlapping sets in the
+# thousands, the regime where sketch set-algebra is meaningful.
+_SETOP_KEY_SQL = (
+    "CAST(user_id AS VARCHAR) || '-' || "
+    "CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS VARCHAR)"
+)
+
+_EST = f"{HLL_ALPHA} * {HLL_M * HLL_M} / (hsum + ({HLL_M} - n_hit) * 1.0)"
+
+
+def _sql_tag_est(tag: str, col: str) -> str:
+    return f"MAX(CASE WHEN tag = '{tag}' THEN {col} END)"
+
+
+HLL_SETOPS_SQL = f"""
+WITH el AS (
+  SELECT CASE WHEN event_type = 'click' THEN 'A' ELSE 'B' END AS tag,
+         {_SETOP_KEY_SQL} AS key
+  FROM events
+  WHERE event_type IN ('click', 'purchase')
+),
+h AS (
+  SELECT tag, {_sql_hex_to_long("md5(key)", 8)} AS hv FROM el
+),
+b AS (
+  SELECT tag, hv % {HLL_M} AS bucket,
+         CAST(FLOOR(hv / {HLL_M}.0) AS BIGINT) AS w
+  FROM h
+),
+regs AS (
+  SELECT tag, bucket, MAX({_rho_case("w")}) AS r
+  FROM b GROUP BY tag, bucket
+),
+uregs AS (
+  SELECT 'U' AS tag, bucket, MAX(r) AS r FROM regs GROUP BY bucket
+),
+allregs AS (SELECT * FROM regs UNION ALL SELECT * FROM uregs),
+sk AS (
+  SELECT tag, COUNT(*) AS n_hit, SUM(pow(2.0, -r)) AS hsum
+  FROM allregs GROUP BY tag
+),
+est AS (SELECT tag, {_EST} AS e FROM sk),
+exacts AS (
+  SELECT tag, COUNT(DISTINCT key) AS x FROM el GROUP BY tag
+  UNION ALL
+  SELECT 'U' AS tag, COUNT(DISTINCT key) AS x FROM el
+),
+piv AS (
+  SELECT
+    (SELECT {_sql_tag_est("A", "e")} FROM est) AS ea,
+    (SELECT {_sql_tag_est("B", "e")} FROM est) AS eb,
+    (SELECT {_sql_tag_est("U", "e")} FROM est) AS eu,
+    (SELECT {_sql_tag_est("A", "x")} FROM exacts) AS xa,
+    (SELECT {_sql_tag_est("B", "x")} FROM exacts) AS xb,
+    (SELECT {_sql_tag_est("U", "x")} FROM exacts) AS xu
+)
+SELECT
+  {sql_quantize("ea", 6)} AS est_a, xa AS exact_a,
+  abs(ea - xa) <= 0.35 * xa AS ok_a,
+  {sql_quantize("eb", 6)} AS est_b, xb AS exact_b,
+  abs(eb - xb) <= 0.35 * xb AS ok_b,
+  {sql_quantize("eu", 6)} AS est_union, xu AS exact_union,
+  abs(eu - xu) <= 0.35 * xu AS ok_union,
+  {sql_quantize("ea + eb - eu", 6)} AS est_intersection,
+  xa + xb - xu AS exact_intersection
+FROM piv
+"""
+
+
+@plan("a22_hll_setops", oracle=HLL_SETOPS_SQL)
+def a22_hll_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL set algebra — the property that justifies sketches at
+    100 TB: two cohorts' register files (click-days vs purchase-days)
+    merge into the UNION's sketch by elementwise register MAX, with no
+    second pass over the data; the intersection falls out of
+    inclusion–exclusion on three estimates. The union estimate is
+    EXACTLY the sketch of the concatenated streams (max is
+    associative/commutative/idempotent), so a 1000-executor fleet can
+    sketch partitions independently and merge 64-integer states.
+
+    Parity: same register pipeline as a20 (shared rho CASE, exact
+    harmonic sums), merged and pivoted with integer/max ops only;
+    the three estimates and inclusion–exclusion are arithmetic on
+    bit-identical doubles. No bound boolean on the intersection —
+    inclusion–exclusion error compounds and is NOT relatively bounded
+    (can even go negative); the estimate is reported as-is, which is
+    the honest contract.
+
+    Scale: one scan of the filtered event stream; shuffles carry
+    (tag, bucket) registers — ≤ 2m rows total — then ≤ 3m for the
+    merge. The exact COUNT(DISTINCT key) legs are verification cost
+    only, as in a20/a_approx_error_bound.
+    """
+    ev = load(spark, sf_dir, "events")
+    el = ev.filter(F.col("event_type").isin("click", "purchase")).select(
+        F.when(F.col("event_type") == "click", F.lit("A"))
+        .otherwise(F.lit("B"))
+        .alias("tag"),
+        F.concat(
+            F.col("user_id").cast("string"),
+            F.lit("-"),
+            F.datediff(F.to_date("ts"), F.lit("1970-01-01")).cast("string"),
+        ).alias("key"),
+    )
+    hv = F.conv(F.substring(F.md5(F.col("key")), 1, 8), 16, 10).cast("long")
+    b = el.select(
+        "tag",
+        (hv % HLL_M).alias("bucket"),
+        F.floor(hv / F.lit(float(HLL_M))).cast("long").alias("w"),
+    )
+    regs = b.groupBy("tag", "bucket").agg(
+        F.max(F.expr(_rho_case("w"))).alias("r")
+    )
+    uregs = regs.groupBy("bucket").agg(F.max("r").alias("r")).select(
+        F.lit("U").alias("tag"), "bucket", "r"
+    )
+    sk = (
+        regs.unionByName(uregs)
+        .groupBy("tag")
+        .agg(
+            F.count(F.lit(1)).alias("n_hit"),
+            F.sum(F.pow(F.lit(2.0), -F.col("r"))).alias("hsum"),
+        )
+    )
+    e = (
+        F.lit(HLL_ALPHA)
+        * F.lit(HLL_M * HLL_M)
+        / (F.col("hsum") + (F.lit(HLL_M) - F.col("n_hit")) * F.lit(1.0))
+    )
+    est = sk.select("tag", e.alias("e"))
+    exacts = el.groupBy("tag").agg(F.count_distinct("key").alias("x")).unionByName(
+        el.agg(F.count_distinct("key").alias("x")).select(
+            F.lit("U").alias("tag"), "x"
+        )
+    )
+
+    # one conditional-aggregation pivot over 6 (tag, value) rows; the
+    # exact counts ride in the same tall frame (tagged lowercase) so
+    # the final form is ONE aggregate, no scalar-subquery BNLJ
+    tall = est.select("tag", "e", F.lit(None).cast("long").alias("x")).unionByName(
+        exacts.select("tag", F.lit(None).cast("double").alias("e"), "x")
+    )
+    row = tall.agg(
+        F.max(F.when(F.col("tag") == "A", F.col("e"))).alias("ea"),
+        F.max(F.when(F.col("tag") == "B", F.col("e"))).alias("eb"),
+        F.max(F.when(F.col("tag") == "U", F.col("e"))).alias("eu"),
+        F.max(F.when(F.col("tag") == "A", F.col("x"))).alias("xa"),
+        F.max(F.when(F.col("tag") == "B", F.col("x"))).alias("xb"),
+        F.max(F.when(F.col("tag") == "U", F.col("x"))).alias("xu"),
+    )
+    return row.select(
+        quantize6(F.col("ea")).alias("est_a"),
+        F.col("xa").alias("exact_a"),
+        (F.abs(F.col("ea") - F.col("xa")) <= F.lit(0.35) * F.col("xa")).alias("ok_a"),
+        quantize6(F.col("eb")).alias("est_b"),
+        F.col("xb").alias("exact_b"),
+        (F.abs(F.col("eb") - F.col("xb")) <= F.lit(0.35) * F.col("xb")).alias("ok_b"),
+        quantize6(F.col("eu")).alias("est_union"),
+        F.col("xu").alias("exact_union"),
+        (F.abs(F.col("eu") - F.col("xu")) <= F.lit(0.35) * F.col("xu")).alias("ok_union"),
+        quantize6(F.col("ea") + F.col("eb") - F.col("eu")).alias("est_intersection"),
+        (F.col("xa") + F.col("xb") - F.col("xu")).alias("exact_intersection"),
     )
