@@ -107,6 +107,9 @@ BENCH_QUERIES = [
     "emb_kcenter_init",
     "w14_attribution",
     "a22_hll_setops",
+    "j17_point_in_time_join",
+    "w15_rolling_zscore",
+    "dedup_bloom_prefilter",
 ]
 
 

@@ -7,6 +7,7 @@ Import side effect: importing this package registers every plan in
 
 from compendium_spark.plans import (  # noqa: F401
     ann,
+    bloom,
     curation,
     extended,
     graph,

@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from compendium_spark.functions.numeric import quantize6
 from compendium_spark.plans.registry import plan
 from compendium_spark.tables import load
 
@@ -282,3 +283,213 @@ def w14_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "purchase_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# j17: point-in-time (temporal) join against an SCD2 dimension
+# ---------------------------------------------------------------------------
+
+PIT_SQL = """
+WITH touches AS (
+  SELECT user_id, event_type, ts,
+         LAG(event_type) OVER w AS prev_type
+  FROM events
+  WHERE event_type IN ('click', 'view')
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+dim AS (
+  SELECT user_id, event_type AS touch_state, ts AS valid_from,
+         CAST(ROW_NUMBER() OVER w2 AS BIGINT) AS version,
+         LEAD(ts) OVER w2 AS valid_to
+  FROM touches
+  WHERE prev_type IS NULL OR prev_type <> event_type
+  WINDOW w2 AS (PARTITION BY user_id ORDER BY ts)
+),
+facts AS (
+  SELECT user_id, event_id AS purchase_id, ts
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT f.user_id, f.purchase_id, f.ts,
+       d.touch_state, d.version
+FROM facts f
+LEFT JOIN dim d
+  ON f.user_id = d.user_id
+ AND f.ts >= d.valid_from
+ AND (d.valid_to IS NULL OR f.ts < d.valid_to)
+ORDER BY f.user_id, f.purchase_id
+"""
+
+
+@plan("j17_point_in_time_join", oracle=PIT_SQL)
+def j17_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time join: each fact row (purchase) picks up the
+    dimension version (marketing-touch state, SCD2 intervals built
+    from click/view changes) that was valid AT the fact's timestamp —
+    the feature-store primitive that prevents training-label leakage
+    (a fact must never see a dimension row from its future).
+
+    The oracle states the semantics as the declarative interval join;
+    the Spark plan uses the UNION-SORT MERGE form instead: tag
+    dimension-change rows and fact rows into one stream, one window
+    pass per user carries the open dimension version forward, facts
+    read it at their position. Dimension rows sort before facts at
+    the same timestamp (is_fact ASC... actually facts read the state
+    at ts >= valid_from, so at equal ts the dim row must come FIRST:
+    sort key (ts, is_fact, event_id)).
+
+    Scale: ONE shuffle on user_id and a single ordered pass — no
+    range join, no interval explosion, state per user is one carried
+    (state, version) pair. The equivalent range join shuffles both
+    sides AND risks interval skew; the merge form is how temporal
+    joins survive a 100 TB fact table. (For a SMALL dimension the
+    j10-style binned broadcast is the alternative; this form needs no
+    bound on interval length.)
+    """
+    ev = load(spark, sf_dir, "events")
+    touches = ev.filter(F.col("event_type").isin("click", "view"))
+    wt = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        touches.select(
+            "user_id",
+            "event_type",
+            "ts",
+            "event_id",
+            F.lag("event_type").over(wt).alias("prev_type"),
+        )
+        .filter(
+            F.col("prev_type").isNull()
+            | (F.col("prev_type") != F.col("event_type"))
+        )
+    )
+    w2 = Window.partitionBy("user_id").orderBy("ts")
+    dim = changes.select(
+        "user_id",
+        F.col("event_type").alias("touch_state"),
+        F.col("ts"),
+        F.row_number().over(w2).cast("long").alias("version"),
+    )
+    facts = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"), "ts"
+    )
+    # union-sort merge: dim rows first at equal ts (is_fact = 0 < 1)
+    tagged = dim.select(
+        "user_id",
+        "ts",
+        F.lit(0).alias("is_fact"),
+        F.lit(None).cast("long").alias("purchase_id"),
+        "touch_state",
+        "version",
+    ).unionByName(
+        facts.select(
+            "user_id",
+            "ts",
+            F.lit(1).alias("is_fact"),
+            "purchase_id",
+            F.lit(None).cast("string").alias("touch_state"),
+            F.lit(None).cast("long").alias("version"),
+        )
+    )
+    wc = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_fact", "purchase_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = tagged.select(
+        "user_id",
+        "ts",
+        "is_fact",
+        "purchase_id",
+        F.last("touch_state", True).over(wc).alias("touch_state"),
+        F.last("version", True).over(wc).alias("version"),
+    )
+    return (
+        carried.filter(F.col("is_fact") == 1)
+        .select("user_id", "purchase_id", "ts", "touch_state", "version")
+        .orderBy("user_id", "purchase_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# w15: rolling z-score anomaly detection (integer-exact moments)
+# ---------------------------------------------------------------------------
+
+ZSCORE_SQL = """
+WITH cents AS (
+  SELECT user_id, event_id, ts,
+         CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) AS c
+  FROM events
+),
+framed AS (
+  SELECT user_id, event_id, ts, c,
+         CAST(SUM(c) OVER w AS BIGINT) AS s,
+         CAST(SUM(c * c) OVER w AS BIGINT) AS s2,
+         CAST(COUNT(c) OVER w AS BIGINT) AS n
+  FROM cents
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING)
+)
+SELECT user_id, event_id, c AS value_cents,
+       CASE WHEN n >= 3 AND n * s2 > s * s THEN
+         CAST(FLOOR(CAST(((c * n - s) / sqrt(CAST(n * s2 - s * s AS DOUBLE) * n / (n - 1))) AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) / 1000000.0
+       END AS zscore,
+       CASE WHEN n >= 3 AND n * s2 > s * s THEN
+         abs((c * n - s) / sqrt(CAST(n * s2 - s * s AS DOUBLE) * n / (n - 1))) > 2.5
+       END AS is_anomaly
+FROM framed
+ORDER BY user_id, event_id
+"""
+
+
+@plan("w15_rolling_zscore", oracle=ZSCORE_SQL)
+def w15_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly flag: each event's value against the
+    TRAILING window of its user's previous 6 values (frame excludes
+    the current row — no self-leakage), flagged at |z| > 2.5.
+
+    Parity: naive rolling stddev is NOT cross-engine safe (window
+    aggregation over doubles — DuckDB's segment tree and Spark's
+    running fold accumulate in different orders), so the moments are
+    integer-exact: values become BIGINT cents (the source is 2dp),
+    the frame sums s and s2 are exact integers in ANY accumulation
+    order, and z = (c·n − s) / sqrt((n·s2 − s²)·n/(n−1)) enters
+    floating point through one division chain on bit-identical
+    operands. Degenerate frames (n < 3 or zero variance) yield NULL.
+
+    Scale: one shuffle on user_id, bounded 7-row frame state. The
+    same integer-moment trick generalizes to any rolling moment
+    statistic the monitoring layer needs.
+    """
+    ev = load(spark, sf_dir, "events")
+    cents = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5))
+        .cast("long")
+        .alias("c"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-6, -1)
+    )
+    framed = cents.select(
+        "user_id",
+        "event_id",
+        "c",
+        F.sum("c").over(w).alias("s"),
+        F.sum(F.col("c") * F.col("c")).over(w).alias("s2"),
+        F.count("c").over(w).alias("n"),
+    )
+    n, s, s2, c = F.col("n"), F.col("s"), F.col("s2"), F.col("c")
+    ok = (n >= 3) & (n * s2 > s * s)
+    z = (c * n - s) / F.sqrt(
+        (n * s2 - s * s).cast("double") * n / (n - F.lit(1))
+    )
+    return framed.select(
+        "user_id",
+        "event_id",
+        c.alias("value_cents"),
+        F.when(ok, quantize6(z)).alias("zscore"),
+        F.when(ok, F.abs(z) > F.lit(2.5)).alias("is_anomaly"),
+    ).orderBy("user_id", "event_id")
