@@ -110,6 +110,7 @@ BENCH_QUERIES = [
     "j17_point_in_time_join",
     "w15_rolling_zscore",
     "dedup_bloom_prefilter",
+    "mm_audio_vad",
 ]
 
 

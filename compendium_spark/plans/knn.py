@@ -223,15 +223,41 @@ def _kcenter_sql() -> str:
 KCENTER_SQL = _kcenter_sql()
 
 
-def _sqdist_unrolled(a, center: list[float], dim: int = 64):
-    """Squared L2 distance to a literal center, unrolled left-to-right
-    — the same fold order as the oracle's list_sum(list_transform)."""
-    d0 = F.element_at(a, 1) - F.lit(center[0])
-    out = d0 * d0
-    for i in range(2, dim + 1):
-        di = F.element_at(a, i) - F.lit(center[i - 1])
-        out = out + di * di
-    return out
+def _min_sqdist(emb: DataFrame, centers: list[list[float]]) -> DataFrame:
+    """(vec_id, d): each vector's min squared L2 distance to the
+    selected centers, as ONE Arrow kernel pass. Parity with the
+    oracle's list_sum(list_transform((x - c)²)) left fold: per center,
+    accumulate SEQUENTIALLY over dims (vectorized across rows — the
+    _assign_cells trick), then LEAST = elementwise minimum of the
+    per-center fold results. A codegen formulation (unrolled 64-term
+    expression per center) is value-identical but pays ~1 s of Janino
+    compilation per round as the LEAST tree grows — the kernel costs
+    none."""
+    import numpy as np  # noqa: PLC0415
+    import pandas as pd  # noqa: PLC0415
+
+    c = np.asarray(centers, dtype=np.float64)
+
+    def dist(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.vstack(pdf["e"].to_numpy()).astype(np.float64)
+            acc = np.zeros((len(x), len(c)))
+            for d in range(x.shape[1]):
+                diff = x[:, d][:, None] - c[None, :, d]
+                acc += diff * diff
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].astype("int64"),
+                    "d": acc.min(axis=1),
+                    "e": pdf["e"],
+                }
+            )
+
+    return emb.select("vec_id", "e").mapInPandas(
+        dist, schema="vec_id long, d double, e array<double>"
+    )
 
 
 @plan("emb_kcenter_init", oracle=KCENTER_SQL)
@@ -239,9 +265,9 @@ def emb_kcenter_init(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greedy k-center (farthest-point) selection: the deterministic
     2-approximation for diverse subset picking / seeding. Round 0
     seeds with the smallest vec_id; each later round scans the corpus
-    once for every vector's distance-to-selected-set (LEAST of
-    per-center unrolled squared distances — pure codegen, centers are
-    literals) and picks the farthest, smaller-id tie-break.
+    once for every vector's distance-to-selected-set (`_min_sqdist`
+    Arrow kernel — centers ride in the closure) and picks the
+    farthest, smaller-id tie-break.
 
     Scale: rounds are strictly sequential by definition, but each is
     ONE map pass + a 1-row argmax (orderBy(...).limit(1) plans as
@@ -256,17 +282,15 @@ def emb_kcenter_init(spark: SparkSession, sf_dir: str) -> DataFrame:
     ids = [int(first["vec_id"])]
     out = [(0, ids[0], 0.0)]
     for r in range(1, KCENTER_ROUNDS):
-        dists = [_sqdist_unrolled(F.col("e"), c) for c in centers]
-        d = dists[0] if len(dists) == 1 else F.least(*dists)
+        # the picked vector rides along in the argmax row, so each
+        # round is exactly ONE job (no second fetch-by-id pass)
         pick = (
-            emb.filter(~F.col("vec_id").isin(ids))
-            .select("vec_id", d.alias("d"))
+            _min_sqdist(emb.filter(~F.col("vec_id").isin(ids)), centers)
             .orderBy(F.col("d").desc(), "vec_id")
             .limit(1)
             .collect()[0]
         )
-        nxt = emb.filter(F.col("vec_id") == int(pick["vec_id"])).collect()[0]
-        centers.append([float(x) for x in nxt["e"]])
+        centers.append([float(x) for x in pick["e"]])
         ids.append(int(pick["vec_id"]))
         out.append((r, ids[-1], float(pick["d"])))
     res = spark.createDataFrame(out, "round int, vec_id long, dist double")

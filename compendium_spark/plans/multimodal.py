@@ -309,3 +309,101 @@ def mm_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("media_a", "media_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# windowed-energy activity detection over audio payloads
+# ---------------------------------------------------------------------------
+
+VAD_WIN = 20  # bytes per analysis window
+VAD_TAU = 2000  # active iff window energy (byte-value sum) exceeds this
+
+VAD_SQL = f"""
+WITH audio AS (
+  SELECT doc_id, text, n_chars FROM documents
+  WHERE {_TYPE_CASE} = 'audio'
+),
+chars AS (
+  SELECT doc_id,
+         CAST(FLOOR((i - 1) / {VAD_WIN}.0) AS BIGINT) AS window_idx,
+         ascii(substr(text, CAST(i AS INT), 1)) AS v
+  FROM audio, unnest(range(1, n_chars + 1)) AS t(i)
+)
+SELECT doc_id AS media_id, window_idx,
+       CAST(SUM(v) AS BIGINT) AS energy,
+       CAST(COUNT(*) AS INT) AS window_len,
+       SUM(v) > {VAD_TAU} AS active
+FROM chars
+GROUP BY doc_id, window_idx
+ORDER BY media_id, window_idx
+"""
+
+
+@plan("mm_audio_vad", oracle=VAD_SQL)
+def mm_audio_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Voice-activity-detection shape over audio payloads: fixed
+    {VAD_WIN}-byte analysis windows, integer energy (sum of byte
+    values) per window, active flag above a threshold — the windowing
+    /feature half of every audio pipeline (real VAD swaps the byte sum
+    for RMS over PCM samples inside the same kernel; segmenting the
+    active runs is w13's gap-islands on window_idx).
+
+    The kernel is the production mechanic: Arrow moves the payload
+    bytes into pandas, numpy `add.reduceat` computes all window sums
+    in one vectorized pass, and only (media_id, window_idx, energy)
+    scalars leave — the binary column never reaches a shuffle. The
+    oracle recomputes energies via per-character ascii() + group-by,
+    value-checking the byte math (same ASCII guard as mm_phash_dedup:
+    byte values == codepoints is asserted, not assumed).
+
+    Scale: map-side only until the final per-window rows; windows per
+    item is bounded by payload size, and partitioning by media id
+    spreads decode work evenly (the _media repartition).
+    """
+    import numpy as np  # noqa: PLC0415
+    import pandas as pd  # noqa: PLC0415
+
+    audio = _media(spark, sf_dir).filter(F.col("media_type") == "audio")
+    audio = audio.select("media_id", "content")
+
+    def vad_kernel(batches):
+        for pdf in batches:
+            ids, widx, energy, wlen = [], [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["content"]):
+                a = np.frombuffer(bytes(payload), np.uint8).astype(np.int64)
+                if a.max(initial=0) > 127:
+                    raise ValueError(
+                        "non-ASCII payload: byte codes diverge from the "
+                        "oracle's per-character ascii() — extend the "
+                        "oracle to bytes before summing such corpora"
+                    )
+                n = len(a)
+                if n == 0:
+                    continue
+                starts = np.arange(0, n, VAD_WIN)
+                sums = np.add.reduceat(a, starts)
+                lens = np.diff(np.append(starts, n))
+                ids.extend([mid] * len(starts))
+                widx.extend(range(len(starts)))
+                energy.extend(int(x) for x in sums)
+                wlen.extend(int(x) for x in lens)
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "window_idx": pd.Series(widx, dtype="int64"),
+                    "energy": pd.Series(energy, dtype="int64"),
+                    "window_len": pd.Series(wlen, dtype="int32"),
+                }
+            )
+
+    windows = audio.mapInPandas(
+        vad_kernel,
+        schema="media_id long, window_idx long, energy long, window_len int",
+    )
+    return windows.select(
+        "media_id",
+        "window_idx",
+        "energy",
+        "window_len",
+        (F.col("energy") > F.lit(VAD_TAU)).alias("active"),
+    ).orderBy("media_id", "window_idx")
