@@ -111,6 +111,8 @@ BENCH_QUERIES = [
     "w15_rolling_zscore",
     "dedup_bloom_prefilter",
     "mm_audio_vad",
+    "w16_running_distinct",
+    "graph_common_neighbors",
 ]
 
 

@@ -207,3 +207,98 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_triangles"))
         .orderBy("node")
     )
+
+
+# ---------------------------------------------------------------------------
+# common-neighbor link prediction
+# ---------------------------------------------------------------------------
+
+CN_SQL = f"""
+WITH edges AS ({_EDGES_SQL}),
+und AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM edges
+),
+nbr AS (
+  SELECT a AS node, b AS nbr FROM und
+  UNION ALL SELECT b, a FROM und
+),
+deg AS (SELECT node, COUNT(*) AS d FROM nbr GROUP BY node),
+wedge AS (
+  SELECT n1.node AS x, n2.node AS y, COUNT(*) AS cn
+  FROM nbr n1 JOIN nbr n2
+    ON n1.nbr = n2.nbr AND n1.node < n2.node
+  GROUP BY n1.node, n2.node
+),
+cand AS (
+  SELECT w.x, w.y, w.cn FROM wedge w
+  WHERE NOT EXISTS (
+    SELECT 1 FROM und u WHERE u.a = w.x AND u.b = w.y
+  )
+)
+SELECT c.x, c.y, c.cn,
+       CAST(FLOOR(CAST((CAST(c.cn AS DOUBLE) / (dx.d + dy.d - c.cn)) AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) / 1000000.0 AS jaccard
+FROM cand c
+JOIN deg dx ON dx.node = c.x
+JOIN deg dy ON dy.node = c.y
+ORDER BY c.x, c.y
+"""
+
+
+@plan("graph_common_neighbors", oracle=CN_SQL)
+def graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction by common neighbors: every NON-adjacent node
+    pair that shares at least one neighbor, scored by common-neighbor
+    count and neighborhood Jaccard cn / (deg_x + deg_y − cn) — the
+    classic similarity features behind friend-of-friend and related-
+    entity suggestions.
+
+    Shape: one wedge self-join keyed on the SHARED NEIGHBOR (each
+    wedge center z contributes its neighbor pairs), a count aggregate,
+    an anti-join against existing edges, and two broadcast degree
+    lookups. At billion-edge scale the wedge join is bounded the same
+    way triangle counting is: orient/cap by (degree, id) so celebrity
+    hubs do not quadratically explode the per-center pair list; only
+    (node, node) pairs ever shuffle. Jaccard is one integer division,
+    FLOOR-quantized.
+    """
+    edges = _trade_edges(spark, sf_dir)
+    und = (
+        edges.select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    nbr = und.select(F.col("a").alias("node"), F.col("b").alias("nbr")).unionAll(
+        und.select(F.col("b").alias("node"), F.col("a").alias("nbr"))
+    )
+    deg = nbr.groupBy("node").agg(F.count(F.lit(1)).alias("d"))
+    n2 = nbr.select(F.col("node").alias("y"), F.col("nbr").alias("nbr2"))
+    wedge = (
+        nbr.join(n2, (F.col("nbr") == F.col("nbr2")) & (F.col("node") < F.col("y")))
+        .groupBy(F.col("node").alias("x"), "y")
+        .agg(F.count(F.lit(1)).alias("cn"))
+    )
+    cand = wedge.join(
+        und,
+        (wedge["x"] == und["a"]) & (wedge["y"] == und["b"]),
+        "left_anti",
+    )
+    dx = deg.select(F.col("node").alias("x"), F.col("d").alias("dx"))
+    dy = deg.select(F.col("node").alias("y"), F.col("d").alias("dy"))
+    return (
+        cand.join(F.broadcast(dx), "x")
+        .join(F.broadcast(dy), "y")
+        .select(
+            "x",
+            "y",
+            "cn",
+            quantize6(
+                F.col("cn").cast("double")
+                / (F.col("dx") + F.col("dy") - F.col("cn"))
+            ).alias("jaccard"),
+        )
+        .orderBy("x", "y")
+    )

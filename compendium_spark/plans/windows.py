@@ -409,3 +409,66 @@ def w12_time_bounded_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("ct").alias("n_click"),
         F.count("pt").alias("n_purchase"),
     )
+
+
+# ---------------------------------------------------------------------------
+# w16: running distinct count (first-seen flag + cumulative sum)
+# ---------------------------------------------------------------------------
+
+RUNNING_DISTINCT_SQL = """
+WITH flagged AS (
+  SELECT user_id, event_id, ts, event_type,
+         CASE WHEN ROW_NUMBER() OVER (
+                PARTITION BY user_id, event_type
+                ORDER BY ts, event_id) = 1
+              THEN 1 ELSE 0 END AS first_seen
+  FROM events
+)
+SELECT user_id, event_id,
+       CAST(SUM(first_seen) OVER (
+              PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS distinct_types_so_far
+FROM flagged
+ORDER BY user_id, event_id
+"""
+
+
+@plan("w16_running_distinct", oracle=RUNNING_DISTINCT_SQL)
+def w16_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running COUNT(DISTINCT) per key — a window no engine supports
+    directly (DISTINCT aggregates are invalid in running frames), via
+    the standard two-window decomposition: flag each (user, type)'s
+    FIRST occurrence with a per-(user, type) row_number, then a plain
+    running SUM of the flags over the user's timeline.
+
+    Parity: two integer window passes, zero floats.
+
+    Scale: both windows hash-partition by user_id (the second reuses
+    the first's shuffle modulo the composite key — one extra sort, no
+    extra network pass at the same key grain); per-row state is one
+    integer. The naive alternative — COUNT(DISTINCT) per prefix —
+    is quadratic; this is O(n log n) in the partition sort.
+    """
+    ev = load(spark, sf_dir, "events")
+    wfirst = Window.partitionBy("user_id", "event_type").orderBy(
+        "ts", "event_id"
+    )
+    wrun = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    flagged = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.when(F.row_number().over(wfirst) == 1, F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("first_seen"),
+    )
+    return flagged.select(
+        "user_id",
+        "event_id",
+        F.sum("first_seen").over(wrun).alias("distinct_types_so_far"),
+    ).orderBy("user_id", "event_id")
