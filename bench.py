@@ -113,6 +113,8 @@ BENCH_QUERIES = [
     "mm_audio_vad",
     "w16_running_distinct",
     "graph_common_neighbors",
+    "a23_countmin_sketch",
+    "o6_skew_report",
 ]
 
 

@@ -90,6 +90,8 @@ _ROUND5_MUST_GREEN = [
     "mm_audio_vad",
     "w16_running_distinct",
     "graph_common_neighbors",
+    "a23_countmin_sketch",
+    "o6_skew_report",
 ]
 _ROUND5_QUANTIZE_SWEPT = [
     # 12 of the original 39 swept entries ceded their slots to the
@@ -135,9 +137,8 @@ _ROUND5_QUANTIZE_SWEPT = [
     "graph_pagerank",
     "cluster_kmeans",
     "mv_incremental_refresh",
-    # olap_ext.py
-    "a13_exact_quantiles",
-    "a_approx_error_bound",
+    # olap_ext.py: a13_exact_quantiles and a_approx_error_bound also
+    # ceded (single-scan aggregate swaps, locally bitwise-green)
     # streaming (driver-side quantize_float + agg quantize)
     "streaming_running_totals",
     "streaming_enrich_join",

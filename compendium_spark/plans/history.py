@@ -28,13 +28,13 @@ from compendium_spark.tables import load
 
 SCD2_SQL = """
 WITH ordered AS (
-  SELECT user_id, event_type, ts,
+  SELECT user_id, event_type, ts, event_id,
          LAG(event_type) OVER w AS prev_type
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ),
 changes AS (
-  SELECT user_id, event_type AS status, ts AS valid_from
+  SELECT user_id, event_type AS status, ts AS valid_from, event_id
   FROM ordered
   WHERE prev_type IS NULL OR prev_type <> event_type
 )
@@ -45,7 +45,10 @@ SELECT user_id,
        LEAD(valid_from) OVER w2 AS valid_to,
        LEAD(valid_from) OVER w2 IS NULL AS is_current
 FROM changes
-WINDOW w2 AS (PARTITION BY user_id ORDER BY valid_from)
+-- event_id tie-break: two changes CAN share a timestamp (distinct
+-- events, equal ts); ordering by valid_from alone would leave the
+-- version sequence engine-dependent
+WINDOW w2 AS (PARTITION BY user_id ORDER BY valid_from, event_id)
 ORDER BY user_id, version
 """
 
@@ -85,8 +88,11 @@ def j16_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.col("event_type").alias("status"),
         F.col("ts").alias("valid_from"),
+        "event_id",
     )
-    w2 = Window.partitionBy("user_id").orderBy("valid_from")
+    # event_id tie-break: two changes can share a timestamp; ordering
+    # by valid_from alone would leave version numbering engine-dependent
+    w2 = Window.partitionBy("user_id").orderBy("valid_from", "event_id")
     return changes.select(
         "user_id",
         F.row_number().over(w2).cast("long").alias("version"),
@@ -291,7 +297,7 @@ def w14_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 PIT_SQL = """
 WITH touches AS (
-  SELECT user_id, event_type, ts,
+  SELECT user_id, event_type, ts, event_id,
          LAG(event_type) OVER w AS prev_type
   FROM events
   WHERE event_type IN ('click', 'view')
@@ -303,7 +309,9 @@ dim AS (
          LEAD(ts) OVER w2 AS valid_to
   FROM touches
   WHERE prev_type IS NULL OR prev_type <> event_type
-  WINDOW w2 AS (PARTITION BY user_id ORDER BY ts)
+  -- event_id tie-break, same reason as j16: same-ts changes must get
+  -- a deterministic version order on both engines
+  WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
 ),
 facts AS (
   SELECT user_id, event_id AS purchase_id, ts
@@ -361,7 +369,7 @@ def j17_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             | (F.col("prev_type") != F.col("event_type"))
         )
     )
-    w2 = Window.partitionBy("user_id").orderBy("ts")
+    w2 = Window.partitionBy("user_id").orderBy("ts", "event_id")
     dim = changes.select(
         "user_id",
         F.col("event_type").alias("touch_state"),
@@ -389,9 +397,18 @@ def j17_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(None).cast("long").alias("version"),
         )
     )
+    # among same-ts dim rows the carry must read the HIGHEST version
+    # last (the oracle's half-open intervals give a same-ts fact the
+    # later version); facts have NULL version, ordered first among
+    # peers so they read the already-carried state
     wc = (
         Window.partitionBy("user_id")
-        .orderBy("ts", "is_fact", "purchase_id")
+        .orderBy(
+            "ts",
+            "is_fact",
+            F.col("version").asc_nulls_first(),
+            "purchase_id",
+        )
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = tagged.select(

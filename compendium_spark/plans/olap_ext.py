@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from compendium_spark.functions.numeric import quantize, quantize6
+from compendium_spark.functions.numeric import quantize, quantize6, sql_quantize
 from compendium_spark.plans.registry import plan
 from compendium_spark.tables import load
 
@@ -753,3 +753,93 @@ def a19_robust_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("returnflag")
     )
+
+
+# ---------------------------------------------------------------------------
+# o6: join-key skew report — the salting-decision input
+# ---------------------------------------------------------------------------
+
+
+def _sql_skew_leg(key_name: str, table: str, col: str) -> str:
+    return f"""
+  SELECT '{key_name}' AS key_name,
+         CAST(COUNT(*) AS BIGINT) AS n_keys,
+         CAST(SUM(cnt) AS BIGINT) AS total_rows,
+         CAST(MAX(cnt) AS BIGINT) AS max_key_rows
+  FROM (SELECT {col}, COUNT(*) AS cnt FROM {table} GROUP BY {col})
+"""
+
+
+SKEW_REPORT_SQL = f"""
+WITH legs AS (
+  {_sql_skew_leg("events.user_id", "events", "user_id")}
+  UNION ALL
+  {_sql_skew_leg("orders.o_custkey", "orders", "o_custkey")}
+  UNION ALL
+  {_sql_skew_leg("lineitem.l_suppkey", "lineitem", "l_suppkey")}
+)
+SELECT key_name, n_keys, total_rows, max_key_rows,
+       {sql_quantize("CAST(max_key_rows * n_keys AS DOUBLE) / total_rows", 6)}
+         AS skew_ratio,
+       CAST(FLOOR((max_key_rows * n_keys + total_rows - 1) / CAST(total_rows AS DOUBLE)) AS BIGINT)
+         AS recommended_salt
+FROM legs
+ORDER BY key_name
+"""
+
+
+@plan("o6_skew_report", oracle=SKEW_REPORT_SQL)
+def o6_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew report: per candidate shuffle key, the hot-key
+    ratio (max key rows ÷ mean key rows) and the salting factor that
+    would level it — the observability input to the a11/j12 salting
+    decision, and the shape of every pre-flight "should this join be
+    salted / AQE-skew-split" check.
+
+    Parity: counts are integers; the skew ratio is one division of
+    exact integers, FLOOR-quantized; the salt factor is an integer
+    ceiling computed identically (integer numerator, double division,
+    FLOOR — both engines take the same path).
+
+    Scale: one partial-aggregated groupBy per key (the count-by-key
+    IS the skew probe — no second pass), then a 1-row-per-key rollup.
+    At 100 TB you run this on a sample partition or reuse the shuffle
+    write metrics; the operator's algebra is the same.
+    """
+    from compendium_spark.tables import load as _load  # noqa: PLC0415
+
+    def leg(key_name: str, table: str, col: str) -> DataFrame:
+        per_key = (
+            _load(spark, sf_dir, table)
+            .groupBy(col)
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        return per_key.agg(
+            F.lit(key_name).alias("key_name"),
+            F.count(F.lit(1)).alias("n_keys"),
+            F.sum("cnt").alias("total_rows"),
+            F.max("cnt").alias("max_key_rows"),
+        )
+
+    legs = (
+        leg("events.user_id", "events", "user_id")
+        .unionAll(leg("orders.o_custkey", "orders", "o_custkey"))
+        .unionAll(leg("lineitem.l_suppkey", "lineitem", "l_suppkey"))
+    )
+    return legs.select(
+        "key_name",
+        "n_keys",
+        "total_rows",
+        "max_key_rows",
+        quantize(
+            (F.col("max_key_rows") * F.col("n_keys")).cast("double")
+            / F.col("total_rows"),
+            6,
+        ).alias("skew_ratio"),
+        F.floor(
+            (F.col("max_key_rows") * F.col("n_keys") + F.col("total_rows") - 1)
+            / F.col("total_rows").cast("double")
+        )
+        .cast("long")
+        .alias("recommended_salt"),
+    ).orderBy("key_name")

@@ -488,3 +488,133 @@ def a22_hll_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
         quantize6(F.col("ea") + F.col("eb") - F.col("eu")).alias("est_intersection"),
         (F.col("xa") + F.col("xb") - F.col("xu")).alias("exact_intersection"),
     )
+
+
+# ---------------------------------------------------------------------------
+# a23: Count-Min sketch — point frequency estimates, mergeable by +
+# ---------------------------------------------------------------------------
+
+CM_D = 4  # hash rows
+CM_W = 256  # counters per row
+
+# row r's column for a token = 2 hex digits of md5(r || token): four
+# independent 8-bit draws from one digest family
+
+
+def _sql_cm_col(r: int) -> str:
+    md5 = f"md5('{r}:' || token)"
+    return (
+        f"((strpos('{_HEX}', substr({md5}, 1, 1)) - 1) * 16"
+        f" + (strpos('{_HEX}', substr({md5}, 2, 1)) - 1))"
+    )
+
+
+def _spark_cm_col(r: int):
+    md5 = F.md5(F.concat(F.lit(f"{r}:"), F.col("token")))
+    return F.conv(F.substring(md5, 1, 2), 16, 10).cast("long")
+
+
+_CM_ROWS_SQL = " UNION ALL ".join(
+    f"SELECT {r} AS r, {_sql_cm_col(r)} AS c, token FROM tok"
+    for r in range(CM_D)
+)
+
+CM_SQL = f"""
+WITH tok AS (
+  SELECT unnest(string_split_regex(trim(lower(text)), ' +')) AS token
+  FROM documents
+),
+placed AS ({_CM_ROWS_SQL}),
+counters AS (
+  SELECT r, c, COUNT(*) AS cnt FROM placed GROUP BY r, c
+),
+truth AS (
+  SELECT token, COUNT(*) AS true_cnt FROM tok GROUP BY token
+),
+probes AS (
+  SELECT DISTINCT t.token, t.true_cnt, p.r, p.c
+  FROM truth t
+  JOIN placed p ON p.token = t.token
+),
+est AS (
+  SELECT pr.token, pr.true_cnt,
+         MIN(co.cnt) AS cm_estimate
+  FROM probes pr
+  JOIN counters co ON co.r = pr.r AND co.c = pr.c
+  GROUP BY pr.token, pr.true_cnt
+),
+n AS (SELECT COUNT(*) AS total FROM tok)
+SELECT e.token,
+       e.true_cnt,
+       CAST(e.cm_estimate AS BIGINT) AS cm_estimate,
+       e.cm_estimate >= e.true_cnt AS never_undercounts,
+       e.cm_estimate - e.true_cnt <= 2 * n.total / {CM_W} AS within_eps
+FROM est e CROSS JOIN n
+ORDER BY e.true_cnt DESC, e.token
+LIMIT 50
+"""
+
+
+@plan("a23_countmin_sketch", oracle=CM_SQL)
+def a23_countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch over the token stream: d={CM_D} hash rows ×
+    w={CM_W} counters, point estimate = MIN over the token's d
+    counters. Completes the mergeable-sketch family (Misra-Gries a18,
+    HLL a20/a22, histogram a21): CM state merges by elementwise
+    ADDITION, so per-partition sketches combine associatively like any
+    partial aggregate. The two CM guarantees ride along as
+    oracle-checked booleans for the 50 most frequent tokens:
+    never_undercounts (structural — MIN over counters that each
+    include every occurrence) and the ε = 2/w additive bound (holds in
+    expectation×d; deterministic here because both engines compute the
+    identical counters).
+
+    Parity: counters and estimates are pure integers from md5-digit
+    arithmetic (conv = strpos polynomial). No floats.
+
+    Scale: the counter table is d·w = {CM_D * CM_W} rows regardless of
+    corpus size — the shuffle carries placed (r, c) keys that
+    partial-aggregate map-side; probing joins the tiny counter table
+    back (broadcast). The exact truth leg is verification cost, as in
+    every sketch twin.
+    """
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select(
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), " +")).alias("token")
+    )
+    placed = None
+    for r in range(CM_D):
+        part = tok.select(
+            F.lit(r).alias("r"), _spark_cm_col(r).alias("c"), "token"
+        )
+        placed = part if placed is None else placed.unionAll(part)
+    counters = placed.groupBy("r", "c").agg(F.count(F.lit(1)).alias("cnt"))
+    truth = tok.groupBy("token").agg(F.count(F.lit(1)).alias("true_cnt"))
+    probes = (
+        truth.join(placed, "token")
+        .select("token", "true_cnt", "r", "c")
+        .distinct()
+    )
+    est = (
+        probes.join(F.broadcast(counters), ["r", "c"])
+        .groupBy("token", "true_cnt")
+        .agg(F.min("cnt").alias("cm_estimate"))
+    )
+    total = tok.agg(F.count(F.lit(1)).alias("total"))
+    return (
+        est.join(F.broadcast(total))
+        .select(
+            "token",
+            "true_cnt",
+            F.col("cm_estimate").cast("long").alias("cm_estimate"),
+            (F.col("cm_estimate") >= F.col("true_cnt")).alias(
+                "never_undercounts"
+            ),
+            (
+                F.col("cm_estimate") - F.col("true_cnt")
+                <= 2 * F.col("total") / F.lit(CM_W)
+            ).alias("within_eps"),
+        )
+        .orderBy(F.desc("true_cnt"), "token")
+        .limit(50)
+    )

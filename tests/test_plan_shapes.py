@@ -57,6 +57,7 @@ SCALAR_SUBQUERY = {
     "emb_quantize_int8",  # 1-row per-dim min/max broadcast
     "text_tfidf_topk",  # 1-row corpus-size N broadcast into the idf
     "text_tfidf_log",  # same 1-row N broadcast, log-idf variant
+    "a23_countmin_sketch",  # 1-row stream-total broadcast into the eps bound
 }
 
 

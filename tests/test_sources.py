@@ -188,3 +188,65 @@ def test_fasta_datasource_format(spark, tmp_path):
     assert df.rdd.getNumPartitions() == 2
     # registration is idempotent
     register(spark)
+
+
+# ---------------------------------------------------------------------------
+# JSONL source/sink
+# ---------------------------------------------------------------------------
+
+
+def test_jsonl_roundtrip(spark, tmp_path):
+    """documents -> JSONL shards -> read back with explicit schema:
+    values survive, shard count honors the knob, no inference pass."""
+    from compendium_spark.sources.jsonl import read_jsonl, write_jsonl
+    from compendium_spark.tables import load
+
+    from .conftest import SF_SMOKE
+
+    docs = load(spark, SF_SMOKE, "documents")
+    out = str(tmp_path / "docs_jsonl")
+    write_jsonl(docs, out, shards=4)
+    files = [p for p in __import__("os").listdir(out) if p.startswith("part-")]
+    assert len(files) == 4
+    back = read_jsonl(
+        spark,
+        out,
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    a = sorted(docs.collect(), key=lambda r: r["doc_id"])
+    b = sorted(back.collect(), key=lambda r: r["doc_id"])
+    assert [r.asDict() for r in a] == [r.asDict() for r in b]
+
+
+def test_jsonl_corrupt_lines_are_quarantined(spark, tmp_path):
+    """A torn line neither kills the read nor leaks into the data;
+    keep_corrupt=True surfaces it for counting."""
+    from compendium_spark.sources.jsonl import CORRUPT_COL, read_jsonl
+
+    p = tmp_path / "shard.jsonl"
+    p.write_text(
+        '{"doc_id": 1, "text": "ok"}\n'
+        "{torn json line\n"
+        '{"doc_id": 2, "text": "also ok"}\n'
+    )
+    clean = read_jsonl(spark, str(p), "doc_id bigint, text string")
+    assert sorted(r["doc_id"] for r in clean.collect()) == [1, 2]
+    kept = read_jsonl(
+        spark, str(p), "doc_id bigint, text string", keep_corrupt=True
+    )
+    rows = kept.collect()
+    corrupt = [r for r in rows if r[CORRUPT_COL] is not None]
+    assert len(corrupt) == 1 and "torn" in corrupt[0][CORRUPT_COL]
+
+
+def test_jsonl_gzip_codec(spark, tmp_path):
+    from compendium_spark.sources.jsonl import read_jsonl, write_jsonl
+
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id bigint, s string")
+    out = str(tmp_path / "gz")
+    write_jsonl(df, out, codec="gzip", shards=1)
+    import os
+
+    assert any(f.endswith(".gz") for f in os.listdir(out))
+    back = read_jsonl(spark, out, "id bigint, s string")
+    assert sorted((r["id"], r["s"]) for r in back.collect()) == [(1, "a"), (2, "b")]
