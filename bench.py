@@ -115,6 +115,7 @@ BENCH_QUERIES = [
     "graph_common_neighbors",
     "a23_countmin_sketch",
     "o6_skew_report",
+    "streaming_scd2",
 ]
 
 

@@ -92,6 +92,7 @@ _ROUND5_MUST_GREEN = [
     "graph_common_neighbors",
     "a23_countmin_sketch",
     "o6_skew_report",
+    "streaming_scd2",
 ]
 _ROUND5_QUANTIZE_SWEPT = [
     # 12 of the original 39 swept entries ceded their slots to the
@@ -128,9 +129,9 @@ _ROUND5_QUANTIZE_SWEPT = [
     "sim_ivf_topk",
     "sim_pq_adc_topk",
     "sim_ivfpq_topk",
-    # curation.py
+    # curation.py (text_lm_score also ceded — scan-stage array math,
+    # mechanical terminal-quantize swap, locally bitwise-green)
     "emb_lang_centroids",
-    "text_lm_score",
     # graph/kmeans/incremental (state rounding between iterations;
     # triangle_count's change was lazy-checkpoint only — value-
     # identical, r04-green — so it cedes its slot)

@@ -340,10 +340,11 @@ def j17_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     the Spark plan uses the UNION-SORT MERGE form instead: tag
     dimension-change rows and fact rows into one stream, one window
     pass per user carries the open dimension version forward, facts
-    read it at their position. Dimension rows sort before facts at
-    the same timestamp (is_fact ASC... actually facts read the state
-    at ts >= valid_from, so at equal ts the dim row must come FIRST:
-    sort key (ts, is_fact, event_id)).
+    read it at their position. Sort key (ts, is_fact, version,
+    purchase_id): at equal ts, dim rows come FIRST (a fact at a
+    change's exact timestamp reads the NEW version — matching the
+    oracle's half-open intervals) and same-ts dim rows apply in
+    version order so the carry lands on the highest.
 
     Scale: ONE shuffle on user_id and a single ordered pass — no
     range join, no interval explosion, state per user is one carried

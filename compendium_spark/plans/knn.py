@@ -15,8 +15,9 @@ Two more building blocks of an embedding-centric curation pipeline:
   the classic 2-approximation for diverse subset picking and the
   standard k-means++-style seeding when determinism is required.
   Each round is one full scan computing every vector's distance to
-  the selected set (LEAST of per-center squared distances), then an
-  argmax; the selected set stays tiny and rides along as literals.
+  the selected set (elementwise min of per-center squared distances),
+  then an argmax; the selected set stays tiny and rides along in the
+  distance kernel's closure.
 
 Reference parity note: the reference has no embedding surface
 (reference db.py:89-186); both plans belong to the brief's

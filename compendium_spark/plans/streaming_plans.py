@@ -213,3 +213,45 @@ def streaming_mv_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sw.streaming_mv_refresh(spark, sf_dir).orderBy(
         "hour", "event_type"
     )
+
+
+# j16's interval build, filtered to CLOSED intervals — exactly the set
+# a streaming SCD2 can have emitted (open intervals stay in state)
+STREAM_SCD2_SQL = """
+WITH ordered AS (
+  SELECT user_id, event_type, ts, event_id,
+         LAG(event_type) OVER w AS prev_type
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+changes AS (
+  SELECT user_id, event_type AS status, ts AS valid_from, event_id
+  FROM ordered
+  WHERE prev_type IS NULL OR prev_type <> event_type
+),
+intervals AS (
+  SELECT user_id,
+         CAST(ROW_NUMBER() OVER w2 AS BIGINT) AS version,
+         status,
+         valid_from,
+         LEAD(valid_from) OVER w2 AS valid_to
+  FROM changes
+  WINDOW w2 AS (PARTITION BY user_id ORDER BY valid_from, event_id)
+)
+SELECT user_id, version, status, valid_from, valid_to
+FROM intervals
+WHERE valid_to IS NOT NULL
+ORDER BY user_id, version
+"""
+
+
+@plan("streaming_scd2", oracle=STREAM_SCD2_SQL)
+def streaming_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """j16's SCD Type-2 build run as a STATEFUL STREAM
+    (applyInPandasWithState): per user only the open interval lives in
+    state; a status change closes it and emits the closed interval —
+    append-mode, emit-once, replay-safe. The oracle is the batch
+    interval build restricted to closed intervals (open ones are
+    unknowable mid-stream, so they correctly stay in state), proving
+    stream ≡ batch at value level."""
+    return sw.streaming_scd2(spark, sf_dir).orderBy("user_id", "version")

@@ -402,3 +402,73 @@ def streaming_mv_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         schema="hour timestamp, event_type string, n_events long, total_value double",
     )
+
+
+SCD2_OUT_SCHEMA = (
+    "user_id long, version long, status string, "
+    "valid_from timestamp, valid_to timestamp"
+)
+# state carries the OPEN interval: micros in the state tuple (the
+# state codec round-trips integers losslessly; timestamps re-enter
+# pandas at emit time)
+SCD2_STATE_SCHEMA = "status string, version long, valid_from_us long"
+
+
+def _scd2_changes(
+    key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Streaming SCD Type-2: per user, the OPEN interval (status,
+    version, valid_from) lives in state; an arriving status change
+    CLOSES it — the closed interval is emitted exactly once — and
+    opens the next. Open intervals never leave state, which is the
+    honest streaming contract (their valid_to is unknowable)."""
+    (user_id,) = key
+    if state.exists:
+        cur_status, version, vf_us = state.get
+    else:
+        cur_status, version, vf_us = None, 0, 0
+    out = {"version": [], "status": [], "valid_from": [], "valid_to": []}
+    pdf = pd.concat(list(batches), ignore_index=True)
+    pdf = pdf.sort_values(["ts", "event_id"])
+    for ts, etype in zip(pdf["ts"], pdf["event_type"]):
+        ts_us = int(ts.value // 1000)  # pandas ns → µs
+        if cur_status is None:
+            cur_status, version, vf_us = etype, 1, ts_us
+        elif etype != cur_status:
+            out["version"].append(version)
+            out["status"].append(cur_status)
+            out["valid_from"].append(vf_us)
+            out["valid_to"].append(ts_us)
+            cur_status, version, vf_us = etype, version + 1, ts_us
+    state.update((cur_status, version, vf_us))
+    n = len(out["version"])
+    yield pd.DataFrame(
+        {
+            "user_id": pd.Series([user_id] * n, dtype="int64"),
+            "version": pd.Series(out["version"], dtype="int64"),
+            "status": pd.Series(out["status"], dtype="object"),
+            "valid_from": pd.to_datetime(out["valid_from"], unit="us"),
+            "valid_to": pd.to_datetime(out["valid_to"], unit="us"),
+        }
+    )
+
+
+def streaming_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 dimension maintenance as a stateful stream: the
+    streaming face of plans/history.j16_scd2_intervals. Emits an
+    interval row the moment a status change closes it; the open
+    interval per user is the ONLY state (one small tuple per key —
+    never the history), so state size is O(active users) regardless
+    of stream length. Append output: every closed interval is final
+    the moment it is emitted — no retraction, which is what makes
+    this shape checkpoint/replay-safe downstream.
+    """
+    ev = read_events_stream(spark, sf_dir)
+    out = ev.groupBy("user_id").applyInPandasWithState(
+        _scd2_changes,
+        outputStructType=SCD2_OUT_SCHEMA,
+        stateStructType=SCD2_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return _run_to_memory(out, "stream_scd2", "append")
