@@ -191,3 +191,75 @@ def test_histogram_median_bin_invariants(values, width):
     # 3. dense case -> continuous median within one bin of the estimate
     if math.floor(lo / width) == b and math.floor(hi / width) == b:
         assert abs(est - exact) <= width + eps
+
+
+# ---------------------------------------------------------------------------
+# a22 HLL set ops / a23 Count-Min: the merge laws, property-tested
+# ---------------------------------------------------------------------------
+
+
+def _hll_registers(items) -> list:
+    import hashlib
+
+    from compendium_spark.plans.sketches import HLL_M, HLL_WBITS
+
+    regs = [0] * HLL_M
+    for it in items:
+        hv = int(hashlib.md5(str(it).encode()).hexdigest()[:8], 16)
+        j, w = hv % HLL_M, hv // HLL_M
+        regs[j] = max(regs[j], _py_rho(w, HLL_WBITS))
+    return regs
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    a=st.lists(st.integers(0, 500), max_size=200),
+    b=st.lists(st.integers(0, 500), max_size=200),
+)
+def test_hll_union_is_register_max(a, b):
+    """The a22 merge law: sketch(A ∪ B) == elementwise max of the two
+    register files, for EVERY pair of streams — merge order, overlap
+    and duplicates included. This is what lets per-partition sketches
+    combine associatively on a fleet."""
+    ra, rb = _hll_registers(a), _hll_registers(b)
+    ru = _hll_registers(a + b)
+    assert ru == [max(x, y) for x, y in zip(ra, rb)]
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    tokens=st.lists(
+        st.sampled_from([f"w{i}" for i in range(60)]), max_size=300
+    ),
+    split=st.integers(0, 300),
+)
+def test_countmin_never_undercounts_and_merges(tokens, split):
+    """The a23 guarantees: (1) est >= true for every token; (2) the
+    counter table of the whole stream equals the SUM of the two
+    half-streams' tables (mergeable by addition)."""
+    import hashlib
+    from collections import Counter
+
+    from compendium_spark.plans.sketches import CM_D, CM_W
+
+    def table(toks):
+        t = [[0] * CM_W for _ in range(CM_D)]
+        for tok in toks:
+            for r in range(CM_D):
+                h = hashlib.md5(f"{r}:{tok}".encode()).hexdigest()
+                c = int(h[:2], 16) % CM_W
+                t[r][c] += 1
+        return t
+
+    whole = table(tokens)
+    left, right = table(tokens[:split]), table(tokens[split:])
+    assert whole == [
+        [x + y for x, y in zip(lr, rr)] for lr, rr in zip(left, right)
+    ]
+    truth = Counter(tokens)
+    for tok, true_cnt in truth.items():
+        est = min(
+            whole[r][int(hashlib.md5(f"{r}:{tok}".encode()).hexdigest()[:2], 16) % CM_W]
+            for r in range(CM_D)
+        )
+        assert est >= true_cnt
