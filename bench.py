@@ -116,6 +116,7 @@ BENCH_QUERIES = [
     "a23_countmin_sketch",
     "o6_skew_report",
     "streaming_scd2",
+    "j18_snapshot_diff",
 ]
 
 

@@ -93,6 +93,7 @@ _ROUND5_MUST_GREEN = [
     "a23_countmin_sketch",
     "o6_skew_report",
     "streaming_scd2",
+    "j18_snapshot_diff",
 ]
 _ROUND5_QUANTIZE_SWEPT = [
     # 12 of the original 39 swept entries ceded their slots to the
@@ -122,8 +123,8 @@ _ROUND5_QUANTIZE_SWEPT = [
     # dedup_embedding_cosine cedes its slot (same quantize pattern as
     # its family members above; locally bitwise-parity-proven)
     "dedup_signature_jaccard",
-    # ann/ivf/pq
-    "sim_lsh_topk",
+    # ann/ivf/pq (sim_lsh_topk also ceded — banded candidate plan,
+    # kernel unchanged, terminal-quantize swap locally bitwise-green)
     # sim_ivf_cells cedes its slot (integer counts; centroid refactor
     # proven bit-identical by make_centroids draw-order test)
     "sim_ivf_topk",

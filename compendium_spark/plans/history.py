@@ -511,3 +511,142 @@ def w15_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(ok, quantize6(z)).alias("zscore"),
         F.when(ok, F.abs(z) > F.lit(2.5)).alias("is_anomaly"),
     ).orderBy("user_id", "event_id")
+
+
+# ---------------------------------------------------------------------------
+# j18: SCD2 snapshot diff — audit of state changes between two as-of times
+# ---------------------------------------------------------------------------
+
+SNAPSHOT_DIFF_SQL = """
+WITH bounds AS (
+  SELECT MIN(ts) + INTERVAL 7 DAY AS snap1,
+         MIN(ts) + INTERVAL 21 DAY AS snap2
+  FROM events
+),
+ordered AS (
+  SELECT user_id, event_type, ts, event_id,
+         LAG(event_type) OVER w AS prev_type
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+dim AS (
+  SELECT user_id,
+         CAST(ROW_NUMBER() OVER w2 AS BIGINT) AS version,
+         event_type AS status,
+         ts AS valid_from,
+         LEAD(ts) OVER w2 AS valid_to
+  FROM ordered
+  WHERE prev_type IS NULL OR prev_type <> event_type
+  WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s1 AS (
+  SELECT d.user_id, d.status, d.version
+  FROM dim d CROSS JOIN bounds b
+  WHERE d.valid_from <= b.snap1
+    AND (d.valid_to IS NULL OR d.valid_to > b.snap1)
+),
+s2 AS (
+  SELECT d.user_id, d.status, d.version
+  FROM dim d CROSS JOIN bounds b
+  WHERE d.valid_from <= b.snap2
+    AND (d.valid_to IS NULL OR d.valid_to > b.snap2)
+)
+SELECT COALESCE(s1.user_id, s2.user_id) AS user_id,
+       s1.status AS status_t1,
+       s2.status AS status_t2,
+       s1.version AS version_t1,
+       s2.version AS version_t2,
+       COALESCE(s2.version, 0) - COALESCE(s1.version, 0) AS n_changes,
+       CASE WHEN s1.user_id IS NULL THEN 'added'
+            ELSE 'changed' END AS change_kind
+FROM s1 FULL OUTER JOIN s2 ON s1.user_id = s2.user_id
+WHERE s1.user_id IS NULL OR s2.user_id IS NULL
+   OR s1.status <> s2.status OR s1.version <> s2.version
+ORDER BY user_id
+"""
+
+
+@plan("j18_snapshot_diff", oracle=SNAPSHOT_DIFF_SQL)
+def j18_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 snapshot diff: which users' dimension state differs
+    between two as-of times (day 7 vs day 21 of the stream) and how
+    many versions elapsed — the audit/reconciliation shape behind
+    "what changed since the last training snapshot". Snapshot times
+    are derived from MIN(ts) so the plan tracks whatever time range
+    the driver regenerates.
+
+    Shape: ONE interval build (the j16 window pipeline), two filters
+    over it (an as-of snapshot is interval containment — no second
+    scan of the events), a user-keyed full outer join of two
+    user-unique sides, and a 1-row bounds broadcast. All timestamps
+    and integers; no quantization.
+
+    Scale: the diff joins two snapshot-sized sides (≤ one row per
+    user), never the event stream; at 100 TB the interval build is
+    the only pass over the data and is shared by both snapshots.
+    """
+    ev = load(spark, sf_dir, "events")
+    bounds = ev.agg(
+        (F.min("ts") + F.expr("INTERVAL 7 DAYS")).alias("snap1"),
+        (F.min("ts") + F.expr("INTERVAL 21 DAYS")).alias("snap2"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = ev.select(
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+        F.lag("event_type").over(w).alias("prev_type"),
+    ).filter(
+        F.col("prev_type").isNull()
+        | (F.col("prev_type") != F.col("event_type"))
+    )
+    w2 = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    dim = changes.select(
+        "user_id",
+        F.row_number().over(w2).cast("long").alias("version"),
+        F.col("event_type").alias("status"),
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w2).alias("valid_to"),
+    ).crossJoin(F.broadcast(bounds))
+
+    def snapshot(col: str) -> DataFrame:
+        return dim.filter(
+            (F.col("valid_from") <= F.col(col))
+            & (F.col("valid_to").isNull() | (F.col("valid_to") > F.col(col)))
+        ).select("user_id", "status", "version")
+
+    s1 = snapshot("snap1").select(
+        F.col("user_id").alias("u1"),
+        F.col("status").alias("status_t1"),
+        F.col("version").alias("version_t1"),
+    )
+    s2 = snapshot("snap2").select(
+        F.col("user_id").alias("u2"),
+        F.col("status").alias("status_t2"),
+        F.col("version").alias("version_t2"),
+    )
+    j = s1.join(s2, s1["u1"] == s2["u2"], "full_outer")
+    return (
+        j.filter(
+            F.col("u1").isNull()
+            | F.col("u2").isNull()
+            | (F.col("status_t1") != F.col("status_t2"))
+            | (F.col("version_t1") != F.col("version_t2"))
+        )
+        .select(
+            F.coalesce(F.col("u1"), F.col("u2")).alias("user_id"),
+            "status_t1",
+            "status_t2",
+            "version_t1",
+            "version_t2",
+            (
+                F.coalesce(F.col("version_t2"), F.lit(0))
+                - F.coalesce(F.col("version_t1"), F.lit(0))
+            ).alias("n_changes"),
+            F.when(F.col("u1").isNull(), F.lit("added"))
+            .otherwise(F.lit("changed"))
+            .alias("change_kind"),
+        )
+        .orderBy("user_id")
+    )
