@@ -117,6 +117,7 @@ BENCH_QUERIES = [
     "o6_skew_report",
     "streaming_scd2",
     "j18_snapshot_diff",
+    "dq_expectations_report",
 ]
 
 

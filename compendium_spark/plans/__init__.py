@@ -9,6 +9,7 @@ from compendium_spark.plans import (  # noqa: F401
     ann,
     bloom,
     curation,
+    dq,
     extended,
     graph,
     history,
@@ -94,6 +95,7 @@ _ROUND5_MUST_GREEN = [
     "o6_skew_report",
     "streaming_scd2",
     "j18_snapshot_diff",
+    "dq_expectations_report",
 ]
 _ROUND5_QUANTIZE_SWEPT = [
     # 12 of the original 39 swept entries ceded their slots to the
@@ -116,7 +118,8 @@ _ROUND5_QUANTIZE_SWEPT = [
     "dedup_semdedup",
     "text_shingle_containment",
     # extended.py
-    "dedup_ngram_jaccard",
+    # dedup_ngram_jaccard ceded (shingle equi-join unchanged, terminal
+    # quantize swap locally bitwise-green)
     "dedup_incremental_lsh",
     "dedup_neardup_pipeline",
     "sim_cosine_topk",

@@ -105,3 +105,66 @@ def test_outlier_filter_threshold_semantics(spark):
     rows = out.collect()
     assert 0 < len(rows) < 500  # culls some, not all
     assert all(r.centroid_cosine < OUTLIER_COS_MAX for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# operators/expectations.py — Deequ-lite library semantics
+# ---------------------------------------------------------------------------
+
+
+def test_expectations_single_pass_and_semantics(spark):
+    from compendium_spark.operators.expectations import (
+        check,
+        in_range,
+        in_set,
+        not_null,
+        satisfies,
+        unique_check,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "O", 10.0, 5),
+            (2, "F", -3.0, 60),
+            (3, None, 5.0, None),
+            (3, "X", None, 7),
+        ],
+        "k long, status string, price double, qty long",
+    )
+    rep = {
+        r["check_name"]: r
+        for r in check(
+            df,
+            [
+                not_null("status"),
+                in_set("status", ["O", "F", "P"]),
+                in_range("price", 0, None),
+                in_range("qty", 1, 50),
+                satisfies("price > 0 AND qty > 0", "pos_both"),
+            ],
+        ).collect()
+    }
+    assert rep["not_null(status)"]["n_violations"] == 1
+    # NULL and 'X' both violate membership
+    assert rep["in_set(status)"]["n_violations"] == 2
+    # -3.0 and NULL violate the range
+    assert rep["in_range(price)"]["n_violations"] == 2
+    # 60 and NULL violate qty range
+    assert rep["in_range(qty)"]["n_violations"] == 2
+    # NULL predicate counts as violation (unknown doesn't pass)
+    assert rep["pos_both"]["n_violations"] == 3
+    assert all(r["n_checked"] == 4 for r in rep.values())
+    uniq = unique_check(df, "k").collect()[0]
+    assert uniq["n_violations"] == 1 and not uniq["passed"]
+    # the compiled row-level report is ONE aggregate: no joins, one scan
+    plan_str = check(df, [not_null("status")])._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan_str
+
+
+def test_referential_check(spark):
+    from compendium_spark.operators.expectations import referential_check
+
+    child = spark.createDataFrame([(1,), (2,), (9,)], "fk long")
+    parent = spark.createDataFrame([(1,), (2,), (3,)], "pk long")
+    r = referential_check(child, "fk", parent, "pk").collect()[0]
+    assert r["n_checked"] == 3 and r["n_violations"] == 1 and not r["passed"]
