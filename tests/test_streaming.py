@@ -205,3 +205,91 @@ def test_streaming_enrich_matches_batch(spark):
     got = {(r.nation, r.event_type): r.n_events for r in rows}
     exp = {(r.nation, r.event_type): r.n_events for r in want}
     assert got == exp
+
+
+def test_streaming_scd2_state_carries_across_microbatches(spark, tmp_path):
+    """The stateful SCD2 kernel must resume each user's OPEN interval
+    from state when later microbatches arrive (the `state.exists`
+    branch — unreachable with the single-file testdata stream): split
+    a user's timeline across two files, drain with
+    maxFilesPerTrigger=1, and require the emitted closed intervals to
+    equal the batch interval build on the union — including the
+    interval that OPENS in batch 1 and CLOSES in batch 2."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from compendium_spark.streaming.windows import (
+        SCD2_OUT_SCHEMA,
+        SCD2_STATE_SCHEMA,
+        _run_to_memory,
+        _scd2_changes,
+    )
+
+    rows = [
+        # user 1: A A | B  -> intervals: A[t0,t4) closed ACROSS batches
+        (1, 1, "2024-01-01 00:00:00", "A"),
+        (2, 1, "2024-01-01 01:00:00", "A"),
+        (5, 1, "2024-01-02 00:00:00", "B"),
+        # user 2: A B | A  -> A[t0,t1) in batch 1, B[t1,t5) across
+        (3, 2, "2024-01-01 00:00:00", "A"),
+        (4, 2, "2024-01-01 02:00:00", "B"),
+        (6, 2, "2024-01-02 03:00:00", "A"),
+    ]
+    df = spark.createDataFrame(
+        [(e, u, ts, t) for e, u, ts, t in rows],
+        "event_id long, user_id long, ts string, event_type string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    in_dir = tmp_path / "stream_in"
+    # batch 1 = events 1-4, batch 2 = events 5-6; one file each, named
+    # so the file source picks them up in order
+    df.filter("event_id <= 4").coalesce(1).write.parquet(str(in_dir / "b1"))
+    df.filter("event_id >= 5").coalesce(1).write.parquet(str(in_dir / "b2"))
+    import glob as g
+    import shutil
+
+    flat = tmp_path / "flat"
+    flat.mkdir()
+    import os
+
+    for i, sub in enumerate(["b1", "b2"]):
+        src = g.glob(str(in_dir / sub / "part-*.parquet"))[0]
+        dst = flat / f"{i}.parquet"
+        shutil.copy(src, dst)
+        # the file stream source orders batches by MODIFICATION TIME;
+        # near-simultaneous copies tie and the order becomes arbitrary
+        # — pin it explicitly so batch 1 really precedes batch 2
+        os.utime(dst, (1_700_000_000 + i * 100, 1_700_000_000 + i * 100))
+    stream = (
+        spark.readStream.schema(
+            "event_id long, user_id long, ts timestamp, event_type string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(flat))
+    )
+    out = stream.groupBy("user_id").applyInPandasWithState(
+        _scd2_changes,
+        outputStructType=SCD2_OUT_SCHEMA,
+        stateStructType=SCD2_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    got = sorted(
+        (
+            (r["user_id"], r["version"], r["status"], r["valid_from"], r["valid_to"])
+            for r in _run_to_memory(out, "scd2_two_batches", "append").collect()
+        )
+    )
+    ts = pd.Timestamp
+    want = sorted(
+        [
+            (1, 1, "A", ts("2024-01-01 00:00:00"), ts("2024-01-02 00:00:00")),
+            (2, 1, "A", ts("2024-01-01 00:00:00"), ts("2024-01-01 02:00:00")),
+            (2, 2, "B", ts("2024-01-01 02:00:00"), ts("2024-01-02 03:00:00")),
+        ]
+    )
+    assert [(u, v, s) for u, v, s, *_ in got] == [
+        (u, v, s) for u, v, s, *_ in want
+    ]
+    assert [tuple(map(pd.Timestamp, (f, t))) for *_, f, t in got] == [
+        (f, t) for *_, f, t in want
+    ]
