@@ -86,48 +86,68 @@ def satisfies(sql_predicate: str, name: str) -> Expectation:
     return Expectation(name, ~F.coalesce(p, F.lit(False)), F.lit(True))
 
 
-def check(df: DataFrame, expectations: list[Expectation]) -> DataFrame:
-    """Compile row-level expectations into ONE aggregate pass."""
-    aggs = []
-    for e in expectations:
-        checked = F.sum(F.when(e.applicable, 1).otherwise(0))
-        violations = F.sum(
-            F.when(e.applicable & e.violation, 1).otherwise(0)
-        )
-        aggs.append(checked.alias(f"c_{e.name}"))
-        aggs.append(violations.alias(f"v_{e.name}"))
-    row = df.agg(*aggs)
-    reports = []
-    for e in expectations:
-        reports.append(
-            row.select(
-                F.lit(e.name).alias("check_name"),
-                F.col(f"c_{e.name}").cast("long").alias("n_checked"),
-                F.col(f"v_{e.name}").cast("long").alias("n_violations"),
-                (F.col(f"v_{e.name}") == 0).alias("passed"),
+@dataclass(frozen=True)
+class Unique:
+    """Uniqueness as count − count_distinct, riding the same aggregate
+    pass as the row-level expectations (duplicates = extra occurrences
+    beyond the first of each value; nulls excluded — pair with
+    not_null when nulls are also illegal)."""
+
+    name: str
+    col: str
+
+
+def unique(col: str, name: str | None = None) -> Unique:
+    return Unique(name or f"unique({col})", col)
+
+
+def check(
+    df: DataFrame, expectations: list[Expectation | Unique]
+) -> DataFrame:
+    """Compile N expectations into ONE aggregate pass.
+
+    The agg row is computed once and pivoted to tidy report rows with
+    ``inline(array(struct(...)))`` — the tidy projection references
+    only the 1-row aggregate, never the source again, so the executed
+    plan contains exactly one scan of ``df`` regardless of N
+    (tests/test_quality.py asserts the scan count on the executed
+    plan).
+    """
+    aggs, builders = [], []
+    for i, e in enumerate(expectations):
+        if isinstance(e, Unique):
+            aggs.append(F.count(e.col).alias(f"c_{i}"))
+            aggs.append(F.count_distinct(F.col(e.col)).alias(f"d_{i}"))
+            builders.append(
+                (e.name, F.col(f"c_{i}"), F.col(f"c_{i}") - F.col(f"d_{i}"))
             )
+        else:
+            aggs.append(
+                F.sum(F.when(e.applicable, 1).otherwise(0)).alias(f"c_{i}")
+            )
+            aggs.append(
+                F.sum(
+                    F.when(e.applicable & e.violation, 1).otherwise(0)
+                ).alias(f"v_{i}")
+            )
+            builders.append((e.name, F.col(f"c_{i}"), F.col(f"v_{i}")))
+    row = df.agg(*aggs)
+    structs = [
+        F.struct(
+            F.lit(name).alias("check_name"),
+            checked.cast("long").alias("n_checked"),
+            violations.cast("long").alias("n_violations"),
+            (violations == 0).alias("passed"),
         )
-    out = reports[0]
-    for r in reports[1:]:
-        out = out.unionByName(r)
-    return out
+        for name, checked, violations in builders
+    ]
+    return row.select(F.inline(F.array(*structs)))
 
 
 def unique_check(df: DataFrame, col: str, name: str | None = None) -> DataFrame:
-    """Uniqueness as count − count_distinct in one pass (duplicates =
-    extra occurrences beyond the first of each value; nulls excluded —
-    pair with not_null when nulls are also illegal)."""
-    nm = name or f"unique({col})"
-    row = df.agg(
-        F.count(col).alias("c"),
-        F.count_distinct(col).alias("d"),
-    )
-    return row.select(
-        F.lit(nm).alias("check_name"),
-        F.col("c").cast("long").alias("n_checked"),
-        (F.col("c") - F.col("d")).cast("long").alias("n_violations"),
-        (F.col("c") == F.col("d")).alias("passed"),
-    )
+    """Standalone uniqueness report (see ``Unique`` — prefer passing
+    ``unique(col)`` inside ``check()`` so it shares the scan)."""
+    return check(df, [unique(col, name)])
 
 
 def referential_check(

@@ -27,7 +27,7 @@ from compendium_spark.operators.expectations import (
     in_set,
     not_null,
     satisfies,
-    unique_check,
+    unique,
 )
 from compendium_spark.plans.registry import plan
 from compendium_spark.tables import load
@@ -116,8 +116,9 @@ def dq_expectations_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             in_range("o_totalprice", 0, None),
             in_set("o_orderstatus", ["O", "F", "P"]),
             not_null("o_custkey"),
+            unique("o_orderkey"),
         ],
-    ).unionByName(unique_check(orders, "o_orderkey"))
+    )
     l_rep = check(
         li,
         [

@@ -119,6 +119,7 @@ def test_expectations_single_pass_and_semantics(spark):
         in_set,
         not_null,
         satisfies,
+        unique,
         unique_check,
     )
 
@@ -156,9 +157,40 @@ def test_expectations_single_pass_and_semantics(spark):
     assert all(r["n_checked"] == 4 for r in rep.values())
     uniq = unique_check(df, "k").collect()[0]
     assert uniq["n_violations"] == 1 and not uniq["passed"]
-    # the compiled row-level report is ONE aggregate: no joins, one scan
-    plan_str = check(df, [not_null("status")])._jdf.queryExecution().executedPlan().toString()
+    # the compiled report is ONE aggregate pass: no joins and exactly
+    # one scan of the source REGARDLESS of the number of checks — the
+    # tidy pivot must not re-reference df per check (a unionByName of
+    # per-check selects would duplicate the whole aggregate N times)
+    rep5 = check(
+        df,
+        [
+            not_null("status"),
+            in_set("status", ["O", "F", "P"]),
+            in_range("price", 0, None),
+            satisfies("qty > 0", "qty_pos"),
+            unique("k"),
+        ],
+    )
+    plan_str = rep5._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan_str
+    n_scans = plan_str.count("Scan ExistingRDD") + plan_str.count(
+        "LocalTableScan"
+    )
+    assert n_scans == 1, plan_str
+    # and the folded-in unique() matches the standalone helper
+    row = {r["check_name"]: r for r in rep5.collect()}
+    assert row["unique(k)"]["n_violations"] == 1
+
+
+def test_dq_report_scan_count(spark):
+    """dq_expectations_report's 9 checks over 2 tables must execute
+    exactly 4 parquet scans: orders (4 checks share 1), lineitem
+    (4 checks share 1), and the FK join's two sides."""
+    from compendium_spark.plans.registry import all_plans
+
+    df = all_plans()["dq_expectations_report"].fn(spark, SF_ORACLE)
+    plan_str = df._jdf.queryExecution().executedPlan().toString()
+    assert plan_str.count("Scan parquet") == 4, plan_str
 
 
 def test_referential_check(spark):
