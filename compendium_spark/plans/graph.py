@@ -213,22 +213,54 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 # common-neighbor link prediction
 # ---------------------------------------------------------------------------
 
+# sparsification: keep each nation's TOP-K out-edges by trade volume.
+# The raw 25-nation trade graph is near-complete, so "non-adjacent
+# pairs sharing a neighbor" is the empty set and a common-neighbor
+# plan over it verifies nothing; the k-NN-graph sparsification is also
+# the realistic input for link prediction (you predict over the
+# strong-tie graph, not the everyone-touches-everyone one).
+CN_TOPK_OUT = 3
+# per-wedge-center neighbor-list cap: a center of degree d contributes
+# d·(d−1)/2 pairs to the wedge join, which on a power-law graph is the
+# textbook skew bomb. Cap every center's member list at the CAP
+# lowest-(degree, id) members — low-degree members are the informative
+# ones for common-neighbor evidence (a hub is everyone's neighbor), so
+# the documented bias drops the least-informative wedges first. Both
+# engines apply the identical rule, so parity holds even when the cap
+# binds; tests/test_graph_cap.py proves the per-center pair bound on a
+# synthetic hub.
+CN_CENTER_CAP = 16
+
 CN_SQL = f"""
 WITH edges AS ({_EDGES_SQL}),
+sparse AS (
+  SELECT src, dst FROM (
+    SELECT src, dst,
+           ROW_NUMBER() OVER (PARTITION BY src ORDER BY w DESC, dst) AS rn
+    FROM edges
+  ) r WHERE rn <= {CN_TOPK_OUT}
+),
 und AS (
   SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
-  FROM edges
+  FROM sparse
 ),
 nbr AS (
   SELECT a AS node, b AS nbr FROM und
   UNION ALL SELECT b, a FROM und
 ),
 deg AS (SELECT node, COUNT(*) AS d FROM nbr GROUP BY node),
+capped AS (
+  SELECT center, member FROM (
+    SELECT n.nbr AS center, n.node AS member,
+           ROW_NUMBER() OVER (PARTITION BY n.nbr ORDER BY d.d, n.node) AS rn
+    FROM nbr n JOIN deg d ON d.node = n.node
+  ) c WHERE rn <= {CN_CENTER_CAP}
+),
 wedge AS (
-  SELECT n1.node AS x, n2.node AS y, COUNT(*) AS cn
-  FROM nbr n1 JOIN nbr n2
-    ON n1.nbr = n2.nbr AND n1.node < n2.node
-  GROUP BY n1.node, n2.node
+  SELECT c1.member AS x, c2.member AS y, COUNT(*) AS cn
+  FROM capped c1 JOIN capped c2
+    ON c1.center = c2.center AND c1.member < c2.member
+  GROUP BY c1.member, c2.member
 ),
 cand AS (
   SELECT w.x, w.y, w.cn FROM wedge w
@@ -245,26 +277,58 @@ ORDER BY c.x, c.y
 """
 
 
+def capped_neighbor_lists(und: DataFrame, cap: int) -> DataFrame:
+    """(center, member) adjacency with every center's member list
+    capped at the ``cap`` lowest-(degree, id) members — the skew guard
+    for wedge self-joins (a center of degree d otherwise emits d²/2
+    pairs). Deterministic: (d, member) is a total order within a
+    center. Returns columns (center, member)."""
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    nbr = und.select(F.col("a").alias("node"), F.col("b").alias("nbr")).unionAll(
+        und.select(F.col("b").alias("node"), F.col("a").alias("nbr"))
+    )
+    deg = nbr.groupBy("node").agg(F.count(F.lit(1)).alias("d"))
+    w = Window.partitionBy("center").orderBy("d", "member")
+    return (
+        nbr.select(F.col("nbr").alias("center"), F.col("node").alias("member"))
+        .join(deg.withColumnRenamed("node", "member"), "member")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= cap)
+        .select("center", "member")
+    )
+
+
 @plan("graph_common_neighbors", oracle=CN_SQL)
 def graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Link prediction by common neighbors: every NON-adjacent node
-    pair that shares at least one neighbor, scored by common-neighbor
-    count and neighborhood Jaccard cn / (deg_x + deg_y − cn) — the
-    classic similarity features behind friend-of-friend and related-
-    entity suggestions.
+    pair of the top-{CN_TOPK_OUT} trade graph that shares at least one
+    neighbor, scored by common-neighbor count and neighborhood Jaccard
+    cn / (deg_x + deg_y − cn) — the classic similarity features behind
+    friend-of-friend and related-entity suggestions.
 
-    Shape: one wedge self-join keyed on the SHARED NEIGHBOR (each
-    wedge center z contributes its neighbor pairs), a count aggregate,
-    an anti-join against existing edges, and two broadcast degree
-    lookups. At billion-edge scale the wedge join is bounded the same
-    way triangle counting is: orient/cap by (degree, id) so celebrity
-    hubs do not quadratically explode the per-center pair list; only
-    (node, node) pairs ever shuffle. Jaccard is one integer division,
-    FLOOR-quantized.
+    Shape: top-k-per-src sparsification (one window over the edge
+    aggregate), then a wedge self-join keyed on the SHARED NEIGHBOR
+    where each center's member list is CAPPED at {CN_CENTER_CAP}
+    lowest-(degree, id) members (capped_neighbor_lists) so a celebrity
+    hub contributes at most CAP²/2 pairs instead of deg²/2 — the same
+    skew discipline as graph_triangle_count's orientation, here as an
+    explicit budget with a documented bias. A count aggregate, an
+    anti-join against existing edges, and two broadcast degree lookups
+    finish it; only (node, node) pairs ever shuffle. Jaccard is one
+    integer division, FLOOR-quantized.
     """
+    from pyspark.sql import Window  # noqa: PLC0415
+
     edges = _trade_edges(spark, sf_dir)
+    topk = Window.partitionBy("src").orderBy(F.desc("w"), "dst")
+    sparse = (
+        edges.withColumn("rn", F.row_number().over(topk))
+        .filter(F.col("rn") <= CN_TOPK_OUT)
+        .select("src", "dst")
+    )
     und = (
-        edges.select(
+        sparse.select(
             F.least("src", "dst").alias("a"),
             F.greatest("src", "dst").alias("b"),
         )
@@ -275,10 +339,17 @@ def graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
         und.select(F.col("b").alias("node"), F.col("a").alias("nbr"))
     )
     deg = nbr.groupBy("node").agg(F.count(F.lit(1)).alias("d"))
-    n2 = nbr.select(F.col("node").alias("y"), F.col("nbr").alias("nbr2"))
+    capped = capped_neighbor_lists(und, CN_CENTER_CAP)
+    c2 = capped.select(
+        F.col("center").alias("center2"), F.col("member").alias("y")
+    )
     wedge = (
-        nbr.join(n2, (F.col("nbr") == F.col("nbr2")) & (F.col("node") < F.col("y")))
-        .groupBy(F.col("node").alias("x"), "y")
+        capped.join(
+            c2,
+            (F.col("center") == F.col("center2"))
+            & (F.col("member") < F.col("y")),
+        )
+        .groupBy(F.col("member").alias("x"), "y")
         .agg(F.count(F.lit(1)).alias("cn"))
     )
     cand = wedge.join(
