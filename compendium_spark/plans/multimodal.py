@@ -148,6 +148,50 @@ PH_BLOCKS = 64  # aHash grid: 64 block-mean bits
 PH_BANDS = 4  # 16-bit bands for the candidate join
 HAM_TAU = 16  # max hamming distance for a near-dup pair
 
+
+def ahash_bands(payloads: list) -> "object":
+    """Vectorized 64-bit average-hash over a batch of byte payloads,
+    returned as an (n, PH_BANDS) int64 array of 16-bit band values.
+
+    The mm_audio_vad reduceat pattern: all payloads concatenate into
+    ONE buffer; every (row, block) sum is a single ``np.add.reduceat``
+    over the flattened block-start offsets — no per-row Python loop.
+    Bit k is the INTEGER cross-multiplied mean compare
+    ``block_sum·len > total·block_len`` (no division anywhere), exactly
+    what the oracle's list-slice SQL computes, so kernel and oracle
+    agree bit-for-bit. Requires every payload length ≥ PH_BLOCKS (the
+    plan filters n_chars ≥ PH_BLOCKS) so each block is non-empty and
+    the offset sequence is strictly increasing — reduceat's
+    empty-slice quirk cannot fire. tests/test_multimodal.py asserts
+    bitwise identity with the straightforward per-row form."""
+    import numpy as np  # noqa: PLC0415
+
+    arr = np.frombuffer(b"".join(payloads), np.uint8).astype(np.int64)
+    if arr.max(initial=0) > 127:
+        raise ValueError(
+            "non-ASCII payload: byte codes diverge from the oracle's "
+            "per-character ascii() — extend the oracle to bytes before "
+            "hashing such corpora"
+        )
+    lens = np.fromiter((len(p) for p in payloads), np.int64, len(payloads))
+    offs = np.concatenate(([0], np.cumsum(lens)[:-1]))
+    k = np.arange(PH_BLOCKS, dtype=np.int64)
+    starts = offs[:, None] + (k[None, :] * lens[:, None]) // PH_BLOCKS
+    ends = offs[:, None] + ((k[None, :] + 1) * lens[:, None]) // PH_BLOCKS
+    block_sums = np.add.reduceat(arr, starts.ravel()).reshape(-1, PH_BLOCKS)
+    totals = block_sums.sum(axis=1)
+    bits = (
+        block_sums * lens[:, None] > totals[:, None] * (ends - starts)
+    ).astype(np.int64)
+    weights = (1 << np.arange(16, dtype=np.int64))[None, :]
+    return np.stack(
+        [
+            (bits[:, 16 * b : 16 * b + 16] * weights).sum(axis=1)
+            for b in range(PH_BANDS)
+        ],
+        axis=1,
+    )
+
 PHASH_SQL = f"""
 WITH d AS (
   SELECT doc_id, n_chars AS L,
@@ -229,33 +273,22 @@ def mm_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def hash_kernel(batches):
         for pdf in batches:
-            ids, b = [], [[], [], [], []]
-            for mid, text in zip(pdf["doc_id"], pdf["text"]):
-                a = np.frombuffer(text.encode("utf-8"), np.uint8).astype(
-                    np.int64
+            if len(pdf) == 0:
+                yield pd.DataFrame(
+                    {
+                        "media_id": pd.Series([], dtype="int64"),
+                        **{
+                            f"b{i}": pd.Series([], dtype="int64")
+                            for i in range(PH_BANDS)
+                        },
+                    }
                 )
-                if a.max(initial=0) > 127:
-                    raise ValueError(
-                        "non-ASCII payload: byte codes diverge from the "
-                        "oracle's per-character ascii() — extend the "
-                        "oracle to bytes before hashing such corpora"
-                    )
-                ln = len(a)
-                total = int(a.sum())
-                bits = []
-                for k in range(PH_BLOCKS):
-                    lo, hi = k * ln // PH_BLOCKS, (k + 1) * ln // PH_BLOCKS
-                    bits.append(
-                        1 if int(a[lo:hi].sum()) * ln > total * (hi - lo) else 0
-                    )
-                ids.append(mid)
-                for band in range(PH_BANDS):
-                    b[band].append(
-                        sum(bits[16 * band + j] << j for j in range(16))
-                    )
-            yield pd.DataFrame(
-                {"media_id": ids, "b0": b[0], "b1": b[1], "b2": b[2], "b3": b[3]}
-            )
+                continue
+            bands_arr = ahash_bands([t.encode("utf-8") for t in pdf["text"]])
+            out = {"media_id": pdf["doc_id"].to_numpy()}
+            for band in range(PH_BANDS):
+                out[f"b{band}"] = bands_arr[:, band]
+            yield pd.DataFrame(out)
 
     hv = docs.mapInPandas(
         hash_kernel,

@@ -178,3 +178,57 @@ def test_csm1_rejects_wrong_version():
     blob = struct.pack(CSM1_STRUCT, CSM1_MAGIC, 2, 0, 1, 1, 1, 1)
     with pytest.raises(ValueError, match="version=2"):
         parse_csm1(blob)
+
+
+def test_ahash_bands_vectorized_matches_perrow(spark):
+    """The reduceat-vectorized aHash kernel (plans/multimodal.py
+    ahash_bands) must be bit-identical to the straightforward per-row
+    implementation it replaced — on real corpus payloads, whose
+    lengths exercise uneven block boundaries."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from compendium_spark.plans.multimodal import PH_BANDS, PH_BLOCKS, ahash_bands
+    from compendium_spark.tables import load
+
+    from .conftest import SF_ORACLE
+
+    docs = (
+        load(spark, SF_ORACLE, "documents")
+        .filter(F.col("n_chars") >= PH_BLOCKS)
+        .orderBy("doc_id")
+        .limit(64)
+        .collect()
+    )
+    assert docs
+
+    def perrow(payload: bytes) -> list[int]:
+        a = np.frombuffer(payload, np.uint8).astype(np.int64)
+        ln = len(a)
+        total = int(a.sum())
+        bits = [
+            1
+            if int(a[k * ln // PH_BLOCKS : (k + 1) * ln // PH_BLOCKS].sum())
+            * ln
+            > total * ((k + 1) * ln // PH_BLOCKS - k * ln // PH_BLOCKS)
+            else 0
+            for k in range(PH_BLOCKS)
+        ]
+        return [
+            sum(bits[16 * band + j] << j for j in range(16))
+            for band in range(PH_BANDS)
+        ]
+
+    payloads = [r["text"].encode("utf-8") for r in docs]
+    got = ahash_bands(payloads)
+    for i, p in enumerate(payloads):
+        assert got[i].tolist() == perrow(p), docs[i]["doc_id"]
+
+
+def test_ahash_bands_rejects_non_ascii():
+    import pytest
+
+    from compendium_spark.plans.multimodal import PH_BLOCKS, ahash_bands
+
+    with pytest.raises(ValueError, match="non-ASCII"):
+        ahash_bands([bytes([200]) * PH_BLOCKS])
