@@ -68,7 +68,11 @@ def warc_responses_to_documents(warc: DataFrame) -> DataFrame:
                 if not sep:
                     continue
                 status = head.split(b"\r\n", 1)[0]
-                if b" 200" not in status:
+                # explicit status-token parse — a substring test over
+                # the whole line would accept any reason phrase
+                # containing " 200" and malformed lines
+                parts = status.split()
+                if len(parts) < 2 or parts[1] != b"200":
                     continue
                 if b"text/html" not in head.lower() and not body.lstrip()[
                     :1
