@@ -1,0 +1,152 @@
+"""Gate-window ledger: mechanical bookkeeping of which plan is proven
+by which round's driver gate, against WHICH code.
+
+The driver's correctness gate samples a 50-plan prefix of the registry
+per round, so a plan can carry a green row from round N while its code
+changed in round N+1 — verified only by the local parity suite until
+it re-enters the window. Round 5's verdict called out exactly this
+class (~21 quantize-swept plans); this tool replaces the
+comment-archaeology in plans/__init__.py with a checked-in JSON.
+
+Ledger format (tools/gate_ledger.json):
+    {"plan_name": {"round": 5, "fingerprint": "sha256…" | null}, …}
+``fingerprint`` is sha256 over the plan function's source + its oracle
+SQL at the time the green row was earned; ``null`` means the gate-time
+code is unknown (green row predates the ledger) — treated as stale.
+
+Commands:
+    python tools/gate_ledger.py update N   # after CORRECTNESS_rN lands
+        record round N's green plans with CURRENT fingerprints — run at
+        round start, BEFORE editing code, when tree == gate-time code.
+    python tools/gate_ledger.py check
+        print plans whose green row predates their current code
+        (fingerprint stale or unknown). Exit 1 if any.
+    python tools/gate_ledger.py window-audit
+        check + assert every stale plan sits inside the current
+        50-plan promoted window (i.e. will re-green this round).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import inspect
+import json
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+LEDGER = REPO / "tools" / "gate_ledger.json"
+WINDOW = 50  # driver gate samples this many plans off the registry front
+
+
+def _registry():
+    sys.path.insert(0, str(REPO))
+    from compendium_spark.plans import all_plans  # noqa: PLC0415
+
+    return all_plans()
+
+
+def fingerprint(p) -> str:
+    src = inspect.getsource(p.fn)
+    return hashlib.sha256(
+        (src + "\x00" + (p.oracle or "")).encode()
+    ).hexdigest()[:16]
+
+
+def _load() -> dict:
+    if LEDGER.exists():
+        return json.loads(LEDGER.read_text())
+    return {}
+
+def _green(corr: dict) -> list[str]:
+    return [
+        n
+        for n, r in corr.items()
+        if r.get("rows_match")
+        and r.get("schema_match")
+        and r.get("hash_match") is not False
+        and not r.get("err")
+    ]
+
+
+def cmd_update(round_no: int) -> None:
+    corr_path = REPO / f"CORRECTNESS_r{round_no:02d}.json"
+    corr = json.loads(corr_path.read_text())
+    plans = _registry()
+    ledger = _load()
+    for name in _green(corr):
+        if name not in plans:
+            print(f"  (skip {name}: no longer registered)")
+            continue
+        ledger[name] = {
+            "round": round_no,
+            "fingerprint": fingerprint(plans[name]),
+        }
+    LEDGER.write_text(json.dumps(dict(sorted(ledger.items())), indent=1) + "\n")
+    print(f"recorded {len(_green(corr))} green plans for r{round_no:02d}")
+
+
+def stale_plans() -> dict[str, str]:
+    """plan -> reason, for every plan whose driver-green row does not
+    cover its current code."""
+    plans = _registry()
+    ledger = _load()
+    out: dict[str, str] = {}
+    for name, p in plans.items():
+        entry = ledger.get(name)
+        if entry is None:
+            if p.oracle is None:
+                # rows-only by design: the driver records `no_oracle`;
+                # a hash-green row can never exist. Their deterministic
+                # twins carry the value check.
+                continue
+            out[name] = "never driver-green"
+        elif entry["fingerprint"] is None:
+            out[name] = f"green r{entry['round']:02d} but gate-time code unknown"
+        elif entry["fingerprint"] != fingerprint(p):
+            out[name] = f"code changed since green r{entry['round']:02d}"
+    return out
+
+
+def cmd_check() -> int:
+    stale = stale_plans()
+    if not stale:
+        print("ledger clean: every plan's green row matches its current code")
+        return 0
+    for name, why in sorted(stale.items()):
+        print(f"STALE {name}: {why}")
+    print(f"{len(stale)} plan(s) need a slot in the next gate window")
+    return 1
+
+
+def cmd_window_audit() -> int:
+    stale = stale_plans()
+    window = list(_registry())[:WINDOW]
+    outside = sorted(set(stale) - set(window))
+    print(f"window: {len(window)} slots, {len(stale)} stale plan(s)")
+    if outside:
+        for name in outside:
+            print(f"OUTSIDE-WINDOW {name}: {stale[name]}")
+        return 1
+    print("every stale plan is inside the promoted window")
+    return 0
+
+
+def main() -> int:
+    if len(sys.argv) < 2:
+        print(__doc__)
+        return 2
+    cmd = sys.argv[1]
+    if cmd == "update":
+        cmd_update(int(sys.argv[2]))
+        return 0
+    if cmd == "check":
+        return cmd_check()
+    if cmd == "window-audit":
+        return cmd_window_audit()
+    print(f"unknown command {cmd!r}")
+    return 2
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
