@@ -650,3 +650,216 @@ def j18_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# j20: nearest-event as-of join (bidirectional)
+# ---------------------------------------------------------------------------
+
+ASOF_TAU_S = 3600  # max |Δt| for a match, seconds
+
+ASOF_NEAREST_SQL = f"""
+WITH tagged AS (
+  SELECT user_id, ts, 0 AS is_fact, event_id,
+         event_id AS click_id, ts AS click_ts,
+         CAST(NULL AS BIGINT) AS purchase_id
+  FROM events WHERE event_type = 'click'
+  UNION ALL
+  SELECT user_id, ts, 1 AS is_fact, event_id,
+         CAST(NULL AS BIGINT) AS click_id,
+         CAST(NULL AS TIMESTAMP) AS click_ts,
+         event_id AS purchase_id
+  FROM events WHERE event_type = 'purchase'
+),
+back AS (
+  SELECT *,
+         LAST_VALUE(click_id IGNORE NULLS) OVER wb AS b_id,
+         LAST_VALUE(click_ts IGNORE NULLS) OVER wb AS b_ts
+  FROM tagged
+  WINDOW wb AS (PARTITION BY user_id ORDER BY ts, is_fact, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+bidir AS (
+  SELECT *,
+         LAST_VALUE(click_id IGNORE NULLS) OVER wf AS f_id,
+         LAST_VALUE(click_ts IGNORE NULLS) OVER wf AS f_ts
+  FROM back
+  WINDOW wf AS (PARTITION BY user_id
+                ORDER BY ts DESC, is_fact ASC, event_id DESC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+picked AS (
+  SELECT user_id, purchase_id, ts,
+         CASE
+           WHEN b_id IS NOT NULL AND (f_id IS NULL OR
+                epoch_us(ts) - epoch_us(b_ts)
+                  <= epoch_us(f_ts) - epoch_us(ts))
+             THEN b_id ELSE f_id END AS click_id,
+         CASE
+           WHEN b_id IS NOT NULL AND (f_id IS NULL OR
+                epoch_us(ts) - epoch_us(b_ts)
+                  <= epoch_us(f_ts) - epoch_us(ts))
+             THEN epoch_us(ts) - epoch_us(b_ts)
+             ELSE epoch_us(f_ts) - epoch_us(ts) END AS delta_us
+  FROM bidir WHERE is_fact = 1
+)
+SELECT user_id, purchase_id, ts,
+       CASE WHEN delta_us <= CAST({ASOF_TAU_S} AS BIGINT) * 1000000
+            THEN click_id ELSE NULL END AS click_id,
+       CASE WHEN delta_us <= CAST({ASOF_TAU_S} AS BIGINT) * 1000000
+            THEN delta_us ELSE NULL END AS delta_us
+FROM picked
+ORDER BY user_id, purchase_id
+"""
+
+
+@plan("j20_asof_nearest", oracle=ASOF_NEAREST_SQL)
+def j20_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bidirectional nearest-event as-of join: every purchase picks up
+    the click with the smallest |Δt| within {ASOF_TAU_S} s — the
+    sensor-alignment / feature-attach primitive where "most recent"
+    (j17's backward-only PIT) is the wrong semantic and you want the
+    temporally CLOSEST record, past or future.
+
+    Same union-sort-merge engine as j17 run twice: one ascending pass
+    carries the latest click backward-in-time candidate, one
+    descending pass carries the earliest forward candidate (clicks
+    order before facts at equal ts in both passes, so a same-ts click
+    matches at Δ=0), then one expression picks the nearer side
+    (backward wins ties). Both engines run the IDENTICAL window logic,
+    so tie-resolution can never diverge.
+
+    Scale: one shuffle on user_id serves both window passes (same
+    partitioning, opposite sort — Spark re-sorts within partitions
+    without reshuffling); no range join, no candidate explosion, Δ
+    math in exact integer microseconds."""
+    ev = load(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.lit(0).alias("is_fact"),
+        "event_id",
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+        F.lit(None).cast("long").alias("purchase_id"),
+    )
+    facts = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.lit(1).alias("is_fact"),
+        "event_id",
+        F.lit(None).cast("long").alias("click_id"),
+        F.lit(None).cast("timestamp").alias("click_ts"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    tagged = clicks.unionByName(facts)
+    wb = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_fact", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").desc(), F.col("is_fact").asc(), F.col("event_id").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    both = (
+        tagged.withColumn("b_id", F.last("click_id", True).over(wb))
+        .withColumn("b_ts", F.last("click_ts", True).over(wb))
+        .withColumn("f_id", F.last("click_id", True).over(wf))
+        .withColumn("f_ts", F.last("click_ts", True).over(wf))
+        .filter(F.col("is_fact") == 1)
+    )
+    b_delta = F.unix_micros("ts") - F.unix_micros("b_ts")
+    f_delta = F.unix_micros("f_ts") - F.unix_micros("ts")
+    take_back = F.col("b_id").isNotNull() & (
+        F.col("f_id").isNull() | (b_delta <= f_delta)
+    )
+    picked = both.select(
+        "user_id",
+        "purchase_id",
+        "ts",
+        F.when(take_back, F.col("b_id")).otherwise(F.col("f_id")).alias(
+            "click_id"
+        ),
+        F.when(take_back, b_delta).otherwise(f_delta).alias("delta_us"),
+    )
+    in_tau = F.col("delta_us") <= ASOF_TAU_S * 1_000_000
+    return picked.select(
+        "user_id",
+        "purchase_id",
+        "ts",
+        F.when(in_tau, F.col("click_id")).alias("click_id"),
+        F.when(in_tau, F.col("delta_us")).alias("delta_us"),
+    ).orderBy("user_id", "purchase_id")
+
+
+# ---------------------------------------------------------------------------
+# j21: CDC change-feed apply
+# ---------------------------------------------------------------------------
+
+CDC_APPLY_SQL = """
+WITH feed AS (
+  SELECT user_id AS entity_id, ts, event_id, value,
+         CASE event_type WHEN 'signup' THEN 'I'
+                         WHEN 'error'  THEN 'D'
+                         ELSE 'U' END AS op
+  FROM events
+),
+ranked AS (
+  SELECT *,
+         ROW_NUMBER() OVER (PARTITION BY entity_id
+                            ORDER BY ts DESC, event_id DESC) AS rn,
+         CAST(COUNT(*) OVER (PARTITION BY entity_id) AS BIGINT) AS n_ops
+  FROM feed
+)
+SELECT entity_id,
+       CAST(FLOOR(CAST(value AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)
+         / 1000000.0 AS state_value,
+       n_ops, ts AS last_ts
+FROM ranked
+WHERE rn = 1 AND op <> 'D'
+ORDER BY entity_id
+"""
+
+
+@plan("j21_cdc_apply", oracle=CDC_APPLY_SQL)
+def j21_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-capture apply: collapse an ordered I/U/D change
+    feed (synthesized from events: signup=insert, error=delete, the
+    rest=update) into the current snapshot — last writer wins per
+    entity, entities whose final op is a delete disappear. The batch
+    core of every CDC sink (Debezium-style feeds, Delta/Hudi MERGE):
+    equivalent to a MERGE but computed as ONE window pass instead of a
+    join against the target.
+
+    Scale: one shuffle on entity_id; row_number + count ride the same
+    window partitioning. At 100 TB the same plan applies a feed
+    partition-parallel, and because only rn=1 survives, the output
+    never exceeds the entity count."""
+    feed = load(spark, sf_dir, "events").select(
+        F.col("user_id").alias("entity_id"),
+        "ts",
+        "event_id",
+        "value",
+        F.when(F.col("event_type") == "signup", F.lit("I"))
+        .when(F.col("event_type") == "error", F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+    )
+    w = Window.partitionBy("entity_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    wc = Window.partitionBy("entity_id")
+    return (
+        feed.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_ops", F.count(F.lit(1)).over(wc).cast("long"))
+        .filter((F.col("rn") == 1) & (F.col("op") != "D"))
+        .select(
+            "entity_id",
+            quantize6(F.col("value").cast("double")).alias("state_value"),
+            "n_ops",
+            F.col("ts").alias("last_ts"),
+        )
+        .orderBy("entity_id")
+    )
