@@ -150,3 +150,96 @@ def dq_expectations_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return o_rep.unionByName(l_rep).unionByName(fk).orderBy("check_name")
+
+
+# ---------------------------------------------------------------------------
+# dq_snapshot_drift: two-cohort profile drift in one scan
+# ---------------------------------------------------------------------------
+
+DRIFT_SQL = """
+WITH agg AS (
+  SELECT
+    CAST(COUNT(CASE WHEN o_orderkey % 2 = 0 THEN 1 END) AS BIGINT) AS rows_a,
+    CAST(COUNT(CASE WHEN o_orderkey % 2 = 1 THEN 1 END) AS BIGINT) AS rows_b,
+    CAST(COUNT(DISTINCT CASE WHEN o_orderkey % 2 = 0 THEN o_custkey END) AS BIGINT) AS cust_a,
+    CAST(COUNT(DISTINCT CASE WHEN o_orderkey % 2 = 1 THEN o_custkey END) AS BIGINT) AS cust_b,
+    CAST(SUM(CASE WHEN o_orderkey % 2 = 0
+             THEN CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT) END) AS BIGINT) AS cents_a,
+    CAST(SUM(CASE WHEN o_orderkey % 2 = 1
+             THEN CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT) END) AS BIGINT) AS cents_b,
+    CAST(COUNT(CASE WHEN o_orderkey % 2 = 0 AND o_orderstatus = 'O' THEN 1 END) AS BIGINT) AS open_a,
+    CAST(COUNT(CASE WHEN o_orderkey % 2 = 1 AND o_orderstatus = 'O' THEN 1 END) AS BIGINT) AS open_b
+  FROM orders
+),
+rep AS (
+  SELECT 'n_rows' AS metric, rows_a AS snap_a, rows_b AS snap_b FROM agg
+  UNION ALL SELECT 'n_distinct_cust', cust_a, cust_b FROM agg
+  UNION ALL SELECT 'sum_price_cents', cents_a, cents_b FROM agg
+  UNION ALL SELECT 'n_status_open', open_a, open_b FROM agg
+)
+SELECT metric, snap_a, snap_b,
+       CAST(FLOOR(ABS(snap_a - snap_b)
+            / CAST(GREATEST(snap_a, snap_b, 1) AS DOUBLE)
+            * 1000000.0 + 0.5) AS BIGINT) / 1000000.0 AS rel_delta
+FROM rep
+ORDER BY metric
+"""
+
+
+@plan("dq_snapshot_drift", oracle=DRIFT_SQL)
+def dq_snapshot_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Profile drift between two table snapshots (orderkey parity
+    stands in for yesterday/today): row count, key cardinality, value
+    mass and a category share, compared side by side with a relative
+    delta — the ingest-gate companion to dq_expectations_report
+    (expectations catch BROKEN data; drift catches silently CHANGED
+    data: a feed that halves, a status mix that flips).
+
+    Scale: both cohorts and all four metrics ride ONE conditional-
+    aggregation scan (the expectations.check discipline); the tidy
+    report is pivoted from the 1-row aggregate with inline(), never
+    re-referencing the source. All-integer metrics; the only float is
+    the final relative delta, FLOOR-quantized."""
+    orders = load(spark, sf_dir, "orders")
+    a = F.col("o_orderkey") % 2 == 0
+    b = F.col("o_orderkey") % 2 == 1
+    cents = F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast("long")
+    agg = orders.agg(
+        F.count(F.when(a, 1)).cast("long").alias("rows_a"),
+        F.count(F.when(b, 1)).cast("long").alias("rows_b"),
+        F.count_distinct(F.when(a, F.col("o_custkey"))).cast("long").alias("cust_a"),
+        F.count_distinct(F.when(b, F.col("o_custkey"))).cast("long").alias("cust_b"),
+        F.sum(F.when(a, cents)).cast("long").alias("cents_a"),
+        F.sum(F.when(b, cents)).cast("long").alias("cents_b"),
+        F.count(F.when(a & (F.col("o_orderstatus") == "O"), 1))
+        .cast("long")
+        .alias("open_a"),
+        F.count(F.when(b & (F.col("o_orderstatus") == "O"), 1))
+        .cast("long")
+        .alias("open_b"),
+    )
+    structs = [
+        F.struct(
+            F.lit(name).alias("metric"),
+            F.col(ca).alias("snap_a"),
+            F.col(cb).alias("snap_b"),
+        )
+        for name, ca, cb in [
+            ("n_rows", "rows_a", "rows_b"),
+            ("n_distinct_cust", "cust_a", "cust_b"),
+            ("sum_price_cents", "cents_a", "cents_b"),
+            ("n_status_open", "open_a", "open_b"),
+        ]
+    ]
+    rep = agg.select(F.inline(F.array(*structs)))
+    rel = F.abs(F.col("snap_a") - F.col("snap_b")) / F.greatest(
+        "snap_a", "snap_b", F.lit(1)
+    ).cast("double")
+    return rep.select(
+        "metric",
+        "snap_a",
+        "snap_b",
+        (F.floor(rel * 1000000.0 + 0.5).cast("long") / 1000000.0).alias(
+            "rel_delta"
+        ),
+    ).orderBy("metric")

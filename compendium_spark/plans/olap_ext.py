@@ -843,3 +843,158 @@ def o6_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("recommended_salt"),
     ).orderBy("key_name")
+
+
+# ---------------------------------------------------------------------------
+# e_pivot_wide: long -> wide pivot
+# ---------------------------------------------------------------------------
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+PIVOT_WIDE_SQL = f"""
+SELECT user_id,
+       {", ".join(
+           f"CAST(COUNT(CASE WHEN event_type = '{t}' THEN 1 END) AS BIGINT)"
+           f" AS n_{t}" for t in _EVENT_TYPES
+       )}
+FROM events
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+@plan("e_pivot_wide", oracle=PIVOT_WIDE_SQL)
+def e_pivot_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long→wide pivot: one row per user with one count column per
+    event type — the feature-matrix reshape every ML handoff needs
+    (and the inverse of J4's melt). Spark's ``pivot`` with the value
+    list SPELLED OUT: an unlisted pivot triggers an extra distinct
+    scan to discover the values and makes the output schema
+    data-dependent — never acceptable at 100 TB. With the list pinned,
+    the pivot compiles to exactly the oracle's conditional aggregation
+    (one scan, one shuffle, map-side partial agg)."""
+    ev = load(spark, sf_dir, "events")
+    wide = (
+        ev.groupBy("user_id")
+        .pivot("event_type", _EVENT_TYPES)
+        .agg(F.count(F.lit(1)))
+    )
+    return wide.select(
+        "user_id",
+        *[
+            F.coalesce(F.col(t), F.lit(0)).cast("long").alias(f"n_{t}")
+            for t in _EVENT_TYPES
+        ],
+    ).orderBy("user_id")
+
+
+# ---------------------------------------------------------------------------
+# o7: consistent-hash shard assignment
+# ---------------------------------------------------------------------------
+
+N_SHARDS = 64
+
+
+def _shard_sql() -> str:
+    from compendium_spark.plans.sketches import _sql_hex_to_long  # noqa: PLC0415
+
+    hv = _sql_hex_to_long("md5(CAST(o_orderkey AS VARCHAR))", 8)
+    return f"""
+SELECT {hv} % {N_SHARDS} AS shard,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       MIN(o_orderkey) AS min_key,
+       MAX(o_orderkey) AS max_key
+FROM orders
+GROUP BY shard
+ORDER BY shard
+"""
+
+
+SHARD_ASSIGN_SQL = _shard_sql()
+
+
+@plan("o7_shard_assign", oracle=SHARD_ASSIGN_SQL)
+def o7_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-shard assignment audit: every order routed to one of
+    {N_SHARDS} shards by a stable content hash (md5 prefix — NOT the
+    engine's internal partitioner, so the assignment is reproducible
+    across engines, languages and re-runs — the property a writer
+    needs for bucketed layouts and a router needs for sticky routing).
+    Output is the per-shard occupancy report: the uniformity check
+    before committing a shard count to a 100 TB layout.
+
+    Scale: scan-stage hash + one groupBy({N_SHARDS} keys) with
+    map-side combine — output rows = shard count regardless of input
+    size."""
+    orders = load(spark, sf_dir, "orders")
+    hv = F.conv(
+        F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    return (
+        orders.select((hv % N_SHARDS).alias("shard"), "o_orderkey")
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.min("o_orderkey").alias("min_key"),
+            F.max("o_orderkey").alias("max_key"),
+        )
+        .orderBy("shard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# o9: deterministic weighted Bernoulli sample
+# ---------------------------------------------------------------------------
+
+# p(keep) = min(1, price_cents / W_CENTS): a ~$500k order is always
+# kept, a $5k order survives ~1% of the time
+W_CENTS = 50_000_000
+
+
+def _weighted_sample_sql() -> str:
+    from compendium_spark.plans.sketches import _sql_hex_to_long  # noqa: PLC0415
+
+    u32 = _sql_hex_to_long("md5(CAST(o_orderkey AS VARCHAR))", 8)
+    return f"""
+SELECT o_orderkey,
+       CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT) AS price_cents
+FROM orders
+WHERE {u32} * {W_CENTS}
+      < CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT) * 4294967296
+ORDER BY o_orderkey
+"""
+
+
+WEIGHTED_SAMPLE_SQL = _weighted_sample_sql()
+
+
+@plan("o9_weighted_sample", oracle=WEIGHTED_SAMPLE_SQL)
+def o9_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted Bernoulli sampling: keep each order with
+    probability proportional to its value (capped at 1), decided by a
+    CONTENT hash instead of an RNG — u32(md5(key))·W < price_cents·2³²
+    in exact BIGINT arithmetic. The quality/importance-weighted
+    downsampling every training-data pipeline runs (upweight rare
+    high-value rows, thin the bulk), with the three properties RNG
+    sampling lacks: reproducible across runs, engine-independent
+    (hash-checked here against DuckDB), and stable under re-partitioning.
+
+    Scale: pure scan-stage predicate — pushes into the scan, no
+    shuffle at all until the presentation sort; the weight column
+    never materializes. tests/test_olap_round6.py checks the realized
+    rate against the expected Σp/n."""
+    orders = load(spark, sf_dir, "orders")
+    u32 = F.conv(
+        F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    cents = F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast("long")
+    return (
+        orders.select(
+            "o_orderkey",
+            cents.alias("price_cents"),
+            u32.alias("u32"),
+        )
+        .filter(F.col("u32") * W_CENTS < F.col("price_cents") * F.lit(4294967296))
+        .select("o_orderkey", "price_cents")
+        .orderBy("o_orderkey")
+    )
