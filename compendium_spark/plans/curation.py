@@ -547,3 +547,164 @@ def curate_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "cum_tokens")
     )
+
+
+# ---------------------------------------------------------------------------
+# curate_mixture_temperature: temperature-scaled source mixture
+# ---------------------------------------------------------------------------
+
+MIX_ALPHA_SQRT = True  # alpha = 0.5 (sqrt scaling), the multilingual default
+MIX_BUDGET_DOCS = 100_000  # allocation budget the weights are applied to
+
+MIX_TEMP_SQL = """
+WITH per_src AS (
+  SELECT source, CAST(SUM(n_chars) AS BIGINT) AS tot_chars
+  FROM documents GROUP BY source
+),
+sq AS (
+  SELECT source, tot_chars,
+         CAST(FLOOR(SQRT(CAST(tot_chars AS DOUBLE)) * 1000000.0) AS BIGINT)
+           AS sq_scaled
+  FROM per_src
+),
+denom AS (SELECT CAST(SUM(sq_scaled) AS BIGINT) AS d FROM sq)
+SELECT s.source, s.tot_chars,
+       CAST(FLOOR(CAST(s.sq_scaled AS DOUBLE) / d.d * 1000000.0 + 0.5)
+            AS BIGINT) / 1000000.0 AS weight,
+       CAST(FLOOR(s.sq_scaled * 100000.0 / d.d) AS BIGINT) AS alloc_docs
+FROM sq s CROSS JOIN denom d
+ORDER BY s.source
+"""
+
+
+@plan("curate_mixture_temperature", oracle=MIX_TEMP_SQL)
+def curate_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source mixture weights — w_s ∝ size_s^α with
+    α=0.5 — the standard rebalancing between 'proportional' (α=1,
+    head sources dominate) and 'uniform' (α=0, tail sources overfit)
+    that multilingual/multi-source LLM training mixes use, plus the
+    integer document allocation for a {MIX_BUDGET_DOCS}-doc budget.
+
+    Parity discipline: sqrt is correctly-rounded IEEE so both engines
+    take it of the same exact BIGINT; the scaled sqrt is FLOORed to an
+    integer so the DENOMINATOR is an exact BIGINT sum (never a float
+    sum, whose order would differ); weight is then one exact division,
+    FLOOR-quantized.
+
+    Scale: one groupBy(source) with map-side combine, a 1-row
+    denominator broadcast back (whitelisted scalar join), output rows
+    = source count."""
+    per_src = (
+        load(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(F.sum("n_chars").cast("long").alias("tot_chars"))
+    )
+    sq = per_src.select(
+        "source",
+        "tot_chars",
+        F.floor(F.sqrt(F.col("tot_chars").cast("double")) * 1000000.0)
+        .cast("long")
+        .alias("sq_scaled"),
+    )
+    denom = sq.groupBy().agg(F.sum("sq_scaled").cast("long").alias("d"))
+    return (
+        sq.join(F.broadcast(denom))
+        .select(
+            "source",
+            "tot_chars",
+            quantize6(F.col("sq_scaled").cast("double") / F.col("d")).alias(
+                "weight"
+            ),
+            F.floor(F.col("sq_scaled") * 100000.0 / F.col("d"))
+            .cast("long")
+            .alias("alloc_docs"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# curate_url_canonical: URL canonicalization dedup
+# ---------------------------------------------------------------------------
+
+# deterministic dirty-URL fixture: each document carries one URL whose
+# form varies by doc_id residue; docs sharing doc_id % 100 point at the
+# same logical resource, so canonicalization must collapse them.
+_URL_CASE = """
+CASE doc_id % 4
+  WHEN 0 THEN 'http://WWW.SRC.Example.com:80/r/' || CAST(doc_id % 100 AS STRING) || '/'
+  WHEN 1 THEN 'http://www.src.example.com/r/' || CAST(doc_id % 100 AS STRING) || '?utm_source=feed'
+  WHEN 2 THEN 'https://www.src.example.com:443/r/' || CAST(doc_id % 100 AS STRING) || '#frag'
+  ELSE 'http://www.src.example.com/r/' || CAST(doc_id % 100 AS STRING)
+END
+"""
+
+URL_CANON_SQL = f"""
+WITH raw AS (SELECT doc_id, {_URL_CASE} AS url FROM documents),
+canon AS (
+  SELECT doc_id,
+         REGEXP_REPLACE(
+           REGEXP_REPLACE(
+             REGEXP_REPLACE(
+               REGEXP_REPLACE(
+                 REGEXP_REPLACE(LOWER(url), '^https://', 'http://'),
+                 '#.*$', ''),
+               '\\?utm_[^#]*', ''),
+             ':(80|443)/', '/'),
+           '/$', '') AS canonical_url
+  FROM raw
+)
+SELECT canonical_url,
+       CAST(COUNT(*) AS BIGINT) AS n_variants,
+       MIN(doc_id) AS keep_doc
+FROM canon
+GROUP BY canonical_url
+ORDER BY canonical_url
+"""
+
+
+@plan("curate_url_canonical", oracle=URL_CANON_SQL)
+def curate_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization dedup — the crawl-side twin of text dedup:
+    scheme normalization, host lowercasing, default-port and fragment
+    and utm-tracking-param stripping, trailing-slash removal, then an
+    exact groupBy on the canonical form (first doc_id wins). Dirty
+    variants are fabricated deterministically from doc_id (the
+    fixture pattern of mm_* / crawl_to_documents) so four surface
+    forms of each logical URL must collapse to one group.
+
+    The regex chain is kept backreference-free on purpose: Spark
+    ($1) and DuckDB/RE2 (\\1) disagree on backref syntax, so any
+    canonicalization rule needing one is a silent cross-engine trap.
+
+    Scale: scan-stage string expressions + one hash groupBy on the
+    canonical URL — the same shape as dedup_exact; URLs shuffle,
+    payloads don't."""
+    docs = load(spark, sf_dir, "documents")
+    url = F.expr(_URL_CASE.strip())
+    canon = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(
+                    F.regexp_replace(F.lower(url), "^https://", "http://"),
+                    "#.*$",
+                    "",
+                ),
+                r"\?utm_[^#]*",
+                "",
+            ),
+            ":(80|443)/",
+            "/",
+        ),
+        "/$",
+        "",
+    )
+    return (
+        docs.select("doc_id", canon.alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_variants"),
+            F.min("doc_id").alias("keep_doc"),
+        )
+        .orderBy("canonical_url")
+    )
