@@ -532,3 +532,113 @@ def text_tfidf_log(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "token", "score", "rank")
         .orderBy("doc_id", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# text_zipf_profile / text_hapax_ratio — corpus-level lexical statistics
+# ---------------------------------------------------------------------------
+
+ZIPF_TOPK = 30
+
+ZIPF_SQL = f"""
+WITH tok AS (
+  SELECT unnest(string_split(trim(lower(text)), ' ')) AS token
+  FROM documents
+),
+counts AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM tok WHERE token <> '' GROUP BY token
+),
+ranked AS (
+  SELECT token, cnt,
+         CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, token) AS BIGINT) AS rank
+  FROM counts
+)
+SELECT token, cnt, rank, cnt * rank AS zipf_c
+FROM ranked WHERE rank <= {ZIPF_TOPK}
+ORDER BY rank
+"""
+
+
+@plan("text_zipf_profile", oracle=ZIPF_SQL)
+def text_zipf_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf rank-frequency profile of the corpus vocabulary: top-
+    {ZIPF_TOPK} tokens with their rank and the Zipf constancy product
+    cnt·rank (flat ⇔ the corpus obeys Zipf's law; a cliff or spike is
+    the standard fingerprint of templated/boilerplate or synthetic
+    text — a corpus-level QC gate). ALL-INTEGER output: the classic
+    log-log slope fit is replaced by the cnt·rank product precisely so
+    no float ever enters the hash compare.
+
+    Scale: token counts shuffle tokens (never text) with map-side
+    combine; the global top-k is TakeOrdered (per-partition top-k +
+    driver merge, no global sort of the vocabulary); the rank window
+    then runs over {ZIPF_TOPK} rows only."""
+    docs = load(spark, sf_dir, "documents")
+    counts = (
+        docs.select(
+            F.explode(
+                F.split(F.trim(F.lower(F.col("text"))), " +")
+            ).alias("token")
+        )
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    top = counts.orderBy(F.desc("cnt"), "token").limit(ZIPF_TOPK)
+    w = Window.orderBy(F.desc("cnt"), "token")
+    return (
+        top.withColumn("rank", F.row_number().over(w).cast("long"))
+        .select("token", "cnt", "rank", (F.col("cnt") * F.col("rank")).alias("zipf_c"))
+        .orderBy("rank")
+    )
+
+
+HAPAX_SQL = """
+WITH tok AS (
+  SELECT unnest(string_split(trim(lower(text)), ' ')) AS token
+  FROM documents
+),
+counts AS (
+  SELECT token, COUNT(*) AS cnt FROM tok WHERE token <> '' GROUP BY token
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_vocab,
+       CAST(COUNT(CASE WHEN cnt = 1 THEN 1 END) AS BIGINT) AS n_hapax,
+       CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+       CAST(FLOOR(CAST(COUNT(CASE WHEN cnt = 1 THEN 1 END) AS DOUBLE)
+            / COUNT(*) * 1000000.0 + 0.5) AS BIGINT) / 1000000.0
+         AS hapax_ratio
+FROM counts
+"""
+
+
+@plan("text_hapax_ratio", oracle=HAPAX_SQL)
+def text_hapax_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hapax legomena ratio — the share of vocabulary occurring exactly
+    once. The standard lexical-diversity signal: natural corpora sit
+    near 0.4–0.6; machine-generated or heavily deduplicated text
+    collapses toward 0, OCR noise explodes toward 1. Pairs with
+    text_zipf_profile as the two corpus-level QC statistics.
+
+    Scale: one token-count shuffle (map-side combined), then a 1-row
+    rollup; nothing but the vocabulary ever shuffles."""
+    docs = load(spark, sf_dir, "documents")
+    counts = (
+        docs.select(
+            F.explode(
+                F.split(F.trim(F.lower(F.col("text"))), " +")
+            ).alias("token")
+        )
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return counts.agg(
+        F.count(F.lit(1)).cast("long").alias("n_vocab"),
+        F.count(F.when(F.col("cnt") == 1, 1)).cast("long").alias("n_hapax"),
+        F.sum("cnt").cast("long").alias("n_tokens"),
+        quantize6(
+            F.count(F.when(F.col("cnt") == 1, 1)).cast("double")
+            / F.count(F.lit(1))
+        ).alias("hapax_ratio"),
+    )
