@@ -1095,3 +1095,73 @@ def dedup_signature_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_a", "doc_b")
     )
+
+
+MIPS_TOPK_SQL = """
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+),
+pairs AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+         list_sum(list_transform(q.e, (x, i) -> x * c.e[i])) AS ip
+  FROM v q, v c
+  WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id
+),
+ranked AS (
+  SELECT query_id, cand_id, ip,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY ip DESC, cand_id) AS rn
+  FROM pairs
+)
+SELECT query_id, cand_id,
+       CAST(FLOOR(CAST((ip) AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)
+         / 1000000.0 AS inner_product,
+       rn AS rank
+FROM ranked WHERE rn <= 5
+ORDER BY query_id, rank
+"""
+
+
+@plan("sim_mips_topk", oracle=MIPS_TOPK_SQL)
+def sim_mips_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum-inner-product search (MIPS) top-5 — the recommender /
+    retrieval primitive where vector MAGNITUDE carries signal
+    (item popularity, document length prior) and cosine's
+    normalization is the WRONG metric. Same legitimate exact form as
+    sim_cosine_topk: ≤10 broadcast queries against the sharded corpus,
+    per-partition top-k.
+
+    Scale note: MIPS reduces to cosine search via the standard
+    norm-augmentation transform (append sqrt(M² − ‖x‖²) as an extra
+    dimension, M = max norm), after which the IVF/LSH candidate
+    machinery in plans/ivf.py / plans/ann.py applies verbatim — this
+    plan is the exact baseline those variants verify against, exactly
+    as sim_cosine_topk anchors the cosine family."""
+    emb = _load_embeddings(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+    )
+    c = emb.select(F.col("vec_id").alias("cand_id"), F.col("e").alias("ce"))
+    pairs = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            _dot_unrolled(F.col("qe"), F.col("ce")).alias("ip"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("ip"), "cand_id")
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select(
+            "query_id",
+            "cand_id",
+            quantize6(F.col("ip")).alias("inner_product"),
+            F.col("rn").alias("rank"),
+        )
+        .orderBy("query_id", "rank")
+    )

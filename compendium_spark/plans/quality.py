@@ -1138,3 +1138,163 @@ def emb_whiten_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(n, d, bool(diag_err <= tol), bool(off_err <= tol))],
         schema="n_vectors long, dim int, diag_ok boolean, offdiag_ok boolean",
     )
+
+
+# ---------------------------------------------------------------------------
+# emb_centroid_drift: embedding-distribution drift between two cohorts
+# ---------------------------------------------------------------------------
+
+CENTROID_DRIFT_SQL = """
+WITH v AS (
+  SELECT label, vec_id % 2 AS half,
+         CAST(FLOOR(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS q,
+         i
+  FROM (
+    SELECT label, vec_id, unnest(embedding) AS x,
+           unnest(range(1, len(embedding) + 1)) AS i
+    FROM embeddings
+  )
+),
+m AS (
+  SELECT label, i,
+         CAST(SUM(CASE WHEN half = 0 THEN q END) AS BIGINT) AS qa,
+         CAST(COUNT(CASE WHEN half = 0 THEN 1 END) AS BIGINT) AS na,
+         CAST(SUM(CASE WHEN half = 1 THEN q END) AS BIGINT) AS qb,
+         CAST(COUNT(CASE WHEN half = 1 THEN 1 END) AS BIGINT) AS nb
+  FROM v GROUP BY label, i
+)
+SELECT label, i,
+       CAST(FLOOR(qa / (na * 1000000.0) * 1000000.0 + 0.5) AS BIGINT)
+         / 1000000.0 AS mean_a,
+       CAST(FLOOR(qb / (nb * 1000000.0) * 1000000.0 + 0.5) AS BIGINT)
+         / 1000000.0 AS mean_b,
+       CAST(FLOOR(ABS(qa / (na * 1000000.0) - qb / (nb * 1000000.0))
+            * 1000000.0 + 0.5) AS BIGINT) / 1000000.0 AS drift
+FROM m
+ORDER BY label, i
+"""
+
+
+@plan("emb_centroid_drift", oracle=CENTROID_DRIFT_SQL)
+def emb_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(label, dimension) centroid drift between two cohorts of
+    the embedding corpus (vec_id parity stands in for the
+    before/after split): the embedding-space analogue of
+    dq-style profile drift — when a re-embedding run, a model bump or
+    a data-source shift moves a class centroid, this report localizes
+    WHICH class and WHICH dimensions moved. Per-dim rows on purpose:
+    a scalar drift norm needs a cross-dimension float fold (ordering
+    hazard) and hides the diagnosis; the per-dim frame is both
+    parity-trivial and more useful.
+
+    Parity: components are FLOOR-quantized to exact BIGINTs at scan
+    stage, so each cohort sum is an exact integer; the two means and
+    their difference are then identical IEEE expressions on identical
+    operands. Integer-moments discipline throughout (the emb_covariance
+    idiom).
+
+    Scale: posexplode shuffles (label, dim) keyed integers — never
+    the vectors; both cohorts ride ONE scan via conditional
+    aggregation; output is labels × dims rows."""
+    emb = load(spark, sf_dir, "embeddings")
+    v = emb.select(
+        "label",
+        (F.col("vec_id") % 2).alias("half"),
+        F.posexplode("embedding").alias("pos", "x"),
+    ).select(
+        "label",
+        "half",
+        (F.col("pos") + 1).alias("i"),
+        F.floor(F.col("x").cast("double") * 1000000.0 + 0.5)
+        .cast("long")
+        .alias("q"),
+    )
+    m = v.groupBy("label", "i").agg(
+        F.sum(F.when(F.col("half") == 0, F.col("q"))).cast("long").alias("qa"),
+        F.count(F.when(F.col("half") == 0, 1)).cast("long").alias("na"),
+        F.sum(F.when(F.col("half") == 1, F.col("q"))).cast("long").alias("qb"),
+        F.count(F.when(F.col("half") == 1, 1)).cast("long").alias("nb"),
+    )
+    mean_a = F.col("qa") / (F.col("na") * 1000000.0)
+    mean_b = F.col("qb") / (F.col("nb") * 1000000.0)
+    return m.select(
+        "label",
+        "i",
+        quantize6(mean_a).alias("mean_a"),
+        quantize6(mean_b).alias("mean_b"),
+        quantize6(F.abs(mean_a - mean_b)).alias("drift"),
+    ).orderBy("label", "i")
+
+
+# ---------------------------------------------------------------------------
+# emb_dim_variance_topk: variance-based dimension selection
+# ---------------------------------------------------------------------------
+
+DIM_VAR_TOPK = 16
+
+DIM_VAR_SQL = f"""
+WITH v AS (
+  SELECT CAST(FLOOR(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS q, i
+  FROM (
+    SELECT unnest(embedding) AS x,
+           unnest(range(1, len(embedding) + 1)) AS i
+    FROM embeddings
+  )
+),
+m AS (
+  SELECT i,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(q) AS BIGINT) AS s,
+         CAST(SUM(q * q) AS BIGINT) AS ss
+  FROM v GROUP BY i
+),
+scored AS (
+  SELECT i, n * ss - s * s AS var_num,
+         ROW_NUMBER() OVER (ORDER BY n * ss - s * s DESC, i) AS rank
+  FROM m
+)
+SELECT i, var_num, rank
+FROM scored WHERE rank <= {DIM_VAR_TOPK}
+ORDER BY rank
+"""
+
+
+@plan("emb_dim_variance_topk", oracle=DIM_VAR_SQL)
+def emb_dim_variance_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variance-based dimension selection: the {DIM_VAR_TOPK} most
+    informative embedding dimensions ranked by population variance —
+    the cheap feature-selection / dimension-pruning pass run before
+    committing a reduced-width index (cf. Matryoshka truncation, which
+    emb_matryoshka_recall then validates).
+
+    ALL-INTEGER ranking: components quantize to BIGINT micro-units at
+    scan stage, and n·Σq² − (Σq)² is an exact integer multiple of the
+    variance — no float ever enters the comparison, so ranking ties
+    and hash parity are exact by construction (bounds: q ≲ 3e6 ⇒
+    n·Σq² ≲ 2e18 < 2⁶³).
+
+    Scale: posexplode shuffles (dim, q) integers with map-side
+    combine — shuffle O(partitions × dims), vectors never move; the
+    top-k is a TakeOrdered over 64 rows."""
+    emb = load(spark, sf_dir, "embeddings")
+    v = emb.select(F.posexplode("embedding").alias("pos", "x")).select(
+        (F.col("pos") + 1).alias("i"),
+        F.floor(F.col("x").cast("double") * 1000000.0 + 0.5)
+        .cast("long")
+        .alias("q"),
+    )
+    m = v.groupBy("i").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("q").cast("long").alias("s"),
+        F.sum(F.col("q") * F.col("q")).cast("long").alias("ss"),
+    )
+    scored = m.select(
+        "i", (F.col("n") * F.col("ss") - F.col("s") * F.col("s")).alias("var_num")
+    )
+    w = Window.orderBy(F.desc("var_num"), "i")
+    return (
+        scored.orderBy(F.desc("var_num"), "i")
+        .limit(DIM_VAR_TOPK)
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .orderBy("rank")
+    )

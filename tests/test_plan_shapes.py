@@ -33,6 +33,7 @@ ALLPAIRS_BASELINES = {
     "dedup_embedding_cosine",
     "dedup_ngram_jaccard",
     "sim_cosine_topk",
+    "sim_mips_topk",  # same broadcast-queries exact baseline, dot metric
     "sim_pq_adc_topk",  # broadcast query LUTs × compressed code scan
     # verification twin: exact + quantized cosine in one broadcast
     # queries × corpus sweep, plus two single-row min/max broadcasts
@@ -59,6 +60,8 @@ SCALAR_SUBQUERY = {
     "text_tfidf_log",  # same 1-row N broadcast, log-idf variant
     "a23_countmin_sketch",  # 1-row stream-total broadcast into the eps bound
     "j18_snapshot_diff",  # 1-row (snap1, snap2) bounds broadcast
+    # 1-row mixture-weight denominator (sum of per-source sqrt terms)
+    "curate_mixture_temperature",
 }
 
 
