@@ -19,7 +19,7 @@ pairs shuffle.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from compendium_spark.functions.numeric import quantize6
@@ -231,8 +231,9 @@ CN_TOPK_OUT = 3
 # synthetic hub.
 CN_CENTER_CAP = 16
 
-CN_SQL = f"""
-WITH edges AS ({_EDGES_SQL}),
+# shared CTE prefix: sparsified undirected trade graph + degree table
+# + hub-capped per-center adjacency (reused by graph_2hop_features)
+_CN_GRAPH_CTES = f"""edges AS ({_EDGES_SQL}),
 sparse AS (
   SELECT src, dst FROM (
     SELECT src, dst,
@@ -255,7 +256,10 @@ capped AS (
            ROW_NUMBER() OVER (PARTITION BY n.nbr ORDER BY d.d, n.node) AS rn
     FROM nbr n JOIN deg d ON d.node = n.node
   ) c WHERE rn <= {CN_CENTER_CAP}
-),
+)"""
+
+CN_SQL = f"""
+WITH {_CN_GRAPH_CTES},
 wedge AS (
   SELECT c1.member AS x, c2.member AS y, COUNT(*) AS cn
   FROM capped c1 JOIN capped c2
@@ -372,4 +376,106 @@ def graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
         .orderBy("x", "y")
+    )
+
+
+# the o6_skew_report decision rule, specialized to the wedge join's
+# shuffle key (the wedge center). skew_ratio = max_deg·n_nodes/Σdeg is
+# exactly o6's hot-key ratio (max key rows ÷ mean key rows); above the
+# threshold a hot center dominates one task with deg²/2 pairs and the
+# CAP must be applied (or the center split/salted). The threshold is
+# the measured point where one task's pair count exceeds ~16× the
+# mean — same alarm level the a11/j12 salting story uses.
+WEDGE_SKEW_THRESHOLD = 4.0
+
+
+def wedge_cap_decision(
+    und: DataFrame, budget: int = CN_CENTER_CAP
+) -> tuple[float, int | None]:
+    """Pre-flight skew check for a wedge self-join over undirected
+    edges (a, b): returns (skew_ratio, cap) where cap is ``budget``
+    when the center-degree distribution is hot (ratio >
+    WEDGE_SKEW_THRESHOLD) and None (uncapped — the join is naturally
+    balanced) otherwise. One aggregate pass + a 1-row collect; at
+    100 TB this runs on the (node, degree) aggregate you need anyway.
+    graph_common_neighbors applies the cap unconditionally so its
+    output is deterministic; a production pipeline calls this first
+    and skips the cap's bias when the graph is near-regular."""
+    nbr = und.select(F.col("a").alias("node")).unionAll(
+        und.select(F.col("b").alias("node"))
+    )
+    deg = nbr.groupBy("node").agg(F.count(F.lit(1)).alias("d"))
+    row = deg.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("d").alias("total"),
+        F.max("d").alias("mx"),
+    ).collect()[0]
+    ratio = float(row["mx"] * row["n"]) / float(row["total"])
+    return ratio, (budget if ratio > WEDGE_SKEW_THRESHOLD else None)
+
+
+# ---------------------------------------------------------------------------
+# 2-hop neighborhood features
+# ---------------------------------------------------------------------------
+
+TWOHOP_SQL = f"""
+WITH {_CN_GRAPH_CTES},
+twohop AS (
+  SELECT n1.node AS x, c.member AS y
+  FROM nbr n1 JOIN capped c ON c.center = n1.nbr
+  WHERE c.member <> n1.node
+),
+fresh AS (
+  SELECT DISTINCT t.x, t.y FROM twohop t
+  WHERE NOT EXISTS (SELECT 1 FROM nbr n WHERE n.node = t.x AND n.nbr = t.y)
+)
+SELECT x AS node, CAST(COUNT(*) AS BIGINT) AS n_2hop
+FROM fresh GROUP BY x ORDER BY node
+"""
+
+
+@plan("graph_2hop_features", oracle=TWOHOP_SQL)
+def graph_2hop_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-hop neighborhood size per node — the expansion feature behind
+    friend-of-friend reach, influence estimates and GNN receptive-
+    field sizing: how many DISTINCT nodes sit at exactly distance 2
+    (reachable through a neighbor, not adjacent, not self).
+
+    The second hop traverses the HUB-CAPPED adjacency
+    (capped_neighbor_lists, same {CN_CENTER_CAP} budget and documented
+    bias as graph_common_neighbors): hop-2 is where a celebrity node
+    multiplies the frontier by its full degree, so the cap is applied
+    exactly there; hop-1 stays exact. One join per hop, a distinct on
+    (x, y) pairs, one anti-join against direct edges, one count —
+    only node-pair rows ever shuffle."""
+    topk = Window.partitionBy("src").orderBy(F.desc("w"), "dst")
+    sparse = (
+        _trade_edges(spark, sf_dir)
+        .withColumn("rn", F.row_number().over(topk))
+        .filter(F.col("rn") <= CN_TOPK_OUT)
+        .select("src", "dst")
+    )
+    und = (
+        sparse.select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    nbr = und.select(F.col("a").alias("node"), F.col("b").alias("nbr")).unionAll(
+        und.select(F.col("b").alias("node"), F.col("a").alias("nbr"))
+    )
+    capped = capped_neighbor_lists(und, CN_CENTER_CAP)
+    twohop = (
+        nbr.join(capped, nbr["nbr"] == capped["center"])
+        .filter(F.col("member") != F.col("node"))
+        .select(F.col("node").alias("x"), F.col("member").alias("y"))
+    )
+    direct = nbr.select(F.col("node").alias("x"), F.col("nbr").alias("y"))
+    fresh = twohop.distinct().join(direct, ["x", "y"], "left_anti")
+    return (
+        fresh.groupBy(F.col("x").alias("node"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_2hop"))
+        .orderBy("node")
     )

@@ -67,3 +67,37 @@ def test_common_neighbors_nonvacuous(spark):
     rows = df.collect()
     assert len(rows) > 0
     assert all(r["cn"] >= 1 and 0 < r["jaccard"] <= 1 for r in rows)
+
+
+def test_wedge_cap_decision_fires_on_hub_not_on_ring(spark):
+    from compendium_spark.plans.graph import (
+        WEDGE_SKEW_THRESHOLD,
+        wedge_cap_decision,
+    )
+
+    hub = spark.createDataFrame(
+        [("h", f"s{i:02d}") for i in range(40)], "a string, b string"
+    )
+    ratio, cap = wedge_cap_decision(hub)
+    assert ratio > WEDGE_SKEW_THRESHOLD and cap == CN_CENTER_CAP
+    # ring: every node degree 2 — perfectly level, no cap, no bias
+    ring = spark.createDataFrame(
+        [(f"n{i}", f"n{(i + 1) % 12}") for i in range(12)],
+        "a string, b string",
+    )
+    ratio2, cap2 = wedge_cap_decision(ring)
+    assert abs(ratio2 - 1.0) < 1e-9 and cap2 is None
+    # end-to-end: applying the decided cap on the hub graph bounds the
+    # per-center (= per-task) pair count at cap^2/2
+    capped = capped_neighbor_lists(hub, cap)
+    c2 = capped.select(F.col("center").alias("c2"), F.col("member").alias("m2"))
+    worst = (
+        capped.join(
+            c2, (F.col("center") == F.col("c2")) & (F.col("member") < F.col("m2"))
+        )
+        .groupBy("center")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.max("n"))
+        .collect()[0][0]
+    )
+    assert worst <= cap * (cap - 1) // 2
