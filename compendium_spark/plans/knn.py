@@ -302,3 +302,152 @@ def emb_kcenter_init(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(quantize6(F.col("dist")))
         .alias("dist"),
     ).orderBy("round")
+
+
+# ---------------------------------------------------------------------------
+# emb_kcenter_scalable — k-means||-style bulk sibling of the greedy
+# ---------------------------------------------------------------------------
+
+KCS_K = 4  # final centers (including the seed)
+KCS_ROUNDS = 2  # oversampling corpus scans — O(log n), NOT k
+KCS_L = 8  # candidates drawn per scan (oversampling factor ~ 2k)
+
+
+def _kcenter_scalable_sql() -> str:
+    """Unrolled k-means||-style SQL mirror: KCS_ROUNDS oversampling
+    rounds each take the top-KCS_L farthest-from-candidate-set vectors
+    (deterministic analog of the d²-weighted draw), then a greedy
+    k-center reduction runs over the ~(1 + R·L)-row candidate set —
+    identical fold order, MIN/LEAST semantics and (d DESC, vec_id)
+    tie-breaks as the Spark driver."""
+    parts = [f"WITH v AS ({_SQL_EMB}),"]
+    parts.append("cand0 AS (SELECT vec_id, e FROM v ORDER BY vec_id LIMIT 1)")
+    for r in range(1, KCS_ROUNDS + 1):
+        prev = f"cand{r - 1}"
+        fold = _SQL_SQDIST
+        parts.append(
+            f", d{r} AS (SELECT v.vec_id, MIN({fold}) AS d"
+            f" FROM v CROSS JOIN {prev} c"
+            f" WHERE v.vec_id NOT IN (SELECT vec_id FROM {prev})"
+            f" GROUP BY v.vec_id)"
+        )
+        parts.append(
+            f", p{r} AS (SELECT vec_id FROM d{r}"
+            f" ORDER BY d DESC, vec_id LIMIT {KCS_L})"
+        )
+        parts.append(
+            f", cand{r} AS (SELECT * FROM {prev}"
+            f" UNION ALL SELECT v.vec_id, v.e FROM v JOIN p{r} USING (vec_id))"
+        )
+    cand = f"cand{KCS_ROUNDS}"
+    parts.append(
+        f", g0 AS (SELECT vec_id, e FROM {cand} ORDER BY vec_id LIMIT 1)"
+    )
+    dist_terms = []
+    for r in range(1, KCS_K):
+        dist_terms.append(
+            _SQL_SQDIST.replace("v.e", "t.e").replace("c.e", f"g{r - 1}.e")
+        )
+        least = (
+            dist_terms[0]
+            if len(dist_terms) == 1
+            else "LEAST(" + ", ".join(dist_terms) + ")"
+        )
+        joins = " ".join(f"CROSS JOIN g{i}" for i in range(r))
+        not_in = ", ".join(f"(SELECT vec_id FROM g{i})" for i in range(r))
+        parts.append(
+            f", gd{r} AS (SELECT t.vec_id, {least} AS d FROM {cand} t {joins}"
+            f" WHERE t.vec_id NOT IN ({not_in}))"
+        )
+        parts.append(
+            f", gp{r} AS (SELECT vec_id, d FROM gd{r}"
+            f" ORDER BY d DESC, vec_id LIMIT 1)"
+        )
+        parts.append(
+            f", g{r} AS (SELECT t.vec_id, t.e FROM {cand} t"
+            f" JOIN gp{r} USING (vec_id))"
+        )
+    selects = ["SELECT 0 AS round, vec_id, 0.0 AS dist FROM g0"]
+    for r in range(1, KCS_K):
+        selects.append(
+            f"SELECT {r} AS round, vec_id, {sql_quantize('d', 6)} AS dist"
+            f" FROM gp{r}"
+        )
+    parts.append(" " + " UNION ALL ".join(selects) + " ORDER BY round")
+    return "\n".join(parts)
+
+
+KCENTER_SCALABLE_SQL = _kcenter_scalable_sql()
+
+
+def _np_min_sqdist(x, centers):
+    """min squared L2 distance of each row of x to the center set,
+    with the SAME per-dim sequential accumulation as _min_sqdist (and
+    therefore the oracle's list_sum fold) — used for the driver-side
+    greedy reduction over the tiny candidate set."""
+    import numpy as np  # noqa: PLC0415
+
+    c = np.asarray(centers, dtype=np.float64)
+    acc = np.zeros((len(x), len(c)))
+    for d in range(x.shape[1]):
+        diff = x[:, d][:, None] - c[None, :, d]
+        acc += diff * diff
+    return acc.min(axis=1)
+
+
+@plan("emb_kcenter_scalable", oracle=KCENTER_SCALABLE_SQL)
+def emb_kcenter_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bulk k-center: the k-means|| (Bahmani et al., VLDB'12) shape —
+    {KCS_ROUNDS} oversampling scans each draw the top-{KCS_L} vectors
+    farthest from the current candidate set (the deterministic analog
+    of one d²-weighted sample round), then the greedy 2-approximation
+    runs DRIVER-SIDE over the ~(1 + R·L) collected candidates to pick
+    the final {KCS_K} centers.
+
+    Scale contrast with emb_kcenter_init: the greedy form scans the
+    corpus k−1 times (inherently sequential in k); this one scans it
+    only KCS_ROUNDS times regardless of k — the round count is
+    O(log n) in theory and a small constant in practice — and the only
+    driver-side state is the candidate set (R·L × dim floats, the
+    documented tiny-collect). Each scan is one Arrow map pass + a
+    TakeOrdered top-L. tests/test_knn_scalable.py bounds its coverage
+    radius against the greedy baseline."""
+    import numpy as np  # noqa: PLC0415
+
+    emb = _load_embeddings(spark, sf_dir)
+    first = emb.orderBy("vec_id").limit(1).collect()[0]
+    cand_ids = [int(first["vec_id"])]
+    cand_vecs = [[float(v) for v in first["e"]]]
+    for _ in range(KCS_ROUNDS):
+        picks = (
+            _min_sqdist(emb.filter(~F.col("vec_id").isin(cand_ids)), cand_vecs)
+            .orderBy(F.col("d").desc(), "vec_id")
+            .limit(KCS_L)
+            .collect()
+        )
+        for p in picks:
+            cand_ids.append(int(p["vec_id"]))
+            cand_vecs.append([float(v) for v in p["e"]])
+    # greedy reduction over the candidate set (driver-side numpy —
+    # the set is R·L+1 rows by construction)
+    order = np.argsort(np.asarray(cand_ids))
+    ids = np.asarray(cand_ids)[order]
+    x = np.asarray(cand_vecs, dtype=np.float64)[order]
+    sel = [0]  # seed = smallest vec_id (== the global seed)
+    out = [(0, int(ids[0]), 0.0)]
+    for r in range(1, KCS_K):
+        d = _np_min_sqdist(x, x[sel])
+        d[sel] = -1.0  # exclude already-selected from the argmax
+        best = int(
+            min(range(len(ids)), key=lambda i: (-d[i], ids[i]))
+        )
+        sel.append(best)
+        out.append((r, int(ids[best]), float(d[best])))
+    res = spark.createDataFrame(out, "round int, vec_id long, dist double")
+    return res.select(
+        "round",
+        "vec_id",
+        F.when(F.col("round") == 0, F.lit(0.0))
+        .otherwise(quantize6(F.col("dist")))
+        .alias("dist"),
+    ).orderBy("round")
