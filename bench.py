@@ -118,6 +118,23 @@ BENCH_QUERIES = [
     "streaming_scd2",
     "j18_snapshot_diff",
     "dq_expectations_report",
+    # round 6
+    "crawl_to_documents",
+    "emb_kcenter_scalable",
+    "j20_asof_nearest",
+    "j21_cdc_apply",
+    "e_pivot_wide",
+    "o7_shard_assign",
+    "o9_weighted_sample",
+    "curate_mixture_temperature",
+    "curate_url_canonical",
+    "text_zipf_profile",
+    "text_hapax_ratio",
+    "emb_centroid_drift",
+    "graph_2hop_features",
+    "dq_snapshot_drift",
+    "sim_mips_topk",
+    "emb_dim_variance_topk",
 ]
 
 

@@ -8,6 +8,7 @@ Import side effect: importing this package registers every plan in
 from compendium_spark.plans import (  # noqa: F401
     ann,
     bloom,
+    crawl2docs,
     curation,
     dq,
     extended,
@@ -38,131 +39,84 @@ from compendium_spark.plans import (  # noqa: F401
 )
 
 # The driver's correctness gate samples a 50-plan prefix of the
-# registry per round, so iteration order is explicitly tiered each
-# round. Round 5 (CORRECTNESS union r01–r04: all 156 plans sampled,
-# emb_covariance the only red):
-#   tier 1 — emb_covariance: the one red row (4 rounds running);
-#            round 5 replaced its terminal ROUND with the
-#            FLOOR-quantize idiom that kills the DuckDB -0.0 vs Spark
-#            +0.0 serialization diff — this row greening is the
-#            round's headline;
-#   tier 2 — every plan whose OUTPUT idiom changed in the round-5
-#            FLOOR-quantize sweep (ROUND(double, n) is not
-#            parity-safe as a hash-compared terminal op; ~40 plans
-#            swapped to the shared quantize/sql_quantize helpers) or
-#            whose kernel changed (dedup_semdedup's grouped-map
-#            NumPy pair scorer, graph lazy checkpoints). These are
-#            new code paths and must re-green.
-#   Everything else (hash-green r01–r04, idiom untouched) follows in
-#   registration order — the timestamp family re-greened in r04
-#   against the current testdata and its code is unchanged this
-#   round, so it cedes its slots to the swept plans.
-_ROUND5_MUST_GREEN = [
-    "emb_covariance",
-    # NEW in round 5 — no driver-green row yet, must be sampled
-    "text_tfidf_log",
-    "text_quality_classifier",
-    "sim_range_search",
-    "emb_matryoshka_recall",
-    "ts_interpolate_linear",
-    "w12_time_bounded_funnel",
-    "a18_freq_items_sketch",
-    "o5_zorder_layout",
-    "a19_robust_stats",
-    "mm_phash_dedup",
-    # round-5 late additions (sketches/history/knn/bloom/multimodal) —
-    # also no green row yet; they take 13 slots that the most
-    # mechanical quantize-swept plans cede (single-scan/aggregate
-    # plans whose only change was the terminal ROUND→FLOOR-quantize
-    # expression, each bitwise-parity-proven locally on the same
-    # sf0.01 parquet the driver hashes — see tests/test_parity.py's
-    # int64-view float comparison)
-    "a20_hll_sketch",
-    "a21_histogram_quantile",
-    "j16_scd2_intervals",
-    "w13_gap_islands",
-    "sim_knn_graph",
-    "emb_kcenter_init",
-    "w14_attribution",
-    "a22_hll_setops",
-    "j17_point_in_time_join",
-    "w15_rolling_zscore",
-    "dedup_bloom_prefilter",
-    "mm_audio_vad",
-    "w16_running_distinct",
-    "graph_common_neighbors",
-    "a23_countmin_sketch",
-    "o6_skew_report",
-    "streaming_scd2",
-    "j18_snapshot_diff",
+# registry per round; the window composition is now MECHANICAL:
+# `python tools/gate_ledger.py window-audit` asserts that every plan
+# whose driver-green row predates its current code (the ledger's
+# "stale" set) sits inside this prefix. Round 6:
+#   tier 1 — the 26 plans the ledger flags "code changed since green
+#            rNN": the ~21 round-5 quantize-swept plans whose green
+#            rows predate the sweep (the round-5 verdict's #1 debt),
+#            plus this round's reworked plans (graph_common_neighbors
+#            sparsify+cap, mm_phash_dedup vectorized kernel,
+#            dq_expectations_report single-pass pivot,
+#            graph_triangle_count / dedup_cluster_labels lazy-
+#            checkpoint-era changes).
+#   tier 2 — the 14 NEW round-6 plans (no driver row yet).
+#   tier 3 — 10 drift canaries: the OLDEST clean greens (r01 rows
+#            whose fingerprints still match), re-sampled so data/env
+#            drift cannot hide behind a four-round-old green.
+_ROUND6_STALE_CODE = [
+    "a12_stats_moments",
+    "a13_exact_quantiles",
+    "a6_threshold_disposition",
+    "a8_mean_stddev",
+    "a_approx_error_bound",
+    "corpus_stats_report",
+    "dedup_cluster_labels",
+    "dedup_embedding_cosine",
+    "dedup_ngram_jaccard",
     "dq_expectations_report",
+    "e_array_positional",
+    "emb_outlier_filter",
+    "emb_quantize_int8",
+    "f_ratio_nullsafe",
+    "graph_common_neighbors",
+    "graph_triangle_count",
+    "mm_phash_dedup",
+    "p10_proportional_span_filter",
+    "sim_ivf_cells",
+    "sim_lsh_topk",
+    "text_bpe_tokens",
+    "text_lm_score",
+    "text_quality_score",
+    "text_repetition_ratio",
+    "text_token_entropy",
+    "w9_rank_distributions",
 ]
-_ROUND5_QUANTIZE_SWEPT = [
-    # 12 of the original 39 swept entries ceded their slots to the
-    # late-round additions above: the purely mechanical single-
-    # scan/aggregate swaps (text_repetition_ratio, emb_quantize_int8,
-    # a8_mean_stddev, p10_proportional_span_filter,
-    # a6_threshold_disposition, f_ratio_nullsafe, e_array_positional,
-    # a12_stats_moments, w9_rank_distributions, text_quality_score,
-    # text_bpe_tokens, text_token_entropy) — every one bitwise-parity-
-    # green locally on the driver's own sf0.01 data, which is the same
-    # computation the driver hashes. The retained entries are the
-    # iterative/stateful/kernel-changed plans where a code-path bug
-    # could be data-dependent.
-    # quality.py (corpus_stats_report and emb_outlier_filter also
-    # ceded — same mechanical-swap criterion, locally bitwise-green)
-    "emb_pca_variance_check",
-    "emb_whiten_check",
-    "sim_sq_topk_recall",
-    # semantic.py (semdedup also switched to the grouped-map kernel)
-    "dedup_semdedup",
-    "text_shingle_containment",
-    # extended.py
-    # dedup_ngram_jaccard ceded (shingle equi-join unchanged, terminal
-    # quantize swap locally bitwise-green)
-    "dedup_incremental_lsh",
-    "dedup_neardup_pipeline",
-    "sim_cosine_topk",
-    # dedup_embedding_cosine cedes its slot (same quantize pattern as
-    # its family members above; locally bitwise-parity-proven)
-    "dedup_signature_jaccard",
-    # ann/ivf/pq (sim_lsh_topk also ceded — banded candidate plan,
-    # kernel unchanged, terminal-quantize swap locally bitwise-green)
-    # sim_ivf_cells cedes its slot (integer counts; centroid refactor
-    # proven bit-identical by make_centroids draw-order test)
-    "sim_ivf_topk",
-    "sim_pq_adc_topk",
-    "sim_ivfpq_topk",
-    # curation.py (text_lm_score also ceded — scan-stage array math,
-    # mechanical terminal-quantize swap, locally bitwise-green)
-    "emb_lang_centroids",
-    # graph/kmeans/incremental (state rounding between iterations;
-    # triangle_count's change was lazy-checkpoint only — value-
-    # identical, r04-green — so it cedes its slot)
-    "graph_pagerank",
-    "cluster_kmeans",
-    "mv_incremental_refresh",
-    # olap_ext.py: a13_exact_quantiles and a_approx_error_bound also
-    # ceded (single-scan aggregate swaps, locally bitwise-green)
-    # streaming (driver-side quantize_float + agg quantize)
-    "streaming_running_totals",
-    "streaming_enrich_join",
-    "streaming_mv_refresh",
-    # text.py
-    "text_tfidf_topk",
+_ROUND6_NEW = [
+    "crawl_to_documents",
+    "emb_kcenter_scalable",
+    "j20_asof_nearest",
+    "j21_cdc_apply",
+    "e_pivot_wide",
+    "o7_shard_assign",
+    "o9_weighted_sample",
+    "curate_mixture_temperature",
+    "curate_url_canonical",
+    "text_zipf_profile",
+    "text_hapax_ratio",
+    "emb_centroid_drift",
+    "graph_2hop_features",
+    "dq_snapshot_drift",
+    "sim_mips_topk",
+    "emb_dim_variance_topk",
 ]
-_ROUND5_REVERIFY = [
-    # the timestamp family re-greened in r04 and its code is
-    # unchanged; the ten NEW round-5 plans take its slots
-    # (ts_interpolate_linear and w12 are themselves
-    # timestamp-consuming, so the drift canary role is covered)
+_ROUND6_CANARIES = [
+    "a10_last_wins_dedup",
+    "a11_salted_twostage_agg",
+    "a1_group_count_range_pick",
+    "a3_frequency_table",
+    "a5_all_quantifier",
+    "a9_majority_vote",
+    "curate_corpus",
+    "dedup_exact",
 ]
-_ROUND5_WINDOW = [
-    *_ROUND5_MUST_GREEN,
-    *_ROUND5_QUANTIZE_SWEPT,
-    *_ROUND5_REVERIFY,
+_ROUND6_WINDOW = [
+    *_ROUND6_STALE_CODE,
+    *_ROUND6_NEW,
+    *_ROUND6_CANARIES,
 ]
-assert len(_ROUND5_WINDOW) == 50, len(_ROUND5_WINDOW)
-registry.promote(_ROUND5_WINDOW)
+assert len(_ROUND6_WINDOW) == 50, len(_ROUND6_WINDOW)
+registry.promote(_ROUND6_WINDOW)
 
 all_plans = registry.all_plans
