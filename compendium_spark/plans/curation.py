@@ -591,9 +591,12 @@ def curate_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     sum, whose order would differ); weight is then one exact division,
     FLOOR-quantized.
 
-    Scale: one groupBy(source) with map-side combine, a 1-row
-    denominator broadcast back (whitelisted scalar join), output rows
-    = source count."""
+    Scale: one groupBy(source) with map-side combine; the denominator
+    is a global window SUM over the per-source AGGREGATE (source-count
+    rows, not corpus rows — a single-partition window over the tiny
+    agg output, strictly cheaper than the scalar-broadcast join form
+    whose 1-row subquery duplicated the aggregate subtree: 6 shuffles
+    → 3 in the executed plan). Output rows = source count."""
     per_src = (
         load(spark, sf_dir, "documents")
         .groupBy("source")
@@ -606,16 +609,14 @@ def curate_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("sq_scaled"),
     )
-    denom = sq.groupBy().agg(F.sum("sq_scaled").cast("long").alias("d"))
+    wall = Window.partitionBy()
+    d = F.sum("sq_scaled").over(wall).cast("long")
     return (
-        sq.join(F.broadcast(denom))
-        .select(
+        sq.select(
             "source",
             "tot_chars",
-            quantize6(F.col("sq_scaled").cast("double") / F.col("d")).alias(
-                "weight"
-            ),
-            F.floor(F.col("sq_scaled") * 100000.0 / F.col("d"))
+            quantize6(F.col("sq_scaled").cast("double") / d).alias("weight"),
+            F.floor(F.col("sq_scaled") * 100000.0 / d)
             .cast("long")
             .alias("alloc_docs"),
         )

@@ -733,26 +733,21 @@ def j20_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitioning, opposite sort — Spark re-sorts within partitions
     without reshuffling); no range join, no candidate explosion, Δ
     math in exact integer microseconds."""
+    # ONE scan: the oracle states the stream as a UNION ALL of two
+    # filtered reads, but a conditional projection over a single
+    # IN-filtered scan produces the identical rows (PLANS_AUDIT showed
+    # the union form scanning events twice)
     ev = load(spark, sf_dir, "events")
-    clicks = ev.filter(F.col("event_type") == "click").select(
+    is_click = F.col("event_type") == "click"
+    tagged = ev.filter(F.col("event_type").isin("click", "purchase")).select(
         "user_id",
         "ts",
-        F.lit(0).alias("is_fact"),
+        F.when(is_click, F.lit(0)).otherwise(F.lit(1)).alias("is_fact"),
         "event_id",
-        F.col("event_id").alias("click_id"),
-        F.col("ts").alias("click_ts"),
-        F.lit(None).cast("long").alias("purchase_id"),
+        F.when(is_click, F.col("event_id")).alias("click_id"),
+        F.when(is_click, F.col("ts")).alias("click_ts"),
+        F.when(~is_click, F.col("event_id")).alias("purchase_id"),
     )
-    facts = ev.filter(F.col("event_type") == "purchase").select(
-        "user_id",
-        "ts",
-        F.lit(1).alias("is_fact"),
-        "event_id",
-        F.lit(None).cast("long").alias("click_id"),
-        F.lit(None).cast("timestamp").alias("click_ts"),
-        F.col("event_id").alias("purchase_id"),
-    )
-    tagged = clicks.unionByName(facts)
     wb = (
         Window.partitionBy("user_id")
         .orderBy("ts", "is_fact", "event_id")

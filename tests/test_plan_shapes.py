@@ -60,8 +60,6 @@ SCALAR_SUBQUERY = {
     "text_tfidf_log",  # same 1-row N broadcast, log-idf variant
     "a23_countmin_sketch",  # 1-row stream-total broadcast into the eps bound
     "j18_snapshot_diff",  # 1-row (snap1, snap2) bounds broadcast
-    # 1-row mixture-weight denominator (sum of per-source sqrt terms)
-    "curate_mixture_temperature",
 }
 
 
