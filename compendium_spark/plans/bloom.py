@@ -120,11 +120,22 @@ def dedup_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
         "h",
         *[_spark_probe(F.col("h"), i).alias(f"p{i}") for i in range(BLOOM_K)],
     )
-    ref = probed.filter(F.col("doc_id") < REF_MAX_ID)
+    # the reference side is small by construction (doc_id < REF_MAX_ID)
+    # and is referenced by BOTH the occupied-position build and the
+    # exact-verify hash set — lazily checkpoint it so neither leg
+    # re-scans the corpus (the first-green form read documents 5x:
+    # a 3-way union for the positions plus the two reference reads;
+    # this form scans the corpus once for the query side and once,
+    # filtered, for the reference side)
+    ref = probed.filter(F.col("doc_id") < REF_MAX_ID).localCheckpoint(
+        eager=False
+    )
     occupied = (
-        ref.select(F.col("p0").alias("p"))
-        .unionAll(ref.select(F.col("p1").alias("p")))
-        .unionAll(ref.select(F.col("p2").alias("p")))
+        ref.select(
+            F.explode(
+                F.array(*[F.col(f"p{i}") for i in range(BLOOM_K)])
+            ).alias("p")
+        )
         .distinct()
     )
     q = probed.filter(F.col("doc_id") >= REF_MAX_ID)

@@ -577,30 +577,48 @@ def a23_countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial-aggregate map-side; probing joins the tiny counter table
     back (broadcast). The exact truth leg is verification cost, as in
     every sketch twin.
+
+    Shape note (round-6 explain iteration): everything derives from
+    the per-token COUNT aggregate, computed ONCE and lazily
+    checkpointed — counter(r, c) = Σ true_cnt over tokens hashing
+    there is algebraically the occurrence count, all {CM_D} hash rows
+    explode from one array projection, and the stream total is
+    Σ true_cnt. The first-green form re-scanned documents 10× (4-way
+    union of the token stream, referenced twice, plus truth and
+    total legs); this one scans it once.
     """
     docs = load(spark, sf_dir, "documents")
     tok = docs.select(
         F.explode(F.split(F.trim(F.lower(F.col("text"))), " +")).alias("token")
     )
-    placed = None
-    for r in range(CM_D):
-        part = tok.select(
-            F.lit(r).alias("r"), _spark_cm_col(r).alias("c"), "token"
-        )
-        placed = part if placed is None else placed.unionAll(part)
-    counters = placed.groupBy("r", "c").agg(F.count(F.lit(1)).alias("cnt"))
-    truth = tok.groupBy("token").agg(F.count(F.lit(1)).alias("true_cnt"))
-    probes = (
-        truth.join(placed, "token")
-        .select("token", "true_cnt", "r", "c")
-        .distinct()
+    counts = (
+        tok.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("true_cnt"))
+        .localCheckpoint(eager=False)
+    )
+    placed = counts.select(
+        "token",
+        "true_cnt",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("r"), _spark_cm_col(r).alias("c")
+                    )
+                    for r in range(CM_D)
+                ]
+            )
+        ).alias("rc"),
+    ).select("token", "true_cnt", F.col("rc.r").alias("r"), F.col("rc.c").alias("c"))
+    counters = placed.groupBy("r", "c").agg(
+        F.sum("true_cnt").cast("long").alias("cnt")
     )
     est = (
-        probes.join(F.broadcast(counters), ["r", "c"])
+        placed.join(F.broadcast(counters), ["r", "c"])
         .groupBy("token", "true_cnt")
         .agg(F.min("cnt").alias("cm_estimate"))
     )
-    total = tok.agg(F.count(F.lit(1)).alias("total"))
+    total = counts.agg(F.sum("true_cnt").cast("long").alias("total"))
     return (
         est.join(F.broadcast(total))
         .select(
