@@ -94,3 +94,81 @@ def test_pivot_wide_matches_long_counts(spark):
     )
     for r in long:
         assert wide[r["user_id"]][f"n_{r['event_type']}"] == r["count"]
+
+
+def test_ahash_bands_property_random_payloads():
+    """Property: the vectorized aHash equals the per-row reference on
+    arbitrary ASCII payloads of arbitrary (>= PH_BLOCKS) lengths —
+    hypothesis explores the uneven block-boundary space the corpus
+    sample can't."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from compendium_spark.plans.multimodal import PH_BANDS, PH_BLOCKS, ahash_bands
+
+    def perrow(payload: bytes) -> list[int]:
+        a = np.frombuffer(payload, np.uint8).astype(np.int64)
+        ln = len(a)
+        total = int(a.sum())
+        bits = [
+            1
+            if int(a[k * ln // PH_BLOCKS : (k + 1) * ln // PH_BLOCKS].sum())
+            * ln
+            > total * ((k + 1) * ln // PH_BLOCKS - k * ln // PH_BLOCKS)
+            else 0
+            for k in range(PH_BLOCKS)
+        ]
+        return [
+            sum(bits[16 * band + j] << j for j in range(16))
+            for band in range(PH_BANDS)
+        ]
+
+    payload_st = st.binary(min_size=PH_BLOCKS, max_size=PH_BLOCKS * 5).map(
+        lambda b: bytes(x % 128 for x in b)
+    )
+
+    @given(st.lists(payload_st, min_size=1, max_size=8))
+    @settings(max_examples=60, deadline=None)
+    def check(payloads):
+        got = ahash_bands(payloads)
+        for i, p in enumerate(payloads):
+            assert got[i].tolist() == perrow(p)
+
+    check()
+
+
+def test_url_canonicalization_is_idempotent(spark):
+    """canon(canon(x)) == canon(x): applying the plan's regex chain to
+    its own output must be a no-op — the property that makes a
+    canonical form safe to store and re-ingest."""
+    from pyspark.sql import functions as F
+
+    from compendium_spark.plans.curation import curate_url_canonical
+
+    urls = curate_url_canonical(spark, SF_ORACLE).select("canonical_url")
+    twice = urls.select(
+        "canonical_url",
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(
+                    F.regexp_replace(
+                        F.regexp_replace(
+                            F.lower(F.col("canonical_url")),
+                            "^https://",
+                            "http://",
+                        ),
+                        "#.*$",
+                        "",
+                    ),
+                    r"\?utm_[^#]*",
+                    "",
+                ),
+                ":(80|443)/",
+                "/",
+            ),
+            "/$",
+            "",
+        ).alias("again"),
+    )
+    assert twice.filter(F.col("again") != F.col("canonical_url")).count() == 0
