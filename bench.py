@@ -135,6 +135,8 @@ BENCH_QUERIES = [
     "dq_snapshot_drift",
     "sim_mips_topk",
     "emb_dim_variance_topk",
+    "o10_epoch_shuffle",
+    "w17_retention_cohorts",
 ]
 
 

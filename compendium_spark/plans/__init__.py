@@ -104,12 +104,13 @@ _ROUND6_NEW = [
     # changed → the ledger flags them, so they re-green this round)
     "a23_countmin_sketch",
     "dedup_bloom_prefilter",
+    # round-6 late additions
+    "o10_epoch_shuffle",
+    "w17_retention_cohorts",
 ]
 _ROUND6_CANARIES = [
     "a11_salted_twostage_agg",
     "a1_group_count_range_pick",
-    "a3_frequency_table",
-    "a5_all_quantifier",
     "curate_corpus",
     "dedup_exact",
 ]

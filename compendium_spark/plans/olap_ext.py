@@ -998,3 +998,85 @@ def o9_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_orderkey", "price_cents")
         .orderBy("o_orderkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# o10: deterministic epoch shuffle
+# ---------------------------------------------------------------------------
+
+EPOCHS = 2
+EPOCH_HEAD = 20
+
+
+def _epoch_shuffle_sql() -> str:
+    from compendium_spark.plans.sketches import _sql_hex_to_long  # noqa: PLC0415
+
+    u32 = _sql_hex_to_long(
+        "md5(CAST(doc_id AS STRING) || ':' || CAST(epoch AS STRING))", 8
+    )
+    return f"""
+WITH e AS (
+  SELECT doc_id, unnest(range(0, {EPOCHS})) AS epoch FROM documents
+),
+keyed AS (SELECT epoch, doc_id, {u32} AS ord FROM e),
+ranked AS (
+  SELECT epoch, doc_id, ord,
+         CAST(ROW_NUMBER() OVER (PARTITION BY epoch
+                                 ORDER BY ord, doc_id) AS BIGINT) AS pos
+  FROM keyed
+)
+SELECT epoch, pos, doc_id
+FROM ranked WHERE pos <= {EPOCH_HEAD}
+ORDER BY epoch, pos
+"""
+
+
+EPOCH_SHUFFLE_SQL = _epoch_shuffle_sql()
+
+
+@plan("o10_epoch_shuffle", oracle=EPOCH_SHUFFLE_SQL)
+def o10_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-epoch global shuffle — the data-order leg of
+    reproducible LLM training: epoch e's read order is the sort by
+    u32(md5(doc_id:e)), so every run (and every engine) derives the
+    IDENTICAL permutation per epoch with no RNG state to ship, and
+    different epochs get independent permutations. Emitted here: the
+    first {EPOCH_HEAD} positions of each of {EPOCHS} epochs (the
+    verifiable prefix certificate).
+
+    Scale: the full-order form is a range-repartition by the hash key
+    + sort-within-partitions at WRITE time (no global sort ever
+    materializes); the prefix certificate here plans as
+    WindowGroupLimit — per-partition top-k before the single-epoch
+    merge. Hash, not rand(): re-ingestion, retries and engine changes
+    cannot reorder an epoch."""
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    e = docs.select(
+        "doc_id",
+        F.explode(F.array(*[F.lit(i) for i in range(EPOCHS)])).alias("epoch"),
+    )
+    u32 = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("doc_id").cast("string"),
+                    F.lit(":"),
+                    F.col("epoch").cast("string"),
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    w = Window.partitionBy("epoch").orderBy("ord", "doc_id")
+    return (
+        e.select("epoch", "doc_id", u32.alias("ord"))
+        .withColumn("pos", F.row_number().over(w).cast("long"))
+        .filter(F.col("pos") <= EPOCH_HEAD)
+        .select("epoch", "pos", "doc_id")
+        .orderBy("epoch", "pos")
+    )

@@ -472,3 +472,64 @@ def w16_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.sum("first_seen").over(wrun).alias("distinct_types_so_far"),
     ).orderBy("user_id", "event_id")
+
+
+# ---------------------------------------------------------------------------
+# w17: cohort retention matrix
+# ---------------------------------------------------------------------------
+
+RETENTION_SQL = """
+WITH weekly AS (
+  SELECT DISTINCT user_id,
+         CAST(FLOOR(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) / 7.0)
+              AS BIGINT) AS week
+  FROM events
+),
+cohort AS (SELECT user_id, MIN(week) AS cohort_week FROM weekly GROUP BY user_id)
+SELECT c.cohort_week,
+       w.week - c.cohort_week AS week_offset,
+       CAST(COUNT(*) AS BIGINT) AS n_users
+FROM weekly w JOIN cohort c ON w.user_id = c.user_id
+GROUP BY c.cohort_week, week_offset
+ORDER BY cohort_week, week_offset
+"""
+
+
+@plan("w17_retention_cohorts", oracle=RETENTION_SQL)
+def w17_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-active week,
+    counted at each week offset they return — THE product-analytics
+    triangle every activity warehouse serves, and a useful corpus
+    lens too (source first-seen vs continued contribution). All
+    integer arithmetic (epoch-week numbers), so parity is exact.
+
+    Scale: the distinct (user, week) presence frame is computed ONCE
+    (lazy checkpoint — it feeds both the cohort min-aggregate and the
+    join side, and without the checkpoint the event scan + distinct
+    ran twice); the cohort side broadcasts; the final matrix
+    aggregate is cohort_week × offset sized. Event volume never
+    reaches the join — only the distinct weekly-presence rows do."""
+    ev = load(spark, sf_dir, "events")
+    weekly = (
+        ev.select(
+            "user_id",
+            F.floor(
+                F.datediff(F.to_date("ts"), F.lit("1970-01-01")) / 7.0
+            )
+            .cast("long")
+            .alias("week"),
+        )
+        .distinct()
+        # referenced by both the cohort aggregate and the join side —
+        # lazy checkpoint so the event scan + distinct run once
+        .localCheckpoint(eager=False)
+    )
+    cohort = weekly.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    return (
+        weekly.join(cohort, "user_id")
+        .groupBy(
+            "cohort_week", (F.col("week") - F.col("cohort_week")).alias("week_offset")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+        .orderBy("cohort_week", "week_offset")
+    )
