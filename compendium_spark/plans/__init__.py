@@ -107,10 +107,10 @@ _ROUND6_NEW = [
     # round-6 late additions
     "o10_epoch_shuffle",
     "w17_retention_cohorts",
+    "curate_gate_funnel",
 ]
 _ROUND6_CANARIES = [
     "a11_salted_twostage_agg",
-    "a1_group_count_range_pick",
     "curate_corpus",
     "dedup_exact",
 ]

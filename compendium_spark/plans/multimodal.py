@@ -290,10 +290,13 @@ def mm_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out[f"b{band}"] = bands_arr[:, band]
             yield pd.DataFrame(out)
 
+    # referenced three times (band explode + both verify sides) —
+    # without the checkpoint the Arrow hash kernel re-ran per
+    # reference (PLANS_AUDIT's dup-scan column caught it)
     hv = docs.mapInPandas(
         hash_kernel,
         schema="media_id long, b0 long, b1 long, b2 long, b3 long",
-    )
+    ).localCheckpoint(eager=False)
     bands = hv.select(
         "media_id",
         F.explode(

@@ -786,8 +786,13 @@ def curate_gate_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     row = s.agg(*aggs)
-    parts = [
-        row.select(
+    # pivot the 1-row aggregate with inline(array(struct(...))) — the
+    # unionByName-of-selects form re-referenced `row` per stage, and
+    # Catalyst duplicated the whole scan+window subtree 4x (the same
+    # shape bug operators/expectations.check had; PLANS_AUDIT's
+    # dup-scan column caught this one)
+    structs = [
+        F.struct(
             F.lit(ord_).alias("ord"),
             F.lit(name).alias("stage"),
             F.col(f"d{ord_}").cast("long").alias("n_docs"),
@@ -795,10 +800,11 @@ def curate_gate_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         for ord_, name, _ in stages
     ]
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out.orderBy("ord").select("stage", "n_docs", "total_tokens")
+    return (
+        row.select(F.inline(F.array(*structs)))
+        .orderBy("ord")
+        .select("stage", "n_docs", "total_tokens")
+    )
 
 
 # ---------------------------------------------------------------------------

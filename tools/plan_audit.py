@@ -40,12 +40,23 @@ def audit_plan(df) -> dict:
     scans = re.findall(r"FileScan parquet \[([^\]]*)\]", plan)
     pushed = len(re.findall(r"PushedFilters: \[[^\]]*\w", plan))
     widest = max((len(s.split(",")) for s in scans), default=0)
+    # duplicate-scan detector: the same parquet location appearing in
+    # more than one FileScan. A REVIEW flag, not an error: a table can
+    # legitimately play two roles (TPC-H q8 reads nation once per join
+    # role; set-operation legs re-read by definition), but a dup scan
+    # caused by a SHARED SUBTREE being re-derived per reference is the
+    # shape bug the round-6 a23/bloom/w17 fixes removed (checkpoint
+    # the shared frame, or explode instead of union). Any nonzero
+    # value should be justified in the plan docstring.
+    locs = re.findall(r"Location: \w+\([^)]*\)\s*\[([^\]]*)\]", plan)
+    dup = len(locs) - len(set(locs))
     return {
         "exchanges": plan.count("Exchange"),
         "joins": joins,
         "n_scans": len(scans),
         "widest_scan_cols": widest,
         "scans_with_pushdown": pushed,
+        "dup_scans": dup,
         # codegen'd operators print as "*(n) Op" in the final plan
         "codegen": len(re.findall(r"\*\(\d+\)", plan)),
     }
@@ -57,9 +68,9 @@ def main() -> None:
     print(f"# PLANS_AUDIT — physical plan shapes at {sf_dir}\n")
     print(
         "| plan | shuffles | joins | scans | widest scan (cols) |"
-        " pushed-filter scans | codegen spans |"
+        " pushed-filter scans | dup scans | codegen spans |"
     )
-    print("|---|---|---|---|---|---|---|")
+    print("|---|---|---|---|---|---|---|---|")
     for name, p in sorted(all_plans().items()):
         try:
             a = audit_plan(p.fn(spark, sf_dir))
@@ -72,7 +83,7 @@ def main() -> None:
         print(
             f"| {name} | {a['exchanges']} | {joins} | {a['n_scans']} |"
             f" {a['widest_scan_cols']} | {a['scans_with_pushdown']} |"
-            f" {a['codegen']} |"
+            f" {a['dup_scans']} | {a['codegen']} |"
         )
 
 
