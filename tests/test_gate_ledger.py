@@ -1,0 +1,66 @@
+"""The gate ledger is round machinery now — its staleness logic must
+itself be tested: a plan is stale iff its green row predates its
+current code, and the promoted window must cover every stale plan."""
+
+from __future__ import annotations
+
+import importlib.util
+import json
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+def _gl():
+    spec = importlib.util.spec_from_file_location(
+        "gate_ledger", REPO / "tools" / "gate_ledger.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_fingerprint_is_stable_and_code_sensitive():
+    gl = _gl()
+    from compendium_spark.plans import all_plans
+
+    plans = all_plans()
+    p = plans["q1_pricing_summary"]
+    assert gl.fingerprint(p) == gl.fingerprint(p)  # deterministic
+    # two different plans must not collide
+    q = plans["dedup_exact"]
+    assert gl.fingerprint(p) != gl.fingerprint(q)
+
+
+def test_ledger_well_formed():
+    gl = _gl()
+    ledger = json.loads((REPO / "tools" / "gate_ledger.json").read_text())
+    assert ledger, "ledger must be non-empty"
+    for name, e in ledger.items():
+        assert isinstance(e["round"], int) and 1 <= e["round"] <= 99, name
+        assert e["fingerprint"] is None or (
+            isinstance(e["fingerprint"], str) and len(e["fingerprint"]) == 16
+        ), name
+
+
+def test_every_stale_plan_is_inside_the_window():
+    """The executable form of the round invariant: any plan whose
+    driver-green row predates its current code sits in the 50-plan
+    prefix the gate samples — CI-enforced, not comment-enforced."""
+    gl = _gl()
+    from compendium_spark.plans import all_plans
+
+    stale = gl.stale_plans()
+    window = set(list(all_plans())[: gl.WINDOW])
+    outside = sorted(set(stale) - window)
+    assert not outside, f"stale plans outside the gate window: {outside}"
+
+
+def test_rows_only_plans_are_not_flagged():
+    gl = _gl()
+    from compendium_spark.plans import all_plans
+
+    stale = gl.stale_plans()
+    for name, p in all_plans().items():
+        if p.oracle is None:
+            assert name not in stale, name
