@@ -109,15 +109,23 @@ _ROUND6_NEW = [
     "w17_retention_cohorts",
     "curate_gate_funnel",
 ]
-_ROUND6_CANARIES = [
-    "a11_salted_twostage_agg",
+# the round-6 helper-closure fingerprint (tools/gate_ledger.py) also
+# flags plans whose SHARED HELPERS changed after their green row —
+# exactly the class the plan-body-only fingerprint missed:
+#   curate_corpus / dedup_cluster_stats compose dedup_cluster_labels'
+#   changed fixpoint; dedup_minhash_lsh's shingle/signature helpers
+#   moved after its r01 green. With these, every one of the 50 slots
+#   carries a REAL re-verification (no canary padding needed this
+#   round — window-audit enforces stale ⊆ window).
+_ROUND6_HELPER_STALE = [
     "curate_corpus",
-    "dedup_exact",
+    "dedup_cluster_stats",
+    "dedup_minhash_lsh",
 ]
 _ROUND6_WINDOW = [
     *_ROUND6_STALE_CODE,
     *_ROUND6_NEW,
-    *_ROUND6_CANARIES,
+    *_ROUND6_HELPER_STALE,
 ]
 assert len(_ROUND6_WINDOW) == 50, len(_ROUND6_WINDOW)
 registry.promote(_ROUND6_WINDOW)

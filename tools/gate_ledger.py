@@ -37,6 +37,11 @@ from pathlib import Path
 REPO = Path(__file__).resolve().parent.parent
 LEDGER = REPO / "tools" / "gate_ledger.json"
 WINDOW = 50  # driver gate samples this many plans off the registry front
+# excluded from the helper-closure fingerprint — see _closure_source
+INFRA_MODULES = {
+    "compendium_spark.tables",
+    "compendium_spark.session",
+}
 
 
 def _registry():
@@ -46,10 +51,58 @@ def _registry():
     return all_plans()
 
 
+def _closure_source(fn, seen: set | None = None) -> str:
+    """Source of ``fn`` plus, recursively, of every compendium_spark
+    callable its source references by name (resolved through
+    ``__globals__``). A plan's behavior lives partly in shared helpers
+    (pipeline/crawl.warc_responses_to_documents, expectations.check,
+    graph.capped_neighbor_lists, numeric.quantize6, …); hashing only
+    the ``@plan`` body would let a helper edit change every dependent
+    plan while the ledger still reported them clean — the exact
+    staleness the tool exists to catch. Module-level CONSTANTS are not
+    chased; parity-relevant constants are baked into the oracle SQL
+    f-strings, which the fingerprint already covers.
+
+    Cross-cutting INFRASTRUCTURE modules (tables.py's load /
+    maybe_broadcast, session.py) are deliberately excluded: every plan
+    in every round's 50-sample exercises them, so a change there is
+    caught by the very next gate run no matter which plans are
+    windowed — including them would flag the entire registry on any
+    loader tweak (measured: 117 plans, 2.3× the window) and make the
+    all-stale-in-window invariant unsatisfiable, burying the real
+    signal. A NICHE helper (crawl extraction, expectations.check, the
+    wedge cap) is exercised only by its dependents, which is exactly
+    when the ledger must force them back into the window.
+    Deterministic: names are visited sorted, depth-first, memoized."""
+    import re as _re  # noqa: PLC0415
+
+    if seen is None:
+        seen = set()
+    try:
+        src = inspect.getsource(fn)
+    except (OSError, TypeError):
+        return ""
+    parts = [src]
+    # name-scan CODE only: docstrings/comments/SQL strings mention
+    # other plans by name in prose, and chasing those would pull
+    # unrelated sources into the closure (false-stale over-capture)
+    code = _re.sub(r'"""[\s\S]*?"""|\'\'\'[\s\S]*?\'\'\'', "", src)
+    code = _re.sub(r"#[^\n]*", "", code)
+    g = getattr(fn, "__globals__", {})
+    for name in sorted(set(_re.findall(r"[A-Za-z_]\w*", code))):
+        obj = g.get(name)
+        if obj is None or id(obj) in seen or not callable(obj):
+            continue
+        mod = getattr(obj, "__module__", None) or ""
+        if mod.startswith("compendium_spark") and mod not in INFRA_MODULES:
+            seen.add(id(obj))
+            parts.append(_closure_source(obj, seen))
+    return "\n".join(parts)
+
+
 def fingerprint(p) -> str:
-    src = inspect.getsource(p.fn)
     return hashlib.sha256(
-        (src + "\x00" + (p.oracle or "")).encode()
+        (_closure_source(p.fn) + "\x00" + (p.oracle or "")).encode()
     ).hexdigest()[:16]
 
 
