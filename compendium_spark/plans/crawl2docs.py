@@ -43,7 +43,9 @@ SELECT doc_id AS orig_id,
          AS n_chars
 FROM documents
 WHERE doc_id % 7 NOT IN (0, 1, 2)
+  AND regexp_matches(text, '^[ -~]*$')
   AND NOT regexp_matches(text, '[<>&]')
+  AND TRIM(text) <> ''
 ORDER BY orig_id
 """
 
@@ -51,11 +53,19 @@ ORDER BY orig_id
 @plan("crawl_to_documents", oracle=CRAWL2DOCS_SQL)
 def crawl_to_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fabricated-HTTP crawl extraction under the hash gate — see
-    module docstring. The [<>&] guard keeps the HTML strip exactly
-    invertible so the oracle can state the expected text in SQL."""
+    module docstring. The input domain is made EXPLICIT so the plan is
+    total over it: printable ASCII only (Python's ``\\s`` collapses
+    unicode whitespace like \\xa0 that RE2's ``\\s`` keeps — the one
+    place the pipeline and the oracle could disagree), no [<>&] (keeps
+    the HTML strip exactly invertible in SQL), and non-blank after
+    trim (a whitespace-only body would strip to "Doc <id>" while the
+    oracle keeps the trailing space and the id round-trip regex needs
+    it). All three guards are applied identically on both engines."""
     docs = (
         load(spark, sf_dir, "documents")
+        .filter(F.col("text").rlike("^[ -~]*$"))
         .filter(~F.col("text").rlike("[<>&]"))
+        .filter(F.trim(F.col("text")) != "")
         .select("doc_id", "text")
     )
     res = F.col("doc_id") % 7

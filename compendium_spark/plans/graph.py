@@ -281,18 +281,54 @@ ORDER BY c.x, c.y
 """
 
 
-def capped_neighbor_lists(und: DataFrame, cap: int) -> DataFrame:
-    """(center, member) adjacency with every center's member list
-    capped at the ``cap`` lowest-(degree, id) members — the skew guard
-    for wedge self-joins (a center of degree d otherwise emits d²/2
-    pairs). Deterministic: (d, member) is a total order within a
-    center. Returns columns (center, member)."""
-    from pyspark.sql import Window  # noqa: PLC0415
+def _sparse_und(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Undirected top-{CN_TOPK_OUT}-out-edges trade graph (lazy
+    checkpoint — reused across the wedge-family joins), shared by
+    graph_common_neighbors and graph_2hop_features."""
+    topk = Window.partitionBy("src").orderBy(F.desc("w"), "dst")
+    sparse = (
+        _trade_edges(spark, sf_dir)
+        .withColumn("rn", F.row_number().over(topk))
+        .filter(F.col("rn") <= CN_TOPK_OUT)
+        .select("src", "dst")
+    )
+    return (
+        sparse.select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
 
+
+def neighbor_tables(und: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(nbr, deg) for an undirected edge frame (a, b): the symmetric
+    (node, nbr) adjacency and the (node, d) degree table — shared by
+    every wedge-family plan so the union+aggregate has ONE definition
+    and is built once per plan."""
     nbr = und.select(F.col("a").alias("node"), F.col("b").alias("nbr")).unionAll(
         und.select(F.col("b").alias("node"), F.col("a").alias("nbr"))
     )
     deg = nbr.groupBy("node").agg(F.count(F.lit(1)).alias("d"))
+    return nbr, deg
+
+
+def capped_neighbor_lists(
+    und: DataFrame,
+    cap: int,
+    nbr: DataFrame | None = None,
+    deg: DataFrame | None = None,
+) -> DataFrame:
+    """(center, member) adjacency with every center's member list
+    capped at the ``cap`` lowest-(degree, id) members — the skew guard
+    for wedge self-joins (a center of degree d otherwise emits d²/2
+    pairs). Deterministic: (d, member) is a total order within a
+    center. Callers that already built nbr/deg (neighbor_tables) pass
+    them in so the union+aggregate isn't re-derived. Returns columns
+    (center, member)."""
+    if nbr is None or deg is None:
+        nbr, deg = neighbor_tables(und)
     w = Window.partitionBy("center").orderBy("d", "member")
     return (
         nbr.select(F.col("nbr").alias("center"), F.col("node").alias("member"))
@@ -322,28 +358,9 @@ def graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     finish it; only (node, node) pairs ever shuffle. Jaccard is one
     integer division, FLOOR-quantized.
     """
-    from pyspark.sql import Window  # noqa: PLC0415
-
-    edges = _trade_edges(spark, sf_dir)
-    topk = Window.partitionBy("src").orderBy(F.desc("w"), "dst")
-    sparse = (
-        edges.withColumn("rn", F.row_number().over(topk))
-        .filter(F.col("rn") <= CN_TOPK_OUT)
-        .select("src", "dst")
-    )
-    und = (
-        sparse.select(
-            F.least("src", "dst").alias("a"),
-            F.greatest("src", "dst").alias("b"),
-        )
-        .distinct()
-        .localCheckpoint(eager=False)
-    )
-    nbr = und.select(F.col("a").alias("node"), F.col("b").alias("nbr")).unionAll(
-        und.select(F.col("b").alias("node"), F.col("a").alias("nbr"))
-    )
-    deg = nbr.groupBy("node").agg(F.count(F.lit(1)).alias("d"))
-    capped = capped_neighbor_lists(und, CN_CENTER_CAP)
+    und = _sparse_und(spark, sf_dir)
+    nbr, deg = neighbor_tables(und)
+    capped = capped_neighbor_lists(und, CN_CENTER_CAP, nbr=nbr, deg=deg)
     c2 = capped.select(
         F.col("center").alias("center2"), F.col("member").alias("y")
     )
@@ -448,25 +465,9 @@ def graph_2hop_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly there; hop-1 stays exact. One join per hop, a distinct on
     (x, y) pairs, one anti-join against direct edges, one count —
     only node-pair rows ever shuffle."""
-    topk = Window.partitionBy("src").orderBy(F.desc("w"), "dst")
-    sparse = (
-        _trade_edges(spark, sf_dir)
-        .withColumn("rn", F.row_number().over(topk))
-        .filter(F.col("rn") <= CN_TOPK_OUT)
-        .select("src", "dst")
-    )
-    und = (
-        sparse.select(
-            F.least("src", "dst").alias("a"),
-            F.greatest("src", "dst").alias("b"),
-        )
-        .distinct()
-        .localCheckpoint(eager=False)
-    )
-    nbr = und.select(F.col("a").alias("node"), F.col("b").alias("nbr")).unionAll(
-        und.select(F.col("b").alias("node"), F.col("a").alias("nbr"))
-    )
-    capped = capped_neighbor_lists(und, CN_CENTER_CAP)
+    und = _sparse_und(spark, sf_dir)
+    nbr, deg = neighbor_tables(und)
+    capped = capped_neighbor_lists(und, CN_CENTER_CAP, nbr=nbr, deg=deg)
     twohop = (
         nbr.join(capped, nbr["nbr"] == capped["center"])
         .filter(F.col("member") != F.col("node"))

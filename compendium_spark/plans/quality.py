@@ -1255,11 +1255,17 @@ m AS (
   FROM v GROUP BY i
 ),
 scored AS (
-  SELECT i, n * ss - s * s AS var_num,
-         ROW_NUMBER() OVER (ORDER BY n * ss - s * s DESC, i) AS rank
+  SELECT i,
+         CAST(FLOOR((CAST(ss AS DOUBLE) / n
+              - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n))
+              * 1000000.0 + 0.5) AS BIGINT) / 1000000.0 AS variance_q,
+         ROW_NUMBER() OVER (
+           ORDER BY CAST(FLOOR((CAST(ss AS DOUBLE) / n
+                    - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n))
+                    * 1000000.0 + 0.5) AS BIGINT) DESC, i) AS rank
   FROM m
 )
-SELECT i, var_num, rank
+SELECT i, variance_q, rank
 FROM scored WHERE rank <= {DIM_VAR_TOPK}
 ORDER BY rank
 """
@@ -1273,11 +1279,17 @@ def emb_dim_variance_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     committing a reduced-width index (cf. Matryoshka truncation, which
     emb_matryoshka_recall then validates).
 
-    ALL-INTEGER ranking: components quantize to BIGINT micro-units at
-    scan stage, and n·Σq² − (Σq)² is an exact integer multiple of the
-    variance — no float ever enters the comparison, so ranking ties
-    and hash parity are exact by construction (bounds: q ≲ 3e6 ⇒
-    n·Σq² ≲ 2e18 < 2⁶³).
+    Parity/overflow discipline: components quantize to BIGINT
+    micro-units at scan stage, so Σq and Σq² are EXACT integers
+    (safe to n ≈ 2.7e7 vectors; beyond that, pre-center with a
+    broadcast approximate mean first — the emb_covariance idiom).
+    The variance Σq²/n − (Σq/n)² then divides exact integers — the
+    same IEEE expression on identical operands in both engines —
+    and is FLOOR-quantized BEFORE ranking with an index tie-break,
+    so both engines rank identical values. (The earlier all-integer
+    form n·Σq² − (Σq)² was exact but overflows int64 at n ≈ 5.5e3 —
+    Spark would wrap silently while DuckDB raises; divide-first keeps
+    magnitudes bounded at any corpus size.)
 
     Scale: posexplode shuffles (dim, q) integers with map-side
     combine — shuffle O(partitions × dims), vectors never move; the
@@ -1294,12 +1306,15 @@ def emb_dim_variance_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("q").cast("long").alias("s"),
         F.sum(F.col("q") * F.col("q")).cast("long").alias("ss"),
     )
-    scored = m.select(
-        "i", (F.col("n") * F.col("ss") - F.col("s") * F.col("s")).alias("var_num")
+    var = (
+        F.col("ss").cast("double") / F.col("n")
+        - (F.col("s").cast("double") / F.col("n"))
+        * (F.col("s").cast("double") / F.col("n"))
     )
-    w = Window.orderBy(F.desc("var_num"), "i")
+    scored = m.select("i", quantize6(var).alias("variance_q"))
+    w = Window.orderBy(F.desc("variance_q"), "i")
     return (
-        scored.orderBy(F.desc("var_num"), "i")
+        scored.orderBy(F.desc("variance_q"), "i")
         .limit(DIM_VAR_TOPK)
         .withColumn("rank", F.row_number().over(w).cast("long"))
         .orderBy("rank")

@@ -172,3 +172,50 @@ def test_url_canonicalization_is_idempotent(spark):
         ).alias("again"),
     )
     assert twice.filter(F.col("again") != F.col("canonical_url")).count() == 0
+
+
+def test_crawl_to_documents_total_over_adversarial_text(spark, tmp_path):
+    """The plan's domain guards must make it TOTAL: empty text,
+    whitespace-only text, unicode whitespace (\\xa0 — collapsed by
+    Python's \\s but not RE2's) and control characters must be handled
+    identically by the Spark pipeline and the DuckDB oracle, not just
+    on the well-behaved fixture corpus."""
+    import duckdb
+
+    from compendium_spark.plans.crawl2docs import crawl_to_documents
+
+    rows = [
+        (3, "normal words here", "en", "s", 17),
+        (4, "", "en", "s", 0),                      # empty
+        (5, "   ", "en", "s", 3),                   # whitespace-only
+        (6, "nbsp inside", "en", "s", 11),     # unicode ws
+        (10, "tab\there", "en", "s", 8),            # control char
+        (11, "double  spaced  text", "en", "s", 20),
+        (12, "<b>tagged</b>", "en", "s", 13),       # markup chars
+        (13, "kept plain row", "en", "s", 14),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    got = crawl_to_documents(spark, str(tmp_path)).toPandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"'{tmp_path}/documents.parquet/*.parquet'"
+    )
+    from compendium_spark.plans import all_plans
+
+    want = con.execute(all_plans()["crawl_to_documents"].oracle).df()
+    got = got.sort_values("orig_id", ignore_index=True)[sorted(got.columns)]
+    want = want.sort_values("orig_id", ignore_index=True)[sorted(want.columns)]
+    assert list(got["orig_id"]) == list(want["orig_id"])
+    assert list(got["text"]) == list(want["text"])
+    assert list(got["n_chars"]) == list(want["n_chars"])
+    # the guards drop exactly: residues 0-2 (none here besides 10?),
+    # empty/ws-only (4 is residue 4 but empty; 5 ws-only), non-ASCII
+    # (6), markup (12); doc 10 is residue 3 but contains a tab ->
+    # excluded by printable-ASCII; 11 double-space collapses
+    kept = set(got["orig_id"])
+    assert kept == {3, 11, 13}, kept
+    assert got.loc[got["orig_id"] == 11, "text"].iloc[0] == "Doc 11 double spaced text"
