@@ -91,3 +91,71 @@ class TestBaselineLoader:
             bench.os.path, "dirname", lambda _p: str(tmp_path)
         )
         assert bench._baseline() == {"good": 2.0}
+
+
+class TestCompactLine:
+    """Round-7 fix: BENCH_r05/r06 came back `parsed: null` because the
+    full per-query dict overflowed the driver's ~3 KB stdout tail
+    capture. The stdout line must now serialize under ~1.9 KB no
+    matter how many plans the registry holds."""
+
+    def _timings(self, n):
+        return {
+            f"some_rather_long_plan_name_family_{i:03d}": 0.123 + i
+            for i in range(n)
+        }
+
+    def test_fits_budget_at_registry_scale(self):
+        t = self._timings(250)
+        out = bench.compact_line(t, {}, "0.1", list(t)[:111])
+        assert len(json.dumps(out)) <= 1900
+        assert out["n_queries"] == 250
+        assert out["value"] > 0
+
+    def test_degrades_by_dropping_sections(self):
+        # hundreds of distinct families -> the rollup itself overflows
+        # and both optional sections must be shed
+        letters = "abcdefghijklmnopqrst"
+        t = {
+            f"fam{letters[i // 20]}{letters[i % 20]}_plan": 0.5
+            for i in range(400)
+        }
+        out = bench.compact_line(t, {}, "0.1", [], budget=250)
+        assert len(json.dumps(out)) <= 250
+        assert "worst10" not in out and "families" not in out
+
+    def test_worst10_are_the_slowest(self):
+        t = {"fast_a": 0.1, "slow_b": 9.0, "mid_c": 1.0}
+        out = bench.compact_line(t, {}, "0.01", [])
+        assert list(out["worst10"])[0] == "slow_b"
+
+    def test_family_rollup(self):
+        assert bench._family("q1_pricing_summary") == "q"
+        assert bench._family("a12_stats_moments") == "a"
+        assert bench._family("text_lm_score") == "text"
+        assert bench._family("j20_asof_nearest") == "j"
+        assert bench._family("ts_interpolate_linear") == "ts"
+
+    def test_baseline_prefers_detail_file(self, tmp_path, monkeypatch):
+        (tmp_path / "BENCH_DETAIL.json").write_text(
+            json.dumps({"sf": 0.1, "queries": {"qd": 4.0}})
+        )
+        (tmp_path / "BENCH_r01.json").write_text(
+            json.dumps({"parsed": {"queries": {"q1": 1.5}}})
+        )
+        monkeypatch.setattr(
+            bench.os.path, "dirname", lambda _p: str(tmp_path)
+        )
+        assert bench._baseline() == {"qd": 4.0}
+
+    def test_baseline_ignores_detail_at_wrong_sf(self, tmp_path, monkeypatch):
+        (tmp_path / "BENCH_DETAIL.json").write_text(
+            json.dumps({"sf": 0.001, "queries": {"qd": 4.0}})
+        )
+        (tmp_path / "BENCH_r01.json").write_text(
+            json.dumps({"parsed": {"queries": {"q1": 1.5}}})
+        )
+        monkeypatch.setattr(
+            bench.os.path, "dirname", lambda _p: str(tmp_path)
+        )
+        assert bench._baseline() == {"q1": 1.5}
