@@ -30,7 +30,9 @@ PLANS = all_plans()
 # the ANN/LSH candidate plans registered alongside are the scale path);
 # sim_cosine_topk's broadcast-queries × corpus sweep is keyless by design
 ALLPAIRS_BASELINES = {
-    "dedup_embedding_cosine",
+    # dedup_embedding_cosine left this set in round 7: re-registered
+    # as the LSH-bucketed exact verify (equi-join on bucket keys, no
+    # BNLJ) — the all-pairs form is now a DuckDB-only test oracle
     "dedup_ngram_jaccard",
     "sim_cosine_topk",
     "sim_mips_topk",  # same broadcast-queries exact baseline, dot metric
