@@ -2,7 +2,7 @@
 decontamination and reference-set dedup at scale.
 
 At 100 TB you do not ship a reference corpus's full key set to every
-scan task; you ship its Bloom filter (here m=2048 positions, k=3
+scan task; you ship its Bloom filter (here m=256 positions, k=3
 md5-derived probes — a few hundred bytes as a bitmap) and let the scan
 stage discard the overwhelming majority of rows before any shuffle.
 Rows passing the filter are candidates (with a bounded false-positive
@@ -30,7 +30,12 @@ from pyspark.sql import functions as F
 from compendium_spark.plans.registry import plan
 from compendium_spark.tables import load
 
-BLOOM_M = 2048  # filter positions
+BLOOM_M = 256  # filter positions — deliberately small at fixture scale
+# (m=2048 left the FP set empty, so the r6 gate hashed ONE row; at 256
+# the false positives are visible: ~40-50 candidate rows per fixture,
+# every one exact-verified, which is the behavior the plan exists to
+# prove. Production sizes m for the target FP rate; the algebra is
+# m-independent.)
 BLOOM_K = 3  # probes per key
 REF_MAX_ID = 50  # documents with doc_id < 50 form the reference set
 
