@@ -105,11 +105,12 @@ def streaming_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_memory(agg, "stream_tumbling", "complete")
 
 
-def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Native session windows (30-min gap) — the streaming counterpart
-    of plans/windows.w3_sessionization."""
-    ev = read_events_stream(spark, sf_dir)
-    agg = (
+def session_windows_transform(ev: DataFrame) -> DataFrame:
+    """The session-window aggregation, source-agnostic: applied to the
+    production file stream by streaming_session_windows and to staged
+    multi-file sources by tests/test_streaming_progress.py (which pins
+    per-micro-batch state-store metrics — the r6 verdict's ask)."""
+    return (
         ev.withWatermark("ts", "10 minutes")
         .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
         .agg(F.count(F.lit(1)).alias("n_events"))
@@ -120,7 +121,15 @@ def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
-    return _run_to_memory(agg, "stream_sessions", "complete")
+
+
+def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session windows (30-min gap) — the streaming counterpart
+    of plans/windows.w3_sessionization."""
+    ev = read_events_stream(spark, sf_dir)
+    return _run_to_memory(
+        session_windows_transform(ev), "stream_sessions", "complete"
+    )
 
 
 RUNNING_SCHEMA = "user_id long, events_seen long, total_value double"
@@ -464,11 +473,16 @@ def streaming_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     this shape checkpoint/replay-safe downstream.
     """
     ev = read_events_stream(spark, sf_dir)
-    out = ev.groupBy("user_id").applyInPandasWithState(
+    return _run_to_memory(scd2_transform(ev), "stream_scd2", "append")
+
+
+def scd2_transform(ev: DataFrame) -> DataFrame:
+    """The stateful SCD2 operator, source-agnostic (see
+    session_windows_transform for why the split exists)."""
+    return ev.groupBy("user_id").applyInPandasWithState(
         _scd2_changes,
         outputStructType=SCD2_OUT_SCHEMA,
         stateStructType=SCD2_STATE_SCHEMA,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-    return _run_to_memory(out, "stream_scd2", "append")
