@@ -77,18 +77,38 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
+# State partition count for the bounded demo streams. A stateful
+# query instantiates one state store per shuffle partition per
+# stateful operator (a stream-stream join keeps FOUR per partition),
+# and that setup cost is the whole wall-clock at fixture scale:
+# streaming_interval_join measured 6.9 s at 32 partitions vs 2.4 s at
+# 4, identical results (partition-count invariance is swept
+# registry-wide by tools/parity_sweep.py). Production sizing is
+# throughput-driven — raise it with key cardinality; it is pinned at
+# query start by the checkpoint, so pick it deliberately, not by
+# inheriting the batch shuffle default (round-7 change).
+STREAM_STATE_PARTITIONS = 8
+
+
 def _run_to_memory(stream: DataFrame, name: str, output_mode: str) -> DataFrame:
     spark = stream.sparkSession
-    q = (
-        stream.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .start()
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(STREAM_STATE_PARTITIONS)
     )
     try:
-        q.processAllAvailable()
+        q = (
+            stream.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     finally:
-        q.stop()
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.sql(f"SELECT * FROM {name}")
 
 
