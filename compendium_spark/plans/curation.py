@@ -176,7 +176,12 @@ def curate_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     are thousands of docs) and BROADCAST into the corpus n-gram stream
     — the corpus is never shuffled on text; only matching (doc_id,
     gram) pairs reach the final small aggregate. The n-gram explode is
-    map-side (transform over a token slice range).
+    map-side (transform over a token slice range). Round 7 removed
+    the per-leg `(doc_id, g).distinct()`: it shuffled the ENTIRE
+    corpus gram stream before the semi-join, while the final
+    countDistinct already dedups and the broadcast semi-join prunes
+    non-matches in the scan stage — the only rows that shuffle now
+    are actual eval-gram matches (identical output, verified).
     """
     docs = load(spark, sf_dir, "documents")
     toks = F.split(F.trim(F.col("text")), " +")
@@ -184,14 +189,12 @@ def curate_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sequence(F.lit(1), F.greatest(F.size(toks) - NGRAM_N + 1, F.lit(0))),
         lambda i: F.concat_ws(" ", F.slice(toks, i, NGRAM_N)),
     )
-    grams = docs.select(
-        "doc_id", F.explode(grams_arr).alias("g")
-    ).distinct()
+    base = docs.select("doc_id", F.explode(grams_arr).alias("g"))
     eval_grams = (
-        grams.filter(F.col("doc_id") % EVAL_MOD == 0).select("g").distinct()
+        base.filter(F.col("doc_id") % EVAL_MOD == 0).select("g").distinct()
     )
     return (
-        grams.filter(F.col("doc_id") % EVAL_MOD != 0)
+        base.filter(F.col("doc_id") % EVAL_MOD != 0)
         .join(F.broadcast(eval_grams), "g", "left_semi")
         .groupBy("doc_id")
         .agg(F.countDistinct("g").alias("n_shared"))

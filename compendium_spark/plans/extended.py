@@ -793,27 +793,28 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _load_embeddings(spark, sf_dir)
     n = emb.withColumn("nrm", F.sqrt(_dot_unrolled(F.col("e"), F.col("e"))))
     e = F.col("e")
-    ent = (
-        emb.select(
-            "vec_id",
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(t).alias("tbl"),
-                            _bucket_expr(e, t).alias("bucket"),
-                        )
-                        for t in range(N_TABLES)
-                    ]
-                )
-            ).alias("h"),
-        )
-        .select("vec_id", "h.tbl", "h.bucket")
-    )
-    # no localCheckpoint on ent despite the two references: the self-
-    # join's two shuffle children canonicalize identically so Spark
-    # reuses one exchange, and the checkpoint's separate RDD job +
-    # codegen break measured 2.8 s -> 5.9 s at sf0.1 (round-7 note)
+    ent = emb.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("tbl"),
+                        _bucket_expr(e, t).alias("bucket"),
+                    )
+                    for t in range(N_TABLES)
+                ]
+            )
+        ).alias("h"),
+    ).select("vec_id", "h.tbl", "h.bucket")
+    # Deliberately the EXPRESSION bucket projection here, not ann.
+    # bucket_entries' Arrow kernel, and no localCheckpoint: this plan
+    # references ent on BOTH sides of the self-join, and only the
+    # expression form lets the two shuffle children canonicalize into
+    # one reused exchange fused with the join. Measured sf0.1,
+    # interleaved same-session: expr 3.3-4.2 s vs kernel 6.2-8.7 s
+    # (each kernel leg re-runs + broadcast-build serialization) vs
+    # checkpoint 5.9 s (separate RDD job + codegen break).
     a = ent.select(
         F.col("vec_id").alias("vec_a"), "tbl", "bucket"
     )

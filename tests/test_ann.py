@@ -8,7 +8,7 @@ from pyspark.sql import functions as F
 from compendium_spark.plans import all_plans
 from compendium_spark.tables import load
 
-from .conftest import SF_ORACLE
+from .conftest import SF_ORACLE, SF_SMOKE
 
 PLANS = all_plans()
 
@@ -118,3 +118,38 @@ def test_pq_codes_cover_corpus(spark):
         by_sub[r.subspace] += 1
     # every subspace uses a healthy share of its 16 entries
     assert all(n >= 8 for n in by_sub.values()), by_sub
+
+
+def test_bucket_kernel_matches_expression_spec(spark):
+    """Round 7 moved the bucket projection to an Arrow kernel
+    (bucket_entries); _bucket_expr remains the expression-level spec
+    and the oracle mirror. The kernel must reproduce it bit-for-bit —
+    same signs, hence same buckets, for every vector and table."""
+    from pyspark.sql import functions as F
+
+    from compendium_spark.plans.ann import (
+        N_TABLES,
+        _bucket_expr,
+        bucket_entries,
+    )
+    from compendium_spark.plans.extended import _load_embeddings
+
+    emb = _load_embeddings(spark, SF_SMOKE)
+    e = F.col("e")
+    spec = emb.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("tbl"), _bucket_expr(e, t).alias("bucket")
+                    )
+                    for t in range(N_TABLES)
+                ]
+            )
+        ).alias("h"),
+    ).select("vec_id", "h.tbl", "h.bucket")
+    got = bucket_entries(emb)
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, spec.collect())
+    )
