@@ -443,3 +443,109 @@ def mm_audio_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
         "window_len",
         (F.col("energy") > F.lit(VAD_TAU)).alias("active"),
     ).orderBy("media_id", "window_idx")
+
+
+# ---------------------------------------------------------------------------
+# mm_scene_cuts — video scene segmentation from per-frame luma deltas
+# ---------------------------------------------------------------------------
+
+SCENE_TAU = 80  # cut iff |luma[f] - luma[f-1]| > tau
+
+SCENE_SQL = f"""
+WITH video AS (
+  SELECT doc_id, text, n_chars FROM documents
+  WHERE {_TYPE_CASE} = 'video'
+),
+lum AS (
+  SELECT doc_id, i - 1 AS f, ascii(substr(text, CAST(i AS INT), 1)) AS v
+  FROM video, unnest(range(1, n_chars + 1)) AS t(i)
+),
+d AS (
+  SELECT doc_id, f, v,
+         v - LAG(v) OVER (PARTITION BY doc_id ORDER BY f) AS dv
+  FROM lum
+),
+seg AS (
+  SELECT doc_id, f,
+         COUNT(CASE WHEN ABS(dv) > {SCENE_TAU} THEN 1 END)
+           OVER (PARTITION BY doc_id ORDER BY f) AS scene_idx
+  FROM d
+)
+SELECT doc_id AS media_id,
+       CAST(scene_idx AS BIGINT) AS scene_idx,
+       CAST(MIN(f) AS BIGINT) AS start_frame,
+       CAST(MAX(f) + 1 AS BIGINT) AS end_frame,
+       CAST(COUNT(*) AS BIGINT) AS n_frames
+FROM seg
+GROUP BY doc_id, scene_idx
+ORDER BY media_id, scene_idx
+"""
+
+
+@plan("mm_scene_cuts", oracle=SCENE_SQL)
+def mm_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video scene segmentation (round-7 multimodal addition): decode
+    each video payload to a per-frame luma series (the deterministic
+    fake decode: frame f's luma = payload byte f — a real decoder
+    plugs into the same kernel seam as operators/multimodal.py), cut
+    where the frame-to-frame luma delta exceeds {SCENE_TAU}, and emit
+    one row per SCENE (media_id, scene_idx, start/end frame, length)
+    — the frame-sampling prerequisite for dedup/captioning stages
+    that want one keyframe per scene, not per frame.
+
+    The kernel is the production mechanic: Arrow carries the payload
+    into numpy, `diff` + `flatnonzero` find all cuts in one
+    vectorized pass, and only integer scene rows leave — the binary
+    column never shuffles. Integer-only output, so the oracle (ascii
+    + LAG + running cut count) is value-exact with no quantization.
+
+    Scale: map-side until the tiny per-scene rows; payload-bounded
+    work per row, spread by the _media repartition on media id.
+    """
+    import numpy as np  # noqa: PLC0415
+    import pandas as pd  # noqa: PLC0415
+
+    video = (
+        _media(spark, sf_dir)
+        .filter(F.col("media_type") == "video")
+        .select("media_id", "content")
+    )
+
+    def scene_kernel(batches):
+        for pdf in batches:
+            ids, sidx, starts_out, ends_out, nfr = [], [], [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["content"]):
+                a = np.frombuffer(bytes(payload), np.uint8).astype(np.int64)
+                if a.max(initial=0) > 127:
+                    raise ValueError(
+                        "non-ASCII payload: byte codes diverge from the "
+                        "oracle's per-character ascii()"
+                    )
+                n = len(a)
+                if n == 0:
+                    continue
+                cuts = np.flatnonzero(np.abs(np.diff(a)) > SCENE_TAU) + 1
+                bounds = np.concatenate(([0], cuts, [n]))
+                k = len(bounds) - 1
+                ids.extend([mid] * k)
+                sidx.extend(range(k))
+                starts_out.extend(int(x) for x in bounds[:-1])
+                ends_out.extend(int(x) for x in bounds[1:])
+                nfr.extend(int(x) for x in np.diff(bounds))
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "scene_idx": pd.Series(sidx, dtype="int64"),
+                    "start_frame": pd.Series(starts_out, dtype="int64"),
+                    "end_frame": pd.Series(ends_out, dtype="int64"),
+                    "n_frames": pd.Series(nfr, dtype="int64"),
+                }
+            )
+
+    return video.mapInPandas(
+        scene_kernel,
+        schema=(
+            "media_id long, scene_idx long, start_frame long, "
+            "end_frame long, n_frames long"
+        ),
+    ).orderBy("media_id", "scene_idx")

@@ -266,3 +266,166 @@ def emb_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# sim_hybrid_topk — lexical + vector hybrid retrieval fusion
+# ---------------------------------------------------------------------------
+
+HYBRID_K = 5
+
+HYBRID_SQL = f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+),
+n AS (
+  SELECT vec_id, e,
+         sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm
+  FROM v
+),
+tok AS (
+  SELECT doc_id, unnest(list_distinct(string_split_regex(trim(text), ' +'))) AS w
+  FROM documents
+),
+tok2 AS (SELECT doc_id, w FROM tok WHERE w <> ''),
+sz AS (SELECT doc_id, COUNT(*) AS n_tok FROM tok2 GROUP BY doc_id),
+inter AS (
+  SELECT q.doc_id AS query_id, c.doc_id AS cand_id, COUNT(*) AS n_common
+  FROM tok2 q JOIN tok2 c ON q.w = c.w AND c.doc_id <> q.doc_id
+  WHERE q.doc_id < 10
+  GROUP BY q.doc_id, c.doc_id
+),
+cosp AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+         list_sum(list_transform(q.e, (x, i) -> x * c.e[i])) / (q.nrm * c.nrm)
+           AS cos
+  FROM n q, n c
+  WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id
+),
+scored AS (
+  SELECT p.query_id, p.cand_id, p.cos,
+         COALESCE(1.0 * i.n_common / (sq.n_tok + sc.n_tok - i.n_common), 0.0)
+           AS jac
+  FROM cosp p
+  JOIN sz sq ON p.query_id = sq.doc_id
+  JOIN sz sc ON p.cand_id = sc.doc_id
+  LEFT JOIN inter i ON p.query_id = i.query_id AND p.cand_id = i.cand_id
+),
+ranked AS (
+  SELECT query_id, cand_id, cos, jac,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY 0.5 * cos + 0.5 * jac DESC, cand_id)
+           AS rn
+  FROM scored
+)
+SELECT query_id, cand_id,
+       CAST(FLOOR(CAST(cos AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)
+         / 1000000.0 AS cosine,
+       CAST(FLOOR(CAST(jac AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)
+         / 1000000.0 AS jaccard,
+       CAST(FLOOR(CAST(0.5 * cos + 0.5 * jac AS DOUBLE) * 1000000.0 + 0.5)
+            AS BIGINT) / 1000000.0 AS hybrid,
+       rn AS rank
+FROM ranked WHERE rn <= {HYBRID_K}
+ORDER BY query_id, rank
+"""
+
+
+@plan("sim_hybrid_topk", oracle=HYBRID_SQL)
+def sim_hybrid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval fusion (round-7 addition): per query document
+    (doc_id < 10), rank candidates by an equal-weight fusion of
+    embedding cosine and token-set Jaccard — the RAG-era hybrid of
+    dense and lexical retrieval, here with linear score fusion (the
+    deployment-common alternative to reciprocal-rank fusion, and
+    fully value-checkable).
+
+    Shapes composed from the proven pieces: the cosine side is the
+    ≤10-broadcast-query × sharded-corpus sweep (sim_cosine_topk's
+    legitimate exact form), the lexical side is a token equi-join with
+    integer intersection counts (dedup_ngram_jaccard's form on
+    distinct unigram sets), fused with a left join (pairs with zero
+    token overlap score jac=0, they are NOT dropped), ranked per
+    query. At 100 TB each side swaps in its candidate generator (LSH
+    buckets / inverted-index posting join) in front of the same
+    fusion; integer lexical math and one-fold cosine keep parity
+    bitwise.
+    """
+    from compendium_spark.plans.extended import (  # noqa: PLC0415
+        _dot_unrolled,
+        _load_embeddings,
+    )
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(F.split(F.trim(F.col("text")), " +"))
+        ).alias("w"),
+    ).filter(F.col("w") != "")
+    sz = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tok"))
+    qt = tok.filter(F.col("doc_id") < 10).select(
+        F.col("doc_id").alias("query_id"), "w"
+    )
+    ct = tok.select(F.col("doc_id").alias("cand_id"), "w")
+    inter = (
+        qt.join(ct, "w")
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .groupBy("query_id", "cand_id")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+
+    emb = _load_embeddings(spark, sf_dir)
+    n = emb.withColumn("nrm", F.sqrt(_dot_unrolled(F.col("e"), F.col("e"))))
+    q = n.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("e").alias("qe"),
+        F.col("nrm").alias("qn"),
+    )
+    c = n.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("e").alias("ce"),
+        F.col("nrm").alias("cn"),
+    )
+    cos = _dot_unrolled(F.col("qe"), F.col("ce")) / (F.col("qn") * F.col("cn"))
+    cosp = (
+        c.join(F.broadcast(q))
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .select("query_id", "cand_id", cos.alias("cos"))
+    )
+
+    sq = sz.select(F.col("doc_id").alias("query_id"), F.col("n_tok").alias("q_tok"))
+    sc = sz.select(F.col("doc_id").alias("cand_id"), F.col("n_tok").alias("c_tok"))
+    jac_raw = (
+        F.lit(1.0)
+        * F.col("n_common")
+        / (F.col("q_tok") + F.col("c_tok") - F.col("n_common"))
+    )
+    scored = (
+        cosp.join(F.broadcast(sq), "query_id")
+        .join(sc, "cand_id")
+        .join(inter, ["query_id", "cand_id"], "left")
+        .select(
+            "query_id",
+            "cand_id",
+            "cos",
+            F.coalesce(jac_raw, F.lit(0.0)).alias("jac"),
+        )
+    )
+    hybrid = F.lit(0.5) * F.col("cos") + F.lit(0.5) * F.col("jac")
+    w = Window.partitionBy("query_id").orderBy(F.desc(hybrid), "cand_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= HYBRID_K)
+        .select(
+            "query_id",
+            "cand_id",
+            quantize6(F.col("cos")).alias("cosine"),
+            quantize6(F.col("jac")).alias("jaccard"),
+            quantize6(hybrid).alias("hybrid"),
+            F.col("rn").cast("long").alias("rank"),
+        )
+        .orderBy("query_id", "rank")
+    )

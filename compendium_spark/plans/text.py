@@ -656,3 +656,75 @@ def text_hapax_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# text_ngram_novelty — per-document novelty vs everything earlier
+# ---------------------------------------------------------------------------
+
+
+def _novelty_sql() -> str:
+    from compendium_spark.plans.extended import _SHINGLES_SQL  # noqa: PLC0415
+
+    return f"""
+WITH sh AS (
+  SELECT doc_id, unnest({_SHINGLES_SQL}) AS g FROM documents
+),
+first_seen AS (
+  SELECT g, MIN(doc_id) AS first_doc FROM sh GROUP BY g
+),
+per_doc AS (
+  SELECT sh.doc_id,
+         COUNT(*) AS n_grams,
+         COUNT(CASE WHEN f.first_doc = sh.doc_id THEN 1 END) AS n_novel
+  FROM sh JOIN first_seen f ON sh.g = f.g
+  GROUP BY sh.doc_id
+)
+SELECT doc_id,
+       CAST(n_grams AS BIGINT) AS n_grams,
+       CAST(n_novel AS BIGINT) AS n_novel,
+       CAST(FLOOR(CAST(n_novel AS DOUBLE) / n_grams * 1000000.0 + 0.5)
+            AS BIGINT) / 1000000.0 AS novelty_ratio
+FROM per_doc
+ORDER BY doc_id
+"""
+
+
+@plan("text_ngram_novelty", oracle=_novelty_sql())
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document 3-gram novelty in corpus (doc_id) order: the share
+    of a document's distinct 3-gram shingles whose FIRST occurrence in
+    the corpus is this document (round-7 addition). The
+    curriculum/ordering audit for training-data pipelines: documents
+    with collapsing novelty late in an epoch are near-duplicate or
+    boilerplate tail; a quality stream should hold novelty roughly
+    flat. Complements dedup (pairwise) with a longitudinal view.
+
+    Shape: one shingle shuffle to compute each gram's min doc_id
+    (map-side combined), one shuffle back onto the doc — never a
+    pairwise join; integer counts, float enters once at the ratio.
+    At 100 TB this is exactly the two-aggregation profile of
+    dedup_exact, on shingles instead of fingerprints.
+    """
+    from compendium_spark.plans.extended import _doc_shingles  # noqa: PLC0415
+
+    sh = _doc_shingles(spark, sf_dir)
+    first = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    per_doc = (
+        sh.join(first, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.count(F.when(F.col("first_doc") == F.col("doc_id"), 1))
+            .cast("long")
+            .alias("n_novel"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_grams",
+        "n_novel",
+        quantize6(
+            F.col("n_novel").cast("double") / F.col("n_grams")
+        ).alias("novelty_ratio"),
+    ).orderBy("doc_id")

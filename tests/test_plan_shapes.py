@@ -44,6 +44,9 @@ ALLPAIRS_BASELINES = {
     # same legitimate exact form as sim_cosine_topk (both cosines
     # computed in that one pass)
     "emb_matryoshka_recall",
+    # hybrid fusion's dense side: same <=10 broadcast query vectors ×
+    # sharded corpus sweep; the lexical side is a keyed token join
+    "sim_hybrid_topk",
 }
 # plans whose only BNLJ/cartesian is a broadcast single-row scalar
 # (threshold / total / max) joined against every row — keyless by nature
