@@ -128,6 +128,76 @@ _ROUND6_WINDOW = [
     *_ROUND6_HELPER_STALE,
 ]
 assert len(_ROUND6_WINDOW) == 50, len(_ROUND6_WINDOW)
-registry.promote(_ROUND6_WINDOW)
+
+# ---- round 7 ----------------------------------------------------------
+# tier 1 — the ledger's stale set after this round's edits (gate_ledger
+# check, run at round close): the 4 thickened/reworked plans
+# (dedup_embedding_cosine bucketed top-25, text_hapax_ratio per-source,
+# dedup_bloom_prefilter m=256, dedup_cluster_stats per-cluster), the 2
+# LSH plans moved to the Arrow bucket kernel, curate_decontaminate's
+# shuffle removal, the 9 streaming plans (STREAM_STATE_PARTITIONS
+# change in windows.py — surfaced by the round-7 dotted-name closure
+# fix, which made module-attribute helpers fingerprint-visible), and
+# the 3 NEW plans.
+_ROUND7_STALE = [
+    "curate_decontaminate",
+    "dedup_bloom_prefilter",
+    "dedup_cluster_stats",
+    "dedup_embedding_cosine",
+    "mm_scene_cuts",
+    "sim_hybrid_topk",
+    "sim_lsh_buckets",
+    "sim_lsh_topk",
+    "streaming_dedup",
+    "streaming_enrich_join",
+    "streaming_interval_join",
+    "streaming_mv_refresh",
+    "streaming_running_totals",
+    "streaming_scd2",
+    "streaming_session_windows",
+    "streaming_sliding_counts",
+    "streaming_tumbling_counts",
+    "text_hapax_ratio",
+    "text_ngram_novelty",
+]
+# tier 2 — drift canaries: the 31 OLDEST clean greens (r01/r02 rows
+# whose closure fingerprints still match), re-sampled so data/env
+# drift cannot hide behind a six-round-old green.
+_ROUND7_CANARIES = [
+    "a10_last_wins_dedup",
+    "a11_salted_twostage_agg",
+    "a14_string_agg",
+    "a1_group_count_range_pick",
+    "a2_multi_count_distinct",
+    "a3_frequency_table",
+    "a4_flag_proportions",
+    "a5_all_quantifier",
+    "a9_majority_vote",
+    "a_cube",
+    "a_rollup",
+    "dedup_exact",
+    "dedup_simhash",
+    "eav_json_extract",
+    "j1_left_join_null_filter",
+    "j2_anti_join",
+    "j3_key_remap_join",
+    "j5_membership_anti",
+    "j6_partial_update_merge",
+    "j7_snowflake_dims",
+    "mm_frame_sample",
+    "o1_topk",
+    "p1_ordered_key_scan",
+    "p2_distinct_projection",
+    "p3_null_work_queue",
+    "p4_eligibility_filter",
+    "p5_status_set_filter",
+    "p7_nonzero_filter",
+    "p8_nonempty_array_filter",
+    "t1_melt_wide_to_long",
+    "a15_argmax",
+]
+_ROUND7_WINDOW = [*_ROUND7_STALE, *_ROUND7_CANARIES]
+assert len(_ROUND7_WINDOW) == 50, len(_ROUND7_WINDOW)
+registry.promote(_ROUND7_WINDOW)
 
 all_plans = registry.all_plans

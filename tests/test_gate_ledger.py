@@ -64,3 +64,18 @@ def test_rows_only_plans_are_not_flagged():
     for name, p in all_plans().items():
         if p.oracle is None:
             assert name not in stale, name
+
+
+def test_closure_resolves_module_attribute_references():
+    """Round-7 blind-spot fix: plan wrappers that reach their
+    implementation ONLY through a module attribute (`sw.streaming_scd2`
+    in plans/streaming_plans.py) must pull that implementation — and
+    its transitive helpers like _run_to_memory — into the closure
+    fingerprint. Before the fix a windows.py edit flagged nothing."""
+    gl = _gl()
+    from compendium_spark.plans import all_plans
+
+    p = all_plans()["streaming_scd2"]
+    src = gl._closure_source(p.fn)
+    assert "applyInPandasWithState" in src  # windows.scd2_transform body
+    assert "processAllAvailable" in src  # windows._run_to_memory body

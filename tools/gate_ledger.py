@@ -30,6 +30,7 @@ from __future__ import annotations
 
 import hashlib
 import inspect
+import types
 import json
 import sys
 from pathlib import Path
@@ -89,8 +90,24 @@ def _closure_source(fn, seen: set | None = None) -> str:
     code = _re.sub(r'"""[\s\S]*?"""|\'\'\'[\s\S]*?\'\'\'', "", src)
     code = _re.sub(r"#[^\n]*", "", code)
     g = getattr(fn, "__globals__", {})
+    # bare names, plus module-attribute references (`sw.streaming_scd2`
+    # where `sw` is an imported compendium_spark module): the plan
+    # wrappers in plans/streaming_plans.py reach their implementation
+    # ONLY through such dotted names, and before round 7 the scan
+    # resolved just the bare module object (not callable -> skipped),
+    # leaving the whole streaming implementation module invisible to
+    # the fingerprint — a windows.py edit flagged nothing.
+    targets = []
     for name in sorted(set(_re.findall(r"[A-Za-z_]\w*", code))):
-        obj = g.get(name)
+        targets.append(g.get(name))
+    for mod_name, attr in sorted(set(_re.findall(r"([A-Za-z_]\w*)\.([A-Za-z_]\w*)", code))):
+        base = g.get(mod_name)
+        if isinstance(base, types.ModuleType) and (
+            base.__name__.startswith("compendium_spark")
+            and base.__name__ not in INFRA_MODULES
+        ):
+            targets.append(getattr(base, attr, None))
+    for obj in targets:
         if obj is None or id(obj) in seen or not callable(obj):
             continue
         mod = getattr(obj, "__module__", None) or ""
