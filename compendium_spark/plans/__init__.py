@@ -159,6 +159,7 @@ _ROUND7_STALE = [
     "streaming_tumbling_counts",
     "text_hapax_ratio",
     "text_ngram_novelty",
+    "o11_compaction_plan",
 ]
 # tier 2 — drift canaries: the 31 OLDEST clean greens (r01/r02 rows
 # whose closure fingerprints still match), re-sampled so data/env
@@ -194,7 +195,6 @@ _ROUND7_CANARIES = [
     "p7_nonzero_filter",
     "p8_nonempty_array_filter",
     "t1_melt_wide_to_long",
-    "a15_argmax",
 ]
 _ROUND7_WINDOW = [*_ROUND7_STALE, *_ROUND7_CANARIES]
 assert len(_ROUND7_WINDOW) == 50, len(_ROUND7_WINDOW)

@@ -1080,3 +1080,88 @@ def o10_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("epoch", "pos", "doc_id")
         .orderBy("epoch", "pos")
     )
+
+
+# ---------------------------------------------------------------------------
+# o11_compaction_plan — small-files compaction planner
+# ---------------------------------------------------------------------------
+
+COMPACT_TARGET = 2048  # target output size (bytes, fixture scale)
+
+COMPACTION_SQL = f"""
+WITH files AS (
+  SELECT date_trunc('hour', ts) AS h,
+         CAST(SUM(length(props)) + 16 * COUNT(*) AS BIGINT) AS bytes
+  FROM events GROUP BY 1
+),
+cum AS (
+  SELECT h, bytes,
+         CAST(SUM(bytes) OVER (ORDER BY h
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum_bytes
+  FROM files
+),
+binned AS (
+  SELECT h, bytes,
+         CAST(FLOOR((cum_bytes - bytes) / {COMPACT_TARGET}.0) AS BIGINT)
+           AS bin_id
+  FROM cum
+)
+SELECT bin_id,
+       CAST(COUNT(*) AS BIGINT) AS n_files,
+       CAST(SUM(bytes) AS BIGINT) AS total_bytes,
+       CAST(MIN(h) AS TIMESTAMP) AS first_hour,
+       CAST(MAX(h) AS TIMESTAMP) AS last_hour
+FROM binned
+GROUP BY bin_id
+ORDER BY bin_id
+"""
+
+
+@plan("o11_compaction_plan", oracle=COMPACTION_SQL)
+def o11_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-files compaction planner (round-7 addition): treat each
+    event-hour as one small file (size = payload bytes + 16/row of
+    row overhead — the manifest a lakehouse table keeps per file),
+    assign files to target-size output bins by running-size next-fit
+    (bin = floor(preceding_cum / target), the streaming assignment
+    every compaction job uses), and emit the per-bin work plan. At
+    100 TB the small-files problem IS an operator: metadata-only
+    planning that decides which thousands of files coalesce into each
+    rewrite task.
+
+    The global ORDER BY window runs over the file MANIFEST (one row
+    per file — 720 rows at sf0.01), never the data; production runs
+    this per table-partition, making the window key (table,
+    partition) and trivially parallel. Integer byte math end to end;
+    the only division is FLOORed identically on both engines.
+    """
+    ev = load(spark, sf_dir, "events")
+    files = (
+        ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("h"))
+        .agg(
+            (F.sum(F.length("props")) + 16 * F.count(F.lit(1)))
+            .cast("long")
+            .alias("bytes")
+        )
+    )
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    w = Window.orderBy("h").rowsBetween(Window.unboundedPreceding, 0)
+    binned = files.withColumn(
+        "bin_id",
+        F.floor(
+            (F.sum("bytes").over(w) - F.col("bytes"))
+            / F.lit(float(COMPACT_TARGET))
+        ).cast("long"),
+    )
+    return (
+        binned.groupBy("bin_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_files"),
+            F.sum("bytes").cast("long").alias("total_bytes"),
+            F.min("h").cast("timestamp").alias("first_hour"),
+            F.max("h").cast("timestamp").alias("last_hour"),
+        )
+        .orderBy("bin_id")
+    )
