@@ -75,3 +75,86 @@ def test_bloom_candidates_are_all_probe_hits(spark):
     for r in out:
         p = by_id[r.doc_id]
         assert all(p[f"p{i}"] in occupied for i in range(BLOOM_K))
+
+
+def test_scene_cuts_partition_every_video(spark):
+    """Scenes must tile each video's frame range exactly: contiguous,
+    non-overlapping, starting at 0, ending at payload length, with a
+    real cut (delta > tau) at every boundary being implied by
+    construction — here we pin the tiling algebra."""
+    from compendium_spark.tables import load
+
+    out = PLANS["mm_scene_cuts"].fn(spark, SF_SMOKE).collect()
+    docs = {
+        r.doc_id: r.n_chars
+        for r in load(spark, SF_SMOKE, "documents").collect()
+        if r.doc_id % 3 == 2  # video rows
+    }
+    by_vid: dict = {}
+    for r in out:
+        by_vid.setdefault(r.media_id, []).append(r)
+    assert set(by_vid) == set(docs)
+    for vid, rows in by_vid.items():
+        rows.sort(key=lambda r: r.scene_idx)
+        assert [r.scene_idx for r in rows] == list(range(len(rows)))
+        assert rows[0].start_frame == 0
+        assert rows[-1].end_frame == docs[vid]
+        for a, b in zip(rows, rows[1:]):
+            assert a.end_frame == b.start_frame  # contiguous
+        for r in rows:
+            assert r.n_frames == r.end_frame - r.start_frame >= 1
+
+
+def test_compaction_bins_cover_all_files(spark):
+    """Every manifest file lands in exactly one bin; bin ids are the
+    contiguous prefix 0..n-1; each bin except possibly the last holds
+    at least the target's worth once its first file is counted (the
+    next-fit guarantee: a bin only closes after crossing the target)."""
+    from pyspark.sql import functions as F
+
+    from compendium_spark.plans.olap_ext import COMPACT_TARGET
+    from compendium_spark.tables import load
+
+    bins = PLANS["o11_compaction_plan"].fn(spark, SF_SMOKE).collect()
+    ev = load(spark, SF_SMOKE, "events")
+    n_files = ev.select(F.date_trunc("hour", "ts")).distinct().count()
+    assert sorted(r.bin_id for r in bins) == list(range(len(bins)))
+    assert sum(r.n_files for r in bins) == n_files
+    # next-fit invariant: bin k closes exactly when the CUMULATIVE
+    # size crosses (k+1)*target (an individual bin's own total may be
+    # small if the previous bin overshot the boundary)
+    running = 0
+    ordered = sorted(bins, key=lambda r: r.bin_id)
+    for r in ordered:
+        assert running < (r.bin_id + 1) * COMPACT_TARGET  # bin was open
+        running += r.total_bytes
+        if r is not ordered[-1]:
+            assert running >= (r.bin_id + 1) * COMPACT_TARGET  # closed
+    for r in bins:
+        assert r.first_hour <= r.last_hour
+
+
+def test_hybrid_topk_ranks_and_fusion_bounds(spark):
+    out = PLANS["sim_hybrid_topk"].fn(spark, SF_SMOKE).collect()
+    by_q: dict = {}
+    for r in out:
+        assert -1.000001 <= r.cosine <= 1.000001
+        assert 0.0 <= r.jaccard <= 1.0
+        # fusion is the midpoint of its parts (quantization slack)
+        assert abs(r.hybrid - (r.cosine + r.jaccard) / 2) < 2e-6
+        by_q.setdefault(r.query_id, []).append(r)
+    assert set(by_q) == set(range(10))
+    for q, rows in by_q.items():
+        rows.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rows] == [1, 2, 3, 4, 5]
+        hybrids = [r.hybrid for r in rows]
+        assert hybrids == sorted(hybrids, reverse=True)
+
+
+def test_novelty_first_document_is_fully_novel(spark):
+    rows = {r.doc_id: r for r in PLANS["text_ngram_novelty"].fn(spark, SF_SMOKE).collect()}
+    first = rows[min(rows)]
+    assert first.novelty_ratio == 1.0  # nothing earlier to repeat
+    for r in rows.values():
+        assert 0.0 <= r.novelty_ratio <= 1.0
+        assert r.n_novel <= r.n_grams
