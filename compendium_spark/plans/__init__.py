@@ -160,6 +160,8 @@ _ROUND7_STALE = [
     "text_hapax_ratio",
     "text_ngram_novelty",
     "o11_compaction_plan",
+    "ts_ohlc_downsample",
+    "w18_markov_transitions",
 ]
 # tier 2 — drift canaries: the 31 OLDEST clean greens (r01/r02 rows
 # whose closure fingerprints still match), re-sampled so data/env
@@ -193,8 +195,6 @@ _ROUND7_CANARIES = [
     "p4_eligibility_filter",
     "p5_status_set_filter",
     "p7_nonzero_filter",
-    "p8_nonempty_array_filter",
-    "t1_melt_wide_to_long",
 ]
 _ROUND7_WINDOW = [*_ROUND7_STALE, *_ROUND7_CANARIES]
 assert len(_ROUND7_WINDOW) == 50, len(_ROUND7_WINDOW)

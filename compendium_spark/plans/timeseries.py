@@ -224,3 +224,74 @@ def ts_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("user_id", "b")
         .drop("b")
     )
+
+
+# ---------------------------------------------------------------------------
+# ts_ohlc_downsample — OHLC bar downsampling
+# ---------------------------------------------------------------------------
+
+OHLC_SQL = """
+WITH cents AS (
+  SELECT event_type, date_trunc('hour', ts) AS bar, event_id,
+         CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) AS v_cents
+  FROM events
+)
+SELECT event_type,
+       CAST(bar AS TIMESTAMP) AS bar,
+       CAST(arg_min(v_cents, event_id) AS BIGINT) AS open_cents,
+       CAST(MAX(v_cents) AS BIGINT) AS high_cents,
+       CAST(MIN(v_cents) AS BIGINT) AS low_cents,
+       CAST(arg_max(v_cents, event_id) AS BIGINT) AS close_cents,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(v_cents) AS BIGINT) AS volume_cents
+FROM cents
+GROUP BY event_type, bar
+ORDER BY event_type, bar
+"""
+
+
+@plan("ts_ohlc_downsample", oracle=OHLC_SQL)
+def ts_ohlc_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC bar downsampling (round-7 addition): per (series, hour)
+    bar with open/high/low/close/volume — the standard time-series
+    compaction for metrics and market data, and the downsampling
+    step a 100 TB observability pipeline runs continuously.
+
+    Parity discipline: values quantize to integer CENTS at the scan
+    (FLOOR(v·100+0.5), the proven integer-moments idiom), so every
+    aggregate — including the cross-partition SUM — is exact BIGINT
+    math; open/close are arg_min/arg_max keyed on the unique
+    ingestion sequence (event_id), deterministic under any partition
+    order. One shuffle on (series, bar), map-side combined;
+    min_by/max_by are algebraic so the partial-aggregation story
+    holds at scale.
+    """
+    ev = load(spark, sf_dir, "events")
+    cents = ev.select(
+        "event_type",
+        F.date_trunc("hour", F.col("ts")).alias("bar"),
+        "event_id",
+        F.floor(F.col("value") * 100.0 + 0.5).cast("long").alias("v_cents"),
+    )
+    return (
+        cents.groupBy("event_type", "bar")
+        .agg(
+            F.min_by("v_cents", "event_id").cast("long").alias("open_cents"),
+            F.max("v_cents").cast("long").alias("high_cents"),
+            F.min("v_cents").cast("long").alias("low_cents"),
+            F.max_by("v_cents", "event_id").cast("long").alias("close_cents"),
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum("v_cents").cast("long").alias("volume_cents"),
+        )
+        .select(
+            "event_type",
+            F.col("bar").cast("timestamp").alias("bar"),
+            "open_cents",
+            "high_cents",
+            "low_cents",
+            "close_cents",
+            "n_events",
+            "volume_cents",
+        )
+        .orderBy("event_type", "bar")
+    )

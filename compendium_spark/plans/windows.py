@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from compendium_spark.functions.numeric import quantize6
 from compendium_spark.plans.registry import plan
 from compendium_spark.tables import load
 
@@ -532,4 +533,72 @@ def w17_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
         .orderBy("cohort_week", "week_offset")
+    )
+
+
+# ---------------------------------------------------------------------------
+# w18_markov_transitions — event-type transition matrix
+# ---------------------------------------------------------------------------
+
+MARKOV_SQL = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         LAG(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev
+  FROM events
+),
+pairs AS (
+  SELECT prev AS from_type, event_type AS to_type, COUNT(*) AS n
+  FROM seq WHERE prev IS NOT NULL
+  GROUP BY prev, event_type
+),
+tot AS (
+  SELECT from_type, CAST(SUM(n) AS BIGINT) AS t FROM pairs GROUP BY from_type
+)
+SELECT p.from_type, p.to_type,
+       CAST(p.n AS BIGINT) AS n,
+       CAST(FLOOR(CAST(1.0 * p.n / t.t AS DOUBLE) * 1000000.0 + 0.5)
+            AS BIGINT) / 1000000.0 AS prob
+FROM pairs p JOIN tot t USING (from_type)
+ORDER BY from_type, to_type
+"""
+
+
+@plan("w18_markov_transitions", oracle=MARKOV_SQL)
+def w18_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences (round-7 addition): P(next event type | current), the
+    behavioral-sequence statistic that feeds session simulation,
+    anomaly scoring, and next-action models. Order within a user is
+    (ts, event_id) — the unique ingestion sequence, so LAG is
+    deterministic.
+
+    Shape: one keyed window (partitioned by user — parallel, no
+    global sort), then a tiny (type × type) aggregate; the row
+    probability divides exact BIGINT counts, float enters once.
+    """
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        F.lag("event_type").over(w).alias("prev"),
+    ).filter(F.col("prev").isNotNull())
+    pairs = (
+        seq.groupBy(
+            F.col("prev").alias("from_type"),
+            F.col("event_type").alias("to_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = pairs.groupBy("from_type").agg(F.sum("n").cast("long").alias("t"))
+    return (
+        pairs.join(tot, "from_type")
+        .select(
+            "from_type",
+            "to_type",
+            F.col("n").cast("long").alias("n"),
+            quantize6(F.lit(1.0) * F.col("n") / F.col("t")).alias("prob"),
+        )
+        .orderBy("from_type", "to_type")
     )
