@@ -44,6 +44,11 @@ def _shingles(k: int = 3) -> Column:
 
     Built-in-only: sequence over start offsets + slice + concat_ws,
     then array_distinct map-side (dedup before the explode/shuffle).
+    This is the COLUMN-LEVEL SPEC that _SHINGLES_SQL mirrors and that
+    tests can evaluate standalone; the production path is
+    _doc_shingles below (same expression, tokens materialized first —
+    the inline form re-runs the split per offset, see
+    curate_decontaminate's round-7 fix).
     """
     toks = _tokens()
     n = F.size(toks)

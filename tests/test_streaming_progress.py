@@ -148,3 +148,51 @@ class TestSessionWindowMicrobatches:
         assert sorted(map(tuple, out.select(key).collect())) == sorted(
             map(tuple, batch.select(key).collect())
         )
+
+
+class TestIntervalJoinMicrobatches:
+    def test_join_state_and_batch_accounting(self, spark, staged):
+        """Stream-stream interval join across 4 micro-batches: both
+        sides buffer in the state store (rows waiting for matches
+        inside the watermark horizon), every staged file becomes a
+        batch on each side, and the multi-batch result equals a
+        single-batch run."""
+        from pyspark.sql import functions as F
+
+        def transform(ev):
+            views = (
+                ev.filter(F.col("event_type") == "view")
+                .select(
+                    F.col("event_id").alias("view_id"),
+                    F.col("user_id").alias("a_user"),
+                    F.col("ts").alias("a_ts"),
+                )
+                .withWatermark("a_ts", "10 minutes")
+            )
+            clicks = (
+                ev.filter(F.col("event_type") == "click")
+                .select(
+                    F.col("event_id").alias("click_id"),
+                    F.col("user_id").alias("b_user"),
+                    F.col("ts").alias("b_ts"),
+                )
+                .withWatermark("b_ts", "10 minutes")
+            )
+            return views.join(
+                clicks,
+                (F.col("a_user") == F.col("b_user"))
+                & (F.col("b_ts") > F.col("a_ts"))
+                & (F.col("b_ts") <= F.col("a_ts") + F.expr("INTERVAL 5 MINUTES")),
+                "inner",
+            ).select("view_id", "click_id")
+
+        src4, src1, _n, _u = staged
+        multi, batches = _run(spark, src4, transform, "ij_m4", "append")
+        assert len(batches) >= 3  # both sources drain file-per-trigger
+        # the join keeps buffered rows in state every batch
+        for p in batches:
+            assert p["stateOperators"][0]["numRowsTotal"] > 0
+        single, _b1 = _run(spark, src1, transform, "ij_m1", "append")
+        assert sorted(map(tuple, multi.collect())) == sorted(
+            map(tuple, single.collect())
+        )
