@@ -1319,3 +1319,148 @@ def emb_dim_variance_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rank", F.row_number().over(w).cast("long"))
         .orderBy("rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# sim_bq_topk — binary-quantized (1-bit) similarity search
+# ---------------------------------------------------------------------------
+
+BQ_TOPK = 5
+BQ_N_QUERIES = 10
+
+
+def _bq_pack_sql(half: int) -> str:
+    lo = 1 + 32 * half
+    return (
+        f"CAST(list_sum(list_transform(range({lo}, {lo + 32}), i -> "
+        "CASE WHEN e[i] >= 0 THEN (1::BIGINT << (i - " f"{lo}" ")) "
+        "ELSE 0::BIGINT END)) AS BIGINT)"
+    )
+
+
+BQ_SQL = f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+),
+n AS (
+  SELECT vec_id, e,
+         sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm,
+         {_bq_pack_sql(0)} AS h1,
+         {_bq_pack_sql(1)} AS h2
+  FROM v
+),
+pairs AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+         bit_count(xor(q.h1, c.h1)) + bit_count(xor(q.h2, c.h2)) AS hamming,
+         list_sum(list_transform(q.e, (x, i) -> x * c.e[i])) / (q.nrm * c.nrm)
+           AS cos
+  FROM n q, n c
+  WHERE q.vec_id < {BQ_N_QUERIES} AND c.vec_id <> q.vec_id
+),
+ranked AS (
+  SELECT query_id, cand_id, hamming, cos,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY hamming, cand_id) AS rn
+  FROM pairs
+)
+SELECT query_id, cand_id,
+       CAST(hamming AS BIGINT) AS hamming,
+       CAST(FLOOR(CAST(cos AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)
+         / 1000000.0 AS cosine,
+       rn AS rank
+FROM ranked WHERE rn <= {BQ_TOPK}
+ORDER BY query_id, rank
+"""
+
+
+@plan("sim_bq_topk", oracle=BQ_SQL)
+def sim_bq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-quantized similarity search (round-7 addition): each
+    embedding compresses to its 64 SIGN BITS (two 32-bit halves in
+    BIGINTs — 32× less memory bandwidth than float32), candidates
+    rank by Hamming distance (XOR + popcount, pure integer), and the
+    exact cosine of each returned candidate rides along for
+    calibration. The 1-bit flavor of the quantized-serving family
+    (sim_sq_* is int8, sim_pq_* is codebook): the cheapest first-pass
+    filter in modern multi-stage retrieval, re-ranked by the exact
+    score downstream.
+
+    Unlike the SQ/PQ recall twins, the ranking signal here is ALL
+    INTEGER, so the full top-{BQ_TOPK} table value-hashes against the
+    oracle — no recall-bound indirection. Packing is a codegen'd
+    32-term sum per half (simple comparisons, no dot products);
+    the ≤{BQ_N_QUERIES} queries broadcast against the sharded corpus
+    (the whitelisted exact form); ranking state is per-query top-k.
+    At scale the Hamming scan runs on codes only — 16 bytes/vector —
+    and the float vectors are fetched just for the k winners.
+    """
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("e"),
+    )
+
+    def pack(half: int):
+        out = None
+        for i in range(32):
+            bit = F.when(
+                F.element_at(F.col("e"), 32 * half + i + 1) >= 0,
+                F.lit(1 << i).cast("long"),
+            ).otherwise(F.lit(0).cast("long"))
+            out = bit if out is None else out + bit
+        return out.cast("long")
+
+    def _dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    n = emb.select(
+        "vec_id",
+        "e",
+        F.sqrt(_dot(F.col("e"), F.col("e"))).alias("nrm"),
+        pack(0).alias("h1"),
+        pack(1).alias("h2"),
+    )
+    q = n.filter(F.col("vec_id") < BQ_N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("e").alias("qe"),
+        F.col("nrm").alias("qn"),
+        F.col("h1").alias("q1"),
+        F.col("h2").alias("q2"),
+    )
+    c = n.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("e").alias("ce"),
+        F.col("nrm").alias("cn"),
+        F.col("h1").alias("c1"),
+        F.col("h2").alias("c2"),
+    )
+    hamming = (
+        F.bit_count(F.col("q1").bitwiseXOR(F.col("c1")))
+        + F.bit_count(F.col("q2").bitwiseXOR(F.col("c2")))
+    ).cast("long")
+    cos = _dot(F.col("qe"), F.col("ce")) / (F.col("qn") * F.col("cn"))
+    pairs = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .select(
+            "query_id", "cand_id", hamming.alias("hamming"), cos.alias("cos")
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy("hamming", "cand_id")
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= BQ_TOPK)
+        .select(
+            "query_id",
+            "cand_id",
+            "hamming",
+            quantize6(F.col("cos")).alias("cosine"),
+            F.col("rn").cast("long").alias("rank"),
+        )
+        .orderBy("query_id", "rank")
+    )

@@ -47,6 +47,9 @@ ALLPAIRS_BASELINES = {
     # hybrid fusion's dense side: same <=10 broadcast query vectors ×
     # sharded corpus sweep; the lexical side is a keyed token join
     "sim_hybrid_topk",
+    # binary-quantized search: same broadcast-queries sweep over the
+    # packed sign-bit codes (integer Hamming scan)
+    "sim_bq_topk",
 }
 # plans whose only BNLJ/cartesian is a broadcast single-row scalar
 # (threshold / total / max) joined against every row — keyless by nature
