@@ -163,6 +163,7 @@ _ROUND7_STALE = [
     "ts_ohlc_downsample",
     "w18_markov_transitions",
     "sim_bq_topk",
+    "curate_contamination_report",
 ]
 # tier 2 — drift canaries: the 31 OLDEST clean greens (r01/r02 rows
 # whose closure fingerprints still match), re-sampled so data/env
@@ -194,7 +195,6 @@ _ROUND7_CANARIES = [
     "p2_distinct_projection",
     "p3_null_work_queue",
     "p4_eligibility_filter",
-    "p5_status_set_filter",
 ]
 _ROUND7_WINDOW = [*_ROUND7_STALE, *_ROUND7_CANARIES]
 assert len(_ROUND7_WINDOW) == 50, len(_ROUND7_WINDOW)

@@ -719,3 +719,80 @@ def curate_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("canonical_url")
     )
+
+
+# ---------------------------------------------------------------------------
+# curate_contamination_report — per-source contamination rates
+# ---------------------------------------------------------------------------
+
+CONTAM_REPORT_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), ' +') AS t FROM documents
+),
+grams AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, len(t) - {NGRAM_N} + 2),
+                i -> array_to_string(list_slice(t, i, i + {NGRAM_N} - 1), ' ')))
+           AS g
+  FROM toks
+),
+eval_grams AS (
+  SELECT DISTINCT g FROM grams WHERE doc_id % {EVAL_MOD} = 0
+),
+contaminated AS (
+  SELECT DISTINCT g.doc_id
+  FROM grams g JOIN eval_grams e ON g.g = e.g
+  WHERE g.doc_id % {EVAL_MOD} <> 0
+),
+train AS (
+  SELECT doc_id, source FROM documents WHERE doc_id % {EVAL_MOD} <> 0
+)
+SELECT t.source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(c.doc_id) AS BIGINT) AS n_contaminated,
+       CAST(FLOOR(CAST(COUNT(c.doc_id) AS DOUBLE) / COUNT(*)
+            * 1000000.0 + 0.5) AS BIGINT) / 1000000.0 AS contamination_rate
+FROM train t LEFT JOIN contaminated c ON t.doc_id = c.doc_id
+GROUP BY t.source
+ORDER BY t.source
+"""
+
+
+@plan("curate_contamination_report", oracle=CONTAM_REPORT_SQL)
+def curate_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source benchmark-contamination rates (round-7 addition):
+    the governance rollup over curate_decontaminate — which ingest
+    sources leak eval n-grams, and how badly. This is the number a
+    data-governance review actually reads (per-document hits are the
+    remediation list; per-source rates decide whether a SOURCE is
+    dropped), and the drift signal you alert on when a crawl starts
+    scraping benchmark rehosts.
+
+    Shape: composes curate_decontaminate's gram semi-join (only
+    matching grams ever shuffle), collapses to a distinct doc set,
+    LEFT joins onto the per-source doc roster so zero-contamination
+    sources report 0.0 rather than disappearing, and aggregates to
+    source cardinality. Integer counts; float enters once at the
+    rate.
+    """
+    docs = load(spark, sf_dir, "documents")
+    contaminated = (
+        curate_decontaminate(spark, sf_dir)
+        .select("doc_id")
+        .withColumn("hit", F.lit(1))
+    )
+    train = docs.filter(F.col("doc_id") % EVAL_MOD != 0).select(
+        "doc_id", "source"
+    )
+    return (
+        train.join(contaminated, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.count("hit").cast("long").alias("n_contaminated"),
+            quantize6(
+                F.count("hit").cast("double") / F.count(F.lit(1))
+            ).alias("contamination_rate"),
+        )
+        .orderBy("source")
+    )
