@@ -164,6 +164,11 @@ _ROUND7_STALE = [
     "w18_markov_transitions",
     "sim_bq_topk",
     "curate_contamination_report",
+    "text_bm25_topk",
+    "sim_rrf_fusion",
+    "dedup_fuzzy_edit",
+    "ts_ewma",
+    "curate_length_buckets",
 ]
 # tier 2 — drift canaries: the 31 OLDEST clean greens (r01/r02 rows
 # whose closure fingerprints still match), re-sampled so data/env
@@ -190,11 +195,6 @@ _ROUND7_CANARIES = [
     "j6_partial_update_merge",
     "j7_snowflake_dims",
     "mm_frame_sample",
-    "o1_topk",
-    "p1_ordered_key_scan",
-    "p2_distinct_projection",
-    "p3_null_work_queue",
-    "p4_eligibility_filter",
 ]
 _ROUND7_WINDOW = [*_ROUND7_STALE, *_ROUND7_CANARIES]
 assert len(_ROUND7_WINDOW) == 50, len(_ROUND7_WINDOW)

@@ -796,3 +796,182 @@ def curate_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# dedup_fuzzy_edit — blocked Levenshtein near-duplicate detection
+# ---------------------------------------------------------------------------
+
+FUZZY_PREFIX = 80  # chars of text compared per pair (bounds O(p²) DP cost)
+FUZZY_THRESHOLD = 20  # edit distance at or below which a pair is a dup
+
+FUZZY_EDIT_SQL = f"""
+WITH d AS (SELECT doc_id, trim(text) AS t FROM documents),
+k AS (
+  SELECT doc_id, substr(t, 1, {FUZZY_PREFIX}) AS p,
+         string_split_regex(t, ' +') AS ws
+  FROM d
+),
+b AS (
+  SELECT doc_id, p, ws[1] || ' ' || COALESCE(ws[2], '') AS bk
+  FROM k
+),
+pairs AS (
+  SELECT a.doc_id AS a_id, c.doc_id AS b_id,
+         CAST(levenshtein(a.p, c.p) AS BIGINT) AS edit_dist
+  FROM b a JOIN b c ON a.bk = c.bk AND a.doc_id < c.doc_id
+)
+SELECT a_id, b_id, edit_dist,
+       CAST(CASE WHEN edit_dist <= {FUZZY_THRESHOLD} THEN 1 ELSE 0 END
+            AS BIGINT) AS is_dup
+FROM pairs
+ORDER BY a_id, b_id
+"""
+
+
+@plan("dedup_fuzzy_edit", oracle=FUZZY_EDIT_SQL)
+def dedup_fuzzy_edit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked edit-distance near-dup detection (round-7 addition): the
+    record-linkage modality the shingle/MinHash/SimHash family cannot
+    express — Levenshtein is sensitive to small in-place edits
+    (typo-level mutations, template fills) that leave most shingles
+    intact or break them all, depending on alignment. Blocking key =
+    the first two whitespace tokens; candidate pairs are compared on
+    an {FUZZY_PREFIX}-char prefix (bounding the O(p²) DP per pair) and
+    flagged at edit distance ≤ {FUZZY_THRESHOLD}. At sf0.01: 182
+    candidate pairs, 25 dups, 157 same-opening non-dups — the flag is
+    exercised both ways.
+
+    Shape: the block key is computed in the scan stage, candidates
+    come from an equi-join on it (never all-pairs), and the quadratic
+    primitive runs only on prefix pairs inside a block — the classic
+    blocking discipline of entity resolution at scale. Both engines'
+    `levenshtein` implement the standard insert/delete/substitute DP,
+    so the distance is integer-exact cross-engine. At 100 TB the
+    block key generalizes to (sorted-token-prefix, length band) and
+    per-block skew is handled like every hot-key join (o6_skew_report
+    → salting); per-pair cost stays constant by the prefix bound.
+
+    No reference counterpart — LLM-pipeline extension, dedup family.
+    """
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.trim(F.col("text")).alias("t")
+    )
+    k = d.select(
+        "doc_id",
+        F.substring(F.col("t"), 1, FUZZY_PREFIX).alias("p"),
+        F.split(F.col("t"), " +").alias("ws"),
+    )
+    b = k.select(
+        "doc_id",
+        "p",
+        F.concat(
+            F.element_at(F.col("ws"), 1),
+            F.lit(" "),
+            F.coalesce(F.element_at(F.col("ws"), 2), F.lit("")),
+        ).alias("bk"),
+    )
+    left = b.select(
+        F.col("doc_id").alias("a_id"), F.col("p").alias("pa"), "bk"
+    )
+    right = b.select(
+        F.col("doc_id").alias("b_id"), F.col("p").alias("pb"), "bk"
+    )
+    pairs = (
+        left.join(right, "bk")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select(
+            "a_id",
+            "b_id",
+            F.levenshtein(F.col("pa"), F.col("pb"))
+            .cast("long")
+            .alias("edit_dist"),
+        )
+    )
+    return pairs.select(
+        "a_id",
+        "b_id",
+        "edit_dist",
+        F.when(F.col("edit_dist") <= FUZZY_THRESHOLD, F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("is_dup"),
+    ).orderBy("a_id", "b_id")
+
+
+# ---------------------------------------------------------------------------
+# curate_length_buckets — batch-packing efficiency audit
+# ---------------------------------------------------------------------------
+
+# Power-of-two sequence-length ladder; shared CASE text keeps the
+# branch logic engine-identical (sketches._rho_case discipline).
+_BUCKET_LADDER = [16, 32, 64, 128, 256, 512, 1024, 2048, 4096, 8192]
+_BUCKET_CASE = (
+    "CASE "
+    + " ".join(f"WHEN n_tok <= {b} THEN {b}" for b in _BUCKET_LADDER)
+    + " ELSE 16384 END"
+)
+
+LENGTH_BUCKETS_SQL = f"""
+WITH t AS (
+  SELECT lang,
+         CAST(len(string_split_regex(trim(text), ' +')) AS BIGINT) AS n_tok
+  FROM documents
+),
+b AS (SELECT lang, n_tok, CAST({_BUCKET_CASE} AS BIGINT) AS bucket FROM t)
+SELECT lang, bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS tokens,
+       CAST(SUM(bucket - n_tok) AS BIGINT) AS pad_waste,
+       CAST(FLOOR(CAST(CAST(SUM(n_tok) AS BIGINT) AS DOUBLE)
+                  / (COUNT(*) * bucket) * 1000000.0 + 0.5) AS BIGINT)
+         / 1000000.0 AS fill_ratio
+FROM b
+GROUP BY lang, bucket
+ORDER BY lang, bucket
+"""
+
+
+@plan("curate_length_buckets", oracle=LENGTH_BUCKETS_SQL)
+def curate_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketing efficiency audit (round-7 addition): assign
+    each document to the next power-of-two token-length bucket and
+    report, per (lang, bucket), the document count, real tokens,
+    padding waste, and fill ratio. This is the number that decides a
+    training batcher's bucket boundaries — pad-to-bucket wastes
+    (bucket - len) tokens of compute per sequence, and the fill ratio
+    is exactly the fraction of a batch's FLOPs spent on real data.
+    Complements curate_pack_sequences (which packs to a budget) with
+    the padding-strategy alternative every framework defaults to.
+
+    Shape: the bucket is a scan-stage CASE ladder (shared text on
+    both engines), followed by ONE partial-aggregated groupBy on the
+    tiny (lang, bucket) key space — the dedup_exact profile; integer
+    counts/sums, float enters once at the ratio. Scale-invariant by
+    construction.
+
+    No reference counterpart — LLM-pipeline extension, curation
+    family.
+    """
+    t = load(spark, sf_dir, "documents").select(
+        "lang",
+        F.size(F.split(F.trim(F.col("text")), " +"))
+        .cast("long")
+        .alias("n_tok"),
+    )
+    b = t.select("lang", "n_tok", F.expr(_BUCKET_CASE).cast("long").alias("bucket"))
+    return (
+        b.groupBy("lang", "bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("tokens"),
+            F.sum(F.col("bucket") - F.col("n_tok"))
+            .cast("long")
+            .alias("pad_waste"),
+            quantize6(
+                F.sum("n_tok").cast("long").cast("double")
+                / (F.count(F.lit(1)) * F.col("bucket"))
+            ).alias("fill_ratio"),
+        )
+        .orderBy("lang", "bucket")
+    )

@@ -429,3 +429,183 @@ def sim_hybrid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# sim_rrf_fusion — reciprocal-rank fusion of dense + lexical retrieval
+# ---------------------------------------------------------------------------
+
+RRF_K = 5
+RRF_K0 = 60  # the standard Cormack et al. smoothing constant
+RRF_LIST = 20  # per-ranker candidate list depth
+
+
+RRF_SQL = f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+),
+n AS (
+  SELECT vec_id, e,
+         sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm
+  FROM v
+),
+dense0 AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY list_sum(list_transform(q.e, (x, i) -> x * c.e[i]))
+                    / (q.nrm * c.nrm) DESC, c.vec_id) AS rd
+  FROM n q, n c
+  WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id
+),
+dense AS (SELECT query_id, cand_id, rd FROM dense0 WHERE rd <= {RRF_LIST}),
+tok AS (
+  SELECT doc_id,
+         unnest(list_distinct(string_split_regex(trim(text), ' +'))) AS w
+  FROM documents
+),
+tok2 AS (SELECT doc_id, w FROM tok WHERE w <> ''),
+inter AS (
+  SELECT q.doc_id AS query_id, c.doc_id AS cand_id, COUNT(*) AS n_common
+  FROM tok2 q JOIN tok2 c ON q.w = c.w AND c.doc_id <> q.doc_id
+  WHERE q.doc_id < 10
+  GROUP BY q.doc_id, c.doc_id
+),
+lex0 AS (
+  SELECT query_id, cand_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY n_common DESC, cand_id) AS rl
+  FROM inter
+),
+lex AS (SELECT query_id, cand_id, rl FROM lex0 WHERE rl <= {RRF_LIST}),
+fused AS (
+  SELECT COALESCE(d.query_id, l.query_id) AS query_id,
+         COALESCE(d.cand_id, l.cand_id) AS cand_id,
+         CAST(COALESCE(d.rd, 0) AS BIGINT) AS dense_rank,
+         CAST(COALESCE(l.rl, 0) AS BIGINT) AS lex_rank,
+         COALESCE(1.0 / ({RRF_K0} + d.rd), 0.0)
+           + COALESCE(1.0 / ({RRF_K0} + l.rl), 0.0) AS score
+  FROM dense d
+  FULL JOIN lex l ON d.query_id = l.query_id AND d.cand_id = l.cand_id
+),
+ranked AS (
+  SELECT query_id, cand_id, dense_rank, lex_rank, score,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, cand_id) AS rn
+  FROM fused
+)
+SELECT query_id, cand_id, dense_rank, lex_rank,
+       CAST(FLOOR(CAST(score AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)
+         / 1000000.0 AS rrf,
+       rn AS rank
+FROM ranked WHERE rn <= {RRF_K}
+ORDER BY query_id, rank
+"""
+
+
+@plan("sim_rrf_fusion", oracle=RRF_SQL)
+def sim_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion (round-7 addition): the OTHER standard
+    hybrid-retrieval combiner, complementing sim_hybrid_topk's linear
+    score fusion. Each ranker contributes 1/(60 + rank) for candidates
+    inside its top-20 list (dense = embedding cosine, lexical =
+    distinct-token overlap count); candidates absent from a list get 0
+    from it — rank-based fusion needs no score calibration, which is
+    exactly why production stacks default to it.
+
+    Parity: both ranked lists order by bit-identical expressions
+    (one-fold cosine; integer overlap counts), the fused score is two
+    exact divisions plus one addition — the same IEEE ops in the same
+    order on both engines — and the final ranking's float compare is
+    therefore deterministic (the only equal scores are symmetric
+    (rd, rl) swaps, broken by cand_id).
+
+    Shape: dense side is the ≤10-broadcast-queries sweep, lexical side
+    the token equi-join with integer counts, both WindowGroupLimit-
+    truncated to 20 rows per query BEFORE the full outer join — the
+    fusion joins two k-row-per-query lists, never corpus-sized
+    streams. At 100 TB the ranker fronts swap in their ANN/posting
+    candidate generators; the fusion cost stays O(queries × k).
+
+    No reference counterpart — LLM-pipeline extension, retrieval
+    family.
+    """
+    from compendium_spark.plans.extended import (  # noqa: PLC0415
+        _dot_unrolled,
+        _load_embeddings,
+    )
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    emb = _load_embeddings(spark, sf_dir)
+    n = emb.withColumn("nrm", F.sqrt(_dot_unrolled(F.col("e"), F.col("e"))))
+    q = n.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("e").alias("qe"),
+        F.col("nrm").alias("qn"),
+    )
+    c = n.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("e").alias("ce"),
+        F.col("nrm").alias("cn"),
+    )
+    cos = _dot_unrolled(F.col("qe"), F.col("ce")) / (F.col("qn") * F.col("cn"))
+    wd = Window.partitionBy("query_id").orderBy(F.desc(cos), "cand_id")
+    dense = (
+        c.join(F.broadcast(q))
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .withColumn("rd", F.row_number().over(wd))
+        .filter(F.col("rd") <= RRF_LIST)
+        .select("query_id", "cand_id", "rd")
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(F.split(F.trim(F.col("text")), " +"))
+        ).alias("w"),
+    ).filter(F.col("w") != "")
+    qt = tok.filter(F.col("doc_id") < 10).select(
+        F.col("doc_id").alias("query_id"), "w"
+    )
+    ct = tok.select(F.col("doc_id").alias("cand_id"), "w")
+    inter = (
+        qt.join(ct, "w")
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .groupBy("query_id", "cand_id")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    wl = Window.partitionBy("query_id").orderBy(
+        F.desc("n_common"), "cand_id"
+    )
+    lex = (
+        inter.withColumn("rl", F.row_number().over(wl))
+        .filter(F.col("rl") <= RRF_LIST)
+        .select("query_id", "cand_id", "rl")
+    )
+
+    score = F.coalesce(
+        F.lit(1.0) / (F.lit(RRF_K0) + F.col("rd")), F.lit(0.0)
+    ) + F.coalesce(F.lit(1.0) / (F.lit(RRF_K0) + F.col("rl")), F.lit(0.0))
+    fused = dense.join(lex, ["query_id", "cand_id"], "full").select(
+        "query_id",
+        "cand_id",
+        F.coalesce(F.col("rd"), F.lit(0)).cast("long").alias("dense_rank"),
+        F.coalesce(F.col("rl"), F.lit(0)).cast("long").alias("lex_rank"),
+        score.alias("score"),
+    )
+    wr = Window.partitionBy("query_id").orderBy(F.desc("score"), "cand_id")
+    return (
+        fused.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") <= RRF_K)
+        .select(
+            "query_id",
+            "cand_id",
+            "dense_rank",
+            "lex_rank",
+            quantize6(F.col("score")).alias("rrf"),
+            F.col("rn").cast("long").alias("rank"),
+        )
+        .orderBy("query_id", "rank")
+    )

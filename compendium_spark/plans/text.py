@@ -728,3 +728,158 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_novel").cast("double") / F.col("n_grams")
         ).alias("novelty_ratio"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# text_bm25_topk — BM25 lexical retrieval (more-like-this form)
+# ---------------------------------------------------------------------------
+
+BM25_K = 5
+# k1 = 1.25 and b = 0.75 are deliberately EXACT binary fractions (5/4,
+# 3/4) so the literals parse to identical doubles on both engines; the
+# standard 1.2 would round differently only in theory, but exactness
+# removes the question entirely.
+BM25_K1 = "1.25"
+BM25_B = "0.75"
+
+BM25_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), ' +')) AS w
+  FROM documents
+),
+tok2 AS (SELECT doc_id, w FROM tok WHERE w <> ''),
+dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok2 GROUP BY doc_id),
+stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(CAST(SUM(dl) AS BIGINT) AS DOUBLE) / COUNT(*) AS avgdl
+  FROM dl
+),
+tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM tok2 GROUP BY doc_id, w),
+df AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY w),
+q AS (SELECT DISTINCT doc_id AS query_id, w FROM tok2 WHERE doc_id < 10),
+terms AS (
+  SELECT q.query_id, c.doc_id AS cand_id,
+         CAST(FLOOR(
+           ln((s.n - f.df + 0.5) / (f.df + 0.5) + 1.0)
+           * (c.tf * ({BM25_K1} + 1.0))
+           / (c.tf + {BM25_K1}
+              * (1.0 - {BM25_B} + {BM25_B} * (d.dl / s.avgdl)))
+           * 1000000.0 + 0.5) AS BIGINT) AS micro
+  FROM q
+  JOIN tf c ON q.w = c.w AND c.doc_id <> q.query_id
+  JOIN df f ON q.w = f.w
+  JOIN dl d ON c.doc_id = d.doc_id
+  CROSS JOIN stats s
+),
+scored AS (
+  SELECT query_id, cand_id, CAST(SUM(micro) AS BIGINT) AS micro
+  FROM terms GROUP BY query_id, cand_id
+),
+ranked AS (
+  SELECT query_id, cand_id, micro,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY micro DESC, cand_id) AS rn
+  FROM scored
+)
+SELECT query_id, cand_id, micro / 1000000.0 AS bm25, rn AS rank
+FROM ranked WHERE rn <= {BM25_K}
+ORDER BY query_id, rank
+"""
+
+
+@plan("text_bm25_topk", oracle=BM25_SQL)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 lexical retrieval, more-like-this form (round-7 addition):
+    each query document's (doc_id < 10) distinct token set scores every
+    other document with Okapi BM25 (k1=1.25, b=0.75), top-5 per query.
+    This is THE lexical baseline of hybrid retrieval stacks — the
+    scorer `sim_hybrid_topk`'s Jaccard side approximates; completing it
+    makes the retrieval family's lexical leg canonical.
+
+    Cross-engine hash discipline: every per-term partial score is
+    FLOOR-quantized to INTEGER MICRO-UNITS before summation, so the
+    per-candidate score is an exact BIGINT sum (order-free across
+    partitions — float summation order can never diverge) and the
+    ranking compares integers. Idf/tf factors use one shared
+    expression text in both engines (ln parity proven by
+    text_tfidf_log); k1/b are exact binary fractions.
+
+    Shape: tf/df aggregations shuffle (token) keys with map-side
+    combine — never document text; the ≤10-query term list (~600 rows)
+    broadcasts onto the tf stream, which IS the inverted-index posting
+    join (candidates = docs sharing a query term, not the corpus);
+    per-doc length and the 1-row (N, avgdl) scalar broadcast. At
+    100 TB each side scales like dedup_exact's two-aggregation
+    profile; no pairwise corpus join exists anywhere.
+
+    No reference counterpart (relational ETL only) — brief's
+    LLM-pipeline extension axis, retrieval family.
+    """
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), " +")).alias("w"),
+    ).filter(F.col("w") != "")
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        (
+            F.sum("dl").cast("long").cast("double") / F.count(F.lit(1))
+        ).alias("avgdl"),
+    )
+    tf = tok.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    q = (
+        tok.filter(F.col("doc_id") < 10)
+        .select(F.col("doc_id").alias("query_id"), "w")
+        .distinct()
+    )
+
+    k1 = float(BM25_K1)
+    b = float(BM25_B)
+    idf = F.log(
+        (F.col("n") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+        + F.lit(1.0)
+    )
+    term_score = (
+        idf
+        * (F.col("tf") * F.lit(k1 + 1.0))
+        / (
+            F.col("tf")
+            + F.lit(k1)
+            * (
+                F.lit(1.0)
+                - F.lit(b)
+                + F.lit(b) * (F.col("dl") / F.col("avgdl"))
+            )
+        )
+    )
+    terms = (
+        tf.join(F.broadcast(q), "w")
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .join(df, "w")
+        .join(F.broadcast(dl), "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "query_id",
+            F.col("doc_id").alias("cand_id"),
+            F.floor(term_score * F.lit(1000000.0) + F.lit(0.5))
+            .cast("long")
+            .alias("micro"),
+        )
+    )
+    scored = terms.groupBy("query_id", "cand_id").agg(
+        F.sum("micro").cast("long").alias("micro")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("micro"), "cand_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= BM25_K)
+        .select(
+            "query_id",
+            "cand_id",
+            (F.col("micro") / F.lit(1000000.0)).alias("bm25"),
+            F.col("rn").cast("long").alias("rank"),
+        )
+        .orderBy("query_id", "rank")
+    )

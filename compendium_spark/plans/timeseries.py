@@ -295,3 +295,94 @@ def ts_ohlc_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "bar")
     )
+
+
+# ---------------------------------------------------------------------------
+# ts_ewma — exact fixed-point exponentially-weighted moving average
+# ---------------------------------------------------------------------------
+
+EWMA_W = 8  # truncated window length; weights 2^(W-1-k), denominator 2^W - 1
+
+
+def _ewma_sql() -> str:
+    lags = ",\n         ".join(
+        f"LAG(cents, {k}) OVER w AS l{k}" for k in range(1, EWMA_W)
+    )
+    num = " + ".join(
+        ["cents * 128"]
+        + [f"l{k} * {2 ** (EWMA_W - 1 - k)}" for k in range(1, EWMA_W)]
+    )
+    return f"""
+WITH c AS (
+  SELECT user_id, ts, event_id,
+         CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) AS cents
+  FROM events
+),
+lagged AS (
+  SELECT user_id, ts, event_id, cents,
+         {lags}
+  FROM c
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id, ts, event_id, cents,
+       CAST({num} AS BIGINT) / 25500.0 AS ewma
+FROM lagged
+WHERE l{EWMA_W - 1} IS NOT NULL
+ORDER BY user_id, ts, event_id
+"""
+
+
+@plan("ts_ewma", oracle=_ewma_sql())
+def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average per user series (round-7
+    addition) — the smoothing primitive behind drift monitors and
+    anomaly baselines, here in an EXACT FIXED-POINT form: α = 1/2
+    truncated at W=8 lags gives integer weights 2^(W-1-k) and
+    denominator 2^W - 1 = 255, so the weighted numerator is a plain
+    BIGINT dot product over a LAG chain (Σ cents·2^(7-k), Horner's
+    y=2y+x unrolled) and float enters ONCE in the final constant
+    division. Naive recursive EWMA is a sequential float fold whose
+    accumulation order no two engines share — this is the
+    hash-stable (and, at 100 TB, the embarrassingly parallel) form:
+    a keyed window of 7 LAGs, no carried state, no sequential scan.
+
+    Rows with fewer than W-1 predecessors are warm-up and excluded
+    (the truncated kernel would need a different normalizer per row).
+    ~9.3k rows at sf0.01.
+
+    No reference counterpart (pubdate bookkeeping only, SURVEY §2.7)
+    — LLM-pipeline extension, time-series family.
+    """
+    c = load(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lagged = c.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "cents",
+        *[
+            F.lag("cents", k).over(w).alias(f"l{k}")
+            for k in range(1, EWMA_W)
+        ],
+    )
+    num = F.col("cents") * F.lit(128)
+    for k in range(1, EWMA_W):
+        num = num + F.col(f"l{k}") * F.lit(2 ** (EWMA_W - 1 - k))
+    return (
+        lagged.filter(F.col(f"l{EWMA_W - 1}").isNotNull())
+        .select(
+            "user_id",
+            "ts",
+            "event_id",
+            "cents",
+            (num.cast("long") / F.lit(25500.0)).alias("ewma"),
+        )
+        .orderBy("user_id", "ts", "event_id")
+    )

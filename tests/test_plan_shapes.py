@@ -50,6 +50,10 @@ ALLPAIRS_BASELINES = {
     # binary-quantized search: same broadcast-queries sweep over the
     # packed sign-bit codes (integer Hamming scan)
     "sim_bq_topk",
+    # RRF's dense ranker: the same <=10 broadcast query vectors ×
+    # sharded corpus sweep as sim_hybrid_topk; the lexical ranker and
+    # the fusion join are keyed
+    "sim_rrf_fusion",
 }
 # plans whose only BNLJ/cartesian is a broadcast single-row scalar
 # (threshold / total / max) joined against every row — keyless by nature
@@ -68,6 +72,7 @@ SCALAR_SUBQUERY = {
     "text_tfidf_log",  # same 1-row N broadcast, log-idf variant
     "a23_countmin_sketch",  # 1-row stream-total broadcast into the eps bound
     "j18_snapshot_diff",  # 1-row (snap1, snap2) bounds broadcast
+    "text_bm25_topk",  # 1-row (N, avgdl) corpus-stats broadcast
 }
 
 
