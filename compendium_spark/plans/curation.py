@@ -196,6 +196,13 @@ def curate_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sequence(F.lit(1), F.greatest(F.size(toks) - NGRAM_N + 1, F.lit(0))),
         lambda i: F.concat_ws(" ", F.slice(toks, i, NGRAM_N)),
     )
+    # guard: for docs shorter than NGRAM_N tokens, sequence(1, 0) is a
+    # DESCENDING [1, 0] in Spark, and slice(toks, 0, n) throws
+    # INVALID_PARAMETER_VALUE.START — emit no grams instead (DuckDB's
+    # range(1, len-1) yields an empty list there, so semantics match)
+    grams_arr = F.when(F.size(toks) >= NGRAM_N, grams_arr).otherwise(
+        F.array().cast("array<string>")
+    )
     base = toks_df.select("doc_id", F.explode(grams_arr).alias("g"))
     eval_grams = (
         base.filter(F.col("doc_id") % EVAL_MOD == 0).select("g").distinct()
