@@ -177,10 +177,22 @@ def _baseline() -> dict[str, float]:
             if isinstance(v, (int, float))
         }
         # only a detail file recorded at the guard's scale factor is a
-        # valid baseline (local sf0.001 smoke runs also write it)
-        if queries and doc.get("sf") == 0.1:
+        # valid baseline (local sf0.001 smoke runs also write it), and
+        # only a COMPLETE one: a partial/errored run would silently
+        # drop its failed plans from the guard and make one throttled
+        # session the committed baseline (r7 advice). "Complete" =
+        # no recorded errors and per-query coverage ≥90% of the
+        # current registry (new plans legitimately miss from an old
+        # baseline, hence not ==).
+        from compendium_spark.plans import all_plans as _ap
+
+        complete = (
+            not doc.get("errors")
+            and len(queries) >= 0.9 * len(_ap())
+        )
+        if queries and doc.get("sf") == 0.1 and complete:
             return queries
-    except (OSError, json.JSONDecodeError, AttributeError, TypeError):
+    except (OSError, json.JSONDecodeError, AttributeError, TypeError, ImportError):
         pass
     runs = sorted(
         glob.glob(os.path.join(here, "BENCH_r*.json")),

@@ -22,7 +22,7 @@ from pyspark.sql.window import Window
 
 from compendium_spark.functions.numeric import quantize6
 from compendium_spark.plans.registry import plan
-from compendium_spark.tables import load
+from compendium_spark.tables import load, maybe_broadcast
 
 CHUNK = 200  # window size (chars)
 STRIDE = 150  # window stride (chars) → 50-char overlap
@@ -281,8 +281,11 @@ def emb_lang_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     statistic behind IVF coarse-quantizer training and per-slice drift
     monitoring. posexplode → per-(lang, position) average: the explode
     is map-side and the aggregate combines partially, so shuffle volume
-    is O(langs × dims), not O(vectors). AVG is order-dependent in
-    floats → ROUND(6) on both engines."""
+    is O(langs × dims), not O(vectors). The (doc_id, lang) projection
+    joins onto the vectors SIZE-GATED (maybe_broadcast — one row per
+    document, unbounded at 100 TB; beyond the budget it is a plain
+    vec_id equi-join). AVG is order-dependent in floats → ROUND(6) on
+    both engines."""
     emb = load(spark, sf_dir, "embeddings").select(
         "vec_id", F.transform("embedding", lambda v: v.cast("double")).alias("e")
     )
@@ -290,7 +293,7 @@ def emb_lang_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("vec_id"), "lang"
     )
     return (
-        emb.join(F.broadcast(docs), "vec_id")
+        emb.join(maybe_broadcast(spark, sf_dir, "documents", docs), "vec_id")
         .select("lang", F.posexplode("e").alias("pos0", "x"))
         .select("lang", (F.col("pos0") + 1).alias("pos"), "x")
         .filter(F.col("pos") <= 8)
@@ -371,10 +374,14 @@ def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     perplexity-proxy quality filter (documents full of rare/garbage
     tokens score low and get culled before training).
 
-    Two passes, both cheap: the vocabulary aggregate (distinct tokens —
-    tiny relative to the corpus) broadcasts back into the token
-    stream, so the big side shuffles only for the per-document
-    average. Floating log/avg rounds to 6 on both engines.
+    Two passes: the vocabulary aggregate equi-joins back into the
+    token stream on tok with NO broadcast hint — the distinct-token
+    table grows with the corpus (Heaps' law), so a forced broadcast
+    would OOM at 100 TB; the vocab groupBy's exchange is reused for
+    the join's build side, and AQE still broadcast-converts where the
+    vocab actually fits. The token stream then shuffles once more for
+    the per-document average. Floating log/avg rounds to 6dp on both
+    engines.
     """
     docs = load(spark, sf_dir, "documents")
     toks = docs.select(
@@ -385,7 +392,7 @@ def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     total = vocab.agg(F.sum("cnt").cast("double").alias("total"))
     return (
-        toks.join(F.broadcast(vocab), "tok")
+        toks.join(vocab, "tok")
         .join(F.broadcast(total))
         .groupBy("doc_id")
         .agg(

@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 
 from compendium_spark.functions.numeric import quantize6
 from compendium_spark.plans.registry import plan
-from compendium_spark.tables import load
+from compendium_spark.tables import load, maybe_broadcast
 
 # ---------------------------------------------------------------------------
 # shared shingling expressions
@@ -1013,8 +1013,10 @@ def curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     document scan (no shuffle); the only shuffled inputs are the
     near-dup pipeline's band buckets and the label-propagation rounds,
     both bounded by candidate volume, not corpus size. The cluster
-    keep-list joins back LEFT so never-duplicated documents don't pay
-    the join. At 100 TB each stage is the already-audited plan it
+    keep-list joins back LEFT and SIZE-GATED (maybe_broadcast — the
+    label table can approach corpus cardinality when dup rates are
+    high, so the broadcast hint only fires under the budget) so
+    never-duplicated documents don't pay the join. At 100 TB each stage is the already-audited plan it
     composes (dedup_minhash_lsh → dedup_neardup_pipeline →
     dedup_cluster_labels).
     """
@@ -1029,7 +1031,12 @@ def curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         scored.join(
-            F.broadcast(clusters.withColumnRenamed("doc_id", "c_doc")),
+            maybe_broadcast(
+                spark,
+                sf_dir,
+                "documents",
+                clusters.withColumnRenamed("doc_id", "c_doc"),
+            ),
             scored.doc_id == F.col("c_doc"),
             "left",
         )

@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 
 from compendium_spark.functions.numeric import quantize6
 from compendium_spark.plans.registry import plan
-from compendium_spark.tables import load
+from compendium_spark.tables import load, maybe_broadcast
 
 DEC = "decimal(18,4)"
 
@@ -190,14 +190,18 @@ ORDER BY l.l_orderkey, l.l_linenumber
 @plan("j3_key_remap_join", oracle=J3_SQL)
 def j3_key_remap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Surrogate-key remap join (ref `projects.py:499-523`: read back
-    asv_id, re-key assignments). In Spark the remap is a broadcast
-    equi-join of the key dimension onto the fact."""
+    asv_id, re-key assignments). In Spark the remap is an equi-join of
+    the key dimension onto the fact, broadcast only while the
+    dimension fits the budget (maybe_broadcast size gate — part and
+    supplier scale with SF, so an unconditional hint would OOM at
+    100 TB; beyond the gate it is a plain shuffled equi-join and AQE
+    still broadcast-converts small filtered sides)."""
     li = load(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 100)
-    part = load(spark, sf_dir, "part")
-    supp = load(spark, sf_dir, "supplier")
+    part = maybe_broadcast(spark, sf_dir, "part")
+    supp = maybe_broadcast(spark, sf_dir, "supplier")
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .select(
             "l_orderkey",
             "l_linenumber",

@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 
 from compendium_spark.functions.numeric import quantize6
 from compendium_spark.plans.registry import plan
-from compendium_spark.tables import load
+from compendium_spark.tables import load, maybe_broadcast
 
 DEC = "decimal(18,4)"
 
@@ -146,15 +146,25 @@ def j5_membership_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Membership anti-filter on project selection (ref
     `management.py:95-125` `find_todo`; fixes quirk Q3 — the
     reference compares tuples to strings so its exclusion never fires;
-    SURVEY §7.4). The filtered right side is small → Catalyst picks a
-    broadcast anti-join: no shuffle of the big side at any scale."""
+    SURVEY §7.4). The filtered right side is a constant-selectivity
+    slice of orders — it SCALES with SF, so the broadcast hint is
+    size-gated on the orders footprint (maybe_broadcast) rather than
+    forced; past the budget it is a plain shuffled anti-join (AQE
+    still broadcast-converts when the filtered side turns out
+    small)."""
     cust = load(spark, sf_dir, "customer")
-    urgent_open = load(spark, sf_dir, "orders").filter(
-        (F.col("o_orderstatus") == "O") & (F.col("o_orderpriority") == "1-URGENT")
+    urgent_open = maybe_broadcast(
+        spark,
+        sf_dir,
+        "orders",
+        load(spark, sf_dir, "orders").filter(
+            (F.col("o_orderstatus") == "O")
+            & (F.col("o_orderpriority") == "1-URGENT")
+        ),
     )
     return (
         cust.join(
-            F.broadcast(urgent_open),
+            urgent_open,
             cust.c_custkey == urgent_open.o_custkey,
             "left_anti",
         )
@@ -190,8 +200,11 @@ def j6_partial_update_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     returned — i.e. coalesce(new, old) per column; unmatched keys keep
     every old value). Expressed as target LEFT JOIN staged-updates +
     coalesce — exactly the read side of the Delta MERGE the batch
-    writer (operators/merge.py) performs. Updates aggregate is tiny
-    relative to the target → broadcast; the target never shuffles."""
+    writer (operators/merge.py) performs. The staged-updates aggregate
+    is usually tiny relative to the target (one enrichment batch), but
+    it derives from the SF-scaling orders table, so the broadcast hint
+    is size-gated (maybe_broadcast) — under the budget the target
+    never shuffles; past it the join degrades to a shuffled merge."""
     cust = load(spark, sf_dir, "customer")
     updates = (
         load(spark, sf_dir, "orders")
@@ -207,8 +220,9 @@ def j6_partial_update_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_format(F.max("o_orderdate"), "yyyy-MM-dd").alias("latest_f_date"),
         )
     )
+    updates = maybe_broadcast(spark, sf_dir, "orders", updates)
     return (
-        cust.join(F.broadcast(updates), cust.c_custkey == updates.o_custkey, "left")
+        cust.join(updates, cust.c_custkey == updates.o_custkey, "left")
         .select(
             "c_custkey",
             F.col("c_acctbal").cast(DEC).cast("double").alias("old_acctbal"),

@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 
 from compendium_spark.functions.numeric import quantize6
 from compendium_spark.plans.registry import plan
-from compendium_spark.tables import load
+from compendium_spark.tables import load, maybe_broadcast
 
 KEEP_RE = "fast|merge|stream"
 TOSS_RE = "slow|error"
@@ -422,10 +422,12 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     4.6 — reversed). This plan's metric is therefore its own
     well-defined scoring, cross-engine exact; a conventional log
     tf-idf variant would quantize ln to the 6dp grid before ranking
-    and accept grid-boundary rank risk. Three shuffles total, each
-    carrying tokens
-    not text: tf groupBy, df groupBy (broadcast back — vocab ≪
-    corpus), and the per-doc top-k window, which AQE/WindowGroupLimit
+    and accept grid-boundary rank risk. Four shuffles total, each
+    carrying tokens not text: tf groupBy, df groupBy, the token
+    equi-join of tf against df (NOT hint-broadcast — the vocabulary
+    grows with the corpus under Heaps' law, so a forced broadcast
+    OOMs at 100 TB; AQE broadcast-converts it where df actually
+    fits), and the per-doc top-k window, which AQE/WindowGroupLimit
     push down to rank≤k per partition before the shuffle. The single
     scalar N joins as a broadcast literal, never a collect-loop.
     """
@@ -438,8 +440,13 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
     df = tf.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
     n = docs.groupBy().agg(F.count(F.lit(1)).alias("n"))
+    # NO broadcast hint on df: the distinct-token table grows with the
+    # corpus (Heaps' law — unbounded at 100 TB), so a forced broadcast
+    # is a guaranteed driver/executor OOM at scale. A plain equi-join
+    # on token costs one extra exchange of tf; AQE still converts it
+    # to a broadcast join at small SF where df actually fits.
     scored = (
-        tf.join(F.broadcast(df), "token")
+        tf.join(df, "token")
         .join(F.broadcast(n))
         .select(
             "doc_id",
@@ -503,8 +510,10 @@ def text_tfidf_log(spark: SparkSession, sf_dir: str) -> DataFrame:
     within ~1e-16 of a grid boundary). Ranking is over the QUANTIZED
     score with a token tie-break, so both engines rank identical
     values. Same plan shape and 100 TB story as text_tfidf_topk: tf /
-    df groupBys shuffle tokens never text, df and the scalar N
-    broadcast back, WindowGroupLimit bounds the per-doc top-k."""
+    df groupBys shuffle tokens never text, df equi-joins back with no
+    forced broadcast (vocabulary is unbounded; AQE may still broadcast
+    it when small), the scalar N broadcasts, WindowGroupLimit bounds
+    the per-doc top-k."""
     docs = load(spark, sf_dir, "documents")
     par = spark.sparkContext.defaultParallelism
     tok = docs.repartition(par, "doc_id").select(
@@ -514,8 +523,9 @@ def text_tfidf_log(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
     df = tf.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
     n = docs.groupBy().agg(F.count(F.lit(1)).alias("n"))
+    # no broadcast hint on df — unbounded vocabulary; see text_tfidf_topk
     scored = (
-        tf.join(F.broadcast(df), "token")
+        tf.join(df, "token")
         .join(F.broadcast(n))
         .select(
             "doc_id",
@@ -808,9 +818,13 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     combine — never document text; the ≤10-query term list (~600 rows)
     broadcasts onto the tf stream, which IS the inverted-index posting
     join (candidates = docs sharing a query term, not the corpus);
-    per-doc length and the 1-row (N, avgdl) scalar broadcast. At
-    100 TB each side scales like dedup_exact's two-aggregation
-    profile; no pairwise corpus join exists anywhere.
+    the per-doc length table joins back SIZE-GATED (maybe_broadcast —
+    it is one row per document, unbounded at 100 TB, so the hint only
+    fires when the documents footprint fits the broadcast budget;
+    beyond that it is a plain doc_id equi-join), and the 1-row
+    (N, avgdl) scalar broadcasts. At 100 TB each side scales like
+    dedup_exact's two-aggregation profile; no pairwise corpus join
+    exists anywhere.
 
     No reference counterpart (relational ETL only) — brief's
     LLM-pipeline extension axis, retrieval family.
@@ -858,7 +872,7 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         tf.join(F.broadcast(q), "w")
         .filter(F.col("doc_id") != F.col("query_id"))
         .join(df, "w")
-        .join(F.broadcast(dl), "doc_id")
+        .join(maybe_broadcast(spark, sf_dir, "documents", dl), "doc_id")
         .crossJoin(F.broadcast(stats))
         .select(
             "query_id",

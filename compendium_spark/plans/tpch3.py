@@ -315,8 +315,10 @@ def q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
     decimal HAVING threshold is exact.
 
     Scale: lineitem is reduced by the broadcast part filter before its
-    only shuffle (on suppkey); the qualifying-supplier set is tiny and
-    broadcasts into supplier as a semi join.
+    only shuffle (on suppkey); the qualifying-supplier set is small
+    relative to the fact but still one row per supplier (SF-scaling),
+    so its broadcast hint is size-gated on the supplier footprint
+    (maybe_broadcast) — past the budget the semi join shuffles.
     """
     red = maybe_broadcast(
         spark,
@@ -344,7 +346,7 @@ def q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
         load(spark, sf_dir, "supplier")
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
         .join(
-            F.broadcast(qualifying),
+            maybe_broadcast(spark, sf_dir, "supplier", qualifying),
             F.col("s_suppkey") == F.col("l_suppkey"),
             "left_semi",
         )

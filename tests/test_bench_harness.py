@@ -136,7 +136,25 @@ class TestCompactLine:
         assert bench._family("j20_asof_nearest") == "j"
         assert bench._family("ts_interpolate_linear") == "ts"
 
-    def test_baseline_prefers_detail_file(self, tmp_path, monkeypatch):
+    def test_baseline_prefers_complete_detail_file(self, tmp_path, monkeypatch):
+        from compendium_spark.plans import all_plans
+
+        full = {name: 1.0 for name in all_plans()}
+        (tmp_path / "BENCH_DETAIL.json").write_text(
+            json.dumps({"sf": 0.1, "queries": full, "errors": {}})
+        )
+        (tmp_path / "BENCH_r01.json").write_text(
+            json.dumps({"parsed": {"queries": {"q1": 1.5}}})
+        )
+        monkeypatch.setattr(
+            bench.os.path, "dirname", lambda _p: str(tmp_path)
+        )
+        assert bench._baseline() == full
+
+    def test_baseline_ignores_partial_detail(self, tmp_path, monkeypatch):
+        """A detail file from a partial run (far fewer queries than the
+        registry) must not become the baseline — its missing plans
+        would silently lose their regression guard (r7 advice)."""
         (tmp_path / "BENCH_DETAIL.json").write_text(
             json.dumps({"sf": 0.1, "queries": {"qd": 4.0}})
         )
@@ -146,7 +164,24 @@ class TestCompactLine:
         monkeypatch.setattr(
             bench.os.path, "dirname", lambda _p: str(tmp_path)
         )
-        assert bench._baseline() == {"qd": 4.0}
+        assert bench._baseline() == {"q1": 1.5}
+
+    def test_baseline_ignores_errored_detail(self, tmp_path, monkeypatch):
+        from compendium_spark.plans import all_plans
+
+        full = {name: 1.0 for name in all_plans()}
+        (tmp_path / "BENCH_DETAIL.json").write_text(
+            json.dumps(
+                {"sf": 0.1, "queries": full, "errors": {"qx": "boom"}}
+            )
+        )
+        (tmp_path / "BENCH_r01.json").write_text(
+            json.dumps({"parsed": {"queries": {"q1": 1.5}}})
+        )
+        monkeypatch.setattr(
+            bench.os.path, "dirname", lambda _p: str(tmp_path)
+        )
+        assert bench._baseline() == {"q1": 1.5}
 
     def test_baseline_ignores_detail_at_wrong_sf(self, tmp_path, monkeypatch):
         (tmp_path / "BENCH_DETAIL.json").write_text(
