@@ -27,14 +27,52 @@ from compendium_spark.functions.numeric import quantize6
 from compendium_spark.plans.registry import plan
 
 N_TABLES = 4
+N_TABLES_MAX = 16  # plane pool ceiling for the adaptive-L knob
 N_PLANES = 4  # bits per table
 DIM = 64
 _rng = np.random.default_rng(42)
-# round to 6 dp: decimal literals parse to identical doubles everywhere
+# round to 6 dp: decimal literals parse to identical doubles everywhere.
+# The pool holds N_TABLES_MAX tables; generation is table-major off one
+# seeded stream, so tables 0..3 are bit-identical to the 4-table pool
+# every pre-round-8 plan/oracle embedded — extending the pool cannot
+# move any existing bucket.
 PLANES: list[list[list[float]]] = [
     [[round(float(x), 6) for x in _rng.standard_normal(DIM)] for _ in range(N_PLANES)]
-    for _ in range(N_TABLES)
+    for _ in range(N_TABLES_MAX)
 ]
+
+
+# Adaptive table count: recall of sign-LSH at a fixed cosine threshold
+# decays with corpus size (more vectors -> more borderline pairs, each
+# missed independently with prob (1-p^b) per table), so production LSH
+# grows the table count L with log n. Rule: 4 tables at the 500-vector
+# base, +2 per corpus doubling, capped at N_TABLES_MAX — integer
+# thresholds only, so Spark (Python) and the DuckDB oracle (generated
+# CASE ladder, same thresholds) can never disagree on L.
+ADAPTIVE_BASE_N = 500
+
+
+def adaptive_n_tables(n: int) -> int:
+    """L(n) = min(16, 4 + 2*floor(log2(n/1000) + 1)) for n >= 1000,
+    else 4 — expressed as an integer threshold ladder."""
+    tables, bound = N_TABLES, ADAPTIVE_BASE_N * 2
+    while n >= bound and tables < N_TABLES_MAX:
+        tables += 2
+        bound *= 2
+    return tables
+
+
+def _sql_adaptive_tables_case(cnt_expr: str) -> str:
+    """The SAME L(n) rule as adaptive_n_tables, as a SQL CASE ladder
+    over integer thresholds (shared-text idiom: generated once, both
+    engines compare plain integers — no float log anywhere)."""
+    arms = []
+    tables, bound = N_TABLES, ADAPTIVE_BASE_N * 2
+    while tables < N_TABLES_MAX:
+        arms.append(f"WHEN {cnt_expr} < {bound} THEN {tables}")
+        tables += 2
+        bound *= 2
+    return "CASE " + " ".join(arms) + f" ELSE {N_TABLES_MAX} END"
 
 
 def _dot_lit(e: Column, plane: list[float]) -> Column:
@@ -67,45 +105,50 @@ def _bucket_expr(e: Column, table: int) -> Column:
 _PLANES_NP = np.array(PLANES, dtype=np.float64)  # (tables, planes, dim)
 
 
-def _entries_kernel(batches):
+def _make_entries_kernel(n_tables: int):
     """Arrow kernel for the bucket projection — see bucket_entries."""
-    import pandas as pd  # noqa: PLC0415 — worker-side import
 
-    for pdf in batches:
-        n = len(pdf)
-        if n == 0:
-            continue
-        emb = np.array(pdf["e"].tolist(), dtype=np.float64)
-        ids = pdf["vec_id"].to_numpy()
-        frames = []
-        for t in range(N_TABLES):
-            bits = np.zeros(n, dtype=np.int32)
-            for p in range(N_PLANES):
-                acc = np.zeros(n, dtype=np.float64)
-                for d in range(DIM):
-                    # sequential per-dim accumulation: the SAME
-                    # operation order as the _dot_lit fold and DuckDB
-                    # list_sum, so the signs (hence buckets) are
-                    # bit-identical — never np.dot (blocked
-                    # accumulation, different rounding)
-                    acc += emb[:, d] * _PLANES_NP[t, p, d]
-                bits |= (acc >= 0).astype(np.int32) << p
-            frames.append(
-                pd.DataFrame(
-                    {
-                        "vec_id": ids,
-                        "tbl": np.full(n, t, dtype=np.int32),
-                        "bucket": bits,
-                    }
+    def _entries_kernel(batches):
+        import pandas as pd  # noqa: PLC0415 — worker-side import
+
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            emb = np.array(pdf["e"].tolist(), dtype=np.float64)
+            ids = pdf["vec_id"].to_numpy()
+            frames = []
+            for t in range(n_tables):
+                bits = np.zeros(n, dtype=np.int32)
+                for p in range(N_PLANES):
+                    acc = np.zeros(n, dtype=np.float64)
+                    for d in range(DIM):
+                        # sequential per-dim accumulation: the SAME
+                        # operation order as the _dot_lit fold and DuckDB
+                        # list_sum, so the signs (hence buckets) are
+                        # bit-identical — never np.dot (blocked
+                        # accumulation, different rounding)
+                        acc += emb[:, d] * _PLANES_NP[t, p, d]
+                    bits |= (acc >= 0).astype(np.int32) << p
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "vec_id": ids,
+                            "tbl": np.full(n, t, dtype=np.int32),
+                            "bucket": bits,
+                        }
+                    )
                 )
-            )
-        yield pd.concat(frames, ignore_index=True)
+            yield pd.concat(frames, ignore_index=True)
+
+    return _entries_kernel
 
 
-def bucket_entries(emb: DataFrame) -> DataFrame:
+def bucket_entries(emb: DataFrame, n_tables: int = N_TABLES) -> DataFrame:
     """(vec_id, tbl, bucket) hash-table entries for every vector — the
     shared indexing step of sim_lsh_buckets / sim_lsh_topk /
-    dedup_embedding_cosine.
+    dedup_embedding_cosine (which passes its adaptive table count; the
+    sim_* plans use the default N_TABLES pool prefix).
 
     Round 7: computed by an Arrow mapInPandas kernel instead of the
     _bucket_expr HOF fold. The 16 plane-dots per row ran as
@@ -116,7 +159,7 @@ def bucket_entries(emb: DataFrame) -> DataFrame:
     pins equality against _bucket_expr). _bucket_expr stays as the
     expression-level spec and the oracle mirror."""
     return emb.select("vec_id", "e").mapInPandas(
-        _entries_kernel, "vec_id long, tbl int, bucket int"
+        _make_entries_kernel(n_tables), "vec_id long, tbl int, bucket int"
     )
 
 
@@ -135,10 +178,10 @@ def _sql_bucket_expr(col: str, table: int) -> str:
     return " + ".join(terms)
 
 
-def _sql_tables_union(col: str) -> str:
+def _sql_tables_union(col: str, n_tables: int = N_TABLES) -> str:
     return " UNION ALL ".join(
         f"SELECT vec_id, {t} AS tbl, {_sql_bucket_expr(col, t)} AS bucket FROM embeddings"
-        for t in range(N_TABLES)
+        for t in range(n_tables)
     )
 
 

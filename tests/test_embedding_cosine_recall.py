@@ -7,10 +7,11 @@ the recall oracle: on the gate fixtures the bucketed dup set must
 equal the brute-force dup set exactly, so "same output contract on
 data where buckets capture all pairs" is pinned, not assumed.
 
-At sf0.1 recall is measured at 9/14 (every miss a borderline pair at
-cosine 0.50–0.60 where sign-LSH collision probability is ~0.25 per
-table) — documented in the plan docstring, deliberately NOT pinned
-here: fixture regeneration may legitimately move borderline pairs.
+Round 8 adds the adaptive-L knob (ann.adaptive_n_tables): 4 tables at
+the gate fixtures, 8 at sf0.1's 2000 vectors, +2 per further corpus
+doubling. The sf0.1 recall pin below requires >=13/14 of the
+brute-force dup pairs (the r7 verdict's done-criterion); the one
+tolerated miss is a 0.50-cosine borderline pair.
 """
 
 from __future__ import annotations
@@ -51,3 +52,47 @@ def test_dup_rows_rank_above_threshold(spark):
     # descending cosine, ties by (vec_a, vec_b)
     keys = [(-r.cosine, r.vec_a, r.vec_b) for r in out]
     assert keys == sorted(keys)
+
+
+def test_adaptive_table_count_ladder():
+    from compendium_spark.plans.ann import (
+        N_TABLES_MAX,
+        adaptive_n_tables,
+        _sql_adaptive_tables_case,
+    )
+
+    assert adaptive_n_tables(500) == 4
+    assert adaptive_n_tables(999) == 4
+    assert adaptive_n_tables(1000) == 6
+    assert adaptive_n_tables(2000) == 8
+    assert adaptive_n_tables(10**9) == N_TABLES_MAX
+    # Python rule == SQL CASE ladder, checked by evaluating the ladder
+    case = _sql_adaptive_tables_case("c")
+    for n in [1, 500, 999, 1000, 1999, 2000, 4000, 31999, 32000, 10**9]:
+        got = duckdb.sql(f"SELECT {case} FROM (SELECT {n} AS c)").fetchone()[0]
+        assert got == adaptive_n_tables(n), n
+
+
+def test_sf01_recall_pin_and_cross_engine_parity(spark):
+    """The r7 verdict's done-criterion: at sf0.1 (2000 vectors, L=8)
+    the bucketed dup set must capture >=13 of the 14 brute-force dup
+    pairs — AND the Spark output must equal the DuckDB oracle
+    row-for-row at this SF too (the driver only gates sf0.01, so the
+    adaptive ladder's cross-engine agreement at L=8 is pinned here)."""
+    from compendium_spark.plans import all_plans
+
+    sf01 = "/root/testdata/sf0.1"
+    out = dedup_embedding_cosine(spark, sf01).collect()
+    bucketed = {(r.vec_a, r.vec_b) for r in out if r.is_dup == 1}
+    truth = _allpairs_dups(sf01)
+    assert len(bucketed & truth) >= 13
+    assert len(truth) >= 14  # fixture still has a borderline population
+    assert bucketed <= truth  # exact verify: no false positives
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{sf01}/embeddings.parquet'"
+    )
+    oracle = con.execute(all_plans()["dedup_embedding_cosine"].oracle).fetchall()
+    got = [(r.vec_a, r.vec_b, r.cosine, r.is_dup) for r in out]
+    assert got == [tuple(r) for r in oracle]
