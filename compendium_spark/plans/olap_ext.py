@@ -75,33 +75,13 @@ def a_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@plan("a_approx_aggregates", oracle=None)  # sketch internals are engine-specific
-def a_approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate distinct (HyperLogLog++) and quantiles — the
-    100 TB substitutes for exact COUNT(DISTINCT)/percentile. Rows-only
-    check (sketches are engine-specific); tests/test_ann.py asserts
-    error bounds against exact values instead."""
-    li = load(spark, sf_dir, "lineitem")
-    q = F.percentile_approx("l_extendedprice", [0.5, 0.95, 0.99], 10000)
-    return (
-        li.groupBy("l_returnflag")
-        .agg(
-            F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
-            q.alias("pq"),
-            F.count(F.lit(1)).alias("n"),
-        )
-        # scalar columns, not array<double>: driver canonicalization
-        # sorts rows over all columns and can't hash a list cell
-        .select(
-            "l_returnflag",
-            "approx_orders",
-            F.element_at("pq", 1).alias("price_q50"),
-            F.element_at("pq", 2).alias("price_q95"),
-            F.element_at("pq", 3).alias("price_q99"),
-            "n",
-        )
-        .orderBy("l_returnflag")
-    )
+# Round 8: the former `a_approx_aggregates` (rows-only — HLL++ /
+# KLL sketch internals are engine-specific, so it could never
+# hash-verify) is retired. Its operator surface lives on in
+# `a_approx_error_bound` below, which computes the SAME
+# approx_count_distinct / percentile_approx sketches and is
+# oracle-verified via error-bound booleans — the registry now has no
+# permanently-unverifiable rows.
 
 
 APPROX_BOUND_SQL = """
@@ -119,7 +99,8 @@ ORDER BY l_returnflag
 
 @plan("a_approx_error_bound", oracle=APPROX_BOUND_SQL)
 def a_approx_error_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Verifiable twin of ``a_approx_aggregates``: sketch values are
+    """Oracle-verified sketch aggregates (formerly the twin of the
+    retired rows-only ``a_approx_aggregates``): sketch values are
     engine-specific (no hash oracle possible), but their *error bounds*
     are checkable. Computes exact count-distinct / exact median
     alongside the HLL++ / KLL approximations in ONE aggregate pass and
@@ -153,16 +134,51 @@ def a_approx_error_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("l_returnflag")
 
 
-@plan("o2_stratified_sample", oracle=None)  # sampling is engine-specific
+# per-stratum keep fractions as md5-hex prefix thresholds (the
+# curate_mixture_sample idiom): keep iff md5(key)[:8] < threshold.
+# floor(fraction * 2^32) in hex — 0.1 -> 0x19999999, 0.5 -> 0x80000000.
+STRATA_THRESHOLDS = {"O": "19999999", "F": "19999999", "P": "80000000"}
+
+_STRATA_CASE = (
+    "CASE o_orderstatus "
+    + " ".join(f"WHEN '{k}' THEN '{v}'" for k, v in STRATA_THRESHOLDS.items())
+    + " ELSE '00000000' END"
+)
+
+O2_STRAT_SQL = f"""
+SELECT o_orderkey, o_orderstatus
+FROM orders
+WHERE substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 8) < {_STRATA_CASE}
+ORDER BY o_orderkey
+"""
+
+
+@plan("o2_stratified_sample", oracle=O2_STRAT_SQL)
 def o2_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Seeded stratified sampling per key — the distributed form of the
-    reference's ORDER BY RANDOM() work-queue batching (O1). sampleBy
-    is a per-row Bernoulli filter: no shuffle, no sort, scales
-    linearly (a full random sort at 100 TB would be a disaster)."""
+    """Stratified sampling per key — the distributed form of the
+    reference's ORDER BY RANDOM() work-queue batching (O1). Round 8
+    re-form: the per-stratum Bernoulli trial is an md5-prefix
+    threshold compare instead of sampleBy(seed) — identical
+    per-row-filter shape (no shuffle, no sort, linear at 100 TB), but
+    deterministic across engines AND runs, so the driver can
+    hash-verify it (sampleBy's XORShift stream is Spark-private).
+    The hex thresholds encode keep fractions: md5's first 8 hex chars
+    are uniform on [0, 2^32), so prefix < floor(f * 2^32) keeps ~f of
+    each stratum."""
     orders = load(spark, sf_dir, "orders")
-    return orders.sampleBy(
-        "o_orderstatus", fractions={"O": 0.1, "F": 0.1, "P": 0.5}, seed=42
-    ).select("o_orderkey", "o_orderstatus")
+    threshold = F.lit("00000000")
+    for k, v in STRATA_THRESHOLDS.items():
+        threshold = F.when(F.col("o_orderstatus") == k, F.lit(v)).otherwise(
+            threshold
+        )
+    keep = (
+        F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 8) < threshold
+    )
+    return (
+        orders.filter(keep)
+        .select("o_orderkey", "o_orderstatus")
+        .orderBy("o_orderkey")
+    )
 
 
 SALTED_AGG_SQL = """
@@ -225,7 +241,7 @@ def a13_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact percentiles (linear interpolation — both engines use the
     same definition). Exact quantiles need the full sorted group in
     one place: fine per-group here, but the 100 TB path is
-    a_approx_aggregates' sketch-mergeable percentile_approx."""
+    a_approx_error_bound's sketch-mergeable percentile_approx."""
     li = load(spark, sf_dir, "lineitem")
     return (
         li.groupBy("l_returnflag")
@@ -713,7 +729,7 @@ def a19_robust_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     in favor of count-rank with an explicit (count DESC, value ASC)
     order — deterministic everywhere. At scale: two shuffles keyed on
     the group column plus one distinct-value count shuffle; exact
-    medians at 100 TB swap to the KLL sketch (`a_approx_aggregates`)
+    medians at 100 TB swap to the KLL sketch (`a_approx_error_bound`)
     with this plan as the verification twin."""
     from pyspark.sql import Window as W  # noqa: PLC0415
 

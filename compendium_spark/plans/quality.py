@@ -313,7 +313,7 @@ def corpus_stats_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact percentiles need the group's values in one place, which is
     fine for a per-language report (langs are few) — the 100 TB
     monitoring path swaps quantile_cont for the mergeable
-    percentile_approx sketch (a_approx_aggregates pattern).
+    percentile_approx sketch (a_approx_error_bound pattern).
     """
     docs = load(spark, sf_dir, "documents")
     n_tokens = F.size(F.split(F.trim(F.col("text")), " +")).cast("long")

@@ -465,16 +465,28 @@ def o1_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@plan("o1_seeded_sample", oracle=None)  # rand() not oracle-reproducible
+O1_SEEDED_SQL = """
+SELECT o_orderkey, o_custkey
+FROM orders
+ORDER BY md5(CAST(o_orderkey AS VARCHAR)), o_orderkey
+LIMIT 100
+"""
+
+
+@plan("o1_seeded_sample", oracle=O1_SEEDED_SQL)
 def o1_seeded_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ORDER BY RANDOM() LIMIT n work-queue sampling (ref
-    `db.py:281-282`, `management.py:118-119`), with a fixed seed for
-    reproducibility across runs. Rows-only check: DuckDB's RANDOM()
-    stream cannot match Spark's."""
+    `db.py:281-282`, `management.py:118-119`). Round 8 re-form: the
+    "random" order is md5 of the key instead of rand(seed) — same
+    uniform-pseudo-random pick, but engine-portable and hash-gate
+    verifiable (Spark's and DuckDB's rand() streams can never match;
+    md5 is identical everywhere — the curate_cap_per_source idiom).
+    Still executes as TakeOrderedAndProject: per-partition top-K on
+    the hash order, never a full sort."""
     orders = load(spark, sf_dir, "orders")
     return (
         orders.select("o_orderkey", "o_custkey")
-        .orderBy(F.rand(seed=42), "o_orderkey")
+        .orderBy(F.md5(F.col("o_orderkey").cast("string")), "o_orderkey")
         .limit(100)
     )
 

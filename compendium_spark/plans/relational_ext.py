@@ -676,7 +676,7 @@ def w8_ntile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale note: an unpartitioned NTILE forces a single-task sort — at
     100 TB you'd band via pre-computed quantile cut points broadcast
-    against the scan (a13_exact_quantiles / a_approx_aggregates give
+    against the scan (a13_exact_quantiles / a_approx_error_bound give
     the cut points); this plan is the small-dimension/per-group form.
     """
     docs = load(spark, sf_dir, "documents")

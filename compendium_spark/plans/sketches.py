@@ -1,6 +1,6 @@
 """Deterministic, cross-engine-exact sketch operators.
 
-``a_approx_aggregates`` (plans/olap_ext.py) uses Spark's native HLL++
+``a_approx_error_bound`` (plans/olap_ext.py) uses Spark's native HLL++
 and KLL sketches — engine-specific internals, so it is rows-only in the
 driver gate. These plans close that gap from the other direction:
 the sketch ALGORITHM itself is implemented from first principles with

@@ -155,7 +155,10 @@ def test_plans_run_explain_commands(spark, wh_dir, capsys):
     assert run(spark, wh_dir, "plans") == 0
     out = capsys.readouterr().out
     assert "q1_pricing_summary\toracle" in out
-    assert "o2_stratified_sample\trows-only" in out
+    # round 8: every registered plan is oracle-verified — zero
+    # rows-only entries remain
+    assert "o2_stratified_sample\toracle" in out
+    assert "rows-only" not in out
 
     assert run(spark, wh_dir, "run", "q1_pricing_summary",
                "--sf-dir", "/root/testdata/sf0.001") == 0
