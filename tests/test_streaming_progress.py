@@ -24,6 +24,9 @@ import pytest
 from pyspark.sql import functions as F
 
 from compendium_spark.streaming.windows import (
+    interval_join_transform,
+    mv_refresh_updates,
+    run_mv_refresh,
     scd2_transform,
     session_windows_transform,
 )
@@ -151,48 +154,103 @@ class TestSessionWindowMicrobatches:
 
 
 class TestIntervalJoinMicrobatches:
+    """r7 verdict #6: the interval join is the plan with four state
+    buffers per partition — pin its per-batch accounting, the
+    watermark bound on the join buffers, and cut-invariance, against
+    the REGISTERED transform (interval_join_transform), not a local
+    copy."""
+
     def test_join_state_and_batch_accounting(self, spark, staged):
-        """Stream-stream interval join across 4 micro-batches: both
-        sides buffer in the state store (rows waiting for matches
-        inside the watermark horizon), every staged file becomes a
-        batch on each side, and the multi-batch result equals a
-        single-batch run."""
-        from pyspark.sql import functions as F
-
-        def transform(ev):
-            views = (
-                ev.filter(F.col("event_type") == "view")
-                .select(
-                    F.col("event_id").alias("view_id"),
-                    F.col("user_id").alias("a_user"),
-                    F.col("ts").alias("a_ts"),
-                )
-                .withWatermark("a_ts", "10 minutes")
-            )
-            clicks = (
-                ev.filter(F.col("event_type") == "click")
-                .select(
-                    F.col("event_id").alias("click_id"),
-                    F.col("user_id").alias("b_user"),
-                    F.col("ts").alias("b_ts"),
-                )
-                .withWatermark("b_ts", "10 minutes")
-            )
-            return views.join(
-                clicks,
-                (F.col("a_user") == F.col("b_user"))
-                & (F.col("b_ts") > F.col("a_ts"))
-                & (F.col("b_ts") <= F.col("a_ts") + F.expr("INTERVAL 5 MINUTES")),
-                "inner",
-            ).select("view_id", "click_id")
-
-        src4, src1, _n, _u = staged
-        multi, batches = _run(spark, src4, transform, "ij_m4", "append")
-        assert len(batches) >= 3  # both sources drain file-per-trigger
-        # the join keeps buffered rows in state every batch
-        for p in batches:
-            assert p["stateOperators"][0]["numRowsTotal"] > 0
-        single, _b1 = _run(spark, src1, transform, "ij_m1", "append")
-        assert sorted(map(tuple, multi.collect())) == sorted(
-            map(tuple, single.collect())
+        src4, _src1, n_events, _u = staged
+        multi, batches = _run(
+            spark, src4, interval_join_transform, "ij_m4", "append"
         )
+        assert len(batches) >= 3  # both sources drain file-per-trigger
+        # every staged row enters exactly one micro-batch per source
+        # scan (the self-join plans two scans of the file source)
+        total_in = sum(p["numInputRows"] for p in batches)
+        assert total_in >= n_events
+        n_vc = (
+            spark.read.parquet(src4)
+            .filter(F.col("event_type").isin("view", "click"))
+            .count()
+        )
+        for p in batches:
+            so = p["stateOperators"][0]
+            # the join keeps buffered rows in state every batch...
+            assert so["numRowsTotal"] > 0
+            # ...but never more than the view+click rows ingested so
+            # far (both buffers together) — state is join-input-bounded
+            assert so["numRowsTotal"] <= n_vc
+
+    def test_watermark_evicts_join_state(self, spark, staged):
+        """After draining, the buffers must NOT hold the whole stream:
+        rows older than the final watermark minus the 30-minute match
+        horizon are evicted — the property that makes the state
+        O(horizon) instead of O(stream)."""
+        src4, _src1, _n, _u = staged
+        _out, batches = _run(
+            spark, src4, interval_join_transform, "ij_evict", "append"
+        )
+        n_vc = (
+            spark.read.parquet(src4)
+            .filter(F.col("event_type").isin("view", "click"))
+            .count()
+        )
+        final = batches[-1]["stateOperators"][0]
+        assert final["numRowsRemoved"] > 0 or final["numRowsTotal"] < n_vc
+        # the events fixture spans days; a 40-minute horizon must keep
+        # well under half the join input resident at the end
+        assert final["numRowsTotal"] < 0.5 * n_vc
+
+    def test_multibatch_equals_single_batch_and_batch_join(self, spark, staged):
+        src4, src1, _n, _u = staged
+        multi, _b = _run(spark, src4, interval_join_transform, "ij_c4", "append")
+        single, _b1 = _run(spark, src1, interval_join_transform, "ij_c1", "append")
+        got_multi = sorted(map(tuple, multi.collect()))
+        assert got_multi == sorted(map(tuple, single.collect()))
+        # and both equal the batch range join over the same files
+        batch = interval_join_transform(spark.read.parquet(src4))
+        assert got_multi == sorted(map(tuple, batch.collect()))
+
+
+class TestMvRefreshMicrobatches:
+    """r7 verdict #6 (second half): the foreachBatch MV maintenance
+    has no state store (its state is the driver-side MV), so the pins
+    are per-batch input accounting and the add-merge fold invariant:
+    the MV after N micro-batches equals the single-batch MV equals
+    the batch aggregate."""
+
+    def test_batch_accounting_and_fold_invariance(self, spark, staged):
+        src4, src1, n_events, _u = staged
+        schema = spark.read.parquet(src4).schema
+
+        def updates(src):
+            ev = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src)
+            )
+            return mv_refresh_updates(ev)
+
+        state4, prog4 = run_mv_refresh(updates(src4))
+        state1, prog1 = run_mv_refresh(updates(src1))
+        assert len(prog4) == 4 and len(prog1) == 1
+        assert sum(p["numInputRows"] for p in prog4) == n_events
+        # add-merge fold is cut-invariant
+        assert state4 == state1
+        # and equals the batch aggregate over the same files
+        batch = (
+            mv_refresh_updates(spark.read.parquet(src4))
+            .groupBy("hour", "event_type")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total"))
+            .collect()
+        )
+        expect = {(r.hour, r.event_type): (r.n, r.total or 0.0) for r in batch}
+        assert set(state4) == set(expect)
+        for k, (n, tot) in expect.items():
+            got_n, got_tot = state4[k]
+            assert got_n == n
+            assert abs(got_tot - tot) < 1e-6 * max(1.0, abs(tot))
+        # MV rows are O(windows x event_types), never O(events)
+        assert len(state4) < n_events
