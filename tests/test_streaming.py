@@ -111,7 +111,10 @@ def test_streaming_sliding_matches_batch(spark):
 def test_streaming_interval_join_matches_batch(spark):
     """Stream-stream range join must produce exactly the batch join's
     (view, click) pairs."""
-    from compendium_spark.streaming.windows import streaming_interval_join
+    from compendium_spark.streaming.windows import (
+        INTERVAL_JOIN_MINUTES,
+        streaming_interval_join,
+    )
 
     got = {
         (r.view_id, r.click_id)
@@ -134,7 +137,11 @@ def test_streaming_interval_join_matches_batch(spark):
             clicks,
             (F.col("a_user") == F.col("b_user"))
             & (F.col("b_ts") > F.col("a_ts"))
-            & (F.col("b_ts") <= F.col("a_ts") + F.expr("INTERVAL 5 MINUTES")),
+            & (
+                F.col("b_ts")
+                <= F.col("a_ts")
+                + F.expr(f"INTERVAL {INTERVAL_JOIN_MINUTES} MINUTES")
+            ),
         )
         .select("view_id", "click_id")
         .collect()
