@@ -107,7 +107,16 @@ ORDER BY check_name
 @plan("dq_expectations_report", oracle=DQ_SQL)
 def dq_expectations_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nine declarative expectations compiled into two single-pass
-    aggregates + one keyed FK join (see module docstring)."""
+    aggregates + one keyed FK join (see module docstring).
+
+    Dup-scan note (r8 audit): each table is read twice BY DESIGN —
+    once for the compiled row-level aggregate (all columns the checks
+    touch) and once for the FK legs (a single key column each). The
+    second scans are single-column pruned parquet reads; folding the
+    FK join into the row-level pass would instead make every cheap
+    scan-stage check pay the join's shuffle/build cost at scale, and
+    caching the tables to "share" the scan materializes the full
+    width for what pushdown reads nearly for free."""
     orders = load(spark, sf_dir, "orders")
     li = load(spark, sf_dir, "lineitem")
     o_rep = check(

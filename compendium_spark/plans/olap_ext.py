@@ -730,7 +730,16 @@ def a19_robust_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     order — deterministic everywhere. At scale: two shuffles keyed on
     the group column plus one distinct-value count shuffle; exact
     medians at 100 TB swap to the KLL sketch (`a_approx_error_bound`)
-    with this plan as the verification twin."""
+    with this plan as the verification twin.
+
+    Dup-scan note (r8 audit): the executed plan reads lineitem three
+    times (median, deviation pass, mode) BY DESIGN. The med/mode legs
+    aggregate different groupings of different column pairs, and the
+    MAD leg cannot exist before the median — a cache/localCheckpoint
+    would materialize the full working set to trade three
+    column-pruned parquet scans (each reading 2 of 16 columns, with
+    pushdown) for one fat one, the exact trade r7's cosine-checkpoint
+    measurement showed losing."""
     from pyspark.sql import Window as W  # noqa: PLC0415
 
     li = load(spark, sf_dir, "lineitem")

@@ -455,10 +455,23 @@ def a22_hll_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
         / (F.col("hsum") + (F.lit(HLL_M) - F.col("n_hit")) * F.lit(1.0))
     )
     est = sk.select("tag", e.alias("e"))
-    exacts = el.groupBy("tag").agg(F.count_distinct("key").alias("x")).unionByName(
-        el.agg(F.count_distinct("key").alias("x")).select(
-            F.lit("U").alias("tag"), "x"
-        )
+    # r8 dup-scan fix: both exact legs derive from ONE (tag, key)
+    # distinct — the per-tag counts aggregate it directly and the
+    # union count re-distincts the (already deduped) pairs on key, so
+    # the two legs share the distinct's exchange (ReusedExchange,
+    # asserted warm) instead of each re-scanning + re-distincting the
+    # raw stream. Wall-time parity at sf0.1 (min-of-5: 0.73 s old vs
+    # 0.83 s new — scan cost is noise at this SF); the change removes
+    # one full-stream distinct SHUFFLE, which is the term that grows
+    # at 100 TB.
+    d = el.distinct()
+    exacts = d.groupBy("tag").agg(
+        F.count(F.lit(1)).cast("long").alias("x")
+    ).unionByName(
+        d.select("key")
+        .distinct()
+        .agg(F.count(F.lit(1)).cast("long").alias("x"))
+        .select(F.lit("U").alias("tag"), "x")
     )
 
     # one conditional-aggregation pivot over 6 (tag, value) rows; the
