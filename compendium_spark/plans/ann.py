@@ -293,3 +293,126 @@ def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# sim_multiprobe_topk — multi-probe LSH (round 8)
+# ---------------------------------------------------------------------------
+
+_PROBE_FLIPS = [0] + [1 << i for i in range(N_PLANES)]  # exact + 4 1-bit flips
+
+MULTIPROBE_SQL = f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+),
+n AS (
+  SELECT vec_id, e,
+         sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm
+  FROM v
+),
+h AS ({_sql_tables_union("embedding")}),
+probes AS (
+  SELECT vec_id, tbl,
+         unnest([{", ".join(f"xor(bucket, {f})" for f in _PROBE_FLIPS)}])
+           AS probe
+  FROM h
+  WHERE vec_id < 10
+),
+cand AS (
+  SELECT DISTINCT p.vec_id AS query_id, b.vec_id AS cand_id
+  FROM probes p JOIN h b ON p.tbl = b.tbl AND p.probe = b.bucket
+  WHERE b.vec_id <> p.vec_id
+),
+pairs AS (
+  SELECT cand.query_id, cand.cand_id,
+         CAST(FLOOR(CAST((list_sum(list_transform(q.e, (x, i) -> x * c.e[i]))
+           / (q.nrm * c.nrm)) AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)
+           / 1000000.0 AS cosine
+  FROM cand
+  JOIN n q ON cand.query_id = q.vec_id
+  JOIN n c ON cand.cand_id = c.vec_id
+),
+ranked AS (
+  SELECT query_id, cand_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, cand_id) AS rn
+  FROM pairs
+)
+SELECT query_id, cand_id, cosine, rn AS rank
+FROM ranked WHERE rn <= 5
+ORDER BY query_id, rank
+"""
+
+
+@plan("sim_multiprobe_topk", oracle=MULTIPROBE_SQL)
+def sim_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH top-5 (round 8): the PROBE-side recall knob,
+    complementing dedup_embedding_cosine's adaptive table count.
+    Each query probes its exact bucket PLUS every bucket at Hamming
+    distance 1 (5 probes per table at 4 bits), so a borderline
+    neighbor that landed one sign-flip away is still a candidate —
+    per-table collision for a cosine-0.5 pair rises from ~0.20 to
+    ~0.59, i.e. multi-probe buys the recall of ~3x the tables for
+    ~5x probe rows on the QUERY side only (the classic multi-probe
+    trade: probes are cheap, tables cost index memory — Lv et al.,
+    VLDB'07). Recall vs the exact baseline and the superset property
+    over single-probe sim_lsh_topk are pinned in tests/test_ann.py.
+
+    Scale shape: the probe explosion multiplies only the ≤10-query
+    entry rows (bounded); candidates remain a (tbl, bucket) equi-join
+    against the corpus entries — never a cross join — followed by the
+    same two hash joins to fetch vectors. Ranking compares the
+    QUANTIZED cosine (the emitted value), per the r7 advice on LIMIT
+    boundaries."""
+    from compendium_spark.plans.extended import (  # noqa: PLC0415
+        _dot_unrolled,
+        _load_embeddings,
+    )
+
+    emb = _load_embeddings(spark, sf_dir)
+    n = emb.withColumn("nrm", F.sqrt(_dot_unrolled(F.col("e"), F.col("e"))))
+
+    h = bucket_entries(emb)
+    probes = (
+        h.filter(F.col("vec_id") < 10)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            "tbl",
+            F.explode(
+                F.array(
+                    *[F.expr(f"bucket ^ {f}").alias("p") for f in _PROBE_FLIPS]
+                )
+            ).alias("probe"),
+        )
+    )
+    b = h.select(F.col("vec_id").alias("cand_id"), "tbl", F.col("bucket").alias("probe"))
+    cand = (
+        probes.join(b, ["tbl", "probe"])
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .select("query_id", "cand_id")
+        .distinct()
+    )
+    q = n.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("e").alias("qe"),
+        F.col("nrm").alias("qn"),
+    )
+    c = n.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("e").alias("ce"),
+        F.col("nrm").alias("cn"),
+    )
+    cos = _dot_unrolled(F.col("qe"), F.col("ce")) / (F.col("qn") * F.col("cn"))
+    pairs = (
+        cand.join(F.broadcast(q), "query_id")
+        .join(c, "cand_id")
+        .select("query_id", "cand_id", quantize6(cos).alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "cand_id")
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("query_id", "cand_id", "cosine", F.col("rn").alias("rank"))
+        .orderBy("query_id", "rank")
+    )

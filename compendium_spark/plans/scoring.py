@@ -315,7 +315,9 @@ scored AS (
 ranked AS (
   SELECT query_id, cand_id, cos, jac,
          ROW_NUMBER() OVER (PARTITION BY query_id
-                            ORDER BY 0.5 * cos + 0.5 * jac DESC, cand_id)
+                            ORDER BY CAST(FLOOR(CAST(0.5 * cos + 0.5 * jac
+                                     AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)
+                                     DESC, cand_id)
            AS rn
   FROM scored
 )
@@ -415,7 +417,12 @@ def sim_hybrid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     hybrid = F.lit(0.5) * F.col("cos") + F.lit(0.5) * F.col("jac")
-    w = Window.partitionBy("query_id").orderBy(F.desc(hybrid), "cand_id")
+    # rank on the QUANTIZED fusion score (the emitted value), so the
+    # top-k cutoff can't flip on sub-quantum cross-engine drift (r7
+    # advice — same fix as dedup_embedding_cosine)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc(quantize6(hybrid)), "cand_id"
+    )
     return (
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= HYBRID_K)

@@ -37,6 +37,31 @@ def test_lsh_recall_against_exact(spark):
     assert avg_recall >= 0.3, f"LSH recall {avg_recall:.2f} too low"
 
 
+def test_multiprobe_recall_dominates_single_probe(spark):
+    """Multi-probe (round 8): probing Hamming-1 buckets can only ADD
+    candidates, so its recall vs the exact baseline must dominate
+    single-probe sim_lsh_topk's — and clear a strictly higher floor
+    (per-table collision for a borderline pair ~0.20 -> ~0.59)."""
+
+    def recall(plan_name):
+        exact = PLANS["sim_cosine_topk"].fn(spark, SF_ORACLE).collect()
+        approx = PLANS[plan_name].fn(spark, SF_ORACLE).collect()
+        es, aps = {}, {}
+        for r in exact:
+            es.setdefault(r.query_id, set()).add(r.cand_id)
+        for r in approx:
+            aps.setdefault(r.query_id, set()).add(r.cand_id)
+        per_q = [
+            len(es[q] & aps.get(q, set())) / len(es[q]) for q in es
+        ]
+        return sum(per_q) / len(per_q)
+
+    r_single = recall("sim_lsh_topk")
+    r_multi = recall("sim_multiprobe_topk")
+    assert r_multi >= r_single
+    assert r_multi >= 0.5, f"multi-probe recall {r_multi:.2f} too low"
+
+
 def test_lsh_buckets_cover_corpus(spark):
     rows = PLANS["sim_lsh_buckets"].fn(spark, SF_ORACLE).collect()
     assert sum(r.n_vectors for r in rows) == 500 * 4  # each vector in 4 tables
