@@ -989,3 +989,88 @@ def curate_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# text_bigram_lm_score — bigram-LM quality scoring (round 8)
+# ---------------------------------------------------------------------------
+
+BIGRAM_LM_SQL = """
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), ' +') AS t FROM documents
+),
+bi AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(t)), i -> t[i])) AS w1,
+         unnest(list_transform(range(1, len(t)), i -> t[i + 1])) AS w2
+  FROM toks
+),
+cb AS (SELECT w1, w2, CAST(COUNT(*) AS DOUBLE) AS c2 FROM bi GROUP BY w1, w2),
+c1 AS (SELECT w1, CAST(SUM(c2) AS DOUBLE) AS c1 FROM cb GROUP BY w1)
+SELECT b.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       CAST(FLOOR(CAST((AVG(ln(cb.c2 / c1.c1))) AS DOUBLE) * 1000000.0 + 0.5)
+            AS BIGINT) / 1000000.0 AS avg_logp
+FROM bi b JOIN cb ON b.w1 = cb.w1 AND b.w2 = cb.w2
+JOIN c1 ON b.w1 = c1.w1
+GROUP BY b.doc_id
+ORDER BY b.doc_id
+"""
+
+
+@plan("text_bigram_lm_score", oracle=BIGRAM_LM_SQL)
+def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model scoring (round 8): per-document mean log
+    MLE bigram probability ln(c(w1,w2)/c(w1·)) under the corpus's own
+    bigram distribution — one order sharper than text_lm_score's
+    unigram perplexity proxy (it punishes scrambled word ORDER, which
+    a unigram model cannot see; boilerplate/templated spam scores
+    high, shuffled-token garbage scores low). The standard next step
+    of the quality-filter ladder before a neural scorer.
+
+    Shape: bigrams materialize map-side from a guarded slice transform
+    (short docs emit none — the r8 short-doc rule); bigram counts and
+    their prefix marginals are two keyed aggregates where the marginal
+    DERIVES FROM the bigram aggregate (sums its counts), so the raw
+    stream shuffles once on (w1, w2) and once on doc_id — the marginal
+    rides the already-reduced table. Neither count table carries a
+    broadcast hint (vocabulary² grows with the corpus — the r8 Heaps'
+    -law rule; AQE may still broadcast at small SF). ln parity: c2/c1
+    is one IEEE division of exact integers, ln within 1 ulp, 6 dp
+    FLOOR-quantize absorbs the drift (text_tfidf_log precedent).
+    """
+    docs = load(spark, sf_dir, "documents")
+    toks_df = docs.select(
+        "doc_id", F.split(F.trim(F.col("text")), " +").alias("toks")
+    )
+    toks = F.col("toks")
+    pairs_arr = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - 1, F.lit(0))),
+        lambda i: F.struct(
+            F.element_at(toks, i).alias("w1"),
+            F.element_at(toks, i + 1).alias("w2"),
+        ),
+    )
+    # guard: sequence(1, 0) is DESCENDING in Spark (r8 short-doc rule)
+    pairs_arr = F.when(F.size(toks) >= 2, pairs_arr).otherwise(
+        F.array().cast("array<struct<w1:string,w2:string>>")
+    )
+    bi = toks_df.select("doc_id", F.explode(pairs_arr).alias("p")).select(
+        "doc_id", "p.w1", "p.w2"
+    )
+    cb = bi.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("double").alias("c2")
+    )
+    c1 = cb.groupBy("w1").agg(F.sum("c2").alias("c1"))
+    return (
+        bi.join(cb, ["w1", "w2"])
+        .join(c1, "w1")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            quantize6(F.avg(F.log(F.col("c2") / F.col("c1")))).alias(
+                "avg_logp"
+            ),
+        )
+        .orderBy("doc_id")
+    )

@@ -1320,3 +1320,89 @@ def sim_mips_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# dedup_containment — asymmetric shingle containment (round 8)
+# ---------------------------------------------------------------------------
+
+CONTAIN_THRESHOLD = 0.6
+
+CONTAINMENT_SQL = f"""
+WITH sh AS (
+  SELECT doc_id, unnest({_SHINGLES_SQL}) AS shingle FROM documents
+),
+cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b,
+       CAST(FLOOR(CAST((1.0 * n_common / ca.n) AS DOUBLE) * 1000000.0 + 0.5)
+            AS BIGINT) / 1000000.0 AS containment_a,
+       CAST(FLOOR(CAST((1.0 * n_common / cb.n) AS DOUBLE) * 1000000.0 + 0.5)
+            AS BIGINT) / 1000000.0 AS containment_b,
+       CASE WHEN 1.0 * n_common / ca.n >= 1.0 * n_common / cb.n
+            THEN doc_a ELSE doc_b END AS contained_doc
+FROM inter
+JOIN cnt ca ON doc_a = ca.doc_id
+JOIN cnt cb ON doc_b = cb.doc_id
+WHERE greatest(1.0 * n_common / ca.n, 1.0 * n_common / cb.n)
+        >= {CONTAIN_THRESHOLD}
+ORDER BY doc_a, doc_b
+"""
+
+
+@plan("dedup_containment", oracle=CONTAINMENT_SQL)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric shingle CONTAINMENT near-dup (round 8): for
+    candidate pairs, C(A|B) = |A∩B| / |A| — the Broder containment
+    score. Jaccard misses the classic crawl pathology where a short
+    document is embedded verbatim inside a much longer one (quote
+    pages, aggregators, boilerplate wrappers): |A∩B|/|A∪B| is diluted
+    by the big doc's size while |A∩B|/|A| is ~1. Emits both directions
+    plus which document is the contained one — that is the doc the
+    dedup policy drops (keep the superset, drop the fragment).
+
+    Same scale shape as dedup_ngram_jaccard, whose inter/cnt subtrees
+    this reuses verbatim (shared shingle self-join, map-side distinct
+    shingles, integer-ratio math): at 100 TB the pair source is the
+    LSH candidate stream, never all-pairs. The direction pick compares
+    the same two ratios both engines compute from exact integers, so
+    ties (n_a == n_b) resolve identically.
+    """
+    sh = _doc_shingles(spark, sf_dir)
+    cnt = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    ca = cnt.alias("ca")
+    cb = cnt.alias("cb")
+    c_a = F.lit(1.0) * F.col("n_common") / F.col("ca.n")
+    c_b = F.lit(1.0) * F.col("n_common") / F.col("cb.n")
+    return (
+        inter.join(ca, F.col("doc_a") == F.col("ca.doc_id"))
+        .join(cb, F.col("doc_b") == F.col("cb.doc_id"))
+        .filter(F.greatest(c_a, c_b) >= CONTAIN_THRESHOLD)
+        .select(
+            "doc_a",
+            "doc_b",
+            quantize6(c_a).alias("containment_a"),
+            quantize6(c_b).alias("containment_b"),
+            F.when(c_a >= c_b, F.col("doc_a"))
+            .otherwise(F.col("doc_b"))
+            .alias("contained_doc"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )

@@ -58,3 +58,39 @@ def test_contamination_report_short_docs(spark, short_doc_dir):
     assert set(by_src) == {"s0", "s1", "s2"}
     assert by_src["s1"].n_contaminated == 0
     assert by_src["s2"].n_contaminated == 2
+
+
+@pytest.fixture(scope="module")
+def embedded_doc_dir(tmp_path_factory):
+    """doc 1 is a verbatim fragment of doc 0 (the containment
+    pathology Jaccard dilutes); doc 2 is unrelated."""
+    d = tmp_path_factory.mktemp("embedded")
+    big = " ".join(f"w{i}" for i in range(60))
+    fragment = " ".join(f"w{i}" for i in range(20, 30))
+    rows = {
+        "doc_id": [0, 1, 2],
+        "text": [big, fragment, "zz yy xx ww vv uu tt ss rr qq"],
+        "lang": ["en"] * 3,
+        "source": ["s"] * 3,
+        "n_chars": [len(big), len(fragment), 29],
+    }
+    pq.write_table(pa.table(rows), str(d / "documents.parquet"))
+    return str(d)
+
+
+def test_containment_catches_embedded_fragment(spark, embedded_doc_dir):
+    from compendium_spark.plans.extended import JACCARD_THRESHOLD
+
+    rows = PLANS["dedup_containment"].fn(spark, embedded_doc_dir).collect()
+    by_pair = {(r.doc_a, r.doc_b): r for r in rows}
+    assert (0, 1) in by_pair
+    r = by_pair[(0, 1)]
+    # the fragment's shingles are fully covered by the big doc...
+    assert r.containment_b == 1.0
+    assert r.contained_doc == 1
+    # ...while its Jaccard (8 common / 58 union ~= 0.14) is diluted
+    # below the near-dup threshold, so the Jaccard plan misses the
+    # pair entirely — the exact case this operator exists for
+    assert JACCARD_THRESHOLD > 8 / 58
+    jac = PLANS["dedup_ngram_jaccard"].fn(spark, embedded_doc_dir).collect()
+    assert not any(p.doc_a == 0 and p.doc_b == 1 for p in jac)
