@@ -138,7 +138,11 @@ assert len(_ROUND6_WINDOW) == 50, len(_ROUND6_WINDOW)
 # shuffle removal, the 9 streaming plans (STREAM_STATE_PARTITIONS
 # change in windows.py — surfaced by the round-7 dotted-name closure
 # fix, which made module-attribute helpers fingerprint-visible), and
-# the 3 NEW plans.
+# the round-7 NEW plans (13: mm_scene_cuts, sim_hybrid_topk,
+# text_ngram_novelty, o11_compaction_plan, ts_ohlc_downsample,
+# w18_markov_transitions, sim_bq_topk, curate_contamination_report,
+# text_bm25_topk, sim_rrf_fusion, dedup_fuzzy_edit, ts_ewma,
+# curate_length_buckets). [counts corrected r8 per ADVICE.md]
 _ROUND7_STALE = [
     "curate_decontaminate",
     "dedup_bloom_prefilter",
@@ -170,9 +174,10 @@ _ROUND7_STALE = [
     "ts_ewma",
     "curate_length_buckets",
 ]
-# tier 2 — drift canaries: the 31 OLDEST clean greens (r01/r02 rows
+# tier 2 — drift canaries: the 21 OLDEST clean greens (r01/r02 rows
 # whose closure fingerprints still match), re-sampled so data/env
-# drift cannot hide behind a six-round-old green.
+# drift cannot hide behind a six-round-old green. [count corrected r8
+# per ADVICE.md — 29 stale + 21 canaries = 50]
 _ROUND7_CANARIES = [
     "a10_last_wins_dedup",
     "a11_salted_twostage_agg",
@@ -198,6 +203,83 @@ _ROUND7_CANARIES = [
 ]
 _ROUND7_WINDOW = [*_ROUND7_STALE, *_ROUND7_CANARIES]
 assert len(_ROUND7_WINDOW) == 50, len(_ROUND7_WINDOW)
-registry.promote(_ROUND7_WINDOW)
+
+# ---- round 8 ----------------------------------------------------------
+# tier 1 — the ledger's 30-plan stale set after this round's edits
+# (gate_ledger check at round close, list copied verbatim): the
+# broadcast-hint sweep (text_tfidf_topk/_log, text_lm_score,
+# text_bm25_topk, emb_lang_centroids, curate_corpus, j3/j5/j6, q20),
+# the adaptive-L cosine rework + the sim_lsh_* plans touched by
+# bucket_entries' n_tables parameter, the re-formed samplers
+# (o1_seeded_sample, o2_stratified_sample — first-ever hash rows —
+# plus the a_approx_error_bound / a13 / a19 / corpus_stats_report
+# closure neighbors of the retired a_approx_aggregates),
+# curate_decontaminate's short-doc guard + its contamination-report
+# dependent, the widened streaming_interval_join + refactored
+# streaming_mv_refresh, sim_hybrid_topk's quantized rank,
+# a22_hll_setops' shared distinct, dq_expectations_report's docstring
+# closure, w8_ntile_bands (old helper drift the ledger carries), and
+# the 3 NEW plans (sim_multiprobe_topk, text_bigram_lm_score,
+# dedup_containment — never driver-green).
+_ROUND8_STALE = [
+    "a13_exact_quantiles",
+    "a19_robust_stats",
+    "a22_hll_setops",
+    "a_approx_error_bound",
+    "corpus_stats_report",
+    "curate_contamination_report",
+    "curate_corpus",
+    "curate_decontaminate",
+    "dedup_containment",
+    "dedup_embedding_cosine",
+    "dq_expectations_report",
+    "emb_lang_centroids",
+    "j3_key_remap_join",
+    "j5_membership_anti",
+    "j6_partial_update_merge",
+    "o1_seeded_sample",
+    "o2_stratified_sample",
+    "q20_potential_promotion",
+    "sim_hybrid_topk",
+    "sim_lsh_buckets",
+    "sim_lsh_topk",
+    "sim_multiprobe_topk",
+    "streaming_interval_join",
+    "streaming_mv_refresh",
+    "text_bigram_lm_score",
+    "text_bm25_topk",
+    "text_lm_score",
+    "text_tfidf_log",
+    "text_tfidf_topk",
+    "w8_ntile_bands",
+]
+# tier 2 — drift canaries: the 20 OLDEST clean greens (r01/r02 rows
+# whose closure fingerprints still match), oldest-first by (round,
+# name): 30 stale + 20 canaries = 50.
+_ROUND8_CANARIES = [
+    "o1_topk",
+    "p1_ordered_key_scan",
+    "p2_distinct_projection",
+    "p3_null_work_queue",
+    "p4_eligibility_filter",
+    "p5_status_set_filter",
+    "p7_nonzero_filter",
+    "p8_nonempty_array_filter",
+    "t1_melt_wide_to_long",
+    "a15_argmax",
+    "a_grouping_sets",
+    "f_json_extract",
+    "f_scalar_functions",
+    "j11_full_outer_join",
+    "j12_salted_skew_join",
+    "j9_semi_join",
+    "mm_feature_pipeline",
+    "p6_keyword_filter",
+    "q10_returned_items",
+    "q12_priority_shipping",
+]
+_ROUND8_WINDOW = [*_ROUND8_STALE, *_ROUND8_CANARIES]
+assert len(_ROUND8_WINDOW) == 50, len(_ROUND8_WINDOW)
+registry.promote(_ROUND8_WINDOW)
 
 all_plans = registry.all_plans
