@@ -205,7 +205,7 @@ _ROUND7_WINDOW = [*_ROUND7_STALE, *_ROUND7_CANARIES]
 assert len(_ROUND7_WINDOW) == 50, len(_ROUND7_WINDOW)
 
 # ---- round 8 ----------------------------------------------------------
-# tier 1 — the ledger's 30-plan stale set after this round's edits
+# tier 1 — the ledger's 32-plan stale set after this round's edits
 # (gate_ledger check at round close, list copied verbatim): the
 # broadcast-hint sweep (text_tfidf_topk/_log, text_lm_score,
 # text_bm25_topk, emb_lang_centroids, curate_corpus, j3/j5/j6, q20),
@@ -244,8 +244,10 @@ _ROUND8_STALE = [
     "sim_lsh_buckets",
     "sim_lsh_topk",
     "sim_multiprobe_topk",
+    "streaming_dedup",
     "streaming_interval_join",
     "streaming_mv_refresh",
+    "streaming_sliding_counts",
     "text_bigram_lm_score",
     "text_bm25_topk",
     "text_lm_score",
@@ -253,9 +255,11 @@ _ROUND8_STALE = [
     "text_tfidf_topk",
     "w8_ntile_bands",
 ]
-# tier 2 — drift canaries: the 20 OLDEST clean greens (r01/r02 rows
+# tier 2 — drift canaries: the 18 OLDEST clean greens (r01/r02 rows
 # whose closure fingerprints still match), oldest-first by (round,
-# name): 30 stale + 20 canaries = 50.
+# name): 32 stale + 18 canaries = 50 (streaming_dedup /
+# streaming_sliding_counts joined the stale set when their transforms
+# were extracted for the progress tests).
 _ROUND8_CANARIES = [
     "o1_topk",
     "p1_ordered_key_scan",
@@ -275,8 +279,6 @@ _ROUND8_CANARIES = [
     "j9_semi_join",
     "mm_feature_pipeline",
     "p6_keyword_filter",
-    "q10_returned_items",
-    "q12_priority_shipping",
 ]
 _ROUND8_WINDOW = [*_ROUND8_STALE, *_ROUND8_CANARIES]
 assert len(_ROUND8_WINDOW) == 50, len(_ROUND8_WINDOW)

@@ -268,17 +268,23 @@ def streaming_status_merge(
     )
 
 
-def streaming_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The w2 sliding aggregation, streaming: 10-minute windows every
-    5 minutes — each event lands in 2 overlapping windows; state is
-    bounded by the watermark."""
-    ev = read_events_stream(spark, sf_dir)
-    agg = (
+def sliding_counts_transform(ev: DataFrame) -> DataFrame:
+    """The sliding-window aggregation as a stream transform — shared
+    by the registered plan and the micro-batch progress tests."""
+    return (
         ev.withWatermark("ts", "10 minutes")
         .groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
         .agg(F.count(F.lit(1)).alias("n_events"))
         .select(F.col("w.start").alias("window_start"), "n_events")
     )
+
+
+def streaming_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The w2 sliding aggregation, streaming: 10-minute windows every
+    5 minutes — each event lands in 2 overlapping windows; state is
+    bounded by the watermark. Per-micro-batch state metrics pinned in
+    tests/test_streaming_progress.py."""
+    agg = sliding_counts_transform(read_events_stream(spark, sf_dir))
     return _run_to_memory(agg, "stream_sliding", "complete")
 
 
@@ -341,21 +347,30 @@ def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_memory(joined, "stream_interval_join", "append")
 
 
-def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Watermarked streaming deduplication: every event arrives twice
-    (simulating at-least-once delivery); `dropDuplicatesWithinWatermark`
-    keeps one copy per event_id while holding only a watermark-bounded
-    id set in state — the streaming face of the dedup_* batch family.
-    """
-    ev = read_events_stream(spark, sf_dir)
+def dedup_transform(ev: DataFrame) -> DataFrame:
+    """The streaming-dedup plan as a stream transform (every event
+    doubled to simulate at-least-once delivery, then
+    dropDuplicatesWithinWatermark) — shared by the registered plan and
+    the micro-batch progress tests."""
     doubled = (
         ev.withColumn("_copy", F.explode(F.array(F.lit(1), F.lit(2))))
         .drop("_copy")
         .withWatermark("ts", "10 minutes")
     )
-    deduped = doubled.dropDuplicatesWithinWatermark(["event_id"]).select(
+    return doubled.dropDuplicatesWithinWatermark(["event_id"]).select(
         "event_id", "user_id", "event_type"
     )
+
+
+def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked streaming deduplication: every event arrives twice
+    (simulating at-least-once delivery); `dropDuplicatesWithinWatermark`
+    keeps one copy per event_id while holding only a watermark-bounded
+    id set in state — the streaming face of the dedup_* batch family.
+    Per-micro-batch state metrics pinned in
+    tests/test_streaming_progress.py.
+    """
+    deduped = dedup_transform(read_events_stream(spark, sf_dir))
     return _run_to_memory(deduped, "stream_dedup", "append")
 
 

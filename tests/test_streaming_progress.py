@@ -24,11 +24,13 @@ import pytest
 from pyspark.sql import functions as F
 
 from compendium_spark.streaming.windows import (
+    dedup_transform,
     interval_join_transform,
     mv_refresh_updates,
     run_mv_refresh,
     scd2_transform,
     session_windows_transform,
+    sliding_counts_transform,
 )
 from compendium_spark.tables import load
 
@@ -254,3 +256,50 @@ class TestMvRefreshMicrobatches:
             assert abs(got_tot - tot) < 1e-6 * max(1.0, abs(tot))
         # MV rows are O(windows x event_types), never O(events)
         assert len(state4) < n_events
+
+
+class TestDedupMicrobatches:
+    """Watermarked dedup: one state row per distinct event_id inside
+    the watermark horizon; duplicates arriving in the SAME batch (the
+    doubled stream) collapse; multi-batch == single-batch output."""
+
+    def test_state_and_dedup_accounting(self, spark, staged):
+        src4, src1, n_events, _u = staged
+        multi, batches = _run(spark, src4, dedup_transform, "dd_m4", "append")
+        assert len(batches) == 4
+        # numInputRows counts SOURCE rows (the doubling explode is
+        # inside the query, after the source)
+        assert sum(p["numInputRows"] for p in batches) == n_events
+        n_distinct = spark.read.parquet(src4).select("event_id").distinct().count()
+        for p in batches:
+            so = p["stateOperators"][0]
+            assert so["numRowsTotal"] > 0
+            # the id set never exceeds the distinct ids ingested
+            assert so["numRowsTotal"] <= n_distinct
+        # emit-once: exactly one row per distinct event id
+        assert multi.count() == n_distinct
+        single, _b1 = _run(spark, src1, dedup_transform, "dd_m1", "append")
+        assert sorted(map(tuple, multi.collect())) == sorted(
+            map(tuple, single.collect())
+        )
+
+
+class TestSlidingCountsMicrobatches:
+    """Sliding windows: state rows = open windows (2 per event time
+    bucket), bounded by the watermark; complete-mode result equals the
+    batch aggregate."""
+
+    def test_state_and_window_accounting(self, spark, staged):
+        src4, _src1, n_events, _u = staged
+        out, batches = _run(
+            spark, src4, sliding_counts_transform, "sl_m4", "complete"
+        )
+        assert len(batches) == 4
+        assert sum(p["numInputRows"] for p in batches) == n_events
+        for p in batches:
+            assert p["stateOperators"][0]["numRowsTotal"] > 0
+        # every event lands in exactly 2 overlapping windows
+        rows = out.collect()
+        assert sum(r.n_events for r in rows) == 2 * n_events
+        # and the final state holds exactly the distinct windows
+        assert batches[-1]["stateOperators"][0]["numRowsTotal"] == len(rows)
