@@ -189,3 +189,31 @@ def test_bucket_kernel_matches_expression_spec(spark):
     assert sorted(map(tuple, got.collect())) == sorted(
         map(tuple, spec.collect())
     )
+
+
+def test_bucket_kernel_matches_expression_for_extended_pool(spark):
+    """Round 8 extended the plane pool to 16 tables for the adaptive-L
+    knob. Pin kernel == expression spec for a HIGH table index too
+    (table 11) — the adaptive path must agree with the oracle's
+    literal planes beyond the original 4-table prefix."""
+    from pyspark.sql import functions as F
+
+    from compendium_spark.plans.ann import (
+        N_TABLES_MAX,
+        _bucket_expr,
+        bucket_entries,
+    )
+    from compendium_spark.plans.extended import _load_embeddings
+
+    assert N_TABLES_MAX == 16
+    emb = _load_embeddings(spark, SF_SMOKE)
+    t = 11
+    spec = emb.select(
+        "vec_id", _bucket_expr(F.col("e"), t).alias("bucket")
+    )
+    got = bucket_entries(emb, n_tables=12).filter(F.col("tbl") == t).select(
+        "vec_id", "bucket"
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, spec.collect())
+    )
