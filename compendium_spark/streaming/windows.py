@@ -112,17 +112,24 @@ def _run_to_memory(stream: DataFrame, name: str, output_mode: str) -> DataFrame:
     return spark.sql(f"SELECT * FROM {name}")
 
 
-def streaming_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The w1 tumbling aggregation, streaming: watermarked event-time
-    windows, incremental state per (window, event_type)."""
-    ev = read_events_stream(spark, sf_dir)
-    agg = (
+def tumbling_counts_transform(ev: DataFrame) -> DataFrame:
+    """The w1 tumbling aggregation, source-agnostic (see
+    session_windows_transform for why the split exists): watermarked
+    event-time windows, incremental state per (window, event_type)."""
+    return (
         ev.withWatermark("ts", "10 minutes")
         .groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
         .agg(F.count(F.lit(1)).alias("n_events"))
         .select(F.col("w.start").alias("window_start"), "event_type", "n_events")
     )
-    return _run_to_memory(agg, "stream_tumbling", "complete")
+
+
+def streaming_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The w1 tumbling aggregation, streaming."""
+    ev = read_events_stream(spark, sf_dir)
+    return _run_to_memory(
+        tumbling_counts_transform(ev), "stream_tumbling", "complete"
+    )
 
 
 def session_windows_transform(ev: DataFrame) -> DataFrame:
@@ -176,22 +183,28 @@ def _running_totals(
     )
 
 
+def running_totals_transform(ev: DataFrame) -> DataFrame:
+    """The per-user KeyedState accumulator, source-agnostic. Each
+    update-mode emission carries the running (events_seen, total_value)
+    so far; events_seen is monotone per user, so the max-events row per
+    user is the final state (the property the micro-batch tests pin)."""
+    return ev.groupBy("user_id").applyInPandasWithState(
+        _running_totals,
+        outputStructType=RUNNING_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def streaming_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arbitrary stateful processing (applyInPandasWithState): per-user
     event counts + value totals maintained in explicit state across
     microbatches."""
     ev = read_events_stream(spark, sf_dir)
-    out = (
-        ev.groupBy("user_id")
-        .applyInPandasWithState(
-            _running_totals,
-            outputStructType=RUNNING_SCHEMA,
-            stateStructType=STATE_SCHEMA,
-            outputMode="update",
-            timeoutConf=GroupStateTimeout.NoTimeout,
-        )
+    return _run_to_memory(
+        running_totals_transform(ev), "stream_running", "update"
     )
-    return _run_to_memory(out, "stream_running", "update")
 
 
 STATUS_EVENT_TYPES = {
@@ -385,9 +398,18 @@ def streaming_enrich_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     swapping the table under the path; per-batch re-resolution picks
     up the swap without restarting the query.
     """
+    ev = read_events_stream(spark, sf_dir)
+    dim = enrich_dim(spark, sf_dir)
+    return _run_to_memory(
+        enrich_join_transform(ev, dim), "stream_enrich", "complete"
+    )
+
+
+def enrich_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The static user→nation dimension the enrichment join resolves
+    per micro-batch."""
     from compendium_spark.tables import load
 
-    ev = read_events_stream(spark, sf_dir)
     cust = load(spark, sf_dir, "customer").select(
         F.col("c_custkey").alias("user_id"), "c_nationkey"
     )
@@ -395,10 +417,15 @@ def streaming_enrich_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_nationkey").alias("c_nationkey"),
         F.col("n_name").alias("nation"),
     )
-    dim = cust.join(F.broadcast(nation), "c_nationkey").select(
+    return cust.join(F.broadcast(nation), "c_nationkey").select(
         "user_id", "nation"
     )
-    agg = (
+
+
+def enrich_join_transform(ev: DataFrame, dim: DataFrame) -> DataFrame:
+    """Stream-static join + aggregation, source-agnostic (see
+    session_windows_transform for why the split exists)."""
+    return (
         ev.join(F.broadcast(dim), "user_id")
         .groupBy("nation", "event_type")
         .agg(
@@ -406,7 +433,6 @@ def streaming_enrich_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             quantize(F.sum("value"), 4).alias("total_value"),
         )
     )
-    return _run_to_memory(agg, "stream_enrich", "complete")
 
 
 def streaming_mv_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -25,12 +25,16 @@ from pyspark.sql import functions as F
 
 from compendium_spark.streaming.windows import (
     dedup_transform,
+    enrich_dim,
+    enrich_join_transform,
     interval_join_transform,
     mv_refresh_updates,
     run_mv_refresh,
+    running_totals_transform,
     scd2_transform,
     session_windows_transform,
     sliding_counts_transform,
+    tumbling_counts_transform,
 )
 from compendium_spark.tables import load
 
@@ -303,3 +307,119 @@ class TestSlidingCountsMicrobatches:
         assert sum(r.n_events for r in rows) == 2 * n_events
         # and the final state holds exactly the distinct windows
         assert batches[-1]["stateOperators"][0]["numRowsTotal"] == len(rows)
+
+
+class TestTumblingCountsMicrobatches:
+    """Tumbling windows: state rows = distinct (window, event_type)
+    groups; complete-mode result equals the batch aggregate over the
+    same files (cut invariance)."""
+
+    def test_state_and_window_accounting(self, spark, staged):
+        src4, _src1, n_events, _u = staged
+        out, batches = _run(
+            spark, src4, tumbling_counts_transform, "tb_m4", "complete"
+        )
+        assert len(batches) == 4
+        assert sum(p["numInputRows"] for p in batches) == n_events
+        rows = out.collect()
+        # counts partition the stream exactly (no event lost/duplicated)
+        assert sum(r.n_events for r in rows) == n_events
+        # final state = one row per live (window, event_type) group
+        assert batches[-1]["stateOperators"][0]["numRowsTotal"] == len(rows)
+        # state is monotone non-decreasing across batches (complete
+        # mode never evicts below the watermark horizon here)
+        totals = [p["stateOperators"][0]["numRowsTotal"] for p in batches]
+        assert totals == sorted(totals)
+
+    def test_multibatch_equals_batch_aggregate(self, spark, staged):
+        src4, _src1, _n, _u = staged
+        out, _b = _run(
+            spark, src4, tumbling_counts_transform, "tb_eq", "complete"
+        )
+        batch = (
+            spark.read.parquet(src4)
+            .groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select(
+                F.col("w.start").alias("window_start"),
+                "event_type",
+                "n_events",
+            )
+        )
+        key = ["window_start", "event_type", "n_events"]
+        assert sorted(map(tuple, out.select(key).collect())) == sorted(
+            map(tuple, batch.select(key).collect())
+        )
+
+
+class TestRunningTotalsMicrobatches:
+    """applyInPandasWithState accumulator: state = one row per user
+    seen so far; events_seen is monotone per user so the max-events
+    emission per user is the final state, which must equal the batch
+    per-user aggregate (fold invariance across cuts)."""
+
+    @staticmethod
+    def _final_per_user(rows):
+        best: dict = {}
+        for r in rows:
+            cur = best.get(r.user_id)
+            if cur is None or r.events_seen > cur[0]:
+                best[r.user_id] = (r.events_seen, r.total_value)
+        return best
+
+    def test_state_and_fold_invariance(self, spark, staged):
+        src4, src1, n_events, n_users = staged
+        multi, batches = _run(
+            spark, src4, running_totals_transform, "rt_m4", "update"
+        )
+        assert len(batches) == 4
+        assert sum(p["numInputRows"] for p in batches) == n_events
+        for p in batches:
+            so = p["stateOperators"][0]
+            assert 0 < so["numRowsTotal"] <= n_users
+        # by drain, every user has a state row
+        assert batches[-1]["stateOperators"][0]["numRowsTotal"] == n_users
+        final4 = self._final_per_user(multi.collect())
+        assert len(final4) == n_users
+        # sum of per-user events_seen partitions the stream
+        assert sum(v[0] for v in final4.values()) == n_events
+        # cut invariance: 4-batch final state == 1-batch final state
+        single, b1 = _run(
+            spark, src1, running_totals_transform, "rt_m1", "update"
+        )
+        assert len(b1) == 1
+        final1 = self._final_per_user(single.collect())
+        assert final4.keys() == final1.keys()
+        for u, (n4, t4) in final4.items():
+            n1, t1 = final1[u]
+            assert n4 == n1
+            assert abs(t4 - t1) < 1e-4 * max(1.0, abs(t1))
+
+
+class TestEnrichJoinMicrobatches:
+    """Stream-static join: the static side keeps NO state (only the
+    downstream agg does); result equals the batch join+aggregate over
+    the same files."""
+
+    def test_accounting_and_batch_equivalence(self, spark, staged):
+        src4, _src1, n_events, _u = staged
+        dim = enrich_dim(spark, SF_SMOKE)
+        out, batches = _run(
+            spark,
+            src4,
+            lambda ev: enrich_join_transform(ev, dim),
+            "en_m4",
+            "complete",
+        )
+        assert len(batches) == 4
+        # numInputRows counts only the STREAM side — the static dim is
+        # re-resolved per batch without entering the source metrics
+        assert sum(p["numInputRows"] for p in batches) == n_events
+        rows = out.collect()
+        # agg state = one row per (nation, event_type) group
+        assert batches[-1]["stateOperators"][0]["numRowsTotal"] == len(rows)
+        batch = enrich_join_transform(spark.read.parquet(src4), dim)
+        key = ["nation", "event_type", "n_events", "total_value"]
+        assert sorted(map(tuple, rows)) == sorted(
+            map(tuple, batch.select(key).collect())
+        )
