@@ -218,9 +218,13 @@ assert len(_ROUND7_WINDOW) == 50, len(_ROUND7_WINDOW)
 # dependent, the widened streaming_interval_join + refactored
 # streaming_mv_refresh, sim_hybrid_topk's quantized rank,
 # a22_hll_setops' shared distinct, dq_expectations_report's docstring
-# closure, w8_ntile_bands (old helper drift the ledger carries), and
-# the 3 NEW plans (sim_multiprobe_topk, text_bigram_lm_score,
-# dedup_containment — never driver-green).
+# closure, w8_ntile_bands (old helper drift the ledger carries), the
+# 6 NEW round-8 plans (sim_multiprobe_topk, text_bigram_lm_score,
+# dedup_containment, sim_knn_graph_multiprobe, curate_quality_dedup,
+# o12_zonemap_prune — never driver-green), and the remaining 3
+# streaming plans whose transforms were extracted for the progress
+# pins late in the round (tumbling/running/enrich). 38 total, copied
+# verbatim from gate_ledger check.
 _ROUND8_STALE = [
     "a13_exact_quantiles",
     "a19_robust_stats",
@@ -230,6 +234,7 @@ _ROUND8_STALE = [
     "curate_contamination_report",
     "curate_corpus",
     "curate_decontaminate",
+    "curate_quality_dedup",
     "dedup_containment",
     "dedup_embedding_cosine",
     "dq_expectations_report",
@@ -237,17 +242,22 @@ _ROUND8_STALE = [
     "j3_key_remap_join",
     "j5_membership_anti",
     "j6_partial_update_merge",
+    "o12_zonemap_prune",
     "o1_seeded_sample",
     "o2_stratified_sample",
     "q20_potential_promotion",
     "sim_hybrid_topk",
+    "sim_knn_graph_multiprobe",
     "sim_lsh_buckets",
     "sim_lsh_topk",
     "sim_multiprobe_topk",
     "streaming_dedup",
+    "streaming_enrich_join",
     "streaming_interval_join",
     "streaming_mv_refresh",
+    "streaming_running_totals",
     "streaming_sliding_counts",
+    "streaming_tumbling_counts",
     "text_bigram_lm_score",
     "text_bm25_topk",
     "text_lm_score",
@@ -255,11 +265,12 @@ _ROUND8_STALE = [
     "text_tfidf_topk",
     "w8_ntile_bands",
 ]
-# tier 2 — drift canaries: the 18 OLDEST clean greens (r01/r02 rows
+# tier 2 — drift canaries: the 12 OLDEST clean greens (r01/r02 rows
 # whose closure fingerprints still match), oldest-first by (round,
-# name): 32 stale + 18 canaries = 50 (streaming_dedup /
-# streaming_sliding_counts joined the stale set when their transforms
-# were extracted for the progress tests).
+# name): 38 stale + 12 canaries = 50 (the last 6 canaries of the
+# mid-round window — f_scalar_functions, j11, j12, j9,
+# mm_feature_pipeline, p6 — gave their slots to the late-round
+# additions; they stay clean-green in the ledger).
 _ROUND8_CANARIES = [
     "o1_topk",
     "p1_ordered_key_scan",
@@ -273,12 +284,6 @@ _ROUND8_CANARIES = [
     "a15_argmax",
     "a_grouping_sets",
     "f_json_extract",
-    "f_scalar_functions",
-    "j11_full_outer_join",
-    "j12_salted_skew_join",
-    "j9_semi_join",
-    "mm_feature_pipeline",
-    "p6_keyword_filter",
 ]
 _ROUND8_WINDOW = [*_ROUND8_STALE, *_ROUND8_CANARIES]
 assert len(_ROUND8_WINDOW) == 50, len(_ROUND8_WINDOW)

@@ -1161,6 +1161,120 @@ def dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _quality_dedup_sql() -> str:
+    body = _MINHASH_CAND_SQL_BODY.format(
+        sigs=_minhash_sql_sigs(), bands=_minhash_sql_bands()
+    )
+    return f"""
+WITH RECURSIVE {body},
+sh_arr AS (SELECT doc_id, {_SHINGLES_SQL} AS sh FROM documents),
+pairs AS (
+  SELECT doc_a, doc_b
+  FROM cand
+  JOIN sh_arr a ON doc_a = a.doc_id
+  JOIN sh_arr b ON doc_b = b.doc_id
+  WHERE 1.0 * len(list_intersect(a.sh, b.sh))
+          / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+        >= {JACCARD_THRESHOLD}
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+nodes AS (SELECT DISTINCT src AS doc FROM edges),
+reach(doc, lbl) AS (
+  SELECT doc, doc FROM nodes
+  UNION
+  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.doc
+),
+clusters AS (SELECT doc AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY doc),
+scored AS (
+  SELECT doc_id,
+         len(string_split_regex(trim(text), ' +')) AS n_tokens,
+         len(list_filter(string_split_regex(trim(text), ' +'),
+                         x -> x IN ('a', 'the'))) AS n_stop
+  FROM documents
+),
+ranked AS (
+  SELECT c.cluster_id, s.doc_id, s.n_tokens,
+         ROW_NUMBER() OVER (
+           PARTITION BY c.cluster_id
+           ORDER BY (CASE WHEN s.n_tokens >= 50 AND s.n_stop > 0
+                          THEN 1 ELSE 0 END) DESC,
+                    s.n_tokens DESC, s.doc_id) AS rn,
+         COUNT(*) OVER (PARTITION BY c.cluster_id) AS n_members
+  FROM clusters c JOIN scored s ON c.doc_id = s.doc_id
+)
+SELECT cluster_id,
+       doc_id AS kept_doc,
+       CAST(n_tokens AS BIGINT) AS kept_tokens,
+       CAST(n_members AS BIGINT) AS n_members,
+       CAST(n_members - 1 AS BIGINT) AS n_dropped
+FROM ranked WHERE rn = 1
+ORDER BY cluster_id
+"""
+
+
+@plan("curate_quality_dedup", oracle=_quality_dedup_sql())
+def curate_quality_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware canonical selection over the near-dup clusters:
+    instead of curate_corpus's keep-the-minimum-id rule, each cluster
+    keeps its HIGHEST-QUALITY member — passing the quality gate first
+    (n_tokens >= 50 AND n_stop > 0, text_quality_score's verdict),
+    then most tokens, then lowest doc_id. The policy real pipelines
+    want: when a document survives in several variants (truncated
+    copy, boilerplate-wrapped copy), train on the best one, not the
+    one with the smallest key.
+
+    The ranking key is ALL-INTEGER (gate flag, token count, id) so the
+    canonical pick cannot diverge cross-engine on float rounding —
+    no quantize anywhere in the sort.
+
+    Scale: composition of already-audited pieces — the label fixpoint
+    is O(docs-in-clusters) per round; the quality columns are scan-
+    stage expressions; the rank + count run in ONE window partition
+    pass per cluster (clusters are near-dup groups: tiny by
+    construction, no skew concern) and only one row per cluster
+    leaves. Reference parity: the reference dedups exact-key only
+    (db.py); quality-aware rep selection is the curation extension
+    axis.
+    """
+    labels = dedup_cluster_labels(spark, sf_dir)
+    docs = load(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), " +")
+    scored = docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.filter(toks, lambda x: x.isin("a", "the"))).alias("n_stop"),
+    )
+    m = labels.join(scored, "doc_id").select(
+        "cluster_id",
+        "doc_id",
+        "n_tokens",
+        F.when((F.col("n_tokens") >= 50) & (F.col("n_stop") > 0), F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("gate"),
+    )
+    w_rank = Window.partitionBy("cluster_id").orderBy(
+        F.desc("gate"), F.desc("n_tokens"), "doc_id"
+    )
+    w_all = Window.partitionBy("cluster_id")
+    return (
+        m.withColumn("rn", F.row_number().over(w_rank))
+        .withColumn("n_members", F.count(F.lit(1)).over(w_all))
+        .filter(F.col("rn") == 1)
+        .select(
+            "cluster_id",
+            F.col("doc_id").alias("kept_doc"),
+            F.col("n_tokens").cast("long").alias("kept_tokens"),
+            F.col("n_members").cast("long").alias("n_members"),
+            (F.col("n_members") - 1).cast("long").alias("n_dropped"),
+        )
+        .orderBy("cluster_id")
+    )
+
+
 def _sig_est_sql() -> str:
     lane_eq = " + ".join(
         f"(CASE WHEN sa.s{i} = sb.s{i} THEN 1 ELSE 0 END)"

@@ -27,12 +27,12 @@ plans/ivf.py whose cross-engine parity carries over.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from compendium_spark.functions.numeric import quantize6, sql_quantize
 from compendium_spark.plans.extended import _load_embeddings
-from compendium_spark.plans.ivf import _SQL_SCORES, _assign_cells
+from compendium_spark.plans.ivf import _SQL_SCORES, _assign_cells, _probe_cells
 from compendium_spark.plans.registry import plan
 
 # ---------------------------------------------------------------------------
@@ -451,3 +451,161 @@ def emb_kcenter_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(quantize6(F.col("dist")))
         .alias("dist"),
     ).orderBy("round")
+
+
+# ---------------------------------------------------------------------------
+# sim_knn_graph_multiprobe
+# ---------------------------------------------------------------------------
+
+KNN_NPROBE = 2
+
+KNN_MULTIPROBE_SQL = f"""
+WITH scores AS ({_SQL_SCORES}),
+ranked_cells AS (
+  SELECT vec_id, cell,
+         ROW_NUMBER() OVER (PARTITION BY vec_id
+                            ORDER BY score DESC, cell) AS rn
+  FROM scores
+),
+assign AS (SELECT vec_id, cell FROM ranked_cells WHERE rn = 1),
+probes AS (SELECT vec_id, cell FROM ranked_cells WHERE rn <= {KNN_NPROBE}),
+n AS (
+  SELECT vec_id, e,
+         sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm
+  FROM (SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        FROM embeddings)
+),
+pairs AS (
+  SELECT p.vec_id AS src, a.vec_id AS nbr,
+         CAST(FLOOR(CAST((list_sum(list_transform(x.e, (xx, i) -> xx * y.e[i]))
+           / (x.nrm * y.nrm)) AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)
+           / 1000000.0 AS cos
+  FROM probes p
+  JOIN assign a ON p.cell = a.cell AND p.vec_id <> a.vec_id
+  JOIN n x ON x.vec_id = p.vec_id
+  JOIN n y ON y.vec_id = a.vec_id
+),
+ranked AS (
+  SELECT src, nbr, cos,
+         ROW_NUMBER() OVER (PARTITION BY src
+                            ORDER BY cos DESC, nbr) AS rk
+  FROM pairs
+)
+SELECT src AS vec_id, nbr AS nbr_id, cos AS cosine, rk AS rank
+FROM ranked WHERE rk <= {KNN_K}
+ORDER BY vec_id, rank
+"""
+
+
+def _probe_knn_kernel(sided: DataFrame, k: int) -> DataFrame:
+    """Two-sided per-cell kernel: each group holds the cell's MEMBERS
+    (role 'm', assigned here) and its PROBERS (role 'p', this cell is
+    in their top-{KNN_NPROBE} probe list). One NumPy pass builds the
+    probers x members cosine matrix (sequential dim accumulation —
+    bit-matching the oracle's list_sum left fold) and emits each
+    prober's in-cell top-k on the QUANTIZED cosine. Arrays ship once
+    per role per cell — never once per pair — and only O(probers·k)
+    slim edge rows leave the kernel; a prober's global top-k is a
+    subset of the union of its per-cell top-k under the same total
+    order, so the downstream window stays exact."""
+    import numpy as np  # noqa: PLC0415
+    import pandas as pd  # noqa: PLC0415
+
+    out_schema = "src long, nbr long, cos double"
+
+    def knn(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "src": pd.Series(dtype="int64"),
+                "nbr": pd.Series(dtype="int64"),
+                "cos": pd.Series(dtype="float64"),
+            }
+        )
+        mem = pdf[pdf["role"] == "m"].sort_values("vec_id")
+        prb = pdf[pdf["role"] == "p"].sort_values("vec_id")
+        if len(mem) == 0 or len(prb) == 0:
+            return empty
+        xm = np.vstack(mem["e"].to_numpy()).astype(np.float64)
+        xp = np.vstack(prb["e"].to_numpy()).astype(np.float64)
+        acc = np.zeros((len(xp), len(xm)))
+        psq = np.zeros(len(xp))
+        msq = np.zeros(len(xm))
+        for d in range(xp.shape[1]):
+            pc, mc = xp[:, d], xm[:, d]
+            acc += pc[:, None] * mc[None, :]
+            psq += pc * pc
+            msq += mc * mc
+        cos = acc / (np.sqrt(psq)[:, None] * np.sqrt(msq)[None, :])
+        qcos = np.floor(cos * 1e6 + 0.5) / 1e6
+        mids = mem["vec_id"].to_numpy()
+        pids = prb["vec_id"].to_numpy()
+        rows = {"src": [], "nbr": [], "cos": []}
+        for i in range(len(pids)):
+            others = np.nonzero(mids != pids[i])[0]
+            if len(others) == 0:
+                continue
+            order = others[np.lexsort((mids[others], -qcos[i, others]))][:k]
+            rows["src"].extend([pids[i]] * len(order))
+            rows["nbr"].extend(mids[order])
+            rows["cos"].extend(qcos[i, order])
+        if not rows["src"]:
+            return empty
+        return pd.DataFrame(
+            {
+                "src": np.asarray(rows["src"], dtype="int64"),
+                "nbr": np.asarray(rows["nbr"], dtype="int64"),
+                "cos": np.asarray(rows["cos"], dtype="float64"),
+            }
+        )
+
+    return sided.groupBy("cell").applyInPandas(knn, schema=out_schema)
+
+
+@plan("sim_knn_graph_multiprobe", oracle=KNN_MULTIPROBE_SQL)
+def sim_knn_graph_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe k-NN graph — the extension sim_knn_graph's contract
+    names: each vector searches its top-{KNN_NPROBE} IVF cells (the
+    sim_ivf_topk probe list applied per corpus vector) instead of its
+    assigned cell only, recovering the cross-cell neighbors that make
+    single-probe graphs under-connected near cell boundaries (recall
+    vs the brute-force graph is pinned >= single-probe in
+    tests/test_knn_multiprobe.py).
+
+    Scale: two map-only Arrow passes (assignment + probe list, no
+    shuffle), one shuffle on the cell key into the two-sided kernel
+    (arrays ship once per role per cell — the pair-join form would
+    ship 2x64 doubles per candidate pair), and the kernel pre-ranks
+    in-cell so only O(n·nprobe·k) slim edges reach the final per-src
+    window (WindowGroupLimit, no global sort). Probe cost is a flat
+    nprobe multiplier on the single-probe plan; K scales ~ n to hold
+    per-cell work constant (ivf.make_centroids rule). Top-k
+    membership compares the QUANTIZED cosine (the emitted value), so
+    the rank boundary is robust to sub-quantum float drift.
+
+    Reference parity: the reference has no embedding surface
+    (reference db.py:89-186); this is the brief's similarity-search
+    extension axis."""
+    emb = _load_embeddings(spark, sf_dir)
+    members = _assign_cells(emb).join(emb, "vec_id").select(
+        "cell", "vec_id", "e", F.lit("m").alias("role")
+    )
+    probers = (
+        _probe_cells(emb, KNN_NPROBE)
+        .withColumnRenamed("query_id", "vec_id")
+        .join(emb, "vec_id")
+        .select("cell", "vec_id", "e", F.lit("p").alias("role"))
+    )
+    edges = _probe_knn_kernel(members.unionByName(probers), KNN_K)
+    w = Window.partitionBy("src").orderBy(F.desc("cos"), "nbr")
+    return (
+        edges.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= KNN_K)
+        .select(
+            F.col("src").alias("vec_id"),
+            F.col("nbr").alias("nbr_id"),
+            F.col("cos").alias("cosine"),
+            "rank",
+        )
+        .orderBy("vec_id", "rank")
+    )

@@ -1190,3 +1190,143 @@ def o11_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# o12_zonemap_prune
+# ---------------------------------------------------------------------------
+
+ZM_FILE_SPAN = 500           # orderkeys per ingest file (natural layout)
+ZM_BASE_YEAR = 1995          # testdata shipdates span 1995-2001
+ZM_LO, ZM_HI = "1996-03-01", "1996-05-01"   # probe: [lo, hi)
+
+ZONEMAP_SQL = f"""
+WITH tagged AS (
+  SELECT l_shipdate,
+         CAST(FLOOR(l_orderkey / {ZM_FILE_SPAN}.0) AS BIGINT) AS f_nat,
+         CAST((EXTRACT(year FROM l_shipdate) - {ZM_BASE_YEAR}) * 12
+              + EXTRACT(month FROM l_shipdate) - 1 AS BIGINT) AS f_date
+  FROM lineitem
+),
+legs AS (
+  SELECT 'bydate' AS layout, f_date AS file_id, l_shipdate FROM tagged
+  UNION ALL
+  SELECT 'natural', f_nat, l_shipdate FROM tagged
+),
+fstats AS (
+  SELECT layout, file_id,
+         MIN(l_shipdate) AS d0, MAX(l_shipdate) AS d1,
+         COUNT(*) AS n_rows,
+         SUM(CASE WHEN l_shipdate >= TIMESTAMP '{ZM_LO}'
+                   AND l_shipdate <  TIMESTAMP '{ZM_HI}' THEN 1 ELSE 0 END)
+           AS n_match
+  FROM legs GROUP BY layout, file_id
+),
+agg AS (
+  SELECT layout,
+         CAST(COUNT(*) AS BIGINT) AS files_total,
+         CAST(COUNT(CASE WHEN d0 < TIMESTAMP '{ZM_HI}'
+                          AND d1 >= TIMESTAMP '{ZM_LO}' THEN 1 END) AS BIGINT)
+           AS files_scanned,
+         CAST(SUM(n_rows) AS BIGINT) AS rows_total,
+         CAST(SUM(CASE WHEN d0 < TIMESTAMP '{ZM_HI}'
+                        AND d1 >= TIMESTAMP '{ZM_LO}' THEN n_rows ELSE 0 END)
+              AS BIGINT) AS rows_scanned,
+         CAST(SUM(n_match) AS BIGINT) AS rows_matched
+  FROM fstats GROUP BY layout
+)
+SELECT layout, files_total, files_scanned, rows_total, rows_scanned,
+       rows_matched,
+       {sql_quantize("CAST(rows_scanned AS DOUBLE) / CAST(rows_matched AS DOUBLE)", 6)}
+         AS scan_amplification
+FROM agg
+ORDER BY layout
+"""
+
+
+@plan("o12_zonemap_prune", oracle=ZONEMAP_SQL)
+def o12_zonemap_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map (file min/max) pruning effectiveness report — the
+    row-level complement of o5_zorder_layout's bucket counting: for a
+    shipdate range probe over the big fact, how many FILES does the
+    footer-stats check let a scan skip, and how many ROWS does it
+    still read per row it actually needs (scan_amplification), under
+    (a) the natural ingest layout (files = contiguous
+    ZM_FILE_SPAN-orderkey ranges; orderkey does NOT correlate with
+    shipdate here, so every file's zone map spans the full date range
+    and nothing prunes — amplification ~41x at sf0.01) vs (b) a
+    date-partitioned layout (one file per ship-month — pruning exact
+    up to month granularity, amplification 1.0). This is the measurement behind
+    the "should we re-partition this table" decision at 100 TB, where
+    scan_amplification IS the dollar cost of a query.
+
+    Shape: ONE fact scan (the two layout legs come from an explode of
+    a 2-struct array, not a union of scans), a slim groupBy
+    (layout, file_id) producing the O(files) zone-map manifest, and a
+    2-row rollup. No joins, no windows; the only float is the final
+    amplification ratio, FLOOR-quantized. File counts scale with SF
+    exactly as a real manifest would (span is fixed, data grows).
+
+    Reference parity: the reference scans whole TSVs uncondition-
+    ally (`data.py`); layout-aware scan planning is the lakehouse
+    extension axis alongside o5/o11.
+    """
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    tagged = li.select(
+        "l_shipdate",
+        F.floor(F.col("l_orderkey") / F.lit(float(ZM_FILE_SPAN)))
+        .cast("long")
+        .alias("f_nat"),
+        ((F.year("l_shipdate") - ZM_BASE_YEAR) * 12 + F.month("l_shipdate") - 1)
+        .cast("long")
+        .alias("f_date"),
+    )
+    legs = tagged.select(
+        "l_shipdate",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("bydate").alias("layout"),
+                    F.col("f_date").alias("file_id"),
+                ),
+                F.struct(
+                    F.lit("natural").alias("layout"),
+                    F.col("f_nat").alias("file_id"),
+                ),
+            )
+        ).alias("lf"),
+    ).select("l_shipdate", "lf.layout", "lf.file_id")
+    lo, hi = F.lit(ZM_LO).cast("timestamp"), F.lit(ZM_HI).cast("timestamp")
+    match = (F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi)
+    fstats = legs.groupBy("layout", "file_id").agg(
+        F.min("l_shipdate").alias("d0"),
+        F.max("l_shipdate").alias("d1"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(match, 1).otherwise(0)).alias("n_match"),
+    )
+    scanned = (F.col("d0") < hi) & (F.col("d1") >= lo)
+    return (
+        fstats.groupBy("layout")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("files_total"),
+            F.count(F.when(scanned, 1)).cast("long").alias("files_scanned"),
+            F.sum("n_rows").cast("long").alias("rows_total"),
+            F.sum(F.when(scanned, F.col("n_rows")).otherwise(0))
+            .cast("long")
+            .alias("rows_scanned"),
+            F.sum("n_match").cast("long").alias("rows_matched"),
+        )
+        .select(
+            "layout",
+            "files_total",
+            "files_scanned",
+            "rows_total",
+            "rows_scanned",
+            "rows_matched",
+            quantize6(
+                F.col("rows_scanned").cast("double")
+                / F.col("rows_matched").cast("double")
+            ).alias("scan_amplification"),
+        )
+        .orderBy("layout")
+    )
