@@ -219,12 +219,13 @@ assert len(_ROUND7_WINDOW) == 50, len(_ROUND7_WINDOW)
 # streaming_mv_refresh, sim_hybrid_topk's quantized rank,
 # a22_hll_setops' shared distinct, dq_expectations_report's docstring
 # closure, w8_ntile_bands (old helper drift the ledger carries), the
-# 6 NEW round-8 plans (sim_multiprobe_topk, text_bigram_lm_score,
+# 8 NEW round-8 plans (sim_multiprobe_topk, text_bigram_lm_score,
 # dedup_containment, sim_knn_graph_multiprobe, curate_quality_dedup,
-# o12_zonemap_prune — never driver-green), and the remaining 3
-# streaming plans whose transforms were extracted for the progress
-# pins late in the round (tumbling/running/enrich). 38 total, copied
-# verbatim from gate_ledger check.
+# o12_zonemap_prune, dedup_cross_source_rate, curate_yield_curve —
+# never driver-green), and the remaining 3 streaming plans whose
+# transforms were extracted for the progress pins late in the round
+# (tumbling/running/enrich). 40 total, copied verbatim from
+# gate_ledger check.
 _ROUND8_STALE = [
     "a13_exact_quantiles",
     "a19_robust_stats",
@@ -235,7 +236,9 @@ _ROUND8_STALE = [
     "curate_corpus",
     "curate_decontaminate",
     "curate_quality_dedup",
+    "curate_yield_curve",
     "dedup_containment",
+    "dedup_cross_source_rate",
     "dedup_embedding_cosine",
     "dq_expectations_report",
     "emb_lang_centroids",
@@ -265,12 +268,13 @@ _ROUND8_STALE = [
     "text_tfidf_topk",
     "w8_ntile_bands",
 ]
-# tier 2 — drift canaries: the 12 OLDEST clean greens (r01/r02 rows
+# tier 2 — drift canaries: the 10 OLDEST clean greens (r01/r02 rows
 # whose closure fingerprints still match), oldest-first by (round,
-# name): 38 stale + 12 canaries = 50 (the last 6 canaries of the
-# mid-round window — f_scalar_functions, j11, j12, j9,
-# mm_feature_pipeline, p6 — gave their slots to the late-round
-# additions; they stay clean-green in the ledger).
+# name): 40 stale + 10 canaries = 50 (the last 8 canaries of the
+# mid-round window — a_grouping_sets, f_json_extract,
+# f_scalar_functions, j11, j12, j9, mm_feature_pipeline, p6 — gave
+# their slots to the late-round additions; they stay clean-green in
+# the ledger).
 _ROUND8_CANARIES = [
     "o1_topk",
     "p1_ordered_key_scan",
@@ -282,8 +286,6 @@ _ROUND8_CANARIES = [
     "p8_nonempty_array_filter",
     "t1_melt_wide_to_long",
     "a15_argmax",
-    "a_grouping_sets",
-    "f_json_extract",
 ]
 _ROUND8_WINDOW = [*_ROUND8_STALE, *_ROUND8_CANARIES]
 assert len(_ROUND8_WINDOW) == 50, len(_ROUND8_WINDOW)

@@ -1074,3 +1074,182 @@ def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# dedup_cross_source_rate — contamination between sources
+# ---------------------------------------------------------------------------
+
+
+def _cross_source_sql() -> str:
+    from compendium_spark.plans.extended import (  # noqa: PLC0415
+        _MINHASH_CAND_SQL_BODY,
+        _SHINGLES_SQL,
+        JACCARD_THRESHOLD,
+        _minhash_sql_bands,
+        _minhash_sql_sigs,
+    )
+
+    body = _MINHASH_CAND_SQL_BODY.format(
+        sigs=_minhash_sql_sigs(), bands=_minhash_sql_bands()
+    )
+    return f"""
+WITH {body},
+sh_arr AS (SELECT doc_id, {_SHINGLES_SQL} AS sh FROM documents),
+pairs AS (
+  SELECT doc_a, doc_b
+  FROM cand
+  JOIN sh_arr a ON doc_a = a.doc_id
+  JOIN sh_arr b ON doc_b = b.doc_id
+  WHERE 1.0 * len(list_intersect(a.sh, b.sh))
+          / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+        >= {JACCARD_THRESHOLD}
+),
+src AS (SELECT doc_id, source FROM documents),
+tagged AS (
+  SELECT CASE WHEN sa.source <= sb.source THEN sa.source ELSE sb.source END
+           AS source_lo,
+         CASE WHEN sa.source <= sb.source THEN sb.source ELSE sa.source END
+           AS source_hi
+  FROM pairs
+  JOIN src sa ON doc_a = sa.doc_id
+  JOIN src sb ON doc_b = sb.doc_id
+)
+SELECT source_lo, source_hi,
+       CASE WHEN source_lo = source_hi THEN 1 ELSE 0 END AS within_source,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM tagged
+GROUP BY source_lo, source_hi
+ORDER BY source_lo, source_hi
+"""
+
+
+@plan("dedup_cross_source_rate", oracle=_cross_source_sql())
+def dedup_cross_source_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication matrix over the verified near-dup
+    pairs: for every (source, source) combination with at least one
+    near-dup pair, how many pairs land there and whether they are
+    within-source (ordinary duplication — mirrors, reposts) or
+    CROSS-source (the licensing/contamination signal: the same text
+    entering the corpus through two providers, which per-source caps
+    and per-source mixture weights silently double-count).
+
+    Shape: the pair set is the already-audited O(candidates) near-dup
+    pipeline; the source lookup is a slim (doc_id, source) projection
+    equi-joined on the pair keys (corpus-sized side — NO broadcast
+    hint, r8 policy; AQE converts where it fits), then a tiny
+    canonicalized (lo, hi) rollup. Nothing here grows faster than the
+    verified-pair count.
+
+    Reference parity: the reference's dedup is exact-key within one
+    table (db.py); source-attribution analytics is the curation
+    extension axis.
+    """
+    from compendium_spark.plans.extended import (  # noqa: PLC0415
+        dedup_neardup_pipeline,
+    )
+
+    pairs = dedup_neardup_pipeline(spark, sf_dir).select("doc_a", "doc_b")
+    src = load(spark, sf_dir, "documents").select("doc_id", "source")
+    sa = src.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("sa"))
+    sb = src.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("sb"))
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            F.least("sa", "sb").alias("source_lo"),
+            F.greatest("sa", "sb").alias("source_hi"),
+        )
+        .groupBy("source_lo", "source_hi")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+        .select(
+            "source_lo",
+            "source_hi",
+            F.when(F.col("source_lo") == F.col("source_hi"), F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("within_source"),
+            "n_pairs",
+        )
+        .orderBy("source_lo", "source_hi")
+    )
+
+
+# ---------------------------------------------------------------------------
+# curate_yield_curve — filter-threshold yield sweep
+# ---------------------------------------------------------------------------
+
+YIELD_THRESHOLDS = [10, 25, 40, 50, 60, 75, 90]
+
+YIELD_CURVE_SQL = f"""
+WITH scored AS (
+  SELECT len(string_split_regex(trim(text), ' +')) AS n_tokens
+  FROM documents
+),
+t AS (SELECT unnest([{", ".join(str(t) for t in YIELD_THRESHOLDS)}]) AS threshold),
+agg AS (
+  SELECT threshold,
+         CAST(COUNT(CASE WHEN n_tokens >= threshold THEN 1 END) AS BIGINT)
+           AS docs_kept,
+         CAST(SUM(CASE WHEN n_tokens >= threshold THEN n_tokens ELSE 0 END)
+              AS BIGINT) AS tokens_kept,
+         CAST(COUNT(*) AS BIGINT) AS docs_total,
+         CAST(SUM(n_tokens) AS BIGINT) AS tokens_total
+  FROM scored, t GROUP BY threshold
+)
+SELECT threshold, docs_kept, tokens_kept,
+       CAST(FLOOR(CAST((CAST(docs_kept AS DOUBLE) / docs_total) AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) / 1000000.0 AS doc_share,
+       CAST(FLOOR(CAST((CAST(tokens_kept AS DOUBLE) / tokens_total) AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) / 1000000.0 AS token_share
+FROM agg
+ORDER BY threshold
+"""
+
+
+@plan("curate_yield_curve", oracle=YIELD_CURVE_SQL)
+def curate_yield_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter-threshold yield curve: for each candidate min-token
+    threshold, how many documents and tokens survive — the sweep a
+    pipeline owner reads BEFORE picking the quality gate's cutoff
+    (the difference between 'drop 3% of tokens' and 'drop 40% of
+    tokens' is one threshold notch, and nobody should learn that
+    after the filter ran at 100 TB).
+
+    Shape: ONE scan computing per-doc token counts, multiplied by the
+    {len(YIELD_THRESHOLDS)}-row literal threshold array (explode of a
+    lit array — no second scan, no join), partial-aggregated map-side
+    into {len(YIELD_THRESHOLDS)} groups. Shuffle volume is
+    O(partitions x thresholds) regardless of corpus size; float
+    enters only at the two final share ratios.
+    """
+    docs = load(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split(F.trim(F.col("text")), " +"))
+    scored = docs.select(n_tokens.alias("n_tokens"))
+    legs = scored.select(
+        "n_tokens",
+        F.explode(
+            F.array(*[F.lit(t) for t in YIELD_THRESHOLDS])
+        ).alias("threshold"),
+    )
+    kept = F.col("n_tokens") >= F.col("threshold")
+    return (
+        legs.groupBy("threshold")
+        .agg(
+            F.count(F.when(kept, 1)).cast("long").alias("docs_kept"),
+            F.sum(F.when(kept, F.col("n_tokens")).otherwise(0))
+            .cast("long")
+            .alias("tokens_kept"),
+            F.count(F.lit(1)).cast("long").alias("docs_total"),
+            F.sum("n_tokens").cast("long").alias("tokens_total"),
+        )
+        .select(
+            "threshold",
+            "docs_kept",
+            "tokens_kept",
+            quantize6(
+                F.col("docs_kept").cast("double") / F.col("docs_total")
+            ).alias("doc_share"),
+            quantize6(
+                F.col("tokens_kept").cast("double") / F.col("tokens_total")
+            ).alias("token_share"),
+        )
+        .orderBy("threshold")
+    )
