@@ -32,7 +32,7 @@ from pyspark.sql import functions as F
 
 from compendium_spark.functions.numeric import quantize6, sql_quantize
 from compendium_spark.plans.extended import _load_embeddings
-from compendium_spark.plans.ivf import _SQL_SCORES, _assign_cells, _probe_cells
+from compendium_spark.plans.ivf import _SQL_SCORES, _assign_cells
 from compendium_spark.plans.registry import plan
 
 # ---------------------------------------------------------------------------
@@ -498,6 +498,64 @@ ORDER BY vec_id, rank
 """
 
 
+def _sided_probe_cells(emb: DataFrame, n_probe: int) -> DataFrame:
+    """(cell, vec_id, e, role) — the two-sided kernel input built in
+    ONE Arrow pass over ONE embeddings scan. The assignment IS the
+    rank-1 probe, so emitting every vector's role 'm' row (its
+    assigned cell) alongside its ``n_probe`` role 'p' rows from the
+    same centroid-score matrix replaces the earlier
+    assign-kernel + probe-kernel + two join-backs shape (4 scans of
+    the corpus, 2 join shuffles) with 1 scan, 0 joins; the cell-key
+    shuffle into the per-cell kernel ships the same n·(n_probe+1)
+    embedding copies either way. Scoring is the identical
+    sequential-over-dims accumulation and ``lexsort`` tie-break as
+    ``ivf._assign_cells`` / ``ivf._probe_cells``, so roles are
+    bit-for-bit the rows the composed form produced."""
+    import numpy as np  # noqa: PLC0415
+    import pandas as pd  # noqa: PLC0415
+
+    from compendium_spark.plans.ivf import CENTROIDS, N_CELLS  # noqa: PLC0415
+
+    centroids = np.asarray(CENTROIDS, dtype=np.float64)  # (K, DIM)
+
+    def probe(batches):
+        cell_idx = np.arange(N_CELLS)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.vstack(pdf["e"].to_numpy()).astype(np.float64)
+            scores = np.zeros((len(x), N_CELLS))
+            for k in range(N_CELLS):
+                acc = np.zeros(len(x))
+                for d in range(x.shape[1]):
+                    acc = acc + x[:, d] * centroids[k, d]
+                scores[:, k] = acc
+            cells: list[int] = []
+            rows: list[int] = []
+            roles: list[str] = []
+            for r in range(len(x)):
+                order = np.lexsort((cell_idx, -scores[r]))[:n_probe]
+                cells.append(int(order[0]))
+                rows.append(r)
+                roles.append("m")
+                cells.extend(int(c) for c in order)
+                rows.extend([r] * len(order))
+                roles.extend(["p"] * len(order))
+            idx = np.asarray(rows)
+            yield pd.DataFrame(
+                {
+                    "cell": np.asarray(cells, dtype="int32"),
+                    "vec_id": pdf["vec_id"].to_numpy()[idx],
+                    "e": pdf["e"].to_numpy()[idx],
+                    "role": roles,
+                }
+            )
+
+    return emb.select("vec_id", "e").mapInPandas(
+        probe, schema="cell int, vec_id long, e array<double>, role string"
+    )
+
+
 def _probe_knn_kernel(sided: DataFrame, k: int) -> DataFrame:
     """Two-sided per-cell kernel: each group holds the cell's MEMBERS
     (role 'm', assigned here) and its PROBERS (role 'p', this cell is
@@ -572,8 +630,11 @@ def sim_knn_graph_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     vs the brute-force graph is pinned >= single-probe in
     tests/test_knn_multiprobe.py).
 
-    Scale: two map-only Arrow passes (assignment + probe list, no
-    shuffle), one shuffle on the cell key into the two-sided kernel
+    Scale: ONE map-only Arrow pass over ONE corpus scan emits both
+    roles (the assignment is the rank-1 probe — ``_sided_probe_cells``
+    replaced the assign-kernel + probe-kernel + two join-back shape
+    its first form used: 4 scans, 2 join shuffles → 1 scan, 0 joins),
+    one shuffle on the cell key into the two-sided kernel
     (arrays ship once per role per cell — the pair-join form would
     ship 2x64 doubles per candidate pair), and the kernel pre-ranks
     in-cell so only O(n·nprobe·k) slim edges reach the final per-src
@@ -587,16 +648,7 @@ def sim_knn_graph_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     (reference db.py:89-186); this is the brief's similarity-search
     extension axis."""
     emb = _load_embeddings(spark, sf_dir)
-    members = _assign_cells(emb).join(emb, "vec_id").select(
-        "cell", "vec_id", "e", F.lit("m").alias("role")
-    )
-    probers = (
-        _probe_cells(emb, KNN_NPROBE)
-        .withColumnRenamed("query_id", "vec_id")
-        .join(emb, "vec_id")
-        .select("cell", "vec_id", "e", F.lit("p").alias("role"))
-    )
-    edges = _probe_knn_kernel(members.unionByName(probers), KNN_K)
+    edges = _probe_knn_kernel(_sided_probe_cells(emb, KNN_NPROBE), KNN_K)
     w = Window.partitionBy("src").orderBy(F.desc("cos"), "nbr")
     return (
         edges.withColumn("rank", F.row_number().over(w))
