@@ -222,10 +222,10 @@ assert len(_ROUND7_WINDOW) == 50, len(_ROUND7_WINDOW)
 # 8 NEW round-8 plans (sim_multiprobe_topk, text_bigram_lm_score,
 # dedup_containment, sim_knn_graph_multiprobe, curate_quality_dedup,
 # o12_zonemap_prune, dedup_cross_source_rate, curate_yield_curve —
-# never driver-green), and the remaining 3 streaming plans whose
-# transforms were extracted for the progress pins late in the round
-# (tumbling/running/enrich). 40 total, copied verbatim from
-# gate_ledger check.
+# never driver-green, joined later by text_boilerplate_shingles),
+# and the remaining 3 streaming plans whose transforms were extracted
+# for the progress pins late in the round (tumbling/running/enrich).
+# 41 total, copied verbatim from gate_ledger check.
 _ROUND8_STALE = [
     "a13_exact_quantiles",
     "a19_robust_stats",
@@ -263,15 +263,16 @@ _ROUND8_STALE = [
     "streaming_tumbling_counts",
     "text_bigram_lm_score",
     "text_bm25_topk",
+    "text_boilerplate_shingles",
     "text_lm_score",
     "text_tfidf_log",
     "text_tfidf_topk",
     "w8_ntile_bands",
 ]
-# tier 2 — drift canaries: the 10 OLDEST clean greens (r01/r02 rows
+# tier 2 — drift canaries: the 9 OLDEST clean greens (r01/r02 rows
 # whose closure fingerprints still match), oldest-first by (round,
-# name): 40 stale + 10 canaries = 50 (the last 8 canaries of the
-# mid-round window — a_grouping_sets, f_json_extract,
+# name): 41 stale + 9 canaries = 50 (the last 9 canaries of the
+# mid-round window — a15_argmax, a_grouping_sets, f_json_extract,
 # f_scalar_functions, j11, j12, j9, mm_feature_pipeline, p6 — gave
 # their slots to the late-round additions; they stay clean-green in
 # the ledger).
@@ -285,7 +286,6 @@ _ROUND8_CANARIES = [
     "p7_nonzero_filter",
     "p8_nonempty_array_filter",
     "t1_melt_wide_to_long",
-    "a15_argmax",
 ]
 _ROUND8_WINDOW = [*_ROUND8_STALE, *_ROUND8_CANARIES]
 assert len(_ROUND8_WINDOW) == 50, len(_ROUND8_WINDOW)

@@ -897,3 +897,86 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# text_boilerplate_shingles — cross-document boilerplate watchlist
+# ---------------------------------------------------------------------------
+
+BOILERPLATE_TOPK = 20
+
+
+def _boilerplate_sql() -> str:
+    from compendium_spark.functions.numeric import sql_quantize6  # noqa: PLC0415
+    from compendium_spark.plans.extended import _SHINGLES_SQL  # noqa: PLC0415
+
+    share = sql_quantize6("CAST(doc_freq AS DOUBLE) / n_docs")
+    return f"""
+WITH sh AS (
+  SELECT doc_id, unnest({_SHINGLES_SQL}) AS shingle FROM documents
+),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+df AS (
+  SELECT shingle, CAST(COUNT(*) AS BIGINT) AS doc_freq
+  FROM sh GROUP BY shingle
+)
+SELECT shingle, doc_freq, {share} AS doc_share
+FROM df, tot
+ORDER BY doc_freq DESC, shingle
+LIMIT {BOILERPLATE_TOPK}
+"""
+
+
+@plan("text_boilerplate_shingles", oracle=_boilerplate_sql())
+def text_boilerplate_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document boilerplate watchlist: the top-{BOILERPLATE_TOPK}
+    3-gram shingles by DOCUMENT frequency (per-doc distinct, so a
+    shingle repeated inside one doc counts once), with each shingle's
+    share of the corpus. Navigation chrome, license headers and cookie
+    banners repeat verbatim across documents; this is the ranked list
+    a curation owner reads to decide what line-level boilerplate
+    stripping should target — the corpus-global complement to
+    `text_repetition_ratio` (within-doc) and `text_ngram_novelty`
+    (longitudinal). A watchlist, not a threshold filter: the fixture's
+    max doc-frequency is ~1.4 %, so any fixed cut would emit nothing
+    on clean corpora while real corpora need eyes on the top ranks
+    first.
+
+    Scale: per-doc distinct shingles computed map-side
+    (`_doc_shingles`'s array_distinct before the explode), one
+    count-per-shingle shuffle (partial agg map-side), then
+    TakeOrdered — ordering on the exact BIGINT count with the shingle
+    string as tie-break, so the LIMIT boundary cannot drift
+    cross-engine; no global sort, no window. The 1-row corpus total
+    broadcasts into the share division (documented scalar BNLJ). The
+    corpus-size count is a second, column-pruned scan of `documents`
+    — cheaper than materializing the shingle stream to count doc_ids
+    from it (and docs shorter than 3 tokens yield no shingles, so the
+    total must come from the base table anyway).
+
+    Reference parity: the reference has no text-analytics surface;
+    this is the brief's text-analysis extension axis (boilerplate
+    removal per C4/RefinedWeb line-dedup practice).
+    """
+    from compendium_spark.plans.extended import _doc_shingles  # noqa: PLC0415
+
+    sh = _doc_shingles(spark, sf_dir)
+    n_docs = (
+        load(spark, sf_dir, "documents")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
+    df = sh.groupBy("shingle").agg(
+        F.count(F.lit(1)).cast("long").alias("doc_freq")
+    )
+    return (
+        df.crossJoin(F.broadcast(n_docs))
+        .select(
+            "shingle",
+            "doc_freq",
+            quantize6(
+                F.col("doc_freq").cast("double") / F.col("n_docs")
+            ).alias("doc_share"),
+        )
+        .orderBy(F.desc("doc_freq"), "shingle")
+        .limit(BOILERPLATE_TOPK)
+    )

@@ -73,6 +73,7 @@ SCALAR_SUBQUERY = {
     "a23_countmin_sketch",  # 1-row stream-total broadcast into the eps bound
     "j18_snapshot_diff",  # 1-row (snap1, snap2) bounds broadcast
     "text_bm25_topk",  # 1-row (N, avgdl) corpus-stats broadcast
+    "text_boilerplate_shingles",  # 1-row corpus-size broadcast into the share
 }
 
 

@@ -17,6 +17,7 @@ from compendium_spark.plans.extended import (
     dedup_neardup_pipeline,
 )
 from compendium_spark.plans.olap_ext import o12_zonemap_prune
+from compendium_spark.plans.text import BOILERPLATE_TOPK, text_boilerplate_shingles
 from compendium_spark.tables import load
 
 from .conftest import SF_ORACLE
@@ -89,6 +90,29 @@ class TestCrossSourceRate:
         # the fixture has cross-source dup pairs (the signal the
         # operator exists to surface)
         assert any(r.within_source == 0 for r in out)
+
+
+class TestBoilerplateShingles:
+    def test_watchlist_semantics(self, spark):
+        rows = text_boilerplate_shingles(spark, SF_ORACLE).collect()
+        assert len(rows) == BOILERPLATE_TOPK
+        freqs = [r.doc_freq for r in rows]
+        assert freqs == sorted(freqs, reverse=True)
+        n_docs = load(spark, SF_ORACLE, "documents").count()
+        for r in rows:
+            assert len(r.shingle.split(" ")) == 3  # 3-gram shingles
+            assert 1 <= r.doc_freq <= n_docs
+            assert 0.0 < r.doc_share <= 1.0
+        # the top entry really is the corpus-wide argmax doc-frequency:
+        # recount it independently (distinct docs containing the shingle)
+        top = rows[0]
+        docs = load(spark, SF_ORACLE, "documents")
+        recount = docs.filter(
+            F.col("text").contains(top.shingle)
+        ).count()
+        # containment is a superset of shingle presence (substring can
+        # straddle token boundaries), so it bounds the watchlist count
+        assert recount >= top.doc_freq
 
 
 class TestYieldCurve:
