@@ -223,9 +223,10 @@ assert len(_ROUND7_WINDOW) == 50, len(_ROUND7_WINDOW)
 # dedup_containment, sim_knn_graph_multiprobe, curate_quality_dedup,
 # o12_zonemap_prune, dedup_cross_source_rate, curate_yield_curve —
 # never driver-green, joined later by text_boilerplate_shingles),
-# and the remaining 3 streaming plans whose transforms were extracted
-# for the progress pins late in the round (tumbling/running/enrich).
-# 41 total, copied verbatim from gate_ledger check.
+# the remaining 3 streaming plans whose transforms were extracted
+# for the progress pins late in the round (tumbling/running/enrich),
+# and sim_knn_graph (single-scan sided-kernel rebuild). 42 total,
+# copied verbatim from gate_ledger check.
 _ROUND8_STALE = [
     "a13_exact_quantiles",
     "a19_robust_stats",
@@ -250,6 +251,7 @@ _ROUND8_STALE = [
     "o2_stratified_sample",
     "q20_potential_promotion",
     "sim_hybrid_topk",
+    "sim_knn_graph",
     "sim_knn_graph_multiprobe",
     "sim_lsh_buckets",
     "sim_lsh_topk",
@@ -269,13 +271,13 @@ _ROUND8_STALE = [
     "text_tfidf_topk",
     "w8_ntile_bands",
 ]
-# tier 2 — drift canaries: the 9 OLDEST clean greens (r01/r02 rows
+# tier 2 — drift canaries: the 8 OLDEST clean greens (r01/r02 rows
 # whose closure fingerprints still match), oldest-first by (round,
-# name): 41 stale + 9 canaries = 50 (the last 9 canaries of the
-# mid-round window — a15_argmax, a_grouping_sets, f_json_extract,
-# f_scalar_functions, j11, j12, j9, mm_feature_pipeline, p6 — gave
-# their slots to the late-round additions; they stay clean-green in
-# the ledger).
+# name): 42 stale + 8 canaries = 50 (the last 10 canaries of the
+# mid-round window — t1_melt_wide_to_long, a15_argmax,
+# a_grouping_sets, f_json_extract, f_scalar_functions, j11, j12, j9,
+# mm_feature_pipeline, p6 — gave their slots to the late-round
+# additions; they stay clean-green in the ledger).
 _ROUND8_CANARIES = [
     "o1_topk",
     "p1_ordered_key_scan",
@@ -285,7 +287,6 @@ _ROUND8_CANARIES = [
     "p5_status_set_filter",
     "p7_nonzero_filter",
     "p8_nonempty_array_filter",
-    "t1_melt_wide_to_long",
 ]
 _ROUND8_WINDOW = [*_ROUND8_STALE, *_ROUND8_CANARIES]
 assert len(_ROUND8_WINDOW) == 50, len(_ROUND8_WINDOW)

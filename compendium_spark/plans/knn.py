@@ -32,7 +32,7 @@ from pyspark.sql import functions as F
 
 from compendium_spark.functions.numeric import quantize6, sql_quantize
 from compendium_spark.plans.extended import _load_embeddings
-from compendium_spark.plans.ivf import _SQL_SCORES, _assign_cells
+from compendium_spark.plans.ivf import _SQL_SCORES
 from compendium_spark.plans.registry import plan
 
 # ---------------------------------------------------------------------------
@@ -147,14 +147,22 @@ def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     clustering substrates, and the multi-probe extension is the
     sim_ivf_topk probe list applied per corpus vector.
 
-    Scale: one map-only assignment pass (no shuffle), one shuffle on
-    the cell key into the grouped-map kernel, and the kernel emits the
-    PRE-RANKED top-k — O(n·k) rows out, no per-vector window over
+    Scale: one map-only assignment pass over ONE corpus scan — the
+    sided kernel input comes from ``_sided_probe_cells(emb, 1)``'s
+    role-'m' rows (the assignment with the embedding already attached;
+    its rank-1 lexsort pick is the same ORDER BY score DESC, cell
+    first-max as ``_assign_cells``), replacing the earlier
+    assign-then-join-back shape (2 scans + 1 join); then one shuffle
+    on the cell key into the grouped-map kernel, and the kernel emits
+    the PRE-RANKED top-k — O(n·k) rows out, no per-vector window over
     O(n·cell) pair rows. K scales ~ n (ivf.make_centroids rule) to
     hold the in-kernel (n/K)² matrix constant."""
     emb = _load_embeddings(spark, sf_dir)
-    cells = _assign_cells(emb)
-    sided = emb.join(cells, "vec_id")
+    sided = (
+        _sided_probe_cells(emb, 1)
+        .filter(F.col("role") == "m")
+        .select("cell", "vec_id", "e")
+    )
     edges = _cell_knn_kernel(sided, KNN_K)
     return edges.select(
         "vec_id",

@@ -85,6 +85,13 @@ PROBES = [
     ("sim_multiprobe_topk", "multi-probe LSH (Hamming-1 probes)"),
     ("text_bigram_lm_score", "bigram LM scoring"),
     ("dedup_containment", "asymmetric shingle containment"),
+    # round 8 late additions
+    ("sim_knn_graph_multiprobe", "single-scan two-sided multi-probe kNN"),
+    ("curate_quality_dedup", "quality-argmax canonical pick per cluster"),
+    ("o12_zonemap_prune", "zone-map pruning report (manifest agg)"),
+    ("dedup_cross_source_rate", "cross-source dup-pair rollup"),
+    ("curate_yield_curve", "threshold-sweep yield report"),
+    ("text_boilerplate_shingles", "corpus-global boilerplate watchlist"),
 ]
 
 
