@@ -225,8 +225,9 @@ assert len(_ROUND7_WINDOW) == 50, len(_ROUND7_WINDOW)
 # never driver-green, joined later by text_boilerplate_shingles),
 # the remaining 3 streaming plans whose transforms were extracted
 # for the progress pins late in the round (tumbling/running/enrich),
-# and sim_knn_graph (single-scan sided-kernel rebuild). 42 total,
-# copied verbatim from gate_ledger check.
+# and sim_knn_graph (single-scan sided-kernel rebuild). 42 from
+# gate_ledger check, +1 late addition (curate_domain_mix_report,
+# never driver-green) = 43 total.
 _ROUND8_STALE = [
     "a13_exact_quantiles",
     "a19_robust_stats",
@@ -236,6 +237,7 @@ _ROUND8_STALE = [
     "curate_contamination_report",
     "curate_corpus",
     "curate_decontaminate",
+    "curate_domain_mix_report",
     "curate_quality_dedup",
     "curate_yield_curve",
     "dedup_containment",
@@ -271,13 +273,14 @@ _ROUND8_STALE = [
     "text_tfidf_topk",
     "w8_ntile_bands",
 ]
-# tier 2 — drift canaries: the 8 OLDEST clean greens (r01/r02 rows
+# tier 2 — drift canaries: the 7 OLDEST clean greens (r01/r02 rows
 # whose closure fingerprints still match), oldest-first by (round,
-# name): 42 stale + 8 canaries = 50 (the last 10 canaries of the
+# name): 43 stale + 7 canaries = 50 (the last 11 canaries of the
 # mid-round window — t1_melt_wide_to_long, a15_argmax,
 # a_grouping_sets, f_json_extract, f_scalar_functions, j11, j12, j9,
-# mm_feature_pipeline, p6 — gave their slots to the late-round
-# additions; they stay clean-green in the ledger).
+# mm_feature_pipeline, p6, p8_nonempty_array_filter — gave their
+# slots to the late-round additions; they stay clean-green in the
+# ledger).
 _ROUND8_CANARIES = [
     "o1_topk",
     "p1_ordered_key_scan",
@@ -286,7 +289,6 @@ _ROUND8_CANARIES = [
     "p4_eligibility_filter",
     "p5_status_set_filter",
     "p7_nonzero_filter",
-    "p8_nonempty_array_filter",
 ]
 _ROUND8_WINDOW = [*_ROUND8_STALE, *_ROUND8_CANARIES]
 assert len(_ROUND8_WINDOW) == 50, len(_ROUND8_WINDOW)

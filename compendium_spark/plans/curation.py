@@ -1253,3 +1253,76 @@ def curate_yield_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("threshold")
     )
+
+
+MIX_SQL = """
+WITH cell AS (
+  SELECT source, lang,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(len(string_split_regex(trim(text), ' +'))) AS BIGINT)
+           AS n_tokens
+  FROM documents
+  GROUP BY source, lang
+),
+tot AS (
+  SELECT CAST(SUM(n_docs) AS BIGINT) AS tot_docs,
+         CAST(SUM(n_tokens) AS BIGINT) AS tot_tokens
+  FROM cell
+)
+SELECT c.source, c.lang, c.n_docs, c.n_tokens,
+       CAST(FLOOR(CAST((CAST(c.n_docs AS DOUBLE) / t.tot_docs) AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) / 1000000.0 AS doc_share,
+       CAST(FLOOR(CAST((CAST(c.n_tokens AS DOUBLE) / t.tot_tokens) AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) / 1000000.0 AS token_share
+FROM cell c, tot t
+ORDER BY c.n_tokens DESC, c.source, c.lang
+"""
+
+
+@plan("curate_domain_mix_report", oracle=MIX_SQL)
+def curate_domain_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture table: per (source, lang) cell, document and
+    token counts plus corpus shares — the table every pretraining run
+    publishes before fixing mixture weights (The Pile §2, RefinedWeb
+    Table 2), and the input `curate_mixture_sample` /
+    `curate_mixture_temperature` reweight from.
+
+    Shape: token counts are map-side scan math (size(split)); one
+    shuffle on the (source, lang) cell key whose cardinality is
+    sources × languages (bounded by SEMANTICS, not SF); the 1-row
+    grand total broadcasts back for the shares. Shares divide the
+    exact BIGINT sums once at the end; ordering is on the exact token
+    count, never a float. At 100 TB this is a single map-reduce pass
+    over the text column.
+    """
+    docs = load(spark, sf_dir, "documents")
+    cell = (
+        docs.select(
+            "source",
+            "lang",
+            F.size(F.split(F.trim(F.col("text")), " +")).alias("toks"),
+        )
+        .groupBy("source", "lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("toks").cast("long").alias("n_tokens"),
+        )
+    )
+    tot = cell.agg(
+        F.sum("n_docs").cast("long").alias("tot_docs"),
+        F.sum("n_tokens").cast("long").alias("tot_tokens"),
+    )
+    return (
+        cell.join(F.broadcast(tot))
+        .select(
+            "source",
+            "lang",
+            "n_docs",
+            "n_tokens",
+            quantize6(
+                F.col("n_docs").cast("double") / F.col("tot_docs")
+            ).alias("doc_share"),
+            quantize6(
+                F.col("n_tokens").cast("double") / F.col("tot_tokens")
+            ).alias("token_share"),
+        )
+        .orderBy(F.desc("n_tokens"), "source", "lang")
+    )

@@ -74,6 +74,7 @@ SCALAR_SUBQUERY = {
     "j18_snapshot_diff",  # 1-row (snap1, snap2) bounds broadcast
     "text_bm25_topk",  # 1-row (N, avgdl) corpus-stats broadcast
     "text_boilerplate_shingles",  # 1-row corpus-size broadcast into the share
+    "curate_domain_mix_report",  # 1-row (tot_docs, tot_tokens) broadcast into the shares
 }
 
 
