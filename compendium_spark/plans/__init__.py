@@ -226,8 +226,9 @@ assert len(_ROUND7_WINDOW) == 50, len(_ROUND7_WINDOW)
 # the remaining 3 streaming plans whose transforms were extracted
 # for the progress pins late in the round (tumbling/running/enrich),
 # and sim_knn_graph (single-scan sided-kernel rebuild). 42 from
-# gate_ledger check, +1 late addition (curate_domain_mix_report,
-# never driver-green) = 43 total.
+# gate_ledger check, +4 late additions (curate_domain_mix_report,
+# text_bpe_merge_candidates, curate_pack_efficiency,
+# dedup_impact_report — never driver-green) = 46 total.
 _ROUND8_STALE = [
     "a13_exact_quantiles",
     "a19_robust_stats",
@@ -238,7 +239,9 @@ _ROUND8_STALE = [
     "curate_corpus",
     "curate_decontaminate",
     "curate_domain_mix_report",
+    "curate_pack_efficiency",
     "curate_quality_dedup",
+    "dedup_impact_report",
     "curate_yield_curve",
     "dedup_containment",
     "dedup_cross_source_rate",
@@ -268,27 +271,25 @@ _ROUND8_STALE = [
     "text_bigram_lm_score",
     "text_bm25_topk",
     "text_boilerplate_shingles",
+    "text_bpe_merge_candidates",
     "text_lm_score",
     "text_tfidf_log",
     "text_tfidf_topk",
     "w8_ntile_bands",
 ]
-# tier 2 — drift canaries: the 7 OLDEST clean greens (r01/r02 rows
+# tier 2 — drift canaries: the 4 OLDEST clean greens (r01/r02 rows
 # whose closure fingerprints still match), oldest-first by (round,
-# name): 43 stale + 7 canaries = 50 (the last 11 canaries of the
+# name): 46 stale + 4 canaries = 50 (the last 14 canaries of the
 # mid-round window — t1_melt_wide_to_long, a15_argmax,
 # a_grouping_sets, f_json_extract, f_scalar_functions, j11, j12, j9,
-# mm_feature_pipeline, p6, p8_nonempty_array_filter — gave their
-# slots to the late-round additions; they stay clean-green in the
-# ledger).
+# mm_feature_pipeline, p6, p4, p5, p7, p8_nonempty_array_filter —
+# gave their slots to the late-round additions; they stay clean-green
+# in the ledger).
 _ROUND8_CANARIES = [
     "o1_topk",
     "p1_ordered_key_scan",
     "p2_distinct_projection",
     "p3_null_work_queue",
-    "p4_eligibility_filter",
-    "p5_status_set_filter",
-    "p7_nonzero_filter",
 ]
 _ROUND8_WINDOW = [*_ROUND8_STALE, *_ROUND8_CANARIES]
 assert len(_ROUND8_WINDOW) == 50, len(_ROUND8_WINDOW)

@@ -1326,3 +1326,240 @@ def curate_domain_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("n_tokens"), "source", "lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# curate_pack_efficiency — packing quality report (round 8)
+# ---------------------------------------------------------------------------
+
+PACK_EFF_SQL = f"""
+WITH t AS (
+  SELECT doc_id, lang,
+         CAST(len(string_split_regex(trim(text), ' +')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT *,
+         CAST(COALESCE(SUM(n_tokens) OVER (
+             PARTITION BY lang ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS BIGINT) AS tokens_before
+  FROM t
+),
+m AS (
+  SELECT lang, n_tokens,
+         CAST(tokens_before // {SEQ_BUDGET} AS BIGINT) AS seq_start,
+         CAST((tokens_before + n_tokens - 1) // {SEQ_BUDGET} AS BIGINT)
+           AS seq_end
+  FROM c
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+       CAST(MAX(seq_end) + 1 AS BIGINT) AS n_seqs,
+       CAST(SUM(CASE WHEN seq_end > seq_start THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_straddling,
+       CAST(FLOOR(CAST((1.0 * SUM(CASE WHEN seq_end > seq_start THEN 1 ELSE 0 END)
+                        / COUNT(*)) AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)
+         / 1000000.0 AS straddle_share,
+       CAST((MAX(seq_end) + 1) * {SEQ_BUDGET} - SUM(n_tokens) AS BIGINT)
+         AS tail_padding,
+       CAST(FLOOR(CAST((1.0 * SUM(n_tokens)
+                        / ((MAX(seq_end) + 1) * {SEQ_BUDGET})) AS DOUBLE)
+                  * 1000000.0 + 0.5) AS BIGINT) / 1000000.0 AS fill_rate
+FROM m
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+@plan("curate_pack_efficiency", oracle=PACK_EFF_SQL)
+def curate_pack_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing-quality report for `curate_pack_sequences`'s
+    concat-and-split assignment: per language, how many documents
+    straddle a sequence boundary (the docs whose attention span gets
+    cut — THE number that drives the sequence-length choice), the
+    sequence count, the tail padding (only the final, partially
+    filled sequence pads under concat-and-split), and the fill rate.
+
+    Shape: same single window shuffle on lang as the pack plan (the
+    per-(lang, shard) skew note in `curate_pack_sequences` applies
+    verbatim), then a language-bounded rollup. Straddle test and
+    sequence ids are pure integer arithmetic on the running offset;
+    the two shares divide exact BIGINTs once at the end
+    (FLOOR-quantized). n_tokens >= 1 always (split of a trimmed
+    non-empty text), so seq_end's -1 cannot underflow.
+    """
+    docs = load(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split(F.trim(F.col("text")), " +")).cast("long")
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    m = (
+        docs.select("lang", "doc_id", n_tokens.alias("n_tokens"))
+        .withColumn(
+            "tokens_before", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+        )
+        .select(
+            "lang",
+            "n_tokens",
+            F.expr(f"tokens_before div {SEQ_BUDGET}")
+            .cast("long")
+            .alias("seq_start"),
+            F.expr(f"(tokens_before + n_tokens - 1) div {SEQ_BUDGET}")
+            .cast("long")
+            .alias("seq_end"),
+        )
+    )
+    straddle = F.sum(
+        F.when(F.col("seq_end") > F.col("seq_start"), F.lit(1)).otherwise(
+            F.lit(0)
+        )
+    ).cast("long")
+    n_seqs = (F.max("seq_end") + F.lit(1)).cast("long")
+    return (
+        m.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+            n_seqs.alias("n_seqs"),
+            straddle.alias("n_straddling"),
+            quantize6(
+                straddle.cast("double") / F.count(F.lit(1))
+            ).alias("straddle_share"),
+            (n_seqs * SEQ_BUDGET - F.sum("n_tokens"))
+            .cast("long")
+            .alias("tail_padding"),
+            quantize6(
+                F.sum("n_tokens").cast("double") / (n_seqs * SEQ_BUDGET)
+            ).alias("fill_rate"),
+        )
+        .orderBy("lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# dedup_impact_report — per-source before/after dedup accounting
+# ---------------------------------------------------------------------------
+
+
+def _dedup_impact_sql() -> str:
+    from compendium_spark.plans.extended import (  # noqa: PLC0415
+        _MINHASH_CAND_SQL_BODY,
+        _SHINGLES_SQL,
+        JACCARD_THRESHOLD,
+        _minhash_sql_bands,
+        _minhash_sql_sigs,
+    )
+
+    body = _MINHASH_CAND_SQL_BODY.format(
+        sigs=_minhash_sql_sigs(), bands=_minhash_sql_bands()
+    )
+    return f"""
+WITH RECURSIVE {body},
+sh_arr AS (SELECT doc_id, {_SHINGLES_SQL} AS sh FROM documents),
+pairs AS (
+  SELECT doc_a, doc_b
+  FROM cand
+  JOIN sh_arr a ON doc_a = a.doc_id
+  JOIN sh_arr b ON doc_b = b.doc_id
+  WHERE 1.0 * len(list_intersect(a.sh, b.sh))
+          / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+        >= {JACCARD_THRESHOLD}
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+nodes AS (SELECT DISTINCT src AS doc FROM edges),
+reach(doc, lbl) AS (
+  SELECT doc, doc FROM nodes
+  UNION
+  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.doc
+),
+labels AS (
+  SELECT doc AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY doc
+),
+drop_set AS (SELECT doc_id FROM labels WHERE cluster_id <> doc_id),
+d AS (
+  SELECT source, doc_id,
+         CAST(len(string_split_regex(trim(text), ' +')) AS BIGINT) AS toks
+  FROM documents
+)
+SELECT d.source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(d.toks) AS BIGINT) AS n_tokens,
+       CAST(SUM(CASE WHEN dr.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS kept_docs,
+       CAST(SUM(CASE WHEN dr.doc_id IS NULL THEN d.toks ELSE 0 END) AS BIGINT)
+         AS kept_tokens,
+       CAST(FLOOR(CAST((1.0 - 1.0 * SUM(CASE WHEN dr.doc_id IS NULL THEN 1 ELSE 0 END)
+                              / COUNT(*)) AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)
+         / 1000000.0 AS doc_reduction,
+       CAST(FLOOR(CAST((1.0 - 1.0 * SUM(CASE WHEN dr.doc_id IS NULL THEN d.toks ELSE 0 END)
+                              / SUM(d.toks)) AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)
+         / 1000000.0 AS token_reduction
+FROM d LEFT JOIN drop_set dr ON d.doc_id = dr.doc_id
+GROUP BY d.source
+ORDER BY d.source
+"""
+
+
+@plan("dedup_impact_report", oracle=_dedup_impact_sql())
+def dedup_impact_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup-impact table every dataset paper publishes
+    (RefinedWeb Table 3, FineWeb ablations): per source, documents
+    and tokens BEFORE near-dup removal vs AFTER dropping every
+    non-canonical cluster member (cluster minimum survives —
+    `curate_corpus`'s rule), with quantized reduction shares. The
+    per-source view is what exposes a provider whose feed is mostly
+    mirrors of another's.
+
+    Shape: reuses the audited O(candidates) LSH + verify + min-label
+    fixpoint from `dedup_cluster_labels`; the drop set (non-canonical
+    members, bounded by near-dup docs) left-joins the slim
+    (doc_id, source, toks) projection WITHOUT a broadcast hint (it
+    grows with the corpus — r8 policy; AQE converts at small SF).
+    One source-bounded rollup; reductions divide exact BIGINT sums
+    once at the end. Corpus text shuffles nowhere — token counts are
+    map-side scan math.
+    """
+    from compendium_spark.plans.extended import (  # noqa: PLC0415
+        dedup_cluster_labels,
+    )
+
+    drop = (
+        dedup_cluster_labels(spark, sf_dir)
+        .filter(F.col("cluster_id") != F.col("doc_id"))
+        .select("doc_id", F.lit(1).alias("dropped"))
+    )
+    d = load(spark, sf_dir, "documents").select(
+        "source",
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), " +")).cast("long").alias("toks"),
+    )
+    kept = F.col("dropped").isNull()
+    kept_docs = F.sum(F.when(kept, F.lit(1)).otherwise(F.lit(0))).cast("long")
+    kept_tokens = F.sum(F.when(kept, F.col("toks")).otherwise(F.lit(0))).cast(
+        "long"
+    )
+    return (
+        d.join(drop, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("toks").cast("long").alias("n_tokens"),
+            kept_docs.alias("kept_docs"),
+            kept_tokens.alias("kept_tokens"),
+            quantize6(
+                F.lit(1.0) - kept_docs.cast("double") / F.count(F.lit(1))
+            ).alias("doc_reduction"),
+            quantize6(
+                F.lit(1.0) - kept_tokens.cast("double") / F.sum("toks")
+            ).alias("token_reduction"),
+        )
+        .orderBy("source")
+    )

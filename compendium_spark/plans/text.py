@@ -980,3 +980,86 @@ def text_boilerplate_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("doc_freq"), "shingle")
         .limit(BOILERPLATE_TOPK)
     )
+
+
+# ---------------------------------------------------------------------------
+# text_bpe_merge_candidates — the first BPE merge iteration at corpus scale
+# ---------------------------------------------------------------------------
+
+BPE_TOPK = 20
+
+BPE_MERGE_SQL = f"""
+WITH tok AS (
+  SELECT unnest(string_split_regex(trim(text), ' +')) AS tok FROM documents
+),
+vocab AS (
+  SELECT tok, CAST(COUNT(*) AS BIGINT) AS freq FROM tok GROUP BY tok
+),
+chars AS (
+  SELECT string_split_regex(tok, '') AS c, freq
+  FROM vocab WHERE len(tok) >= 2
+),
+pairs AS (
+  SELECT unnest(list_transform(range(1, len(c)), i -> c[i])) AS c1,
+         unnest(list_transform(range(1, len(c)), i -> c[i + 1])) AS c2,
+         freq
+  FROM chars
+)
+SELECT c1, c2, CAST(SUM(freq) AS BIGINT) AS merge_count
+FROM pairs
+GROUP BY c1, c2
+ORDER BY merge_count DESC, c1, c2
+LIMIT {BPE_TOPK}
+"""
+
+
+@plan("text_bpe_merge_candidates", oracle=BPE_MERGE_SQL)
+def text_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first BPE/WordPiece merge iteration at corpus scale: the
+    top-{BPE_TOPK} adjacent symbol pairs by frequency-weighted count —
+    the pair a tokenizer trainer would merge first (Sennrich et al.
+    2016 §3). Complements `text_bpe_tokens` (which APPLIES a
+    regex-BPE segmentation) with the TRAINING side's core counting
+    step.
+
+    Shape — the classic BPE-trainer optimization, which is exactly a
+    Heaps'-law reduction: pair expansion runs over the DISTINCT
+    vocabulary weighted by token frequency, never over the raw corpus.
+    The corpus-sized token stream reduces map-side into the vocab
+    groupBy (shuffle #1, output is vocabulary-sized — sublinear in
+    corpus size); char pairs explode from each distinct token (a
+    within-token transform, no join); pair counts aggregate on an
+    alphabet²-bounded key (shuffle #2, output ≤ |Σ|² rows); top-k is a
+    TakeOrdered on the exact BIGINT count — no global sort, no float
+    at the LIMIT boundary. At 100 TB the only corpus-proportional work
+    is the first map-side partial agg.
+
+    Tokens of length 1 emit no pairs (and the len >= 2 guard also
+    sidesteps the engines' divergent empty-string char-split:
+    Spark `split('', '')` = [] vs DuckDB `['']`).
+    """
+    docs = load(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(
+            F.explode(F.split(F.trim(F.col("text")), " +")).alias("tok")
+        )
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+        .filter(F.length("tok") >= 2)
+    )
+    chars = F.split(F.col("tok"), "")
+    pairs_arr = F.transform(
+        F.sequence(F.lit(1), F.size(chars) - 1),
+        lambda i: F.struct(
+            F.element_at(chars, i).alias("c1"),
+            F.element_at(chars, i + 1).alias("c2"),
+        ),
+    )
+    return (
+        vocab.select(F.explode(pairs_arr).alias("p"), "freq")
+        .select("p.c1", "p.c2", "freq")
+        .groupBy("c1", "c2")
+        .agg(F.sum("freq").cast("long").alias("merge_count"))
+        .orderBy(F.desc("merge_count"), "c1", "c2")
+        .limit(BPE_TOPK)
+    )

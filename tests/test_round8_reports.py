@@ -1,0 +1,90 @@
+"""Hand-computed semantics for the round-8 training-report plans
+(text_bpe_merge_candidates, curate_pack_efficiency,
+dedup_impact_report) — the parity suite proves Spark==DuckDB; these
+pin that BOTH engines compute the intended numbers on corpora small
+enough to verify by hand.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from compendium_spark.plans import all_plans
+from compendium_spark.plans.curation import SEQ_BUDGET
+
+PLANS = all_plans()
+
+SF_SMOKE = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def bpe_dir(tmp_path_factory):
+    """freqs: aa=3, ab=2, b=1 -> pairs (a,a)=3 (from 'aa'), (a,b)=2."""
+    d = tmp_path_factory.mktemp("bpe")
+    rows = {
+        "doc_id": [0, 1],
+        "text": ["aa ab aa", "ab b aa"],
+        "lang": ["en", "en"],
+        "source": ["s0", "s0"],
+        "n_chars": [8, 7],
+    }
+    pq.write_table(pa.table(rows), str(d / "documents.parquet"))
+    return str(d)
+
+
+def test_bpe_merge_counts_by_hand(spark, bpe_dir):
+    rows = PLANS["text_bpe_merge_candidates"].fn(spark, bpe_dir).collect()
+    got = [(r.c1, r.c2, r.merge_count) for r in rows]
+    # 'b' is a 1-char token: emits no pair (and must not crash)
+    assert got == [("a", "a", 3), ("a", "b", 2)]
+
+
+@pytest.fixture(scope="module")
+def pack_dir(tmp_path_factory):
+    """en doc token counts 200, 100, 300 in doc_id order (budget 256):
+    d0 spans [0,199] seq 0 only; d1 [200,299] straddles 0->1;
+    d2 [300,599] straddles 1->2. 3 seqs, 600 tokens, padding 168."""
+    d = tmp_path_factory.mktemp("pack")
+    texts = [" ".join(["w"] * n) for n in (200, 100, 300)]
+    rows = {
+        "doc_id": [0, 1, 2],
+        "text": texts,
+        "lang": ["en"] * 3,
+        "source": ["s0"] * 3,
+        "n_chars": [len(t) for t in texts],
+    }
+    pq.write_table(pa.table(rows), str(d / "documents.parquet"))
+    return str(d)
+
+
+def test_pack_efficiency_by_hand(spark, pack_dir):
+    assert SEQ_BUDGET == 256  # the hand numbers below assume it
+    [r] = PLANS["curate_pack_efficiency"].fn(spark, pack_dir).collect()
+    assert (r.lang, r.n_docs, r.n_tokens) == ("en", 3, 600)
+    assert r.n_seqs == 3
+    assert r.n_straddling == 2
+    assert r.tail_padding == 3 * 256 - 600
+    assert r.fill_rate == pytest.approx(600 / 768, abs=1e-6)
+    assert r.straddle_share == pytest.approx(2 / 3, abs=1e-6)
+
+
+def test_dedup_impact_consistency(spark):
+    """At sf0.001: per-source totals reconcile with the documents
+    table, kept <= total, and the corpus-wide dropped count equals the
+    non-canonical member count from dedup_cluster_labels."""
+    rows = PLANS["dedup_impact_report"].fn(spark, SF_SMOKE).collect()
+    from compendium_spark.tables import load
+
+    docs = load(spark, SF_SMOKE, "documents")
+    assert sum(r.n_docs for r in rows) == docs.count()
+    for r in rows:
+        assert 0 <= r.kept_docs <= r.n_docs
+        assert 0 <= r.kept_tokens <= r.n_tokens
+        assert 0.0 <= r.doc_reduction <= 1.0
+        assert 0.0 <= r.token_reduction <= 1.0
+    labels = PLANS["dedup_cluster_labels"].fn(spark, SF_SMOKE).collect()
+    n_noncanonical = sum(1 for x in labels if x.cluster_id != x.doc_id)
+    dropped = sum(r.n_docs - r.kept_docs for r in rows)
+    assert dropped == n_noncanonical

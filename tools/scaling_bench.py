@@ -92,6 +92,11 @@ PROBES = [
     ("dedup_cross_source_rate", "cross-source dup-pair rollup"),
     ("curate_yield_curve", "threshold-sweep yield report"),
     ("text_boilerplate_shingles", "corpus-global boilerplate watchlist"),
+    # round 8: training-report batch
+    ("curate_domain_mix_report", "domain-mixture share table"),
+    ("text_bpe_merge_candidates", "vocab-weighted BPE pair counts"),
+    ("curate_pack_efficiency", "packing straddle/fill report"),
+    ("dedup_impact_report", "per-source dedup impact rollup"),
 ]
 
 
