@@ -226,9 +226,10 @@ assert len(_ROUND7_WINDOW) == 50, len(_ROUND7_WINDOW)
 # the remaining 3 streaming plans whose transforms were extracted
 # for the progress pins late in the round (tumbling/running/enrich),
 # and sim_knn_graph (single-scan sided-kernel rebuild). 42 from
-# gate_ledger check, +4 late additions (curate_domain_mix_report,
+# gate_ledger check, +6 late additions (curate_domain_mix_report,
 # text_bpe_merge_candidates, curate_pack_efficiency,
-# dedup_impact_report — never driver-green) = 46 total.
+# dedup_impact_report, dq_schema_profile, dedup_lsh_tuning_curve —
+# never driver-green) = 48 total.
 _ROUND8_STALE = [
     "a13_exact_quantiles",
     "a19_robust_stats",
@@ -246,7 +247,9 @@ _ROUND8_STALE = [
     "dedup_containment",
     "dedup_cross_source_rate",
     "dedup_embedding_cosine",
+    "dedup_lsh_tuning_curve",
     "dq_expectations_report",
+    "dq_schema_profile",
     "emb_lang_centroids",
     "j3_key_remap_join",
     "j5_membership_anti",
@@ -277,19 +280,17 @@ _ROUND8_STALE = [
     "text_tfidf_topk",
     "w8_ntile_bands",
 ]
-# tier 2 — drift canaries: the 4 OLDEST clean greens (r01/r02 rows
+# tier 2 — drift canaries: the 2 OLDEST clean greens (r01/r02 rows
 # whose closure fingerprints still match), oldest-first by (round,
-# name): 46 stale + 4 canaries = 50 (the last 14 canaries of the
+# name): 48 stale + 2 canaries = 50 (the last 16 canaries of the
 # mid-round window — t1_melt_wide_to_long, a15_argmax,
 # a_grouping_sets, f_json_extract, f_scalar_functions, j11, j12, j9,
-# mm_feature_pipeline, p6, p4, p5, p7, p8_nonempty_array_filter —
-# gave their slots to the late-round additions; they stay clean-green
-# in the ledger).
+# mm_feature_pipeline, p6, p2, p3, p4, p5, p7,
+# p8_nonempty_array_filter — gave their slots to the late-round
+# additions; they stay clean-green in the ledger).
 _ROUND8_CANARIES = [
     "o1_topk",
     "p1_ordered_key_scan",
-    "p2_distinct_projection",
-    "p3_null_work_queue",
 ]
 _ROUND8_WINDOW = [*_ROUND8_STALE, *_ROUND8_CANARIES]
 assert len(_ROUND8_WINDOW) == 50, len(_ROUND8_WINDOW)

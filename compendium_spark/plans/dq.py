@@ -252,3 +252,158 @@ def dq_snapshot_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rel_delta"
         ),
     ).orderBy("metric")
+
+
+# ---------------------------------------------------------------------------
+# dq_schema_profile — per-column table profile (round 8)
+# ---------------------------------------------------------------------------
+
+PROFILE_SQL = """
+SELECT 'event_id' AS col_name,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_nulls,
+       CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_distinct,
+       CAST(FLOOR(CAST(MIN(event_id) AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)
+         / 1000000.0 AS min_num,
+       CAST(FLOOR(CAST(MAX(event_id) AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)
+         / 1000000.0 AS max_num,
+       CAST(NULL AS VARCHAR) AS min_txt, CAST(NULL AS VARCHAR) AS max_txt,
+       CAST(NULL AS TIMESTAMP) AS min_ts, CAST(NULL AS TIMESTAMP) AS max_ts
+FROM events
+UNION ALL
+SELECT 'ts', CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(COUNT(DISTINCT ts) AS BIGINT),
+       CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+       CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+       MIN(ts), MAX(ts)
+FROM events
+UNION ALL
+SELECT 'user_id', CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(COUNT(DISTINCT user_id) AS BIGINT),
+       CAST(FLOOR(CAST(MIN(user_id) AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)
+         / 1000000.0,
+       CAST(FLOOR(CAST(MAX(user_id) AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)
+         / 1000000.0,
+       CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+       CAST(NULL AS TIMESTAMP), CAST(NULL AS TIMESTAMP)
+FROM events
+UNION ALL
+SELECT 'event_type', CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(COUNT(DISTINCT event_type) AS BIGINT),
+       CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+       MIN(event_type), MAX(event_type),
+       CAST(NULL AS TIMESTAMP), CAST(NULL AS TIMESTAMP)
+FROM events
+UNION ALL
+SELECT 'value', CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(COUNT(DISTINCT value) AS BIGINT),
+       CAST(FLOOR(CAST(MIN(value) AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)
+         / 1000000.0,
+       CAST(FLOOR(CAST(MAX(value) AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)
+         / 1000000.0,
+       CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+       CAST(NULL AS TIMESTAMP), CAST(NULL AS TIMESTAMP)
+FROM events
+UNION ALL
+SELECT 'props', CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(COUNT(DISTINCT props) AS BIGINT),
+       CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+       MIN(props), MAX(props),
+       CAST(NULL AS TIMESTAMP), CAST(NULL AS TIMESTAMP)
+FROM events
+ORDER BY col_name
+"""
+
+
+def _q6(col):
+    return (
+        F.floor(col.cast("double") * 1000000.0 + 0.5).cast("long") / 1000000.0
+    )
+
+
+@plan("dq_schema_profile", oracle=PROFILE_SQL)
+def dq_schema_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column table profile over `events` — the ANALYZE-TABLE /
+    Deequ-profiler surface: row count, null count, exact distinct
+    count, and typed min/max per column (numeric columns fill
+    min_num/max_num, strings min_txt/max_txt, timestamps
+    min_ts/max_ts). dq_expectations_report checks ASSERTIONS you
+    already know; the profile is how you learn what to assert.
+
+    Shape: ONE scan — every column's null/min/max stats compile into
+    a single aggregate pass (the oracle's UNION-of-scans form is the
+    readable spec, not the plan); the 1-row aggregate pivots to
+    per-column rows with inline(array(struct(...))) (never
+    union-of-selects — the r6 dup-scan rule). The six exact
+    count-distincts expand the stream 6× before the partial agg
+    (Spark's multi-distinct EXPAND) — exact is kept because the
+    DuckDB oracle hash-checks it; the production profiler swaps in
+    approx_count_distinct (one pass, no expand, the a20_hll_sketch
+    path) when |table| makes exact distinct a shuffle bottleneck.
+    """
+    ev = load(spark, sf_dir, "events")
+    nulls = {
+        c: F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias(f"nulls_{c}")
+        for c in ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    }
+    agg = ev.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        *nulls.values(),
+        *[
+            F.count_distinct(F.col(c)).cast("long").alias(f"nd_{c}")
+            for c in ["event_id", "ts", "user_id", "event_type", "value", "props"]
+        ],
+        _q6(F.min("event_id")).alias("min_event_id"),
+        _q6(F.max("event_id")).alias("max_event_id"),
+        _q6(F.min("user_id")).alias("min_user_id"),
+        _q6(F.max("user_id")).alias("max_user_id"),
+        _q6(F.min("value")).alias("min_value"),
+        _q6(F.max("value")).alias("max_value"),
+        F.min("event_type").alias("min_event_type"),
+        F.max("event_type").alias("max_event_type"),
+        F.min("props").alias("min_props"),
+        F.max("props").alias("max_props"),
+        F.min("ts").alias("min_ts_v"),
+        F.max("ts").alias("max_ts_v"),
+    )
+    null_d = F.lit(None).cast("double")
+    null_s = F.lit(None).cast("string")
+    null_t = F.lit(None).cast("timestamp")
+
+    def row(name, min_num, max_num, min_txt, max_txt, min_ts, max_ts):
+        return F.struct(
+            F.lit(name).alias("col_name"),
+            F.col("n_rows").alias("n_rows"),
+            F.col(f"nulls_{name}").alias("n_nulls"),
+            F.col(f"nd_{name}").alias("n_distinct"),
+            min_num.alias("min_num"),
+            max_num.alias("max_num"),
+            min_txt.alias("min_txt"),
+            max_txt.alias("max_txt"),
+            min_ts.alias("min_ts"),
+            max_ts.alias("max_ts"),
+        )
+
+    structs = [
+        row("event_id", F.col("min_event_id"), F.col("max_event_id"),
+            null_s, null_s, null_t, null_t),
+        row("ts", null_d, null_d, null_s, null_s,
+            F.col("min_ts_v"), F.col("max_ts_v")),
+        row("user_id", F.col("min_user_id"), F.col("max_user_id"),
+            null_s, null_s, null_t, null_t),
+        row("event_type", null_d, null_d,
+            F.col("min_event_type"), F.col("max_event_type"), null_t, null_t),
+        row("value", F.col("min_value"), F.col("max_value"),
+            null_s, null_s, null_t, null_t),
+        row("props", null_d, null_d,
+            F.col("min_props"), F.col("max_props"), null_t, null_t),
+    ]
+    return agg.select(F.inline(F.array(*structs))).orderBy("col_name")

@@ -1520,3 +1520,116 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_a", "doc_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# dedup_lsh_tuning_curve — banding S-curve vs observed candidates (round 8)
+# ---------------------------------------------------------------------------
+
+
+def _lsh_tuning_sql() -> str:
+    body = _MINHASH_CAND_SQL_BODY.format(
+        sigs=_minhash_sql_sigs(), bands=_minhash_sql_bands()
+    )
+    thr_bin = int(JACCARD_THRESHOLD * 100)
+    return f"""
+WITH {body},
+sh_arr AS (SELECT doc_id, {_SHINGLES_SQL} AS sh FROM documents),
+scored AS (
+  SELECT CAST(FLOOR((1.0 * len(list_intersect(a.sh, b.sh))
+           / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))))
+           * 100) AS BIGINT) AS jaccard_bin
+  FROM cand
+  JOIN sh_arr a ON doc_a = a.doc_id
+  JOIN sh_arr b ON doc_b = b.doc_id
+),
+binned AS (
+  SELECT jaccard_bin, CAST(COUNT(*) AS BIGINT) AS n_candidates
+  FROM scored GROUP BY jaccard_bin
+),
+mid AS (
+  SELECT *, LEAST((jaccard_bin + 0.5) / 100, 1.0) AS s FROM binned
+),
+tt AS (SELECT *, 1.0 - s * s AS t FROM mid),
+pp AS (SELECT *, 1.0 - (t * t) * (t * t) AS p FROM tt)
+SELECT jaccard_bin,
+       CAST(FLOOR(CAST(s AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)
+         / 1000000.0 AS bin_mid,
+       n_candidates,
+       CAST(FLOOR(CAST(p AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)
+         / 1000000.0 AS capture_prob,
+       CAST(FLOOR(CAST(((n_candidates * (1.0 - p)) / p) AS DOUBLE)
+                  * 1000000.0 + 0.5) AS BIGINT) / 1000000.0 AS est_missed,
+       CASE WHEN jaccard_bin >= {thr_bin} THEN 1 ELSE 0 END
+         AS above_threshold
+FROM pp
+ORDER BY jaccard_bin
+"""
+
+
+@plan("dedup_lsh_tuning_curve", oracle=_lsh_tuning_sql())
+def dedup_lsh_tuning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LSH banding tuning table: per exact-Jaccard percent bin of the
+    OBSERVED candidate pairs, the candidate count, the analytic
+    capture probability of the current (b={N_BANDS}, r=2) banding at
+    the bin midpoint — p(s) = 1-(1-s^r)^b, the S-curve from Mining of
+    Massive Datasets ch.3 — and the implied missed-pair estimate
+    n·(1-p)/p (observed ≈ true·p, so true-observed = observed·(1-p)/p).
+    This is how you choose b and r: low-bin rows with large counts =
+    wasted verification (precision loss), high-bin rows with
+    non-trivial est_missed = recall loss; re-band until both tails are
+    acceptable.
+
+    Shape: O(candidates) — the bucket-bounded candidate set from
+    `_minhash_candidates` joined to per-doc shingle sets for the exact
+    Jaccard (same integer-ratio math as the verify step), then an
+    rollup bounded at 101 percent-bin rows. The S-curve is POWER-free
+    on purpose:
+    s^2 and (1-s²)^4 are written as explicitly-grouped IEEE
+    multiplications ((t*t)*(t*t)) so both engines compute the exact
+    same doubles — libm pow is not bit-stable across engines.
+    """
+    cand = _minhash_candidates(spark, sf_dir)
+    sh_arr = (
+        _doc_shingles(spark, sf_dir)
+        .groupBy("doc_id")
+        .agg(F.collect_set("shingle").alias("sh"))
+    )
+    a = sh_arr.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sha"))
+    b = sh_arr.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("shb"))
+    inter = F.size(F.array_intersect(F.col("sha"), F.col("shb")))
+    jac = F.lit(1.0) * inter / (F.size("sha") + F.size("shb") - inter)
+    binned = (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(F.floor(jac * 100).cast("long").alias("jaccard_bin"))
+        .groupBy("jaccard_bin")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_candidates"))
+    )
+    s = F.least((F.col("jaccard_bin") + F.lit(0.5)) / 100, F.lit(1.0))
+    staged = (
+        binned.withColumn("s", s)
+        .withColumn("t", F.lit(1.0) - F.col("s") * F.col("s"))
+        .withColumn(
+            "p",
+            F.lit(1.0)
+            - (F.col("t") * F.col("t")) * (F.col("t") * F.col("t")),
+        )
+    )
+    thr_bin = int(JACCARD_THRESHOLD * 100)
+    return (
+        staged.select(
+            "jaccard_bin",
+            quantize6(F.col("s")).alias("bin_mid"),
+            "n_candidates",
+            quantize6(F.col("p")).alias("capture_prob"),
+            quantize6(
+                (F.col("n_candidates") * (F.lit(1.0) - F.col("p")))
+                / F.col("p")
+            ).alias("est_missed"),
+            F.when(F.col("jaccard_bin") >= thr_bin, F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("above_threshold"),
+        )
+        .orderBy("jaccard_bin")
+    )

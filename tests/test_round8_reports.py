@@ -88,3 +88,61 @@ def test_dedup_impact_consistency(spark):
     n_noncanonical = sum(1 for x in labels if x.cluster_id != x.doc_id)
     dropped = sum(r.n_docs - r.kept_docs for r in rows)
     assert dropped == n_noncanonical
+
+
+@pytest.fixture(scope="module")
+def events_dir(tmp_path_factory):
+    """Tiny events table WITH nulls (the sf fixtures have none), so
+    n_nulls is pinned on a corpus where it is actually non-zero."""
+    d = tmp_path_factory.mktemp("events")
+    rows = pa.table(
+        {
+            "event_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "ts": pa.array(
+                [1_700_000_000_000_000 + i * 60_000_000 for i in range(4)],
+                pa.timestamp("us"),
+            ),
+            "user_id": pa.array([10, None, 10, None], pa.int64()),
+            "event_type": pa.array(["a", "b", None, "a"]),
+            "value": pa.array([1.5, None, 2.5, 4.0], pa.float64()),
+            "props": pa.array(["{}", "{}", "{}", None]),
+        }
+    )
+    pq.write_table(rows, str(d / "events.parquet"))
+    return str(d)
+
+
+def test_schema_profile_by_hand(spark, events_dir):
+    rows = {
+        r.col_name: r
+        for r in PLANS["dq_schema_profile"].fn(spark, events_dir).collect()
+    }
+    assert set(rows) == {
+        "event_id", "ts", "user_id", "event_type", "value", "props",
+    }
+    assert all(r.n_rows == 4 for r in rows.values())
+    assert rows["user_id"].n_nulls == 2 and rows["user_id"].n_distinct == 1
+    assert rows["event_type"].n_nulls == 1 and rows["event_type"].n_distinct == 2
+    assert rows["value"].n_nulls == 1
+    assert rows["value"].min_num == 1.5 and rows["value"].max_num == 4.0
+    assert rows["event_id"].min_num == 1.0 and rows["event_id"].max_num == 4.0
+    assert rows["event_type"].min_txt == "a" and rows["event_type"].max_txt == "b"
+    assert rows["ts"].min_ts is not None and rows["ts"].max_ts is not None
+    # typed slots stay NULL outside their type
+    assert rows["event_id"].min_txt is None and rows["ts"].min_num is None
+
+
+def test_lsh_tuning_curve_invariants(spark):
+    """S-curve sanity at sf0.001: capture_prob strictly increases with
+    the bin, est_missed is non-negative and shrinks as p -> 1, and the
+    bin counts add up to the full LSH candidate count."""
+    rows = PLANS["dedup_lsh_tuning_curve"].fn(spark, SF_SMOKE).collect()
+    assert rows == sorted(rows, key=lambda r: r.jaccard_bin)
+    probs = [r.capture_prob for r in rows]
+    assert probs == sorted(probs) and len(set(probs)) == len(probs)
+    for r in rows:
+        assert 0.0 < r.capture_prob <= 1.0
+        assert r.est_missed >= 0.0
+        assert r.above_threshold == (1 if r.jaccard_bin >= 20 else 0)
+    n_cand = PLANS["dedup_minhash_lsh"].fn(spark, SF_SMOKE).count()
+    assert sum(r.n_candidates for r in rows) == n_cand

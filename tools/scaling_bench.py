@@ -97,6 +97,8 @@ PROBES = [
     ("text_bpe_merge_candidates", "vocab-weighted BPE pair counts"),
     ("curate_pack_efficiency", "packing straddle/fill report"),
     ("dedup_impact_report", "per-source dedup impact rollup"),
+    ("dq_schema_profile", "single-pass column profiler"),
+    ("dedup_lsh_tuning_curve", "banding S-curve vs candidates"),
 ]
 
 
