@@ -1582,9 +1582,13 @@ def dedup_lsh_tuning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Shape: O(candidates) — the bucket-bounded candidate set from
     `_minhash_candidates` joined to per-doc shingle sets for the exact
-    Jaccard (same integer-ratio math as the verify step), then an
-    rollup bounded at 101 percent-bin rows. The S-curve is POWER-free
-    on purpose:
+    Jaccard (same integer-ratio math as the verify step), then a
+    rollup bounded at 101 percent-bin rows. The audit's one dup scan
+    is the shingle subtree computed for the signatures AND the verify
+    sets — the same recompute-beats-checkpoint call the neardup
+    pipeline documents (r7 measurement: a localCheckpoint of the
+    exploded shingles costs more than the second column-pruned scan).
+    The S-curve is POWER-free on purpose:
     s^2 and (1-s²)^4 are written as explicitly-grouped IEEE
     multiplications ((t*t)*(t*t)) so both engines compute the exact
     same doubles — libm pow is not bit-stable across engines.
