@@ -226,10 +226,11 @@ assert len(_ROUND7_WINDOW) == 50, len(_ROUND7_WINDOW)
 # the remaining 3 streaming plans whose transforms were extracted
 # for the progress pins late in the round (tumbling/running/enrich),
 # and sim_knn_graph (single-scan sided-kernel rebuild). 42 from
-# gate_ledger check, +6 late additions (curate_domain_mix_report,
+# gate_ledger check, +8 late additions (curate_domain_mix_report,
 # text_bpe_merge_candidates, curate_pack_efficiency,
-# dedup_impact_report, dq_schema_profile, dedup_lsh_tuning_curve —
-# never driver-green) = 48 total.
+# dedup_impact_report, dq_schema_profile, dedup_lsh_tuning_curve,
+# sim_recall_report, text_lang_confusion — never driver-green)
+# = 50 total.
 _ROUND8_STALE = [
     "a13_exact_quantiles",
     "a19_robust_stats",
@@ -264,6 +265,7 @@ _ROUND8_STALE = [
     "sim_lsh_buckets",
     "sim_lsh_topk",
     "sim_multiprobe_topk",
+    "sim_recall_report",
     "streaming_dedup",
     "streaming_enrich_join",
     "streaming_interval_join",
@@ -275,23 +277,19 @@ _ROUND8_STALE = [
     "text_bm25_topk",
     "text_boilerplate_shingles",
     "text_bpe_merge_candidates",
+    "text_lang_confusion",
     "text_lm_score",
     "text_tfidf_log",
     "text_tfidf_topk",
     "w8_ntile_bands",
 ]
-# tier 2 — drift canaries: the 2 OLDEST clean greens (r01/r02 rows
-# whose closure fingerprints still match), oldest-first by (round,
-# name): 48 stale + 2 canaries = 50 (the last 16 canaries of the
-# mid-round window — t1_melt_wide_to_long, a15_argmax,
-# a_grouping_sets, f_json_extract, f_scalar_functions, j11, j12, j9,
-# mm_feature_pipeline, p6, p2, p3, p4, p5, p7,
-# p8_nonempty_array_filter — gave their slots to the late-round
-# additions; they stay clean-green in the ledger).
-_ROUND8_CANARIES = [
-    "o1_topk",
-    "p1_ordered_key_scan",
-]
+# tier 2 — drift canaries: NONE this round — the final window is
+# exactly its 50-plan stale set (the r6 precedent), every mid-round
+# canary (t1_melt_wide_to_long, a15_argmax, a_grouping_sets,
+# f_json_extract, f_scalar_functions, j11, j12, j9,
+# mm_feature_pipeline, o1_topk, p1–p8) having given its slot to the
+# late-round additions; they stay clean-green in the ledger.
+_ROUND8_CANARIES: list[str] = []
 _ROUND8_WINDOW = [*_ROUND8_STALE, *_ROUND8_CANARIES]
 assert len(_ROUND8_WINDOW) == 50, len(_ROUND8_WINDOW)
 registry.promote(_ROUND8_WINDOW)

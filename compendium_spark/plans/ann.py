@@ -416,3 +416,261 @@ def sim_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "cand_id", "cosine", F.col("rn").alias("rank"))
         .orderBy("query_id", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# sim_recall_report — measured ANN recall@k vs the exact baseline (round 8)
+# ---------------------------------------------------------------------------
+
+RECALL_K = 5
+
+RECALL_REPORT_SQL = f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+),
+n AS (
+  SELECT vec_id, e,
+         sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm
+  FROM v
+),
+ex_pairs AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+         CAST(FLOOR(CAST((list_sum(list_transform(q.e, (x, i) -> x * c.e[i]))
+           / (q.nrm * c.nrm)) AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)
+           / 1000000.0 AS cosine
+  FROM n q, n c
+  WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id
+),
+ex5 AS (
+  SELECT query_id, cand_id FROM (
+    SELECT query_id, cand_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY cosine DESC, cand_id) AS rn
+    FROM ex_pairs
+  ) WHERE rn <= {RECALL_K}
+),
+h AS ({{tables_union}}),
+probes AS (
+  SELECT vec_id, tbl,
+         unnest([{{flips}}]) AS probe
+  FROM h
+  WHERE vec_id < 10
+),
+mp_cand AS (
+  SELECT DISTINCT p.vec_id AS query_id, b.vec_id AS cand_id
+  FROM probes p JOIN h b ON p.tbl = b.tbl AND p.probe = b.bucket
+  WHERE b.vec_id <> p.vec_id
+),
+sp_cand AS (
+  SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS cand_id
+  FROM h a JOIN h b ON a.tbl = b.tbl AND a.bucket = b.bucket
+  WHERE a.vec_id < 10 AND b.vec_id <> a.vec_id
+),
+scored AS (
+  SELECT m.query_id, m.cand_id,
+         s.query_id IS NOT NULL AS in_single,
+         CAST(FLOOR(CAST((list_sum(list_transform(q.e, (x, i) -> x * c.e[i]))
+           / (q.nrm * c.nrm)) AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)
+           / 1000000.0 AS cosine
+  FROM mp_cand m
+  LEFT JOIN sp_cand s ON m.query_id = s.query_id AND m.cand_id = s.cand_id
+  JOIN n q ON m.query_id = q.vec_id
+  JOIN n c ON m.cand_id = c.vec_id
+),
+m5 AS (
+  SELECT 'lsh_multiprobe' AS method, query_id, cand_id FROM (
+    SELECT query_id, cand_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY cosine DESC, cand_id) AS rn
+    FROM scored
+  ) WHERE rn <= {RECALL_K}
+  UNION ALL
+  SELECT 'lsh_single', query_id, cand_id FROM (
+    SELECT query_id, cand_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY cosine DESC, cand_id) AS rn
+    FROM scored WHERE in_single
+  ) WHERE rn <= {RECALL_K}
+),
+ncand AS (
+  SELECT 'lsh_multiprobe' AS method, query_id,
+         CAST(COUNT(*) AS BIGINT) AS n_candidates
+  FROM mp_cand GROUP BY query_id
+  UNION ALL
+  SELECT 'lsh_single', query_id, CAST(COUNT(*) AS BIGINT)
+  FROM sp_cand GROUP BY query_id
+),
+hits AS (
+  SELECT m5.method, m5.query_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+  FROM m5 JOIN ex5 ON m5.query_id = ex5.query_id AND m5.cand_id = ex5.cand_id
+  GROUP BY m5.method, m5.query_id
+),
+grid AS (
+  SELECT method, query_id
+  FROM (SELECT DISTINCT query_id FROM ex5),
+       (SELECT 'lsh_single' AS method UNION ALL SELECT 'lsh_multiprobe')
+)
+SELECT g.method AS method, g.query_id AS query_id,
+       CAST(COALESCE(nc.n_candidates, 0) AS BIGINT) AS n_candidates,
+       CAST(COALESCE(ht.n_hits, 0) AS BIGINT) AS n_hits,
+       CAST(FLOOR(CAST((1.0 * COALESCE(ht.n_hits, 0) / {RECALL_K}) AS DOUBLE)
+                  * 1000000.0 + 0.5) AS BIGINT) / 1000000.0 AS recall_at_k
+FROM grid g
+LEFT JOIN ncand nc ON g.method = nc.method AND g.query_id = nc.query_id
+LEFT JOIN hits ht ON g.method = ht.method AND g.query_id = ht.query_id
+ORDER BY g.method, g.query_id
+"""
+
+
+def _recall_report_sql() -> str:
+    return RECALL_REPORT_SQL.format(
+        tables_union=_sql_tables_union("embedding"),
+        flips=", ".join(f"xor(bucket, {f})" for f in _PROBE_FLIPS),
+    )
+
+
+@plan("sim_recall_report", oracle=_recall_report_sql())
+def sim_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured ANN quality as a first-class table: per query, the
+    candidate-set size and recall@{RECALL_K} of single-probe and
+    multi-probe LSH against the exact brute-force top-{RECALL_K} —
+    the number an ANN deployment watches when tuning tables/probes
+    (tests pin recall floors; THIS is the production dashboard the
+    pins sample). Single-probe rows also quantify the probe knob's
+    candidate-cost: n_candidates(multiprobe) / n_candidates(single)
+    is the price of the recall lift.
+
+    Shape: ONE scoring pass — multi-probe candidates are a superset
+    of single-probe (flip 0 is the exact bucket), so single-probe
+    rows are the `in_single`-flagged subset re-ranked, not a second
+    cosine pass. The exact baseline is the documented ≤10-query
+    broadcast sweep (same as sim_cosine_topk). The LSH entry table
+    `h` feeds four references (query/corpus × single/probe), so it is
+    eagerly localCheckpointed — 3-int rows, O(n·L), cheap to
+    materialize and it stops the Arrow bucket kernel re-running per
+    reference (the r7 measure-first rule: here 4 kernel runs vs one
+    tiny materialization). Every rank compares the QUANTIZED cosine
+    (r7 advice on LIMIT boundaries).
+    """
+    from compendium_spark.plans.extended import (  # noqa: PLC0415
+        _dot_unrolled,
+        _load_embeddings,
+    )
+
+    emb = _load_embeddings(spark, sf_dir)
+    n = emb.withColumn("nrm", F.sqrt(_dot_unrolled(F.col("e"), F.col("e"))))
+    q = n.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("e").alias("qe"),
+        F.col("nrm").alias("qn"),
+    )
+    c = n.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("e").alias("ce"),
+        F.col("nrm").alias("cn"),
+    )
+    cos = _dot_unrolled(F.col("qe"), F.col("ce")) / (F.col("qn") * F.col("cn"))
+
+    ex_pairs = (
+        F.broadcast(q.filter(F.col("query_id") < 10))
+        .crossJoin(c)
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .select("query_id", "cand_id", quantize6(cos).alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "cand_id")
+    ex5 = (
+        ex_pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= RECALL_K)
+        .select("query_id", "cand_id")
+    )
+
+    h = bucket_entries(emb).localCheckpoint(eager=True)
+    qh = h.filter(F.col("vec_id") < 10)
+    probes = qh.select(
+        F.col("vec_id").alias("query_id"),
+        "tbl",
+        F.explode(
+            F.array(*[F.expr(f"bucket ^ {f}") for f in _PROBE_FLIPS])
+        ).alias("probe"),
+    )
+    corpus_sp = h.select(F.col("vec_id").alias("cand_id"), "tbl", "bucket")
+    corpus_mp = h.select(
+        F.col("vec_id").alias("cand_id"), "tbl", F.col("bucket").alias("probe")
+    )
+    sp_cand = (
+        qh.select(F.col("vec_id").alias("query_id"), "tbl", "bucket")
+        .join(corpus_sp, ["tbl", "bucket"])
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .select("query_id", "cand_id")
+        .distinct()
+    )
+    mp_cand = (
+        probes.join(corpus_mp, ["tbl", "probe"])
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .select("query_id", "cand_id")
+        .distinct()
+    )
+    scored = (
+        mp_cand.join(
+            sp_cand.withColumn("in_single", F.lit(True)),
+            ["query_id", "cand_id"],
+            "left",
+        )
+        .withColumn("in_single", F.coalesce("in_single", F.lit(False)))
+        .join(F.broadcast(q), "query_id")
+        .join(c, "cand_id")
+        .select("query_id", "cand_id", "in_single", quantize6(cos).alias("cosine"))
+    )
+    mp5 = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= RECALL_K)
+        .select(F.lit("lsh_multiprobe").alias("method"), "query_id", "cand_id")
+    )
+    sp5 = (
+        scored.filter("in_single")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= RECALL_K)
+        .select(F.lit("lsh_single").alias("method"), "query_id", "cand_id")
+    )
+    m5 = mp5.unionByName(sp5)
+    ncand = (
+        mp_cand.groupBy("query_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_candidates"))
+        .select(F.lit("lsh_multiprobe").alias("method"), "query_id", "n_candidates")
+        .unionByName(
+            sp_cand.groupBy("query_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_candidates"))
+            .select(F.lit("lsh_single").alias("method"), "query_id", "n_candidates")
+        )
+    )
+    hits = (
+        m5.join(ex5, ["query_id", "cand_id"])
+        .groupBy("method", "query_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+    )
+    grid = (
+        ex5.select("query_id")
+        .distinct()
+        .crossJoin(
+            F.broadcast(
+                spark.createDataFrame(
+                    [("lsh_single",), ("lsh_multiprobe",)], "method string"
+                )
+            )
+        )
+    )
+    return (
+        grid.join(ncand, ["method", "query_id"], "left")
+        .join(hits, ["method", "query_id"], "left")
+        .select(
+            "method",
+            "query_id",
+            F.coalesce("n_candidates", F.lit(0)).cast("long").alias("n_candidates"),
+            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+            quantize6(
+                F.coalesce("n_hits", F.lit(0)).cast("double") / RECALL_K
+            ).alias("recall_at_k"),
+        )
+        .orderBy("method", "query_id")
+    )

@@ -1063,3 +1063,74 @@ def text_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("merge_count"), "c1", "c2")
         .limit(BPE_TOPK)
     )
+
+
+# ---------------------------------------------------------------------------
+# text_lang_confusion — labeled-vs-predicted language agreement (round 8)
+# ---------------------------------------------------------------------------
+
+LANG_CONFUSION_SQL = """
+WITH pred AS (
+  SELECT lang,
+         CASE WHEN stop_ratio >= 0.02 THEN 'en' ELSE 'unk' END AS lang_pred
+  FROM (
+    SELECT lang,
+           CAST(len(list_filter(string_split_regex(trim(text), ' +'),
+                                x -> x IN ('a', 'the'))) AS DOUBLE)
+             / len(string_split_regex(trim(text), ' +')) AS stop_ratio
+    FROM documents
+  )
+),
+cell AS (
+  SELECT lang, lang_pred, CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM pred GROUP BY lang, lang_pred
+)
+SELECT lang, lang_pred, n_docs,
+       CAST(FLOOR(CAST((1.0 * n_docs / SUM(n_docs) OVER (PARTITION BY lang))
+                       AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)
+         / 1000000.0 AS row_share
+FROM cell
+ORDER BY lang, lang_pred
+"""
+
+
+@plan("text_lang_confusion", oracle=LANG_CONFUSION_SQL)
+def text_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the `text_lang_id` heuristic against the
+    labeled `lang` column — the eval table a language-ID deployment
+    publishes before the classifier gates a corpus (per true
+    language: how much flows to each prediction, with the row share).
+    The per-doc plan says what the model predicts; THIS says where it
+    is wrong, per language — the input to choosing the stop-ratio
+    threshold or swapping in the n-gram profile model.
+
+    Shape: prediction is the same scan-stage expression as
+    text_lang_id (no shuffle); one aggregate on the
+    (lang, lang_pred) key — bounded by languages × predicted classes,
+    not corpus size; row shares via a window over the already-reduced
+    cells (tiny). Counts are exact BIGINTs; the one division is
+    quantized at the end.
+    """
+    docs = load(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), " +")
+    stop_ratio = (
+        F.size(F.filter(toks, lambda x: x.isin("a", "the"))).cast("double")
+        / F.size(toks)
+    )
+    cell = (
+        docs.select(
+            "lang",
+            F.when(stop_ratio >= 0.02, "en").otherwise("unk").alias("lang_pred"),
+        )
+        .groupBy("lang", "lang_pred")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
+    w = Window.partitionBy("lang")
+    return cell.select(
+        "lang",
+        "lang_pred",
+        "n_docs",
+        quantize6(
+            F.lit(1.0) * F.col("n_docs") / F.sum("n_docs").over(w)
+        ).alias("row_share"),
+    ).orderBy("lang", "lang_pred")

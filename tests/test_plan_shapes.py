@@ -54,6 +54,10 @@ ALLPAIRS_BASELINES = {
     # sharded corpus sweep as sim_hybrid_topk; the lexical ranker and
     # the fusion join are keyed
     "sim_rrf_fusion",
+    # recall dashboard: its ground-truth leg is the sim_cosine_topk
+    # exact sweep (<=10 broadcast queries × corpus, keyless by
+    # design); both LSH candidate legs and every report join are keyed
+    "sim_recall_report",
 }
 # plans whose only BNLJ/cartesian is a broadcast single-row scalar
 # (threshold / total / max) joined against every row — keyless by nature

@@ -146,3 +146,40 @@ def test_lsh_tuning_curve_invariants(spark):
         assert r.above_threshold == (1 if r.jaccard_bin >= 20 else 0)
     n_cand = PLANS["dedup_minhash_lsh"].fn(spark, SF_SMOKE).count()
     assert sum(r.n_candidates for r in rows) == n_cand
+
+
+def test_recall_report_invariants(spark):
+    """Multi-probe dominates single-probe per query (superset of
+    candidates => recall and candidate count can only grow), 2 rows
+    per query, hits bounded by k."""
+    rows = PLANS["sim_recall_report"].fn(spark, SF_SMOKE).collect()
+    by_q = {}
+    for r in rows:
+        assert 0 <= r.n_hits <= 5
+        assert abs(r.recall_at_k - r.n_hits / 5) < 1e-6
+        by_q.setdefault(r.query_id, {})[r.method] = r
+    assert len(by_q) == 10 and all(len(v) == 2 for v in by_q.values())
+    for v in by_q.values():
+        sp, mp = v["lsh_single"], v["lsh_multiprobe"]
+        assert mp.n_candidates >= sp.n_candidates
+        assert mp.n_hits >= sp.n_hits
+
+
+def test_lang_confusion_reconciles(spark):
+    """Cells sum to the corpus; row shares sum to 1 per language; the
+    matrix aggregates exactly the per-doc text_lang_id output."""
+    rows = PLANS["text_lang_confusion"].fn(spark, SF_SMOKE).collect()
+    from compendium_spark.tables import load
+
+    n_docs = load(spark, SF_SMOKE, "documents").count()
+    assert sum(r.n_docs for r in rows) == n_docs
+    per_lang = {}
+    for r in rows:
+        per_lang.setdefault(r.lang, 0.0)
+        per_lang[r.lang] += r.row_share
+    assert all(abs(s - 1.0) < 1e-4 for s in per_lang.values())
+    perdoc = PLANS["text_lang_id"].fn(spark, SF_SMOKE).collect()
+    from collections import Counter
+
+    counted = Counter((d.lang, d.lang_pred) for d in perdoc)
+    assert {(r.lang, r.lang_pred): r.n_docs for r in rows} == dict(counted)

@@ -99,6 +99,8 @@ PROBES = [
     ("dedup_impact_report", "per-source dedup impact rollup"),
     ("dq_schema_profile", "single-pass column profiler"),
     ("dedup_lsh_tuning_curve", "banding S-curve vs candidates"),
+    ("sim_recall_report", "measured ANN recall dashboard"),
+    ("text_lang_confusion", "lang-ID confusion matrix"),
 ]
 
 
