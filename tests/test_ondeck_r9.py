@@ -1,0 +1,97 @@
+"""Hash-strength parity for the round-9 ON-DECK plans.
+
+These plans are complete but deliberately unregistered (round 8's
+50-slot gate window closed full — see plans/ondeck_r9.py). This suite
+holds them to the exact standard the driver gate will apply when they
+register in round 9: Spark result ≡ DuckDB oracle, bitwise on floats,
+at sf0.001 AND sf0.01 (the gate SF), plus semantic pins a value-hash
+can't express (nested-probe monotonicity, decomposition identity).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from compendium_spark.plans import ondeck_r9 as od
+
+from .conftest import SF_ORACLE, SF_SMOKE
+from .test_parity import _assert_hash_equal, _duck_conn, _normalize
+
+CASES = {
+    "curate_dsir_weights": (od.curate_dsir_weights, lambda: od.DSIR_SQL),
+    "sim_ivf_tuning_curve": (od.sim_ivf_tuning_curve, od._tuning_curve_sql),
+    "ts_seasonal_decompose": (od.ts_seasonal_decompose, lambda: od.SEASONAL_SQL),
+}
+
+
+@pytest.mark.parametrize("sf_dir", [SF_SMOKE, SF_ORACLE])
+@pytest.mark.parametrize("name", sorted(CASES))
+def test_ondeck_parity(spark, name, sf_dir):
+    fn, sql = CASES[name]
+    got = _normalize(fn(spark, sf_dir).toPandas())
+    want = _normalize(_duck_conn(sf_dir).execute(sql()).df())
+    assert len(got) > 0, f"{name}: empty result is a vacuous parity check"
+    _assert_hash_equal(got, want, name)
+
+
+def test_ondeck_not_registered():
+    """Round-8 invariant: the gate window is full, so these names must
+    NOT be in the live registry (registering one would strand a 51st
+    stale plan outside the 50-slot window). Round 9 flips this test:
+    delete it when ondeck_r9.register() is wired in."""
+    from compendium_spark.plans import all_plans
+
+    live = set(all_plans())
+    for name in CASES:
+        assert name not in live, (
+            f"{name} registered while round-8 window is full — "
+            "see plans/ondeck_r9.py docstring"
+        )
+
+
+def test_dsir_target_slice_scores_higher(spark):
+    """DSIR's defining property: documents FROM the target domain
+    (lang='en') must average a higher importance weight than the rest
+    of the raw corpus — the weight is the target-vs-raw log-ratio."""
+    import pandas as pd
+
+    got = od.curate_dsir_weights(spark, SF_ORACLE).toPandas()
+    langs = (
+        _duck_conn(SF_ORACLE)
+        .execute("SELECT doc_id, lang FROM documents")
+        .df()
+    )
+    m = pd.merge(got, langs, on="doc_id")
+    mean_en = m.loc[m.lang == od.DSIR_TARGET_LANG, "dsir_weight"].mean()
+    mean_rest = m.loc[m.lang != od.DSIR_TARGET_LANG, "dsir_weight"].mean()
+    assert mean_en > mean_rest, (mean_en, mean_rest)
+
+
+def test_tuning_curve_monotone(spark):
+    """Nested probes ⇒ candidates and recall are non-decreasing in
+    nprobe, and cand_share stays a proper fraction."""
+    rows = od.sim_ivf_tuning_curve(spark, SF_ORACLE).toPandas()
+    assert list(rows.nprobe) == od.PROBE_SWEEP
+    assert rows.n_candidates.is_monotonic_increasing
+    assert rows.n_hits.is_monotonic_increasing
+    assert (rows.cand_share <= 1.0).all() and (rows.cand_share > 0).all()
+    # at max probe depth (8 of 16 cells) recall must clear the floor a
+    # uniform random half-corpus scan would average
+    assert rows.recall_at_k.iloc[-1] >= 0.5, rows.to_dict("records")
+
+
+def test_seasonal_identity_and_coverage(spark):
+    """y == trend + seasonal + remainder (within quantization), and
+    every (event_type, hour) cell of the raw table is present."""
+    rows = od.ts_seasonal_decompose(spark, SF_ORACLE).toPandas()
+    resid = (rows.y - (rows.trend + rows.seasonal + rows.remainder)).abs()
+    assert (resid <= 3e-6).all(), resid.max()
+    n_cells = (
+        _duck_conn(SF_ORACLE)
+        .execute(
+            "SELECT COUNT(*) FROM (SELECT DISTINCT event_type,"
+            " date_trunc('hour', ts) FROM events)"
+        )
+        .fetchone()[0]
+    )
+    assert len(rows) == n_cells
