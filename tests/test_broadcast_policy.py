@@ -1,0 +1,137 @@
+"""Round-8 broadcast policy as a regression guard.
+
+Policy (verdict r7 #1, fixed in r8): a forced ``F.broadcast(...)`` hint
+overrides AQE's size check, so it is allowed ONLY on frames whose row
+count is bounded by SEMANTICS or CONSTRUCTION — never on a frame that
+grows with the corpus (a distinct-token vocabulary, per-doc lengths,
+cluster labels, …). Those either join plain (AQE still broadcast-
+converts them at small SF) or route through ``tables.maybe_broadcast``
+(size-gated).
+
+Enforcement is a source-level AST lint: every ``F.broadcast(`` call
+site in ``compendium_spark/`` must appear in the allowlist below,
+keyed by (file, enclosing function) with its boundedness argument.
+Adding a new forced hint fails this test until the author states the
+bound here — the review step that keeps the OOM class extinct.
+"""
+
+from __future__ import annotations
+
+import ast
+from pathlib import Path
+
+PKG = Path(__file__).resolve().parent.parent / "compendium_spark"
+
+# (relpath, enclosing function) -> why the broadcast side is bounded.
+ALLOWED: dict[tuple[str, str], str] = {
+    # --- infrastructure: the size gate itself -------------------------
+    ("tables.py", "maybe_broadcast"): "the size-gated hint (bound checked at call time)",
+    # --- ≤25-row dimension tables (fixed by TPC-H semantics) ----------
+    ("plans/tpch.py", "q5_local_supplier_volume"): "nation(25)/region(5) dims",
+    ("plans/tpch2.py", "q10_returned_items"): "nation(25) dim",
+    ("plans/tpch2.py", "q7_volume_shipping"): "2-row filtered nation dim",
+    ("plans/tpch2.py", "q8_market_share"): "nation(25)/region(5) dims",
+    ("plans/tpch3.py", "q2_min_cost_supplier"): "nation(25)/region(5) dims",
+    ("plans/tpch3.py", "q9_product_type_profit"): "nation(25) dim",
+    ("plans/tpch3.py", "q11_important_stock"): "1-row nation + 1-row threshold",
+    ("plans/tpch3.py", "q20_potential_promotion"): "1-row nation slice",
+    ("plans/tpch3.py", "q21_waiting_orders"): "1-row nation slice",
+    ("plans/reference_ops.py", "j7_snowflake_dims"): "nation/region dims",
+    ("streaming/windows.py", "enrich_dim"): "nation(25) dim",
+    ("streaming/windows.py", "enrich_join_transform"): "bounded user dim (fixture contract)",
+    ("pipeline/status.py", "geo_summary"): "ISO-3166 country list (249 rows)",
+    # --- 1-row scalar aggregates --------------------------------------
+    ("plans/tpch2.py", "q22_global_sales_opportunity"): "1-row avg balance",
+    ("plans/tpch3.py", "q15_top_supplier"): "1-row max revenue",
+    ("plans/history.py", "j18_snapshot_diff"): "1-row snapshot bounds",
+    ("plans/olap_ext.py", "a19_robust_stats"): "per-group medians (groups bounded by semantics)",
+    ("plans/curation.py", "text_lm_score"): "1-row corpus total",
+    ("plans/curation.py", "curate_domain_mix_report"): "1-row grand total",
+    ("plans/text.py", "text_tfidf_topk"): "1-row doc count N",
+    ("plans/text.py", "text_tfidf_log"): "1-row doc count N",
+    ("plans/text.py", "text_boilerplate_shingles"): "1-row corpus total",
+    ("plans/sketches.py", "a20_hll_sketch"): "1-row exact-count check side",
+    ("plans/sketches.py", "a21_histogram_quantile"): "per-type exacts (types bounded)",
+    ("plans/sketches.py", "a23_countmin_sketch"): "CM counters (d×w fixed) + 1-row total",
+    ("plans/quality.py", "emb_quantize_int8"): "1-row min/max stats",
+    ("plans/quality.py", "emb_outlier_filter"): "per-label centroids (labels×dim, bounded by semantics)",
+    # --- ≤10-query / fixed-constant ANN sides -------------------------
+    ("plans/ann.py", "sim_lsh_topk"): "≤10-query side",
+    ("plans/ann.py", "sim_multiprobe_topk"): "≤10-query side",
+    ("plans/ann.py", "sim_recall_report"): "≤10-query side + 2-row method frame",
+    ("plans/extended.py", "sim_cosine_topk"): "≤10-query side (documented exact baseline)",
+    ("plans/extended.py", "sim_mips_topk"): "≤10-query side",
+    ("plans/pq.py", "sim_pq_adc_topk"): "per-query LUT (queries×M×K fixed)",
+    ("plans/pq.py", "sim_ivfpq_topk"): "per-query LUT (queries×M×K fixed)",
+    ("plans/quality.py", "sim_sq_topk_recall"): "≤10-query side",
+    ("plans/quality.py", "sim_bq_topk"): "≤10-query side",
+    ("plans/scoring.py", "emb_matryoshka_recall"): "≤10-query side",
+    ("plans/scoring.py", "sim_hybrid_topk"): "≤10-query side + 1-row stats",
+    ("plans/scoring.py", "sim_rrf_fusion"): "≤10-query side",
+    ("plans/graph.py", "graph_common_neighbors"): "capped neighbor lists (degree-capped)",
+    # --- fixed-size sketch/filter structures --------------------------
+    ("plans/bloom.py", "dedup_bloom_prefilter"): "Bloom bit array (m=256 fixed) + ref hashes of a FILTERED slice (documented)",
+    ("plans/curation.py", "curate_decontaminate"): "eval-set grams (eval corpus bounded by construction)",
+    ("operators/merge.py", "partial_update"): "update batch (delta, bounded by ingest contract)",
+    # --- on-deck round-9 plans ----------------------------------------
+    ("plans/ondeck_r9.py", "curate_dsir_weights"): "1-row totals + ≤256-bucket hashed model (bounded by construction)",
+    ("plans/ondeck_r9.py", "sim_ivf_tuning_curve"): "≤10-query side, 4-row sweep, 1-row totals",
+    # --- text ranking --------------------------------------------------
+    ("plans/text.py", "text_bm25_topk"): "≤10-term query set + 1-row corpus stats",
+}
+
+
+def _sites() -> list[tuple[str, str, int]]:
+    out = []
+    for py in sorted(PKG.rglob("*.py")):
+        rel = py.relative_to(PKG).as_posix()
+        tree = ast.parse(py.read_text())
+
+        class V(ast.NodeVisitor):
+            def __init__(self) -> None:
+                self.stack: list[str] = []
+
+            def visit_FunctionDef(self, node):
+                self.stack.append(node.name)
+                self.generic_visit(node)
+                self.stack.pop()
+
+            visit_AsyncFunctionDef = visit_FunctionDef
+
+            def visit_Call(self, node):
+                f = node.func
+                if (
+                    isinstance(f, ast.Attribute)
+                    and f.attr == "broadcast"
+                    and isinstance(f.value, ast.Name)
+                    and f.value.id == "F"
+                ):
+                    fn = self.stack[-1] if self.stack else "<module>"
+                    out.append((rel, fn, node.lineno))
+                self.generic_visit(node)
+
+        V().visit(tree)
+    return out
+
+
+def test_every_forced_broadcast_is_allowlisted():
+    sites = _sites()
+    assert sites, "lint found no F.broadcast sites — AST scan broken?"
+    unknown = [
+        f"{rel}:{ln} in {fn}()"
+        for rel, fn, ln in sites
+        if (rel, fn) not in ALLOWED
+    ]
+    assert not unknown, (
+        "forced F.broadcast hint(s) outside the boundedness allowlist "
+        "(round-8 policy: forced hints only on semantics/construction-"
+        "bounded frames — use tables.maybe_broadcast or a plain join "
+        "for anything that scales with SF, or add an allowlist entry "
+        "stating the bound):\n  " + "\n  ".join(unknown)
+    )
+
+
+def test_allowlist_has_no_dead_entries():
+    live = {(rel, fn) for rel, fn, _ in _sites()}
+    dead = [k for k in ALLOWED if k not in live and k[0] != "tables.py"]
+    assert not dead, f"allowlist entries with no matching source site: {dead}"
