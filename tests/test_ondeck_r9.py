@@ -21,6 +21,10 @@ CASES = {
     "curate_dsir_weights": (od.curate_dsir_weights, lambda: od.DSIR_SQL),
     "sim_ivf_tuning_curve": (od.sim_ivf_tuning_curve, od._tuning_curve_sql),
     "ts_seasonal_decompose": (od.ts_seasonal_decompose, lambda: od.SEASONAL_SQL),
+    "emb_dedup_threshold_curve": (
+        od.emb_dedup_threshold_curve,
+        od._threshold_curve_sql,
+    ),
 }
 
 
@@ -78,6 +82,24 @@ def test_tuning_curve_monotone(spark):
     # at max probe depth (8 of 16 cells) recall must clear the floor a
     # uniform random half-corpus scan would average
     assert rows.recall_at_k.iloc[-1] >= 0.5, rows.to_dict("records")
+
+
+def test_threshold_curve_monotone_and_consistent(spark):
+    """Raising tau can only shrink every count; at tau=0.5 (where the
+    LSH candidate recall is exact at sf0.01 — dedup_embedding_cosine
+    docstring) the pair count must equal the brute-force all-pairs
+    count at cosine ≥ 0.5."""
+    rows = od.emb_dedup_threshold_curve(spark, SF_ORACLE).toPandas()
+    assert list(rows.threshold) == od.EMB_TAU_SWEEP
+    for c in ["n_pairs", "n_docs_affected", "n_dropped_greedy"]:
+        assert rows[c].is_monotonic_decreasing, c
+    assert rows.n_pairs.iloc[0] > 0
+    from compendium_spark.plans.extended import COSINE_ALLPAIRS_SQL
+
+    brute = _duck_conn(SF_ORACLE).execute(COSINE_ALLPAIRS_SQL).df()
+    want = int((brute.cosine >= 0.5).sum())
+    got = int(rows.loc[rows.threshold == 0.5, "n_pairs"].iloc[0])
+    assert got == want, (got, want)
 
 
 def test_seasonal_identity_and_coverage(spark):
