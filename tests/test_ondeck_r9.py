@@ -25,6 +25,7 @@ CASES = {
         od.emb_dedup_threshold_curve,
         od._threshold_curve_sql,
     ),
+    "text_heaps_curve": (od.text_heaps_curve, od._heaps_sql),
 }
 
 
@@ -100,6 +101,34 @@ def test_threshold_curve_monotone_and_consistent(spark):
     want = int((brute.cosine >= 0.5).sum())
     got = int(rows.loc[rows.threshold == 0.5, "n_pairs"].iloc[0])
     assert got == want, (got, want)
+
+
+def test_heaps_curve_properties(spark):
+    """The full-corpus row must reconcile exactly with the corpus
+    (docs, tokens, distinct tokens), cumulative counts must be
+    monotone, and vocabulary growth must be SUBLINEAR in tokens over
+    the top interval (Heaps' law — the broadcast policy's premise)."""
+    rows = od.text_heaps_curve(spark, SF_ORACLE).toPandas()
+    assert list(rows.share) == od.HEAPS_SHARES
+    for c in ["n_docs", "n_tokens", "n_distinct_tokens"]:
+        assert rows[c].is_monotonic_increasing, c
+    want = _duck_conn(SF_ORACLE).execute(
+        "SELECT (SELECT COUNT(*) FROM documents),"
+        " (SELECT SUM(len(string_split_regex(trim(lower(text)), ' +')))"
+        "  FROM documents),"
+        " (SELECT COUNT(DISTINCT tok) FROM"
+        "  (SELECT unnest(string_split_regex(trim(lower(text)), ' +')) AS tok"
+        "   FROM documents))"
+    ).fetchone()
+    last = rows.iloc[-1]
+    assert int(last.n_docs) == int(want[0])
+    assert int(last.n_tokens) == int(want[1])
+    assert int(last.n_distinct_tokens) == int(want[2])
+    # sublinear growth: vocab grows slower than tokens on the last leg
+    prev = rows.iloc[-2]
+    tok_ratio = last.n_tokens / prev.n_tokens
+    vocab_ratio = last.n_distinct_tokens / prev.n_distinct_tokens
+    assert vocab_ratio < tok_ratio, (vocab_ratio, tok_ratio)
 
 
 def test_seasonal_identity_and_coverage(spark):
