@@ -881,6 +881,162 @@ text_heaps_curve.__doc__ = text_heaps_curve.__doc__.format(
 
 
 # ---------------------------------------------------------------------------
+# sim_filtered_topk — label-constrained (filtered) ANN search
+# ---------------------------------------------------------------------------
+
+# The filtered-search problem every production vector store documents
+# (FAISS IDSelector, Qdrant/Milvus filtered search): top-k restricted
+# to candidates satisfying a metadata predicate — here, sharing the
+# QUERY's label (~10% selectivity on the fixture's 10 labels). The
+# predicate applies BEFORE the exact re-rank (pre-filter on the
+# inverted-file side of the cell join), so re-rank cost scales with
+# the FILTERED candidate count; n_candidates is emitted per row to
+# make that cost visible next to the result.
+FILTERED_K = 5
+
+
+def _filtered_topk_sql() -> str:
+    from compendium_spark.plans.ivf import N_PROBE, _SQL_SCORES  # noqa: PLC0415
+
+    return f"""
+WITH scores AS ({_SQL_SCORES}),
+assign AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+                              ORDER BY score DESC, cell) AS rn
+    FROM scores
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT vec_id AS query_id, cell FROM (
+    SELECT vec_id, cell,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+                              ORDER BY score DESC, cell) AS rn
+    FROM scores WHERE vec_id < 10
+  ) WHERE rn <= {N_PROBE}
+),
+lab AS (SELECT vec_id, label FROM embeddings),
+n AS (
+  SELECT vec_id, e, sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm
+  FROM (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        FROM embeddings)
+),
+cand AS (
+  SELECT p.query_id, a.vec_id AS cand_id
+  FROM probes p
+  JOIN assign a ON p.cell = a.cell
+  JOIN lab ql ON p.query_id = ql.vec_id
+  JOIN lab cl ON a.vec_id = cl.vec_id AND cl.label = ql.label
+  WHERE a.vec_id <> p.query_id
+),
+ranked AS (
+  SELECT cand.query_id, cand.cand_id,
+         CAST(FLOOR(CAST((list_sum(list_transform(q.e, (x, i) -> x * c.e[i]))
+           / (q.nrm * c.nrm)) AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)
+           / 1000000.0 AS cosine,
+         CAST(COUNT(*) OVER (PARTITION BY cand.query_id) AS BIGINT)
+           AS n_candidates
+  FROM cand
+  JOIN n q ON cand.query_id = q.vec_id
+  JOIN n c ON cand.cand_id = c.vec_id
+)
+SELECT query_id, cand_id, cosine, rn AS rank, n_candidates
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, cand_id) AS rn
+  FROM ranked
+) WHERE rn <= {FILTERED_K}
+ORDER BY query_id, rank
+"""
+
+
+def sim_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered ANN: IVF-probed top-{k} restricted to candidates whose
+    label matches the query's — metadata-constrained vector search
+    (FAISS IDSelector / vector-store filtered search), the operator a
+    retrieval pipeline runs when the index serves many tenants,
+    languages, or shards from one table.
+
+    Shape: the predicate is applied at CANDIDATE GENERATION (the label
+    equi-join folds into the probe⋈inverted-file join), so the
+    expensive exact re-rank touches only filtered candidates — the
+    pre-filter strategy, correct at any selectivity (a post-filter
+    top-k can return <k rows when the filter bites). Per-row
+    n_candidates makes the filtered probe cost visible. Same seeded
+    centroids, probe ranking and quantized-cosine ordering as
+    sim_ivf_topk; the label column rides the slim (vec_id, cell)
+    inverted file, never the vectors.
+    """
+    from compendium_spark.plans.extended import (  # noqa: PLC0415
+        _dot_unrolled,
+        _load_embeddings,
+    )
+    from compendium_spark.plans.ivf import (  # noqa: PLC0415
+        N_PROBE,
+        _assign_cells,
+        _probe_cells,
+    )
+
+    emb = _load_embeddings(spark, sf_dir)
+    lab = load(spark, sf_dir, "embeddings").select("vec_id", "label")
+    assign = _assign_cells(emb)
+    probes = _probe_cells(emb.filter(F.col("vec_id") < 10), N_PROBE)
+    ql = lab.select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("qlabel")
+    )
+    cl = lab.select(
+        F.col("vec_id").alias("cand_id"), F.col("label").alias("clabel")
+    )
+    cand = (
+        probes.join(assign, "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("cand_id"))
+        .join(F.broadcast(ql.filter(F.col("query_id") < 10)), "query_id")
+        .join(cl, "cand_id")
+        .filter(F.col("clabel") == F.col("qlabel"))
+        .select("query_id", "cand_id")
+    )
+    n = emb.withColumn("nrm", F.sqrt(_dot_unrolled(F.col("e"), F.col("e"))))
+    q = n.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("e").alias("qe"),
+        F.col("nrm").alias("qn"),
+    )
+    c = n.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("e").alias("ce"),
+        F.col("nrm").alias("cn"),
+    )
+    cos = _dot_unrolled(F.col("qe"), F.col("ce")) / (F.col("qn") * F.col("cn"))
+    ranked = (
+        cand.join(F.broadcast(q), "query_id")
+        .join(c, "cand_id")
+        .select("query_id", "cand_id", quantize6(cos).alias("cosine"))
+        .withColumn(
+            "n_candidates",
+            F.count(F.lit(1)).over(Window.partitionBy("query_id")).cast("long"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "cand_id")
+    return (
+        ranked.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= FILTERED_K)
+        .select(
+            "query_id",
+            "cand_id",
+            "cosine",
+            F.col("rn").alias("rank"),
+            "n_candidates",
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
+sim_filtered_topk.__doc__ = sim_filtered_topk.__doc__.format(k=FILTERED_K)
+
+
+# ---------------------------------------------------------------------------
 # registration hook for round 9
 # ---------------------------------------------------------------------------
 
@@ -890,6 +1046,7 @@ ONDECK: list[tuple] = [
     ("ts_seasonal_decompose", ts_seasonal_decompose, SEASONAL_SQL),
     ("emb_dedup_threshold_curve", emb_dedup_threshold_curve, None),
     ("text_heaps_curve", text_heaps_curve, None),
+    ("sim_filtered_topk", sim_filtered_topk, None),
 ]
 
 
@@ -908,3 +1065,4 @@ def register() -> None:
         emb_dedup_threshold_curve
     )
     plan("text_heaps_curve", oracle=_heaps_sql())(text_heaps_curve)
+    plan("sim_filtered_topk", oracle=_filtered_topk_sql())(sim_filtered_topk)

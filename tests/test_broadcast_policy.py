@@ -78,6 +78,7 @@ ALLOWED: dict[tuple[str, str], str] = {
     ("plans/ondeck_r9.py", "sim_ivf_tuning_curve"): "≤10-query side, 4-row sweep, 1-row totals",
     ("plans/ondeck_r9.py", "emb_dedup_threshold_curve"): "6-row tau sweep + 1-row corpus total",
     ("plans/ondeck_r9.py", "text_heaps_curve"): "4-row prefix-share frame",
+    ("plans/ondeck_r9.py", "sim_filtered_topk"): "≤10-query label and vector sides",
     # --- text ranking --------------------------------------------------
     ("plans/text.py", "text_bm25_topk"): "≤10-term query set + 1-row corpus stats",
 }

@@ -26,6 +26,7 @@ CASES = {
         od._threshold_curve_sql,
     ),
     "text_heaps_curve": (od.text_heaps_curve, od._heaps_sql),
+    "sim_filtered_topk": (od.sim_filtered_topk, od._filtered_topk_sql),
 }
 
 
@@ -101,6 +102,25 @@ def test_threshold_curve_monotone_and_consistent(spark):
     want = int((brute.cosine >= 0.5).sum())
     got = int(rows.loc[rows.threshold == 0.5, "n_pairs"].iloc[0])
     assert got == want, (got, want)
+
+
+def test_filtered_topk_respects_predicate(spark):
+    """Every returned neighbor must share the query's label, and the
+    filtered candidate count must be well below the unfiltered probe
+    reach (the pre-filter is really pruning)."""
+    rows = od.sim_filtered_topk(spark, SF_ORACLE).toPandas()
+    labels = dict(
+        _duck_conn(SF_ORACLE)
+        .execute("SELECT vec_id, label FROM embeddings")
+        .fetchall()
+    )
+    assert len(rows) > 0
+    for r in rows.itertuples():
+        assert labels[r.cand_id] == labels[r.query_id], r
+        assert r.cand_id != r.query_id
+    # ~10 labels → filtered candidates ≈ a tenth of the probed reach
+    n_corpus = len(labels)
+    assert rows.n_candidates.max() < n_corpus / 2
 
 
 def test_heaps_curve_properties(spark):
