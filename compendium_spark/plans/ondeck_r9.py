@@ -1037,6 +1037,112 @@ sim_filtered_topk.__doc__ = sim_filtered_topk.__doc__.format(k=FILTERED_K)
 
 
 # ---------------------------------------------------------------------------
+# streaming_interval_outer_join — LEFT OUTER stream-stream join
+# ---------------------------------------------------------------------------
+
+# The state-eviction case the INNER interval join never exercises:
+# a left-outer stream-stream join must HOLD every unmatched view in
+# state until the watermark proves no qualifying click can still
+# arrive, then emit it exactly once with nulls. This is the
+# correctness cliff of production stream joins (emit too early →
+# phantom nulls; never advance → unbounded state). Views are capped
+# at a fixed cutoff well inside every fixture's time range so the
+# final no-data micro-batch can flush every unmatched view — the
+# same determinism discipline as the md5 samplers.
+OUTER_JOIN_CUTOFF = "2024-01-25 00:00:00"
+OUTER_JOIN_MINUTES = 30
+
+STREAM_OUTER_JOIN_SQL = f"""
+WITH views AS (
+  SELECT event_id AS view_id, user_id AS a_user, ts AS a_ts
+  FROM events
+  WHERE event_type = 'view' AND ts < TIMESTAMP '{OUTER_JOIN_CUTOFF}'
+),
+clicks AS (
+  SELECT event_id AS click_id, user_id AS b_user, ts AS b_ts
+  FROM events WHERE event_type = 'click'
+)
+SELECT v.view_id, v.a_user, v.a_ts, c.click_id, c.b_ts
+FROM views v
+LEFT JOIN clicks c
+  ON v.a_user = c.b_user
+ AND c.b_ts > v.a_ts
+ AND c.b_ts <= v.a_ts + INTERVAL {OUTER_JOIN_MINUTES} MINUTE
+ORDER BY v.view_id, c.click_id
+"""
+
+
+def interval_outer_join_transform(ev: DataFrame) -> DataFrame:
+    """The left-outer interval join as a stream transform (clicks
+    within {m} minutes after a view, same user; views capped at
+    {cutoff} so end-of-input watermark movement can flush the
+    unmatched tail). Same two-legs-from-one-stream shape as
+    interval_join_transform; the outer side adds a state horizon of
+    watermark + {m} min per view, after which Spark emits the
+    null-extended row and evicts."""
+    # watermark BEFORE the cutoff filter: the view leg's event-time
+    # clock must keep advancing on the uncapped stream, else the
+    # global (min-policy) watermark stalls at the cutoff and the last
+    # ~(delay + horizon) of unmatched views are never proven
+    # unmatched — measured as a 1-2-row deficit vs the batch oracle.
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id").alias("a_user"),
+            F.col("ts").alias("a_ts"),
+        )
+        .withWatermark("a_ts", "10 minutes")
+        .filter(F.col("a_ts") < F.lit(OUTER_JOIN_CUTOFF).cast("timestamp"))
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("b_user"),
+            F.col("ts").alias("b_ts"),
+        )
+        .withWatermark("b_ts", "10 minutes")
+    )
+    return views.join(
+        clicks,
+        (F.col("a_user") == F.col("b_user"))
+        & (F.col("b_ts") > F.col("a_ts"))
+        & (
+            F.col("b_ts")
+            <= F.col("a_ts") + F.expr(f"INTERVAL {OUTER_JOIN_MINUTES} MINUTES")
+        ),
+        "leftOuter",
+    ).select("view_id", "a_user", "a_ts", "click_id", "b_ts")
+
+
+interval_outer_join_transform.__doc__ = (
+    interval_outer_join_transform.__doc__.format(
+        m=OUTER_JOIN_MINUTES, cutoff=OUTER_JOIN_CUTOFF
+    )
+)
+
+
+def streaming_interval_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER stream-stream interval join: every view emits
+    exactly once — joined to each qualifying click, or null-extended
+    AFTER the watermark proves no click can still arrive. The
+    eviction-correctness counterpart of streaming_interval_join
+    (inner), value-checked against the batch LEFT JOIN oracle: a
+    stream that emits unmatched rows too early or never flushes them
+    cannot hash-match the batch result."""
+    from compendium_spark.streaming.windows import (  # noqa: PLC0415
+        _run_to_memory,
+        read_events_stream,
+    )
+
+    joined = interval_outer_join_transform(read_events_stream(spark, sf_dir))
+    return _run_to_memory(joined, "stream_outer_join", "append").orderBy(
+        "view_id", "click_id"
+    )
+
+
+# ---------------------------------------------------------------------------
 # registration hook for round 9
 # ---------------------------------------------------------------------------
 
@@ -1047,6 +1153,7 @@ ONDECK: list[tuple] = [
     ("emb_dedup_threshold_curve", emb_dedup_threshold_curve, None),
     ("text_heaps_curve", text_heaps_curve, None),
     ("sim_filtered_topk", sim_filtered_topk, None),
+    ("streaming_interval_outer_join", streaming_interval_outer_join, STREAM_OUTER_JOIN_SQL),
 ]
 
 
@@ -1066,3 +1173,6 @@ def register() -> None:
     )
     plan("text_heaps_curve", oracle=_heaps_sql())(text_heaps_curve)
     plan("sim_filtered_topk", oracle=_filtered_topk_sql())(sim_filtered_topk)
+    plan("streaming_interval_outer_join", oracle=STREAM_OUTER_JOIN_SQL)(
+        streaming_interval_outer_join
+    )

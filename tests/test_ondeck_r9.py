@@ -27,6 +27,10 @@ CASES = {
     ),
     "text_heaps_curve": (od.text_heaps_curve, od._heaps_sql),
     "sim_filtered_topk": (od.sim_filtered_topk, od._filtered_topk_sql),
+    "streaming_interval_outer_join": (
+        od.streaming_interval_outer_join,
+        lambda: od.STREAM_OUTER_JOIN_SQL,
+    ),
 }
 
 
@@ -102,6 +106,29 @@ def test_threshold_curve_monotone_and_consistent(spark):
     want = int((brute.cosine >= 0.5).sum())
     got = int(rows.loc[rows.threshold == 0.5, "n_pairs"].iloc[0])
     assert got == want, (got, want)
+
+
+def test_outer_join_emit_once_semantics(spark):
+    """Every capped view emits ≥1 row; a view is EITHER null-extended
+    (exactly once) OR matched — never both; and the unmatched tail
+    near the cutoff actually flushed (the watermark-stall regression
+    this plan's transform guards against)."""
+    rows = od.streaming_interval_outer_join(spark, SF_ORACLE).toPandas()
+    views = _duck_conn(SF_ORACLE).execute(
+        "SELECT event_id FROM events WHERE event_type = 'view'"
+        f" AND ts < TIMESTAMP '{od.OUTER_JOIN_CUTOFF}'"
+    ).df()
+    assert set(rows.view_id) == set(views.event_id)
+    nulls = rows[rows.click_id.isna()]
+    matched = rows[~rows.click_id.isna()]
+    assert nulls.view_id.is_unique
+    assert not set(nulls.view_id) & set(matched.view_id)
+    # the last capped view must be present (tail flushed)
+    last_view = _duck_conn(SF_ORACLE).execute(
+        "SELECT MAX(event_id) FROM events WHERE event_type = 'view'"
+        f" AND ts < TIMESTAMP '{od.OUTER_JOIN_CUTOFF}'"
+    ).fetchone()[0]
+    assert last_view in set(rows.view_id)
 
 
 def test_filtered_topk_respects_predicate(spark):
