@@ -44,6 +44,23 @@ def test_ondeck_parity(spark, name, sf_dir):
     _assert_hash_equal(got, want, name)
 
 
+@pytest.mark.parametrize("name", sorted(CASES))
+def test_ondeck_partition_invariance(spark, name):
+    """Distributed-correctness core property: the result must be
+    bitwise identical at any shuffle-partition count (the round-8
+    window's 50-plan partition sweep, applied to the on-deck set)."""
+    fn, _ = CASES[name]
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        lo = _normalize(fn(spark, SF_SMOKE).toPandas())
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+        hi = _normalize(fn(spark, SF_SMOKE).toPandas())
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    _assert_hash_equal(lo, hi, f"{name}@partitions")
+
+
 def test_ondeck_not_registered():
     """Round-8 invariant: the gate window is full, so these names must
     NOT be in the live registry (registering one would strand a 51st
