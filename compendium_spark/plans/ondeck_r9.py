@@ -15,12 +15,18 @@ To register in round 9:
   1. run `python tools/gate_ledger.py update 8` (tree == gate code),
   2. call :func:`register` from plans/__init__.py (or move each
      function into its home module with the ``@plan`` decorator:
-     curate_dsir_weights → scoring.py, sim_ivf_tuning_curve → ivf.py,
-     ts_seasonal_decompose → timeseries.py),
-  3. add the three names to the round-9 window.
+     curate_dsir_weights → scoring.py, sim_ivf_tuning_curve +
+     sim_filtered_topk → ivf.py, ts_seasonal_decompose →
+     timeseries.py, emb_dedup_threshold_curve → extended.py,
+     text_heaps_curve → text.py, streaming_interval_outer_join →
+     streaming_plans.py with its transform in streaming/windows.py),
+  3. add EVERY name in :data:`ONDECK` to the round-9 window
+     (`len(ONDECK)` plans — the list below is the single source of
+     truth; register() and tests/test_ondeck_r9.py both derive from
+     it, so a plan cannot be added here without entering both).
 
 Reference parity note: no counterpart in the reference (relational
-ETL only); all three belong to the brief's LLM-data-pipeline /
+ETL only); these belong to the brief's LLM-data-pipeline /
 analytics extension axes, alongside plans/scoring.py, plans/ivf.py
 and plans/timeseries.py.
 """
@@ -33,6 +39,13 @@ from pyspark.sql import functions as F
 
 from compendium_spark.functions.numeric import quantize6
 from compendium_spark.tables import load
+
+
+def _fmt_doc(fn, **kw) -> None:
+    """Interpolate constants into a docstring, tolerating -OO (where
+    __doc__ is stripped to None and .format would raise at import)."""
+    if fn.__doc__:
+        fn.__doc__ = fn.__doc__.format(**kw)
 
 # ---------------------------------------------------------------------------
 # curate_dsir_weights — hashed-ngram importance weights (DSIR)
@@ -157,9 +170,7 @@ def curate_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
-curate_dsir_weights.__doc__ = curate_dsir_weights.__doc__.format(
-    target=DSIR_TARGET_LANG, buckets=DSIR_BUCKETS
-)
+_fmt_doc(curate_dsir_weights, target=DSIR_TARGET_LANG, buckets=DSIR_BUCKETS)
 
 
 # ---------------------------------------------------------------------------
@@ -413,9 +424,7 @@ def sim_ivf_tuning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-sim_ivf_tuning_curve.__doc__ = sim_ivf_tuning_curve.__doc__.format(
-    k=TUNE_K, maxp=max(PROBE_SWEEP)
-)
+_fmt_doc(sim_ivf_tuning_curve, k=TUNE_K, maxp=max(PROBE_SWEEP))
 
 
 # ---------------------------------------------------------------------------
@@ -537,9 +546,7 @@ def ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ts_seasonal_decompose.__doc__ = ts_seasonal_decompose.__doc__.format(
-    win=2 * TREND_HALF_WINDOW + 1
-)
+_fmt_doc(ts_seasonal_decompose, win=2 * TREND_HALF_WINDOW + 1)
 
 
 # ---------------------------------------------------------------------------
@@ -875,8 +882,10 @@ def text_heaps_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("share")
 
 
-text_heaps_curve.__doc__ = text_heaps_curve.__doc__.format(
-    shares=", ".join(str(s) for s in HEAPS_SHARES), n=len(HEAPS_SHARES)
+_fmt_doc(
+    text_heaps_curve,
+    shares=", ".join(str(s) for s in HEAPS_SHARES),
+    n=len(HEAPS_SHARES),
 )
 
 
@@ -1033,7 +1042,7 @@ def sim_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-sim_filtered_topk.__doc__ = sim_filtered_topk.__doc__.format(k=FILTERED_K)
+_fmt_doc(sim_filtered_topk, k=FILTERED_K)
 
 
 # ---------------------------------------------------------------------------
@@ -1116,10 +1125,10 @@ def interval_outer_join_transform(ev: DataFrame) -> DataFrame:
     ).select("view_id", "a_user", "a_ts", "click_id", "b_ts")
 
 
-interval_outer_join_transform.__doc__ = (
-    interval_outer_join_transform.__doc__.format(
-        m=OUTER_JOIN_MINUTES, cutoff=OUTER_JOIN_CUTOFF
-    )
+_fmt_doc(
+    interval_outer_join_transform,
+    m=OUTER_JOIN_MINUTES,
+    cutoff=OUTER_JOIN_CUTOFF,
 )
 
 
@@ -1146,33 +1155,36 @@ def streaming_interval_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame
 # registration hook for round 9
 # ---------------------------------------------------------------------------
 
+# (name, plan fn, zero-arg oracle-SQL builder). THE single source of
+# truth: register() and tests/test_ondeck_r9.py both iterate this
+# list, so a plan cannot ship without entering the registry hook AND
+# the parity suite. Builders are lazy because some oracles compose
+# helpers from ann/ivf at call time.
 ONDECK: list[tuple] = [
-    ("curate_dsir_weights", curate_dsir_weights, DSIR_SQL),
-    ("sim_ivf_tuning_curve", sim_ivf_tuning_curve, None),  # oracle built lazily
-    ("ts_seasonal_decompose", ts_seasonal_decompose, SEASONAL_SQL),
-    ("emb_dedup_threshold_curve", emb_dedup_threshold_curve, None),
-    ("text_heaps_curve", text_heaps_curve, None),
-    ("sim_filtered_topk", sim_filtered_topk, None),
-    ("streaming_interval_outer_join", streaming_interval_outer_join, STREAM_OUTER_JOIN_SQL),
+    ("curate_dsir_weights", curate_dsir_weights, lambda: DSIR_SQL),
+    ("sim_ivf_tuning_curve", sim_ivf_tuning_curve, _tuning_curve_sql),
+    ("ts_seasonal_decompose", ts_seasonal_decompose, lambda: SEASONAL_SQL),
+    (
+        "emb_dedup_threshold_curve",
+        emb_dedup_threshold_curve,
+        _threshold_curve_sql,
+    ),
+    ("text_heaps_curve", text_heaps_curve, _heaps_sql),
+    ("sim_filtered_topk", sim_filtered_topk, _filtered_topk_sql),
+    (
+        "streaming_interval_outer_join",
+        streaming_interval_outer_join,
+        lambda: STREAM_OUTER_JOIN_SQL,
+    ),
 ]
 
 
 def register() -> None:
-    """Round-9 hook: move these into the live registry (call from
-    plans/__init__.py AFTER `gate_ledger.py update 8` has recorded the
-    round-8 greens, and add all four names to the round-9 window)."""
+    """Round-9 hook: move every ONDECK plan into the live registry
+    (call from plans/__init__.py AFTER `gate_ledger.py update 8` has
+    recorded the round-8 greens, and add every ONDECK name to the
+    round-9 window)."""
     from compendium_spark.plans.registry import plan  # noqa: PLC0415
 
-    plan("curate_dsir_weights", oracle=DSIR_SQL)(curate_dsir_weights)
-    plan("sim_ivf_tuning_curve", oracle=_tuning_curve_sql())(
-        sim_ivf_tuning_curve
-    )
-    plan("ts_seasonal_decompose", oracle=SEASONAL_SQL)(ts_seasonal_decompose)
-    plan("emb_dedup_threshold_curve", oracle=_threshold_curve_sql())(
-        emb_dedup_threshold_curve
-    )
-    plan("text_heaps_curve", oracle=_heaps_sql())(text_heaps_curve)
-    plan("sim_filtered_topk", oracle=_filtered_topk_sql())(sim_filtered_topk)
-    plan("streaming_interval_outer_join", oracle=STREAM_OUTER_JOIN_SQL)(
-        streaming_interval_outer_join
-    )
+    for name, fn, oracle_builder in ONDECK:
+        plan(name, oracle=oracle_builder())(fn)

@@ -8,8 +8,10 @@ cluster labels, …). Those either join plain (AQE still broadcast-
 converts them at small SF) or route through ``tables.maybe_broadcast``
 (size-gated).
 
-Enforcement is a source-level AST lint: every ``F.broadcast(`` call
-site in ``compendium_spark/`` must appear in the allowlist below,
+Enforcement is a source-level AST lint: every forced-broadcast call
+site in ``compendium_spark/`` — any ``*.broadcast(...)`` /
+``broadcast(...)`` call or ``.hint("broadcast"|"broadcastjoin"|
+"mapjoin")`` — must appear in the allowlist below,
 keyed by (file, enclosing function) with its boundedness argument.
 Adding a new forced hint fails this test until the author states the
 bound here — the review step that keeps the OOM class extinct.
@@ -103,12 +105,24 @@ def _sites() -> list[tuple[str, str, int]]:
 
             def visit_Call(self, node):
                 f = node.func
+                # every spelling of a forced broadcast, so the policy
+                # can't be bypassed by an alternate import style:
+                #   F.broadcast(x) / functions.broadcast(x)  (Attribute)
+                #   broadcast(x) after a bare import          (Name)
+                #   df.hint("broadcast"/"broadcastjoin"/"mapjoin")
+                hit = (
+                    isinstance(f, ast.Attribute) and f.attr == "broadcast"
+                ) or (isinstance(f, ast.Name) and f.id == "broadcast")
                 if (
                     isinstance(f, ast.Attribute)
-                    and f.attr == "broadcast"
-                    and isinstance(f.value, ast.Name)
-                    and f.value.id == "F"
+                    and f.attr == "hint"
+                    and node.args
+                    and isinstance(node.args[0], ast.Constant)
+                    and str(node.args[0].value).lower()
+                    in ("broadcast", "broadcastjoin", "mapjoin")
                 ):
+                    hit = True
+                if hit:
                     fn = self.stack[-1] if self.stack else "<module>"
                     out.append((rel, fn, node.lineno))
                 self.generic_visit(node)

@@ -17,21 +17,9 @@ from compendium_spark.plans import ondeck_r9 as od
 from .conftest import SF_ORACLE, SF_SMOKE
 from .test_parity import _assert_hash_equal, _duck_conn, _normalize
 
-CASES = {
-    "curate_dsir_weights": (od.curate_dsir_weights, lambda: od.DSIR_SQL),
-    "sim_ivf_tuning_curve": (od.sim_ivf_tuning_curve, od._tuning_curve_sql),
-    "ts_seasonal_decompose": (od.ts_seasonal_decompose, lambda: od.SEASONAL_SQL),
-    "emb_dedup_threshold_curve": (
-        od.emb_dedup_threshold_curve,
-        od._threshold_curve_sql,
-    ),
-    "text_heaps_curve": (od.text_heaps_curve, od._heaps_sql),
-    "sim_filtered_topk": (od.sim_filtered_topk, od._filtered_topk_sql),
-    "streaming_interval_outer_join": (
-        od.streaming_interval_outer_join,
-        lambda: od.STREAM_OUTER_JOIN_SQL,
-    ),
-}
+# derived from the module's single source of truth: a plan added to
+# ONDECK enters this suite automatically (and register() in round 9)
+CASES = {name: (fn, oracle) for name, fn, oracle in od.ONDECK}
 
 
 @pytest.mark.parametrize("sf_dir", [SF_SMOKE, SF_ORACLE])
@@ -45,17 +33,30 @@ def test_ondeck_parity(spark, name, sf_dir):
 
 
 @pytest.mark.parametrize("name", sorted(CASES))
-def test_ondeck_partition_invariance(spark, name):
+def test_ondeck_partition_invariance(spark, name, monkeypatch):
     """Distributed-correctness core property: the result must be
     bitwise identical at any shuffle-partition count (the round-8
-    window's 50-plan partition sweep, applied to the on-deck set)."""
+    window's 50-plan partition sweep, applied to the on-deck set).
+    The streaming plan pins shuffle partitions internally
+    (_run_to_memory → STREAM_STATE_PARTITIONS), so for it the sweep
+    varies THAT constant — otherwise both runs would silently execute
+    at the same 8-partition state layout and the test would be
+    vacuous for exactly the plan whose state distribution matters."""
+    import compendium_spark.streaming.windows as sw
+
     fn, _ = CASES[name]
     prev = spark.conf.get("spark.sql.shuffle.partitions")
+
+    def run(n_part: int):
+        if name.startswith("streaming_"):
+            monkeypatch.setattr(sw, "STREAM_STATE_PARTITIONS", n_part)
+        else:
+            spark.conf.set("spark.sql.shuffle.partitions", str(n_part))
+        return _normalize(fn(spark, SF_SMOKE).toPandas())
+
     try:
-        spark.conf.set("spark.sql.shuffle.partitions", "3")
-        lo = _normalize(fn(spark, SF_SMOKE).toPandas())
-        spark.conf.set("spark.sql.shuffle.partitions", "32")
-        hi = _normalize(fn(spark, SF_SMOKE).toPandas())
+        lo = run(3)
+        hi = run(32)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     _assert_hash_equal(lo, hi, f"{name}@partitions")
