@@ -1152,6 +1152,269 @@ def streaming_interval_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 # ---------------------------------------------------------------------------
+# train_quality_logreg — distributed training of the quality filter
+# ---------------------------------------------------------------------------
+
+# The TRAINING half of the learned quality filter: full-batch logistic
+# regression on hashed token-COUNT features, {iters} gradient-descent
+# iterations as pure DataFrame aggregations — the CCNet/fastText
+# "train the filter" step text_quality_classifier's fixed weights
+# stand in for. The label is a PLANTED relative-keyword rule (more
+# 'spark' than 'scan' tokens — distinct hash buckets, verified)
+# because the fixture's lang column is independent of its text: a
+# trainer sanity check must recover a signal that exists. In
+# production the label column is a real quality annotation; nothing
+# else changes.
+#
+# Features are mean-CENTERED via the sparse identity — the per-bucket
+# mean is a corpus constant, so  margin = Σ w_b·(cnt_b − μ_b) =
+# Σ_present w_b·cnt_b − Σ w_b·μ_b  and  grad_b = E[r·cnt_b] − μ_b·r̄:
+# the feature stream stays SPARSE (docs × present-buckets rows), the
+# centering folds into one scalar per iteration and one μ_b term per
+# bucket. Densifying instead would materialize docs × {buckets} rows —
+# the difference between a join on what exists and a cross join at
+# 100 TB.
+LOGREG_BUCKETS = 256
+LOGREG_ITERS = 6
+LOGREG_LR = 8.0
+LOGREG_POS_TOKEN = "spark"  # planted label: cnt(pos) > cnt(neg)
+LOGREG_NEG_TOKEN = "scan"
+
+_LOGREG_BASE_SQL = f"""
+tok AS MATERIALIZED (
+  SELECT doc_id,
+         unnest(string_split_regex(trim(lower(text)), ' +')) AS token
+  FROM documents
+),
+feat AS MATERIALIZED (
+  SELECT doc_id,
+         ((strpos('0123456789abcdef', substr(md5(token), 1, 1)) - 1) * 16
+          + (strpos('0123456789abcdef', substr(md5(token), 2, 1)) - 1))
+           AS bucket,
+         COUNT(*) AS cnt
+  FROM tok GROUP BY doc_id, bucket
+),
+lab AS MATERIALIZED (
+  SELECT doc_id,
+         CASE WHEN SUM(CASE WHEN token = '{LOGREG_POS_TOKEN}' THEN 1 ELSE 0 END)
+               > SUM(CASE WHEN token = '{LOGREG_NEG_TOKEN}' THEN 1 ELSE 0 END)
+              THEN 1.0 ELSE 0.0 END AS y
+  FROM tok GROUP BY doc_id
+),
+nd AS MATERIALIZED (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+mu AS MATERIALIZED (
+  SELECT bucket, SUM(cnt) * 1.0 / MAX((SELECT n_docs FROM nd)) AS mu
+  FROM feat GROUP BY bucket
+)
+"""
+
+
+def _q(expr: str) -> str:
+    return (
+        f"CAST(FLOOR(CAST(({expr}) AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)"
+        " / 1000000.0"
+    )
+
+
+def _logreg_sql() -> str:
+    """Unrolled {ITERS}-iteration GD in one SQL string. Iteration 1
+    starts from w=0, so p is exactly 0.5 and the first gradient needs
+    no margin CTE; later iterations join the accumulated weights and
+    subtract the centering scalar k = Σ w_b·μ_b."""
+    parts = [_LOGREG_BASE_SQL.rstrip()]
+    parts.append(f""",
+gb1 AS MATERIALIZED (SELECT {_q("SUM(y - 0.5) / MAX(nd.n_docs)")} AS g FROM lab, nd),
+g1 AS MATERIALIZED (
+  SELECT f.bucket,
+         {_q("SUM((lab.y - 0.5) * f.cnt) / MAX(nd.n_docs)"
+             " - MAX(mu.mu) * MAX((SELECT g FROM gb1))")} AS g
+  FROM feat f JOIN lab USING (doc_id) JOIN mu ON f.bucket = mu.bucket, nd
+  GROUP BY f.bucket
+),
+w1 AS MATERIALIZED (SELECT bucket, {LOGREG_LR} * g AS w FROM g1),
+wb1 AS MATERIALIZED (SELECT {LOGREG_LR} * g AS w FROM gb1),
+k1 AS MATERIALIZED (SELECT {_q("SUM(w1.w * mu.mu)")} AS k FROM w1 JOIN mu USING (bucket))""")
+    for it in range(2, LOGREG_ITERS + 1):
+        p, c = it - 1, it
+        parts.append(f""",
+m{c} AS MATERIALIZED (
+  SELECT f.doc_id,
+         {_q(f"SUM(f.cnt * w.w) - MAX((SELECT k FROM k{p}))"
+             f" + MAX((SELECT w FROM wb{p}))")} AS m
+  FROM feat f JOIN w{p} w USING (bucket) GROUP BY f.doc_id
+),
+r{c} AS MATERIALIZED (
+  SELECT lab.doc_id, lab.y - {_q(f"1.0 / (1.0 + exp(-m{c}.m))")} AS resid
+  FROM lab JOIN m{c} USING (doc_id)
+),
+gb{c} AS MATERIALIZED (SELECT {_q("SUM(resid) / MAX(nd.n_docs)")} AS g FROM r{c}, nd),
+g{c} AS MATERIALIZED (
+  SELECT f.bucket,
+         {_q(f"SUM(r.resid * f.cnt) / MAX(nd.n_docs)"
+             f" - MAX(mu.mu) * MAX((SELECT g FROM gb{c}))")} AS g
+  FROM feat f JOIN r{c} r USING (doc_id) JOIN mu ON f.bucket = mu.bucket, nd
+  GROUP BY f.bucket
+),
+w{c} AS MATERIALIZED (
+  SELECT w.bucket, w.w + {LOGREG_LR} * g.g AS w
+  FROM w{p} w JOIN g{c} g USING (bucket)
+),
+wb{c} AS MATERIALIZED (SELECT wb.w + {LOGREG_LR} * g.g AS w FROM wb{p} wb, gb{c} g),
+k{c} AS MATERIALIZED (SELECT {_q("SUM(w.w * mu.mu)")} AS k FROM w{c} w JOIN mu USING (bucket))""")
+    last = LOGREG_ITERS
+    parts.append(f"""
+SELECT CAST(bucket AS INT) AS bucket, {_q("w")} AS weight
+FROM (
+  SELECT bucket, w FROM w{last}
+  UNION ALL
+  SELECT -1 AS bucket, w FROM wb{last}
+)
+ORDER BY bucket""")
+    return "WITH " + "".join(parts)
+
+
+def train_quality_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-batch logistic-regression TRAINING of the quality filter
+    as DataFrame aggregations: {iters} gradient-descent iterations on
+    {buckets} hashed, mean-centered token-count features, label = the
+    planted relative-keyword rule (cnt('{pos}') > cnt('{neg}') — see
+    module comment); returns the learned weights (bucket -1 = bias).
+    The missing half of text_quality_classifier (which APPLIES fixed
+    weights): together they are the fastText/CCNet train-then-filter
+    loop, expressed Spark-first.
+
+    Scale: each iteration is one pass over the SPARSE (doc, bucket,
+    cnt) feature stream — a margin join against the ≤{buckets}+1-row
+    weight table (bounded by CONSTRUCTION, broadcast-safe forever), a
+    per-doc aggregation, and a per-bucket gradient aggregation;
+    centering folds into one scalar per iteration (sparse identity —
+    module comment), and the driver touches only the weights per
+    iteration (the kmeans precedent). Features materialize ONCE
+    (localCheckpoint): the alternative re-tokenizes the corpus
+    {iters}x.
+
+    Parity: every nonlinear input is FLOOR-quantized to the 1e-6 grid
+    in both engines (margin before sigmoid, sigmoid before residual,
+    gradient and centering scalar before the weight update —
+    pagerank's rounded-state discipline), so cross-engine float-sum
+    ordering and the 1-ulp exp() difference stay below the grid;
+    weights accumulate the SAME quantized gradients in the SAME order
+    on both sides.
+    """
+    docs = load(spark, sf_dir, "documents")
+    par = spark.sparkContext.defaultParallelism
+    tok = docs.repartition(par, "doc_id").select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), " +")).alias("token"),
+    )
+    bucket = F.conv(F.substring(F.md5(F.col("token")), 1, 2), 16, 10).cast(
+        "int"
+    )
+    feat = (
+        tok.groupBy("doc_id", bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=True)  # one tokenize pass, reused per iter
+    )
+    lab = (
+        tok.groupBy("doc_id")
+        .agg(
+            F.when(
+                F.sum(
+                    F.when(F.col("token") == LOGREG_POS_TOKEN, 1).otherwise(0)
+                )
+                > F.sum(
+                    F.when(F.col("token") == LOGREG_NEG_TOKEN, 1).otherwise(0)
+                ),
+                F.lit(1.0),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("y")
+        )
+        .localCheckpoint(eager=True)
+    )
+    n_docs = lab.count()  # bounded driver work: the kmeans precedent
+    # per-bucket means: ≤{buckets} rows to the driver, exact-integer
+    # sums divided once (identical doubles in the oracle's mu CTE)
+    mu = {
+        r.bucket: r.s / float(n_docs)
+        for r in feat.groupBy("bucket")
+        .agg(F.sum("cnt").cast("long").alias("s"))
+        .collect()
+    }
+    mu_df = spark.createDataFrame(
+        sorted(mu.items()), "bucket int, mu double"
+    )
+
+    def grad(resid_df: DataFrame) -> tuple[dict[int, float], float]:
+        gb = (
+            resid_df.agg(
+                quantize6(F.sum("resid") / F.lit(float(n_docs))).alias("g")
+            ).collect()[0].g
+        )
+        rows = (
+            feat.join(resid_df, "doc_id")
+            .groupBy("bucket")
+            .agg(
+                F.sum(F.col("resid") * F.col("cnt")).alias("s")
+            )
+            .join(F.broadcast(mu_df), "bucket")
+            .select(
+                "bucket",
+                quantize6(
+                    F.col("s") / F.lit(float(n_docs))
+                    - F.col("mu") * F.lit(gb)
+                ).alias("g"),
+            )
+            .collect()
+        )
+        return {r.bucket: r.g for r in rows}, gb
+
+    # iteration 1: w = 0 → p = 0.5 exactly, no margin pass needed
+    g, gb = grad(lab.select("doc_id", (F.col("y") - F.lit(0.5)).alias("resid")))
+    w = {b: LOGREG_LR * v for b, v in g.items()}
+    wbias = LOGREG_LR * gb
+    qfloor = lambda v: __import__("math").floor(v * 1e6 + 0.5) / 1e6
+    for _ in range(LOGREG_ITERS - 1):
+        k = qfloor(sum(w[b] * mu[b] for b in sorted(w)))
+        wdf = spark.createDataFrame(
+            [(b, v) for b, v in sorted(w.items())], "bucket int, w double"
+        )
+        m = (
+            feat.join(F.broadcast(wdf), "bucket")
+            .groupBy("doc_id")
+            .agg(
+                quantize6(
+                    F.sum(F.col("cnt") * F.col("w"))
+                    - F.lit(k)
+                    + F.lit(wbias)
+                ).alias("m")
+            )
+        )
+        p = quantize6(F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("m"))))
+        resid = lab.join(m, "doc_id").select(
+            "doc_id", (F.col("y") - p).alias("resid")
+        )
+        g, gb = grad(resid)
+        w = {b: w[b] + LOGREG_LR * g[b] for b in w}
+        wbias = wbias + LOGREG_LR * gb
+    out = [(int(b), float(v)) for b, v in w.items()] + [(-1, float(wbias))]
+    return (
+        spark.createDataFrame(out, "bucket int, weight double")
+        .select("bucket", quantize6("weight").alias("weight"))
+        .orderBy("bucket")
+    )
+
+
+_fmt_doc(
+    train_quality_logreg,
+    iters=LOGREG_ITERS,
+    buckets=LOGREG_BUCKETS,
+    pos=LOGREG_POS_TOKEN,
+    neg=LOGREG_NEG_TOKEN,
+)
+
+
+# ---------------------------------------------------------------------------
 # registration hook for round 9
 # ---------------------------------------------------------------------------
 
@@ -1176,6 +1439,7 @@ ONDECK: list[tuple] = [
         streaming_interval_outer_join,
         lambda: STREAM_OUTER_JOIN_SQL,
     ),
+    ("train_quality_logreg", train_quality_logreg, _logreg_sql),
 ]
 
 

@@ -81,6 +81,8 @@ ALLOWED: dict[tuple[str, str], str] = {
     ("plans/ondeck_r9.py", "emb_dedup_threshold_curve"): "6-row tau sweep + 1-row corpus total",
     ("plans/ondeck_r9.py", "text_heaps_curve"): "4-row prefix-share frame",
     ("plans/ondeck_r9.py", "sim_filtered_topk"): "≤10-query label and vector sides",
+    ("plans/ondeck_r9.py", "train_quality_logreg"): "≤257-row weight table (bounded by construction)",
+    ("plans/ondeck_r9.py", "grad"): "≤257-row per-bucket mean table (bounded by construction)",
     # --- text ranking --------------------------------------------------
     ("plans/text.py", "text_bm25_topk"): "≤10-term query set + 1-row corpus stats",
 }

@@ -126,6 +126,73 @@ def test_threshold_curve_monotone_and_consistent(spark):
     assert got == want, (got, want)
 
 
+def test_logreg_actually_learns(spark):
+    """The trainer must recover the planted label (more 'spark' than
+    'scan' tokens): the learned weight on the pos token's bucket must
+    exceed the neg token's bucket weight, and scoring every doc with
+    the returned centered-margin model must beat chance on balanced
+    accuracy."""
+    import hashlib
+
+    train = od.train_quality_logreg(spark, SF_ORACLE).toPandas()
+    w = dict(zip(train.bucket, train.weight))
+    b_pos = int(hashlib.md5(od.LOGREG_POS_TOKEN.encode()).hexdigest()[:2], 16)
+    b_neg = int(hashlib.md5(od.LOGREG_NEG_TOKEN.encode()).hexdigest()[:2], 16)
+    assert w[b_pos] > 0 > w[b_neg], (b_pos, b_neg, w[b_pos], w[b_neg])
+    con = _duck_conn(SF_ORACLE)
+    con.execute("CREATE TEMP TABLE wts (bucket INT, weight DOUBLE)")
+    con.executemany(
+        "INSERT INTO wts VALUES (?, ?)",
+        [(int(r.bucket), float(r.weight)) for r in train.itertuples()],
+    )
+    scored = con.execute(f"""
+        WITH tok AS (
+          SELECT doc_id,
+                 unnest(string_split_regex(trim(lower(text)), ' +')) AS token
+          FROM documents
+        ),
+        lab AS (
+          SELECT doc_id,
+                 SUM(CASE WHEN token = '{od.LOGREG_POS_TOKEN}' THEN 1 ELSE 0 END)
+                  > SUM(CASE WHEN token = '{od.LOGREG_NEG_TOKEN}' THEN 1 ELSE 0 END)
+                   AS y
+          FROM tok GROUP BY doc_id
+        ),
+        feat AS (
+          SELECT doc_id,
+                 ((strpos('0123456789abcdef', substr(md5(token), 1, 1)) - 1) * 16
+                  + (strpos('0123456789abcdef', substr(md5(token), 2, 1)) - 1))
+                   AS bucket,
+                 COUNT(*) AS cnt
+          FROM tok GROUP BY doc_id, bucket
+        ),
+        mu AS (
+          SELECT bucket,
+                 SUM(cnt) * 1.0 / (SELECT COUNT(*) FROM documents) AS mu
+          FROM feat GROUP BY bucket
+        ),
+        k AS (
+          SELECT SUM(w.weight * mu.mu) AS k
+          FROM wts w JOIN mu USING (bucket) WHERE w.bucket >= 0
+        ),
+        m AS (
+          SELECT f.doc_id,
+                 SUM(f.cnt * w.weight) - MAX((SELECT k FROM k))
+                   + MAX((SELECT weight FROM wts WHERE bucket = -1)) AS margin
+          FROM feat f JOIN wts w ON f.bucket = w.bucket
+          GROUP BY f.doc_id
+        )
+        SELECT lab.y AS is_target,
+               AVG(CASE WHEN (m.margin > 0) = lab.y
+                   THEN 1.0 ELSE 0.0 END) AS acc
+        FROM m JOIN lab USING (doc_id)
+        GROUP BY 1
+    """).df()
+    by = scored.set_index("is_target")
+    balanced = (by.loc[True, "acc"] + by.loc[False, "acc"]) / 2
+    assert balanced > 0.7, scored  # planted signal recovered
+
+
 def test_outer_join_emit_once_semantics(spark):
     """Every capped view emits ≥1 row; a view is EITHER null-extended
     (exactly once) OR matched — never both; and the unmatched tail
