@@ -1415,6 +1415,198 @@ _fmt_doc(
 
 
 # ---------------------------------------------------------------------------
+# train_pq_codebooks — Lloyd training of the PQ codebooks
+# ---------------------------------------------------------------------------
+
+# The train step of product quantization (FAISS `train()`): the
+# sim_pq_* family quantizes against FIXED seeded codebooks; this plan
+# RUNS the per-subspace k-means those deployments train with — two
+# Lloyd iterations over all {M} subspaces jointly, from the seeded
+# codebooks as init, returning the trained codebooks. Completes the
+# index-build story the same way train_quality_logreg completes the
+# classifier story. Parity is cluster_kmeans' rounded-state
+# discipline: per-(subspace, entry, dim) means are FLOOR-quantized
+# before entering the next assignment, and assignment argmins use the
+# same sequential accumulation as pq._assign_codes, so both engines
+# walk identical codebooks through both iterations.
+PQ_TRAIN_ITERS = 2
+
+
+def _assign_codes_long(emb: DataFrame, cbs: list) -> DataFrame:
+    """(vec_id, m, code) — pq._assign_codes with a PARAMETERIZED
+    codebook (needed from iteration 2 on) and long-form output. Same
+    (rows × K) accumulation order over dims, so argmins are
+    bit-identical to the fixed-codebook kernel and the oracle's
+    ROW_NUMBER (dist ASC, k)."""
+    import pandas as pd  # noqa: PLC0415
+
+    from compendium_spark.plans.pq import K, M, SUB  # noqa: PLC0415
+
+    cb = [np.asarray(c, dtype=np.float64) for c in cbs]
+
+    def assign(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.vstack(pdf["e"].to_numpy()).astype(np.float64)
+            n = len(x)
+            vids, ms, codes = [], [], []
+            for m in range(M):
+                xs = x[:, m * SUB : (m + 1) * SUB]
+                dists = np.zeros((n, K))
+                for d in range(SUB):
+                    diff = xs[:, d][:, None] - cb[m][None, :, d]
+                    dists = dists + diff * diff
+                vids.append(pdf["vec_id"].to_numpy())
+                ms.append(np.full(n, m, dtype="int32"))
+                codes.append(dists.argmin(axis=1).astype("int32"))
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.concatenate(vids),
+                    "m": np.concatenate(ms),
+                    "code": np.concatenate(codes),
+                }
+            )
+
+    return emb.select("vec_id", "e").mapInPandas(
+        assign, schema="vec_id long, m int, code int"
+    )
+
+
+def _pq_train_sql() -> str:
+    from compendium_spark.plans.pq import (  # noqa: PLC0415
+        CODEBOOKS,
+        K,
+        M,
+        SUB,
+        _sql_vec_lit,
+    )
+
+    cb0 = " UNION ALL ".join(
+        f"SELECT {m} AS m, {k} AS k, {_sql_vec_lit(CODEBOOKS[m][k])} AS cvec"
+        for m in range(M)
+        for k in range(K)
+    )
+
+    def assign(c: int, prev_cb: str) -> str:
+        return f"""
+a{c} AS MATERIALIZED (
+  SELECT vec_id, m, k AS code FROM (
+    SELECT sv.vec_id, sv.m, c.k,
+           ROW_NUMBER() OVER (PARTITION BY sv.vec_id, sv.m ORDER BY
+             list_sum(list_transform(sv.s,
+                      (x, i) -> (x - c.cvec[i]) * (x - c.cvec[i]))) ASC,
+             c.k) AS rn
+    FROM sv JOIN {prev_cb} c ON sv.m = c.m
+  ) WHERE rn = 1
+)"""
+
+    def update(c: int, prev_cb: str) -> str:
+        return f"""
+mu{c} AS MATERIALIZED (
+  SELECT a.m, a.code AS k, ex.spos,
+         {_q("AVG(ex.x)")} AS v
+  FROM (
+    SELECT vec_id, m, unnest(s) AS x,
+           unnest(range(1, {SUB} + 1)) AS spos
+    FROM sv
+  ) ex
+  JOIN a{c} a ON ex.vec_id = a.vec_id AND ex.m = a.m
+  GROUP BY a.m, a.code, ex.spos
+),
+cb{c} AS MATERIALIZED (
+  SELECT p.m, p.k,
+         list_transform(range(1, {SUB} + 1),
+                        i -> COALESCE(mu.mlist[i], p.cvec[i])) AS cvec
+  FROM {prev_cb} p LEFT JOIN (
+    SELECT m, k, list(v ORDER BY spos) AS mlist FROM mu{c} GROUP BY m, k
+  ) mu ON p.m = mu.m AND p.k = mu.k
+)"""
+
+    iters = []
+    prev = "cb0"
+    for c in range(1, PQ_TRAIN_ITERS + 1):
+        iters.append("," + assign(c, prev) + "," + update(c, prev))
+        prev = f"cb{c}"
+    return f"""
+WITH v AS MATERIALIZED (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+),
+sv AS MATERIALIZED (
+  SELECT vec_id, m, list_slice(e, m * {SUB} + 1, m * {SUB} + {SUB}) AS s
+  FROM v, (SELECT unnest(range({M})) AS m)
+),
+cb0 AS MATERIALIZED ({cb0}){"".join(iters)}
+SELECT CAST(c.m AS INT) AS m, CAST(c.k AS INT) AS k,
+       CAST(p.pos AS INT) AS pos,
+       {_q("c.cvec[p.pos]")} AS value
+FROM {prev} c, (SELECT unnest(range(1, {SUB} + 1)) AS pos) p
+ORDER BY m, k, pos
+"""
+
+
+def train_pq_codebooks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd training of the PQ codebooks: {iters} k-means iterations
+    per subspace (all {M} subspaces trained in one pass per iteration),
+    initialized from the seeded codebooks sim_pq_* quantizes against —
+    FAISS's `ProductQuantizer::train`, expressed Spark-first. Returns
+    the trained codebooks as (m, k, pos, value) rows.
+
+    Scale: each iteration is ONE Arrow assignment pass over the corpus
+    (the audited pq kernel shape, all subspaces in one batch) plus ONE
+    per-(subspace, entry, dim) mean aggregation whose output is
+    bounded by CONSTRUCTION ({M}×{K}×{SUB} rows to the driver — the
+    kmeans precedent); the corpus never shuffles, codebooks ride the
+    closure. Empty entries keep their previous centroid (the oracle's
+    COALESCE).
+
+    Parity: per-dim means are FLOOR-quantized before entering the next
+    assignment (cluster_kmeans' rounded-state discipline) and the
+    assignment kernel accumulates dims sequentially (pq._assign_codes'
+    order), so both engines walk identical codebooks through every
+    iteration; the final table compares quantized values.
+    """
+    from compendium_spark.plans.extended import _load_embeddings  # noqa: PLC0415
+    from compendium_spark.plans.pq import CODEBOOKS, K, M, SUB  # noqa: PLC0415
+
+    emb = _load_embeddings(spark, sf_dir)
+    slices = emb.select(
+        "vec_id", F.posexplode("e").alias("pos", "x")
+    ).select(
+        "vec_id",
+        F.floor(F.col("pos") / SUB).cast("int").alias("m"),
+        (F.col("pos") % SUB + 1).cast("int").alias("spos"),
+        "x",
+    ).localCheckpoint(eager=True)  # reused by every iteration's update
+    cbs = [[list(entry) for entry in CODEBOOKS[m]] for m in range(M)]
+    for _ in range(PQ_TRAIN_ITERS):
+        codes = _assign_codes_long(emb, cbs)
+        rows = (
+            slices.join(codes, ["vec_id", "m"])
+            .groupBy("m", "code", "spos")
+            .agg(quantize6(F.avg("x")).alias("v"))
+            .collect()
+        )  # ≤ M×K×SUB rows: bounded driver work, the kmeans precedent
+        for r in rows:
+            cbs[r.m][r.code][r.spos - 1] = r.v
+    out = [
+        (m, k, pos + 1, float(cbs[m][k][pos]))
+        for m in range(M)
+        for k in range(K)
+        for pos in range(SUB)
+    ]
+    return (
+        spark.createDataFrame(out, "m int, k int, pos int, value double")
+        .select("m", "k", "pos", quantize6("value").alias("value"))
+        .orderBy("m", "k", "pos")
+    )
+
+
+_fmt_doc(train_pq_codebooks, iters=PQ_TRAIN_ITERS, M=16, K=16, SUB=4)
+
+
+# ---------------------------------------------------------------------------
 # registration hook for round 9
 # ---------------------------------------------------------------------------
 
@@ -1440,6 +1632,7 @@ ONDECK: list[tuple] = [
         lambda: STREAM_OUTER_JOIN_SQL,
     ),
     ("train_quality_logreg", train_quality_logreg, _logreg_sql),
+    ("train_pq_codebooks", train_pq_codebooks, _pq_train_sql),
 ]
 
 

@@ -193,6 +193,39 @@ def test_logreg_actually_learns(spark):
     assert balanced > 0.7, scored  # planted signal recovered
 
 
+def test_pq_training_reduces_distortion(spark):
+    """The point of Lloyd training: total quantization error
+    (min-distance to the nearest codebook entry, summed over vectors
+    and subspaces) must be STRICTLY lower under the trained codebooks
+    than under the seeded init."""
+    import numpy as np
+
+    from compendium_spark.plans.pq import CODEBOOKS, K, M, SUB
+
+    rows = od.train_pq_codebooks(spark, SF_ORACLE).toPandas()
+    trained = np.zeros((M, K, SUB))
+    for r in rows.itertuples():
+        trained[r.m, r.k, r.pos - 1] = r.value
+    init = np.array(CODEBOOKS)
+    emb = (
+        _duck_conn(SF_ORACLE)
+        .execute("SELECT embedding FROM embeddings ORDER BY vec_id")
+        .df()
+    )
+    X = np.vstack(emb.embedding.to_numpy()).astype(np.float64)
+
+    def distortion(cb):
+        total = 0.0
+        for m in range(M):
+            xs = X[:, m * SUB : (m + 1) * SUB]
+            d = ((xs[:, None, :] - cb[m][None, :, :]) ** 2).sum(axis=2)
+            total += d.min(axis=1).sum()
+        return total
+
+    d_init, d_trained = distortion(init), distortion(trained)
+    assert d_trained < d_init * 0.98, (d_init, d_trained)
+
+
 def test_outer_join_emit_once_semantics(spark):
     """Every capped view emits ≥1 row; a view is EITHER null-extended
     (exactly once) OR matched — never both; and the unmatched tail
