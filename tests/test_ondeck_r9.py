@@ -62,6 +62,57 @@ def test_ondeck_partition_invariance(spark, name, monkeypatch):
     _assert_hash_equal(lo, hi, f"{name}@partitions")
 
 
+# on-deck mirror of tests/test_plan_shapes.py: keyless joins only
+# where they are the documented design (exact-baseline sweeps against
+# ≤10 broadcast queries, 1-row scalar totals, literal sweep frames)
+ONDECK_KEYLESS_OK = {
+    "curate_dsir_weights",  # 1-row (tot_t, tot_r) scalar broadcast
+    "sim_ivf_tuning_curve",  # exact-baseline sweep + ≤8-row rank/sweep frames + 1-row totals
+    "emb_dedup_threshold_curve",  # 1-row corpus-total broadcast into the shares
+}
+
+
+@pytest.mark.parametrize("name", sorted(CASES))
+def test_ondeck_no_accidental_allpairs_join(spark, name):
+    fn, _ = CASES[name]
+    df = fn(spark, SF_SMOKE)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    plan = plan.split("== Initial Plan ==")[0]
+    if name in ONDECK_KEYLESS_OK:
+        return  # documented
+    assert "CartesianProduct" not in plan, name
+    assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_register_hook_registers_everything():
+    """The round-9 hook must register every ONDECK plan with its
+    oracle attached — run in a SUBPROCESS so the live registry (and
+    test_ondeck_not_registered's invariant) stays untouched."""
+    import subprocess
+    import sys
+
+    code = (
+        "from compendium_spark.plans import all_plans\n"
+        "from compendium_spark.plans import ondeck_r9 as od\n"
+        "before = len(all_plans())\n"
+        "od.register()\n"
+        "after = all_plans()\n"
+        "assert len(after) == before + len(od.ONDECK), (before, len(after))\n"
+        "for name, _, ob in od.ONDECK:\n"
+        "    assert name in after and after[name].oracle == ob(), name\n"
+        "print('OK', len(after))\n"
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", code],
+        capture_output=True,
+        text=True,
+        cwd="/root/repo",
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert out.stdout.startswith("OK"), out.stdout
+
+
 def test_ondeck_not_registered():
     """Round-8 invariant: the gate window is full, so these names must
     NOT be in the live registry (registering one would strand a 51st
