@@ -37,7 +37,11 @@ import numpy as np
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from compendium_spark.functions.numeric import quantize6
+from compendium_spark.functions.numeric import (
+    quantize6,
+    quantize_float,
+    sql_quantize6,
+)
 from compendium_spark.tables import load
 
 
@@ -1201,7 +1205,10 @@ lab AS MATERIALIZED (
               THEN 1.0 ELSE 0.0 END AS y
   FROM tok GROUP BY doc_id
 ),
-nd AS MATERIALIZED (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+-- count TOKEN-BEARING docs (rows of lab), not documents rows: a
+-- NULL-text doc would vanish from Spark's exploded stream but not
+-- from COUNT(*) FROM documents, silently shifting every gradient
+nd AS MATERIALIZED (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM lab),
 mu AS MATERIALIZED (
   SELECT bucket, SUM(cnt) * 1.0 / MAX((SELECT n_docs FROM nd)) AS mu
   FROM feat GROUP BY bucket
@@ -1209,11 +1216,9 @@ mu AS MATERIALIZED (
 """
 
 
-def _q(expr: str) -> str:
-    return (
-        f"CAST(FLOOR(CAST(({expr}) AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)"
-        " / 1000000.0"
-    )
+# oracle-side twin of quantize6 — the shared helper, not a local copy
+# (the parity grid must have ONE definition; see functions/numeric.py)
+_q = sql_quantize6
 
 
 def _logreg_sql() -> str:
@@ -1373,9 +1378,8 @@ def train_quality_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
     g, gb = grad(lab.select("doc_id", (F.col("y") - F.lit(0.5)).alias("resid")))
     w = {b: LOGREG_LR * v for b, v in g.items()}
     wbias = LOGREG_LR * gb
-    qfloor = lambda v: __import__("math").floor(v * 1e6 + 0.5) / 1e6
     for _ in range(LOGREG_ITERS - 1):
-        k = qfloor(sum(w[b] * mu[b] for b in sorted(w)))
+        k = quantize_float(sum(w[b] * mu[b] for b in sorted(w)), 6)
         wdf = spark.createDataFrame(
             [(b, v) for b, v in sorted(w.items())], "bucket int, w double"
         )
@@ -1437,7 +1441,12 @@ def _assign_codes_long(emb: DataFrame, cbs: list) -> DataFrame:
     codebook (needed from iteration 2 on) and long-form output. Same
     (rows × K) accumulation order over dims, so argmins are
     bit-identical to the fixed-codebook kernel and the oracle's
-    ROW_NUMBER (dist ASC, k)."""
+    ROW_NUMBER (dist ASC, k). A COPY, not a refactor of
+    pq._assign_codes, for the round-8 window reason (_probe_cells_
+    ranked's docstring); tests/test_ondeck_r9.py pins the two kernels
+    code-identical on the shared init so they cannot drift apart
+    silently. Round 9: parameterize pq._assign_codes and delete this.
+    """
     import pandas as pd  # noqa: PLC0415
 
     from compendium_spark.plans.pq import K, M, SUB  # noqa: PLC0415
@@ -1603,7 +1612,11 @@ def train_pq_codebooks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_fmt_doc(train_pq_codebooks, iters=PQ_TRAIN_ITERS, M=16, K=16, SUB=4)
+from compendium_spark.plans import pq as _pq  # noqa: E402 — doc constants
+
+_fmt_doc(
+    train_pq_codebooks, iters=PQ_TRAIN_ITERS, M=_pq.M, K=_pq.K, SUB=_pq.SUB
+)
 
 
 # ---------------------------------------------------------------------------
