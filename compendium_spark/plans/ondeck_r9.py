@@ -455,24 +455,29 @@ tr AS (
                          AND {TREND_HALF_WINDOW} FOLLOWING)
 ),
 de AS (
-  SELECT event_type, hr, n_events, y_cents, w_sum, w_cnt,
-         (y_cents - 1.0 * w_sum / w_cnt) / 100.0 AS detrended,
+  SELECT event_type, hr, n_events, y_cents,
+         CAST(FLOOR(w_sum * 1000000 / w_cnt) AS BIGINT) AS trend_mc,
+         y_cents * 1000000
+           - CAST(FLOOR(w_sum * 1000000 / w_cnt) AS BIGINT) AS detr_mc,
          CAST(EXTRACT(hour FROM hr) AS INT) AS hod
   FROM tr
 ),
 seas AS (
-  SELECT event_type, hod, AVG(detrended) AS s
+  SELECT event_type, hod,
+         CAST(SUM(detr_mc) AS BIGINT) AS s_sum,
+         CAST(COUNT(*) AS BIGINT) AS s_cnt
   FROM de GROUP BY event_type, hod
 )
 SELECT d.event_type, d.hr AS hour, d.n_events,
        CAST(FLOOR(CAST((d.y_cents / 100.0) AS DOUBLE) * 1000000.0 + 0.5)
             AS BIGINT) / 1000000.0 AS y,
-       CAST(FLOOR(CAST((1.0 * d.w_sum / d.w_cnt / 100.0) AS DOUBLE)
+       CAST(FLOOR(CAST((d.trend_mc / 100000000.0) AS DOUBLE)
                   * 1000000.0 + 0.5) AS BIGINT) / 1000000.0 AS trend,
-       CAST(FLOOR(CAST(se.s AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)
-         / 1000000.0 AS seasonal,
-       CAST(FLOOR(CAST((d.detrended - se.s) AS DOUBLE) * 1000000.0 + 0.5)
-            AS BIGINT) / 1000000.0 AS remainder
+       CAST(FLOOR(CAST((se.s_sum / (se.s_cnt * 100000000.0)) AS DOUBLE)
+                  * 1000000.0 + 0.5) AS BIGINT) / 1000000.0 AS seasonal,
+       CAST(FLOOR(CAST((d.detr_mc / 100000000.0
+                        - se.s_sum / (se.s_cnt * 100000000.0)) AS DOUBLE)
+                  * 1000000.0 + 0.5) AS BIGINT) / 1000000.0 AS remainder
 FROM de d
 JOIN seas se ON d.event_type = se.event_type AND d.hod = se.hod
 ORDER BY d.event_type, d.hr
@@ -486,16 +491,19 @@ def ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     remainder = what neither explains (the additive STL-lite every
     monitoring stack runs before alerting on the remainder).
 
-    Exactness: per-hour sums are EXACT integer cents
-    (FLOOR(value*100+0.5) — two-decimal fixture values), the trend
-    window sums BIGINTs, and `detrended` is derived from identical
-    integers in both engines, so float drift can only enter at the
-    final hour-of-day AVG — quantized once, like every share in the
-    repo. Scale: one shuffle to the (type, hour) grid, whose
-    cardinality is types × hours — bounded by the TIME RANGE, not the
-    event count; the trend window partitions by event_type (parallel
-    across types, no global sort); the seasonal join is a
-    types × 24-row frame AQE broadcasts on its own.
+    Exactness: the WHOLE decomposition is integer arithmetic — hourly
+    sums are exact cents, the trend is a FLOOR-divided micro-cent
+    BIGINT, the detrended series is a BIGINT, and the seasonal mean is
+    an exact BIGINT sum divided once — so there is NO unordered float
+    sum anywhere and the output is deterministic across engines AND
+    across Spark partition orderings (the first cut averaged float
+    detrended values; at sf0.1 its hour-of-day mean sat within 1e-13
+    of a quantization boundary and flipped 5 cells run-to-run).
+    Scale: one shuffle to the (type, hour) grid, whose cardinality is
+    bounded by the TIME RANGE, not the event count; the trend window
+    partitions by event_type (parallel across types, no global sort);
+    the seasonal join is a types × 24-row frame AQE broadcasts on its
+    own.
     """
     ev = load(spark, sf_dir, "events")
     cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
@@ -524,15 +532,23 @@ def ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("y_cents").over(wf).cast("long").alias("w_sum"),
         F.count(F.lit(1)).over(wf).cast("long").alias("w_cnt"),
     )
+    trend_mc = F.floor(
+        F.col("w_sum") * F.lit(1000000) / F.col("w_cnt")
+    ).cast("long")
     de = tr.select(
-        "*",
-        (
-            (F.col("y_cents") - F.col("w_sum") / F.col("w_cnt"))
-            / F.lit(100.0)
-        ).alias("detrended"),
+        "event_type",
+        "hr",
+        "n_events",
+        "y_cents",
+        trend_mc.alias("trend_mc"),
+        (F.col("y_cents") * F.lit(1000000) - trend_mc).alias("detr_mc"),
         F.hour("hr").alias("hod"),
     )
-    seas = de.groupBy("event_type", "hod").agg(F.avg("detrended").alias("s"))
+    seas = de.groupBy("event_type", "hod").agg(
+        F.sum("detr_mc").cast("long").alias("s_sum"),
+        F.count(F.lit(1)).cast("long").alias("s_cnt"),
+    )
+    s_raw = F.col("s_sum") / (F.col("s_cnt") * F.lit(100000000.0))
     return (
         de.join(seas, ["event_type", "hod"])
         .select(
@@ -540,11 +556,11 @@ def ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("hr").alias("hour"),
             "n_events",
             quantize6(F.col("y_cents") / F.lit(100.0)).alias("y"),
+            quantize6(F.col("trend_mc") / F.lit(100000000.0)).alias("trend"),
+            quantize6(s_raw).alias("seasonal"),
             quantize6(
-                F.lit(1.0) * F.col("w_sum") / F.col("w_cnt") / F.lit(100.0)
-            ).alias("trend"),
-            quantize6("s").alias("seasonal"),
-            quantize6(F.col("detrended") - F.col("s")).alias("remainder"),
+                F.col("detr_mc") / F.lit(100000000.0) - s_raw
+            ).alias("remainder"),
         )
         .orderBy("event_type", "hour")
     )

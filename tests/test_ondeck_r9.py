@@ -21,8 +21,13 @@ from .test_parity import _assert_hash_equal, _duck_conn, _normalize
 # ONDECK enters this suite automatically (and register() in round 9)
 CASES = {name: (fn, oracle) for name, fn, oracle in od.ONDECK}
 
+# sf0.1 included on purpose: the round-7 embedding-cosine lesson is
+# that sf0.01-only checks can hide scale behavior (recall knees, plan
+# flips); the driver gates at sf0.01, this suite goes one SF further.
+SF_FULL = "/root/testdata/sf0.1"
 
-@pytest.mark.parametrize("sf_dir", [SF_SMOKE, SF_ORACLE])
+
+@pytest.mark.parametrize("sf_dir", [SF_SMOKE, SF_ORACLE, SF_FULL])
 @pytest.mark.parametrize("name", sorted(CASES))
 def test_ondeck_parity(spark, name, sf_dir):
     fn, sql = CASES[name]
