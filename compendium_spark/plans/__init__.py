@@ -292,6 +292,40 @@ _ROUND8_STALE = [
 _ROUND8_CANARIES: list[str] = []
 _ROUND8_WINDOW = [*_ROUND8_STALE, *_ROUND8_CANARIES]
 assert len(_ROUND8_WINDOW) == 50, len(_ROUND8_WINDOW)
-registry.promote(_ROUND8_WINDOW)
+
+# ---- round 9 ----------------------------------------------------------
+# tier 1 — the ledger's stale set after this round's edits (gate_ledger
+# check at round close): the 9 round-8 on-deck plans, now folded into
+# their home modules and registered (never driver-green), plus the
+# closure fan-out of the two kernel folds — _probe_cells gained the
+# ranked form (sim_ivf_topk / sim_range_search) and pq._assign_codes
+# gained the parameterized-codebook long form (sim_pq_codes /
+# sim_pq_adc_topk) — and of this round's scale/recall fixes
+# (curate_decontaminate external-eval seam + its contamination-report
+# dependent, dedup_embedding_cosine boundary L-bump,
+# sim_recall_report shared-leg rework).
+_ROUND9_STALE = [
+    "curate_contamination_report",
+    "curate_decontaminate",
+    "curate_dsir_weights",
+    "emb_dedup_threshold_curve",
+    "sim_filtered_topk",
+    "sim_ivf_topk",
+    "sim_ivf_tuning_curve",
+    "sim_pq_adc_topk",
+    "sim_pq_codes",
+    "sim_range_search",
+    "streaming_interval_outer_join",
+    "text_heaps_curve",
+    "train_pq_codebooks",
+    "train_quality_logreg",
+    "ts_seasonal_decompose",
+]
+# tier 2 — drift canaries: oldest clean greens, re-sampled so data/env
+# drift cannot hide behind a many-round-old green (finalized at round
+# close once the stale set is complete).
+_ROUND9_CANARIES: list[str] = []
+_ROUND9_WINDOW = [*_ROUND9_STALE, *_ROUND9_CANARIES]
+registry.promote(_ROUND9_WINDOW)
 
 all_plans = registry.all_plans

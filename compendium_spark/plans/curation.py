@@ -164,30 +164,18 @@ ORDER BY g.doc_id
 """
 
 
-@plan("curate_decontaminate", oracle=DECONTAM_SQL)
-def curate_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Benchmark decontamination: flag training documents sharing any
-    token {NGRAM_N}-gram with the held-out eval set (doc_id %
-    {EVAL_MOD} == 0 here; in production the eval suite is an external
-    table). Reports the per-document count of shared n-grams so the
-    caller can threshold.
+def _token_ngrams(docs: DataFrame) -> DataFrame:
+    """(doc_id, g) — exploded whitespace-token {NGRAM_N}-grams, the
+    shared fingerprint stream of the decontamination family.
 
-    Scale shape: the eval side's distinct n-grams are tiny (eval sets
-    are thousands of docs) and BROADCAST into the corpus n-gram stream
-    — the corpus is never shuffled on text; only matching (doc_id,
-    gram) pairs reach the final small aggregate. The n-gram explode is
-    map-side (transform over a token slice range). Round 7 removed
-    the per-leg `(doc_id, g).distinct()`: it shuffled the ENTIRE
-    corpus gram stream before the semi-join, while the final
-    countDistinct already dedups and the broadcast semi-join prunes
-    non-matches in the scan stage — the only rows that shuffle now
-    are actual eval-gram matches (identical output, verified).
-    """
-    docs = load(spark, sf_dir, "documents")
-    # materialize the token array into a column FIRST: passing the raw
-    # split() expression into the per-offset lambda re-evaluates the
-    # split per offset (the trap _doc_shingles documents) — measured
-    # 3.2 s → 0.85 s at sf0.1 for this plan (round-7 fix)
+    The token array is materialized into a column FIRST: passing the
+    raw split() expression into the per-offset lambda re-evaluates the
+    split per offset (the trap _doc_shingles documents) — measured
+    3.2 s → 0.85 s at sf0.1 for the decontaminate plan (round-7 fix).
+    Guard: for docs shorter than NGRAM_N tokens, sequence(1, 0) is a
+    DESCENDING [1, 0] in Spark, and slice(toks, 0, n) throws
+    INVALID_PARAMETER_VALUE.START — emit no grams instead (DuckDB's
+    range(1, len-1) yields an empty list there, so semantics match)."""
     toks_df = docs.select(
         "doc_id", F.split(F.trim(F.col("text")), " +").alias("toks")
     )
@@ -196,20 +184,59 @@ def curate_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sequence(F.lit(1), F.greatest(F.size(toks) - NGRAM_N + 1, F.lit(0))),
         lambda i: F.concat_ws(" ", F.slice(toks, i, NGRAM_N)),
     )
-    # guard: for docs shorter than NGRAM_N tokens, sequence(1, 0) is a
-    # DESCENDING [1, 0] in Spark, and slice(toks, 0, n) throws
-    # INVALID_PARAMETER_VALUE.START — emit no grams instead (DuckDB's
-    # range(1, len-1) yields an empty list there, so semantics match)
     grams_arr = F.when(F.size(toks) >= NGRAM_N, grams_arr).otherwise(
         F.array().cast("array<string>")
     )
-    base = toks_df.select("doc_id", F.explode(grams_arr).alias("g"))
-    eval_grams = (
-        base.filter(F.col("doc_id") % EVAL_MOD == 0).select("g").distinct()
-    )
+    return toks_df.select("doc_id", F.explode(grams_arr).alias("g"))
+
+
+@plan("curate_decontaminate", oracle=DECONTAM_SQL)
+def curate_decontaminate(
+    spark: SparkSession, sf_dir: str, eval_docs: DataFrame | None = None
+) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing any
+    token {NGRAM_N}-gram with the held-out eval set. Reports the
+    per-document count of shared n-grams so the caller can threshold.
+
+    The eval suite is an EXTERNAL-TABLE SEAM (``eval_docs``: any
+    (doc_id, text) frame — in production, the benchmark suite). When
+    omitted, the oracle-checkable fixture eval set (doc_id %
+    {EVAL_MOD} == 0) stands in — and because that fixture is a FIXED
+    FRACTION of the corpus, its gram set grows linearly with the
+    corpus, so the hint is SIZE-GATED via tables.maybe_broadcast keyed
+    on the corpus footprint (round-9 fix: the former forced broadcast
+    was exactly the OOM class the round-8 policy exists to kill — tens
+    of GB of broadcast state at 100 TB). A real external eval suite is
+    bounded by the benchmark's size, and AQE broadcast-converts it on
+    its own from the shuffle stage.
+
+    Scale shape: the eval side's distinct n-grams join into the corpus
+    n-gram stream — the corpus is never shuffled on text when the eval
+    side broadcasts; only matching (doc_id, gram) pairs reach the
+    final small aggregate. The n-gram explode is map-side (transform
+    over a token slice range). Round 7 removed the per-leg
+    `(doc_id, g).distinct()`: it shuffled the ENTIRE corpus gram
+    stream before the semi-join, while the final countDistinct already
+    dedups and the semi-join prunes non-matches — the only rows that
+    shuffle are actual eval-gram matches (identical output, verified).
+    """
+    docs = load(spark, sf_dir, "documents")
+    base = _token_ngrams(docs)
+    if eval_docs is None:
+        # fixture eval set: a corpus FRACTION, so the broadcast hint is
+        # size-gated on the corpus footprint (never forced)
+        eval_grams = (
+            base.filter(F.col("doc_id") % EVAL_MOD == 0).select("g").distinct()
+        )
+        eval_grams = maybe_broadcast(spark, sf_dir, "documents", eval_grams)
+        train = base.filter(F.col("doc_id") % EVAL_MOD != 0)
+    else:
+        # external eval table: bounded by the benchmark suite's size,
+        # unknown here — no hint; AQE broadcast-converts small suites
+        eval_grams = _token_ngrams(eval_docs).select("g").distinct()
+        train = base
     return (
-        base.filter(F.col("doc_id") % EVAL_MOD != 0)
-        .join(F.broadcast(eval_grams), "g", "left_semi")
+        train.join(eval_grams, "g", "left_semi")
         .groupBy("doc_id")
         .agg(F.countDistinct("g").alias("n_shared"))
         .orderBy("doc_id")

@@ -1637,3 +1637,184 @@ def dedup_lsh_tuning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("jaccard_bin")
     )
+
+
+# ---------------------------------------------------------------------------
+# emb_dedup_threshold_curve — the semantic-dedup tau sweep
+# ---------------------------------------------------------------------------
+
+# Completes the tuning-curve triad: dedup_lsh_tuning_curve picks the
+# MinHash banding, sim_ivf_tuning_curve picks nprobe, this picks the
+# COSINE THRESHOLD for embedding dedup — per candidate tau, how many
+# verified pairs clear it, how many documents are touched, and how
+# many the greedy keep-min rule would drop (SemDeDup fig. 3's knob:
+# one notch is the difference between trimming mirrors and deleting a
+# third of the corpus).
+EMB_TAU_SWEEP = [0.4, 0.5, 0.6, 0.7, 0.8, 0.9]
+
+
+def _threshold_curve_sql() -> str:
+    from compendium_spark.plans.ann import (  # noqa: PLC0415
+        N_TABLES_MAX,
+        _sql_adaptive_tables_case,
+        _sql_tables_union,
+    )
+
+    l_case = _sql_adaptive_tables_case("(SELECT c FROM cnt)")
+    taus = ", ".join(f"CAST({t} AS DOUBLE)" for t in EMB_TAU_SWEEP)
+    return f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+),
+cnt AS (SELECT COUNT(*) AS c FROM embeddings),
+n AS (
+  SELECT vec_id, e,
+         sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm
+  FROM v
+),
+ent AS (
+  SELECT * FROM ({_sql_tables_union("embedding", N_TABLES_MAX)})
+  WHERE tbl < ({l_case})
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM ent a JOIN ent b
+    ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+),
+scored AS (
+  SELECT vec_a, vec_b,
+         CAST(FLOOR(CAST((list_sum(list_transform(x.e, (xx, i) -> xx * y.e[i]))
+           / (x.nrm * y.nrm)) AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)
+           / 1000000.0 AS cosine
+  FROM cand JOIN n x ON vec_a = x.vec_id JOIN n y ON vec_b = y.vec_id
+),
+legs AS (
+  SELECT s.vec_a, s.vec_b, t.threshold
+  FROM scored s, (SELECT unnest([{taus}]) AS threshold) t
+  WHERE s.cosine >= t.threshold
+),
+pair_agg AS (
+  SELECT threshold,
+         CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         CAST(COUNT(DISTINCT vec_b) AS BIGINT) AS n_dropped_greedy
+  FROM legs GROUP BY threshold
+),
+aff AS (
+  SELECT threshold, CAST(COUNT(DISTINCT vid) AS BIGINT) AS n_docs_affected
+  FROM (SELECT threshold, unnest([vec_a, vec_b]) AS vid FROM legs)
+  GROUP BY threshold
+),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_corpus FROM embeddings)
+SELECT t.threshold,
+       CAST(COALESCE(p.n_pairs, 0) AS BIGINT) AS n_pairs,
+       CAST(COALESCE(a.n_docs_affected, 0) AS BIGINT) AS n_docs_affected,
+       CAST(COALESCE(p.n_dropped_greedy, 0) AS BIGINT) AS n_dropped_greedy,
+       CAST(FLOOR(CAST((1.0 * COALESCE(p.n_dropped_greedy, 0)
+                        / tot.n_corpus) AS DOUBLE) * 1000000.0 + 0.5)
+            AS BIGINT) / 1000000.0 AS drop_share
+FROM (SELECT unnest([{taus}]) AS threshold) t
+LEFT JOIN pair_agg p ON t.threshold = p.threshold
+LEFT JOIN aff a ON t.threshold = a.threshold, tot
+ORDER BY t.threshold
+"""
+
+
+@plan("emb_dedup_threshold_curve", oracle=_threshold_curve_sql())
+def emb_dedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic-dedup threshold sweep: for each candidate cosine
+    cutoff, verified pair count, documents touched, greedy-drop count
+    (a vector is dropped iff it is the GREATER id of any ≥tau pair —
+    the keep-min rule curate_corpus applies), and the corpus drop
+    share — read BEFORE fixing the dedup threshold, exactly like
+    curate_yield_curve before the length gate.
+
+    One-pass shape: candidates and exact cosines come from the SAME
+    adaptive-L LSH machinery as dedup_embedding_cosine (bucket-keyed
+    self-join, Arrow verify kernel, quantized grid values — never
+    all-pairs); the sweep multiplies the VERIFIED pairs (already
+    O(candidates), tiny) by the literal threshold array, so each extra
+    tau costs O(pairs), not another corpus pass. Counts are exact
+    integers off the shared 1e-6 cosine grid; float re-enters only at
+    the final drop-share division."""
+    from compendium_spark.plans.ann import (  # noqa: PLC0415
+        adaptive_n_tables,
+        bucket_entries,
+    )
+
+    emb = _load_embeddings(spark, sf_dir)
+    n_vec = emb.count()  # 1-row driver bound — selects the L knob only
+    n_tables = adaptive_n_tables(n_vec)
+    n = emb.withColumn("nrm", F.sqrt(_dot_unrolled(F.col("e"), F.col("e"))))
+    ent = bucket_entries(emb, n_tables)
+    a = ent.select(F.col("vec_id").alias("vec_a"), "tbl", "bucket")
+    b = ent.select(F.col("vec_id").alias("vec_b"), "tbl", "bucket")
+    cand = (
+        a.join(b, ["tbl", "bucket"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
+        .distinct()
+    )
+    x = n.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("e").alias("xe"),
+        F.col("nrm").alias("xn"),
+    )
+    y = n.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("e").alias("ye"),
+        F.col("nrm").alias("yn"),
+    )
+    scored = (
+        cand.join(x, "vec_a")
+        .join(y, "vec_b")
+        .select("vec_a", "vec_b", "xe", "xn", "ye", "yn")
+        .mapInPandas(
+            _cosine_verify_kernel, "vec_a long, vec_b long, cosine double"
+        )
+    )
+    legs = scored.select(
+        "vec_a",
+        "vec_b",
+        "cosine",
+        F.explode(
+            F.array(*[F.lit(float(t)) for t in EMB_TAU_SWEEP])
+        ).alias("threshold"),
+    ).filter(F.col("cosine") >= F.col("threshold"))
+    pair_agg = legs.groupBy("threshold").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.countDistinct("vec_b").cast("long").alias("n_dropped_greedy"),
+    )
+    aff = (
+        legs.select(
+            "threshold", F.explode(F.array("vec_a", "vec_b")).alias("vid")
+        )
+        .groupBy("threshold")
+        .agg(F.countDistinct("vid").cast("long").alias("n_docs_affected"))
+    )
+    sweep = spark.createDataFrame(
+        [(float(t),) for t in EMB_TAU_SWEEP], "threshold double"
+    )
+    tot = emb.agg(F.count(F.lit(1)).cast("long").alias("n_corpus"))
+    return (
+        F.broadcast(sweep)
+        .join(pair_agg, "threshold", "left")
+        .join(aff, "threshold", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "threshold",
+            F.coalesce("n_pairs", F.lit(0)).cast("long").alias("n_pairs"),
+            F.coalesce("n_docs_affected", F.lit(0))
+            .cast("long")
+            .alias("n_docs_affected"),
+            F.coalesce("n_dropped_greedy", F.lit(0))
+            .cast("long")
+            .alias("n_dropped_greedy"),
+            quantize6(
+                F.lit(1.0)
+                * F.coalesce("n_dropped_greedy", F.lit(0))
+                / F.col("n_corpus")
+            ).alias("drop_share"),
+        )
+        .orderBy("threshold")
+    )

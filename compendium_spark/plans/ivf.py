@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 
 from compendium_spark.functions.numeric import quantize6
 from compendium_spark.plans.registry import plan
+from compendium_spark.tables import load
 
 N_CELLS = 16
 N_PROBE = 4
@@ -96,15 +97,17 @@ def _assign_cells(emb: DataFrame, centroids: list[list[float]] | None = None) ->
     )
 
 
-def _probe_cells(emb: DataFrame, n_probe: int) -> DataFrame:
-    """(query_id, cell) — the ``n_probe`` best cells per query vector,
-    computed in the SAME sequential-accumulation Arrow kernel as
-    ``_assign_cells`` (scores bit-identical to the fold-dot / DuckDB
+def _probe_cells(emb: DataFrame, n_probe: int, ranked: bool = False) -> DataFrame:
+    """(query_id, cell[, prank]) — the ``n_probe`` best cells per query
+    vector, computed in the SAME sequential-accumulation Arrow kernel
+    as ``_assign_cells`` (scores bit-identical to the fold-dot / DuckDB
     list_sum), with the oracle's ROW_NUMBER ORDER BY score DESC, cell
     tie-break via a stable lexsort. Replaces a 16-fold-dot + window
     subtree whose codegen alone cost ~1 s per run at any scale — the
     probe list is tiny (queries × n_probe rows), the work belongs in
-    one NumPy batch."""
+    one NumPy batch. With ``ranked=True`` the 1-based probe rank rides
+    along (the nprobe-sweep form: "nprobe = p" is the prank ≤ p slice,
+    because probe lists are NESTED in the rank)."""
     import pandas as pd  # noqa: PLC0415
 
     centroids = np.asarray(CENTROIDS, dtype=np.float64)  # (K, DIM)
@@ -120,20 +123,21 @@ def _probe_cells(emb: DataFrame, n_probe: int) -> DataFrame:
                 for d in range(x.shape[1]):
                     acc = acc + x[:, d] * centroids[k, d]
                 scores[:, k] = acc
-            qids, cells = [], []
+            qids, cells, pranks = [], [], []
             cell_idx = np.arange(N_CELLS)
             for r in range(len(x)):
                 # stable: cell ascending as secondary, -score primary
                 order = np.lexsort((cell_idx, -scores[r]))[:n_probe]
-                qids.extend([pdf["vec_id"].iloc[r]] * n_probe)
+                qids.extend([pdf["vec_id"].iloc[r]] * len(order))
                 cells.extend(order.tolist())
-            yield pd.DataFrame(
-                {"query_id": qids, "cell": np.asarray(cells, dtype="int32")}
-            )
+                pranks.extend(range(1, len(order) + 1))
+            out = {"query_id": qids, "cell": np.asarray(cells, dtype="int32")}
+            if ranked:
+                out["prank"] = np.asarray(pranks, dtype="int32")
+            yield pd.DataFrame(out)
 
-    return emb.select("vec_id", "e").mapInPandas(
-        probe, schema="query_id long, cell int"
-    )
+    schema = "query_id long, cell int" + (", prank int" if ranked else "")
+    return emb.select("vec_id", "e").mapInPandas(probe, schema=schema)
 
 
 def _sql_centroid_lit(c: list[float]) -> str:
@@ -384,4 +388,348 @@ def sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(cos >= RANGE_TAU)
         .select("query_id", "cand_id", quantize6(cos).alias("cosine"))
         .orderBy("query_id", "cand_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# sim_ivf_tuning_curve — the nprobe sweep (recall vs candidate cost)
+# ---------------------------------------------------------------------------
+
+# The IVF counterpart of dedup_lsh_tuning_curve: per candidate nprobe,
+# measured recall@5 against the exact top-5 and the candidate-set cost
+# — the table that picks nprobe. Computed in ONE pass: probe lists are
+# NESTED (top-1 cells ⊂ top-2 ⊂ top-4 ⊂ top-8), so every candidate is
+# generated once at the MAX probe depth tagged with the probe RANK of
+# its cell, and "nprobe = p" is the prank ≤ p slice.
+PROBE_SWEEP = [1, 2, 4, 8]
+TUNE_K = 5
+
+_TUNE_SWEEP_LIT = ", ".join(str(p) for p in PROBE_SWEEP)
+
+TUNING_CURVE_SQL = f"""
+WITH scores AS ({_SQL_SCORES}),
+assign AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+                              ORDER BY score DESC, cell) AS rn
+    FROM scores
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT vec_id AS query_id, cell, rn AS prank FROM (
+    SELECT vec_id, cell,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+                              ORDER BY score DESC, cell) AS rn
+    FROM scores WHERE vec_id < 10
+  ) WHERE rn <= {max(PROBE_SWEEP)}
+),
+n AS (
+  SELECT vec_id, e, sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm
+  FROM (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        FROM embeddings)
+),
+ex_pairs AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+         CAST(FLOOR(CAST((list_sum(list_transform(q.e, (x, i) -> x * c.e[i]))
+           / (q.nrm * c.nrm)) AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)
+           / 1000000.0 AS cosine
+  FROM n q, n c
+  WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id
+),
+ex5 AS (
+  SELECT query_id, cand_id FROM (
+    SELECT query_id, cand_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY cosine DESC, cand_id) AS rn
+    FROM ex_pairs
+  ) WHERE rn <= {TUNE_K}
+),
+flagged AS (
+  SELECT c.query_id, c.cand_id, c.prank,
+         CASE WHEN e.query_id IS NOT NULL THEN 1 ELSE 0 END AS is_hit
+  FROM (
+    SELECT p.query_id, a.vec_id AS cand_id, p.prank
+    FROM probes p JOIN assign a ON p.cell = a.cell
+    WHERE a.vec_id <> p.query_id
+  ) c
+  LEFT JOIN ex5 e
+    ON c.query_id = e.query_id AND c.cand_id = e.cand_id
+),
+lv AS (
+  SELECT f.prank, CAST(COUNT(*) AS BIGINT) AS n_candidates,
+         CAST(SUM(f.is_hit) AS BIGINT) AS n_hits
+  FROM flagged f GROUP BY f.prank
+),
+agg AS (
+  SELECT s.nprobe,
+         CAST(COALESCE(SUM(lv.n_candidates), 0) AS BIGINT) AS n_candidates,
+         CAST(COALESCE(SUM(lv.n_hits), 0) AS BIGINT) AS n_hits
+  FROM (SELECT unnest([{_TUNE_SWEEP_LIT}]) AS nprobe) s
+  LEFT JOIN lv ON lv.prank <= s.nprobe
+  GROUP BY s.nprobe
+),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_corpus FROM embeddings),
+nq AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_queries FROM embeddings
+       WHERE vec_id < 10)
+SELECT a.nprobe, a.n_candidates, a.n_hits,
+       CAST(FLOOR(CAST((1.0 * a.n_hits / ({TUNE_K} * nq.n_queries))
+                  AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)
+         / 1000000.0 AS recall_at_k,
+       CAST(FLOOR(CAST((1.0 * a.n_candidates
+                        / (nq.n_queries * (tot.n_corpus - 1)))
+                  AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)
+         / 1000000.0 AS cand_share
+FROM agg a, tot, nq
+ORDER BY a.nprobe
+"""
+
+
+@plan("sim_ivf_tuning_curve", oracle=TUNING_CURVE_SQL)
+def sim_ivf_tuning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF nprobe tuning curve: for each candidate probe depth in
+    PROBE_SWEEP, measured recall@5 against the exact brute-force top-5
+    and the candidate-set cost (share of the corpus each query scans)
+    — the two columns whose crossing picks nprobe for a deployment
+    (dedup_lsh_tuning_curve's banding S-curve, for the IVF family;
+    sim_recall_report's per-query dashboard, collapsed to the knob
+    sweep).
+
+    One-pass shape: probe lists are NESTED in the probe rank, so
+    candidates are generated ONCE at the max sweep depth tagged with
+    their cell's probe rank (``_probe_cells(..., ranked=True)``), and
+    each sweep level aggregates the prank ≤ p slice — per-rank
+    partials roll up through a max(PROBE_SWEEP)-row frame, not a
+    re-join per level. The exact baseline is the documented ≤10-query
+    broadcast sweep; every ranking compares the QUANTIZED cosine.
+    Integer counts throughout; float enters at the two final share
+    divisions."""
+    from compendium_spark.plans.extended import (  # noqa: PLC0415
+        _dot_unrolled,
+        _load_embeddings,
+    )
+
+    emb = _load_embeddings(spark, sf_dir)
+    assign = _assign_cells(emb)
+    probes = _probe_cells(
+        emb.filter(F.col("vec_id") < 10), max(PROBE_SWEEP), ranked=True
+    )
+    cand = (
+        probes.join(assign, "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("cand_id"), "prank")
+    )
+
+    n = emb.withColumn("nrm", F.sqrt(_dot_unrolled(F.col("e"), F.col("e"))))
+    q = n.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("e").alias("qe"),
+        F.col("nrm").alias("qn"),
+    )
+    c = n.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("e").alias("ce"),
+        F.col("nrm").alias("cn"),
+    )
+    cos = _dot_unrolled(F.col("qe"), F.col("ce")) / (F.col("qn") * F.col("cn"))
+    ex_pairs = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .select("query_id", "cand_id", quantize6(cos).alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "cand_id")
+    ex5 = (
+        ex_pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TUNE_K)
+        .select("query_id", "cand_id", F.lit(1).alias("is_hit"))
+    )
+
+    flagged = cand.join(ex5, ["query_id", "cand_id"], "left").select(
+        "prank", F.coalesce("is_hit", F.lit(0)).alias("is_hit")
+    )
+    # per-rank partials (≤ max(PROBE_SWEEP) rows), then the nested
+    # roll-up: level p sums ranks 1..p — a tiny triangular fold, no
+    # re-join of the candidate stream per level.
+    lv = flagged.groupBy("prank").agg(
+        F.count(F.lit(1)).cast("long").alias("n_candidates"),
+        F.sum("is_hit").cast("long").alias("n_hits"),
+    )
+    sweep = spark.createDataFrame([(p,) for p in PROBE_SWEEP], "nprobe int")
+    agg = (
+        F.broadcast(sweep)
+        .join(lv, lv["prank"] <= sweep["nprobe"], "left")
+        .groupBy("nprobe")
+        .agg(
+            F.coalesce(F.sum("n_candidates"), F.lit(0))
+            .cast("long")
+            .alias("n_candidates"),
+            F.coalesce(F.sum("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
+        )
+    )
+    tot = emb.agg(F.count(F.lit(1)).cast("long").alias("n_corpus"))
+    nq = emb.filter(F.col("vec_id") < 10).agg(
+        F.count(F.lit(1)).cast("long").alias("n_queries")
+    )
+    return (
+        agg.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(nq))
+        .select(
+            "nprobe",
+            "n_candidates",
+            "n_hits",
+            quantize6(
+                F.lit(1.0) * F.col("n_hits")
+                / (F.lit(TUNE_K) * F.col("n_queries"))
+            ).alias("recall_at_k"),
+            quantize6(
+                F.lit(1.0) * F.col("n_candidates")
+                / (F.col("n_queries") * (F.col("n_corpus") - 1))
+            ).alias("cand_share"),
+        )
+        .orderBy("nprobe")
+    )
+
+
+# ---------------------------------------------------------------------------
+# sim_filtered_topk — label-constrained (filtered) ANN search
+# ---------------------------------------------------------------------------
+
+# The filtered-search problem every production vector store documents
+# (FAISS IDSelector, Qdrant/Milvus filtered search): top-k restricted
+# to candidates satisfying a metadata predicate — here, sharing the
+# QUERY's label (~10% selectivity on the fixture's 10 labels). The
+# predicate applies BEFORE the exact re-rank (pre-filter on the
+# inverted-file side of the cell join), so re-rank cost scales with
+# the FILTERED candidate count; n_candidates is emitted per row to
+# make that cost visible next to the result.
+FILTERED_K = 5
+
+FILTERED_TOPK_SQL = f"""
+WITH scores AS ({_SQL_SCORES}),
+assign AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+                              ORDER BY score DESC, cell) AS rn
+    FROM scores
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT vec_id AS query_id, cell FROM (
+    SELECT vec_id, cell,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+                              ORDER BY score DESC, cell) AS rn
+    FROM scores WHERE vec_id < 10
+  ) WHERE rn <= {N_PROBE}
+),
+lab AS (SELECT vec_id, label FROM embeddings),
+n AS (
+  SELECT vec_id, e, sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm
+  FROM (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        FROM embeddings)
+),
+cand AS (
+  SELECT p.query_id, a.vec_id AS cand_id
+  FROM probes p
+  JOIN assign a ON p.cell = a.cell
+  JOIN lab ql ON p.query_id = ql.vec_id
+  JOIN lab cl ON a.vec_id = cl.vec_id AND cl.label = ql.label
+  WHERE a.vec_id <> p.query_id
+),
+ranked AS (
+  SELECT cand.query_id, cand.cand_id,
+         CAST(FLOOR(CAST((list_sum(list_transform(q.e, (x, i) -> x * c.e[i]))
+           / (q.nrm * c.nrm)) AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)
+           / 1000000.0 AS cosine,
+         CAST(COUNT(*) OVER (PARTITION BY cand.query_id) AS BIGINT)
+           AS n_candidates
+  FROM cand
+  JOIN n q ON cand.query_id = q.vec_id
+  JOIN n c ON cand.cand_id = c.vec_id
+)
+SELECT query_id, cand_id, cosine, rn AS rank, n_candidates
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, cand_id) AS rn
+  FROM ranked
+) WHERE rn <= {FILTERED_K}
+ORDER BY query_id, rank
+"""
+
+
+@plan("sim_filtered_topk", oracle=FILTERED_TOPK_SQL)
+def sim_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered ANN: IVF-probed top-k restricted to candidates whose
+    label matches the query's — metadata-constrained vector search
+    (FAISS IDSelector / vector-store filtered search), the operator a
+    retrieval pipeline runs when the index serves many tenants,
+    languages, or shards from one table.
+
+    Shape: the predicate is applied at CANDIDATE GENERATION (the label
+    equi-join folds into the probe⋈inverted-file join), so the
+    expensive exact re-rank touches only filtered candidates — the
+    pre-filter strategy, correct at any selectivity (a post-filter
+    top-k can return <k rows when the filter bites). Per-row
+    n_candidates makes the filtered probe cost visible. Same seeded
+    centroids, probe ranking and quantized-cosine ordering as
+    sim_ivf_topk; the label column rides the slim (vec_id, cell)
+    inverted file, never the vectors."""
+    from compendium_spark.plans.extended import (  # noqa: PLC0415
+        _dot_unrolled,
+        _load_embeddings,
+    )
+
+    emb = _load_embeddings(spark, sf_dir)
+    lab = load(spark, sf_dir, "embeddings").select("vec_id", "label")
+    assign = _assign_cells(emb)
+    probes = _probe_cells(emb.filter(F.col("vec_id") < 10), N_PROBE)
+    ql = lab.select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("qlabel")
+    )
+    cl = lab.select(
+        F.col("vec_id").alias("cand_id"), F.col("label").alias("clabel")
+    )
+    cand = (
+        probes.join(assign, "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("cand_id"))
+        .join(F.broadcast(ql.filter(F.col("query_id") < 10)), "query_id")
+        .join(cl, "cand_id")
+        .filter(F.col("clabel") == F.col("qlabel"))
+        .select("query_id", "cand_id")
+    )
+    n = emb.withColumn("nrm", F.sqrt(_dot_unrolled(F.col("e"), F.col("e"))))
+    q = n.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("e").alias("qe"),
+        F.col("nrm").alias("qn"),
+    )
+    c = n.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("e").alias("ce"),
+        F.col("nrm").alias("cn"),
+    )
+    cos = _dot_unrolled(F.col("qe"), F.col("ce")) / (F.col("qn") * F.col("cn"))
+    ranked = (
+        cand.join(F.broadcast(q), "query_id")
+        .join(c, "cand_id")
+        .select("query_id", "cand_id", quantize6(cos).alias("cosine"))
+        .withColumn(
+            "n_candidates",
+            F.count(F.lit(1)).over(Window.partitionBy("query_id")).cast("long"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "cand_id")
+    return (
+        ranked.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= FILTERED_K)
+        .select(
+            "query_id",
+            "cand_id",
+            "cosine",
+            F.col("rn").alias("rank"),
+            "n_candidates",
+        )
+        .orderBy("query_id", "rank")
     )

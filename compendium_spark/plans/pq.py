@@ -26,7 +26,7 @@ import numpy as np
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from compendium_spark.functions.numeric import quantize6
+from compendium_spark.functions.numeric import quantize6, sql_quantize6
 from compendium_spark.plans.registry import plan
 
 DIM = 64
@@ -45,24 +45,37 @@ CODEBOOKS: list[list[list[float]]] = [
 _CODE_COLS = [f"code{m}" for m in range(M)]
 
 
-def _assign_codes(emb: DataFrame) -> DataFrame:
+def _assign_codes(
+    emb: DataFrame,
+    codebooks: list | None = None,
+    long_form: bool = False,
+) -> DataFrame:
     """(vec_id, code0..code{M-1}) — nearest codebook entry per
     subspace, computed MAP-SIDE in an Arrow-batched numpy kernel (the
     same sequential-over-dims accumulation as ivf._assign_cells, so
     the argmin ties out bit-for-bit with the oracle's ROW_NUMBER over
     list_sum distances; np.argmin keeps the FIRST minimum — the
     oracle's `dist ASC, k` tie-break). One pass over the corpus, no
-    shuffle: this IS the index build."""
+    shuffle: this IS the index build.
+
+    ``codebooks`` overrides the seeded CODEBOOKS (the Lloyd trainer
+    walks updated codebooks through repeated assignments);
+    ``long_form=True`` yields (vec_id, m, code) rows instead of the
+    wide code0..code{M-1} layout (the trainer's update join wants the
+    subspace as a key, the ADC scan wants the wide row)."""
     import pandas as pd  # noqa: PLC0415
 
-    cbs = [np.asarray(CODEBOOKS[m], dtype=np.float64) for m in range(M)]
+    src = CODEBOOKS if codebooks is None else codebooks
+    cbs = [np.asarray(src[m], dtype=np.float64) for m in range(M)]
 
     def assign(batches):
         for pdf in batches:
             if not len(pdf):
                 continue
             x = np.vstack(pdf["e"].to_numpy()).astype(np.float64)
+            n = len(x)
             out = {"vec_id": pdf["vec_id"]}
+            vids, ms, codes = [], [], []
             for m in range(M):
                 xs = x[:, m * SUB : (m + 1) * SUB]
                 # sequential over dims (parity with list_sum's left
@@ -73,10 +86,28 @@ def _assign_codes(emb: DataFrame) -> DataFrame:
                 for d in range(SUB):
                     diff = xs[:, d][:, None] - cbs[m][None, :, d]
                     dists = dists + diff * diff
-                out[f"code{m}"] = dists.argmin(axis=1).astype("int32")
-            yield pd.DataFrame(out)
+                code = dists.argmin(axis=1).astype("int32")
+                if long_form:
+                    vids.append(pdf["vec_id"].to_numpy())
+                    ms.append(np.full(n, m, dtype="int32"))
+                    codes.append(code)
+                else:
+                    out[f"code{m}"] = code
+            if long_form:
+                yield pd.DataFrame(
+                    {
+                        "vec_id": np.concatenate(vids),
+                        "m": np.concatenate(ms),
+                        "code": np.concatenate(codes),
+                    }
+                )
+            else:
+                yield pd.DataFrame(out)
 
-    schema = "vec_id long, " + ", ".join(f"{c} int" for c in _CODE_COLS)
+    if long_form:
+        schema = "vec_id long, m int, code int"
+    else:
+        schema = "vec_id long, " + ", ".join(f"{c} int" for c in _CODE_COLS)
     return emb.select("vec_id", "e").mapInPandas(assign, schema=schema)
 
 
@@ -403,4 +434,168 @@ def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rn").alias("rank"),
         )
         .orderBy("query_id", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# train_pq_codebooks — Lloyd training of the PQ codebooks
+# ---------------------------------------------------------------------------
+
+# The train step of product quantization (FAISS `train()`): the
+# sim_pq_* family quantizes against FIXED seeded codebooks; this plan
+# RUNS the per-subspace k-means those deployments train with — two
+# Lloyd iterations over all M subspaces jointly, from the seeded
+# codebooks as init, returning the trained codebooks. Completes the
+# index-build story the same way train_quality_logreg completes the
+# classifier story. Parity is cluster_kmeans' rounded-state
+# discipline: per-(subspace, entry, dim) means are computed as EXACT
+# micro-unit integer sums divided once (no unordered float sum — the
+# ts_seasonal_decompose lesson), FLOOR-quantized before entering the
+# next assignment, and assignment argmins use the same sequential
+# accumulation as _assign_codes, so both engines walk identical
+# codebooks through both iterations.
+PQ_TRAIN_ITERS = 2
+
+_q = sql_quantize6
+
+# the integer-exact centroid mean: each coordinate is snapped to the
+# 1e-6 grid (exact BIGINT), summed exactly, divided ONCE — partition
+# order cannot move the result (AVG over raw doubles can: the
+# round-8 seasonal-decompose boundary-flip class)
+_PQ_MEAN = (
+    "SUM(CAST(FLOOR(ex.x * 1000000.0 + 0.5) AS BIGINT))"
+    " / (COUNT(*) * 1000000.0)"
+)
+
+
+def _pq_train_sql() -> str:
+    cb0 = " UNION ALL ".join(
+        f"SELECT {m} AS m, {k} AS k, {_sql_vec_lit(CODEBOOKS[m][k])} AS cvec"
+        for m in range(M)
+        for k in range(K)
+    )
+
+    def assign(c: int, prev_cb: str) -> str:
+        return f"""
+a{c} AS MATERIALIZED (
+  SELECT vec_id, m, k AS code FROM (
+    SELECT sv.vec_id, sv.m, c.k,
+           ROW_NUMBER() OVER (PARTITION BY sv.vec_id, sv.m ORDER BY
+             list_sum(list_transform(sv.s,
+                      (x, i) -> (x - c.cvec[i]) * (x - c.cvec[i]))) ASC,
+             c.k) AS rn
+    FROM sv JOIN {prev_cb} c ON sv.m = c.m
+  ) WHERE rn = 1
+)"""
+
+    def update(c: int, prev_cb: str) -> str:
+        return f"""
+mu{c} AS MATERIALIZED (
+  SELECT a.m, a.code AS k, ex.spos,
+         {_q(_PQ_MEAN)} AS v
+  FROM (
+    SELECT vec_id, m, unnest(s) AS x,
+           unnest(range(1, {SUB} + 1)) AS spos
+    FROM sv
+  ) ex
+  JOIN a{c} a ON ex.vec_id = a.vec_id AND ex.m = a.m
+  GROUP BY a.m, a.code, ex.spos
+),
+cb{c} AS MATERIALIZED (
+  SELECT p.m, p.k,
+         list_transform(range(1, {SUB} + 1),
+                        i -> COALESCE(mu.mlist[i], p.cvec[i])) AS cvec
+  FROM {prev_cb} p LEFT JOIN (
+    SELECT m, k, list(v ORDER BY spos) AS mlist FROM mu{c} GROUP BY m, k
+  ) mu ON p.m = mu.m AND p.k = mu.k
+)"""
+
+    iters = []
+    prev = "cb0"
+    for c in range(1, PQ_TRAIN_ITERS + 1):
+        iters.append("," + assign(c, prev) + "," + update(c, prev))
+        prev = f"cb{c}"
+    return f"""
+WITH v AS MATERIALIZED (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+),
+sv AS MATERIALIZED (
+  SELECT vec_id, m, list_slice(e, m * {SUB} + 1, m * {SUB} + {SUB}) AS s
+  FROM v, (SELECT unnest(range({M})) AS m)
+),
+cb0 AS MATERIALIZED ({cb0}){"".join(iters)}
+SELECT CAST(c.m AS INT) AS m, CAST(c.k AS INT) AS k,
+       CAST(p.pos AS INT) AS pos,
+       {_q("c.cvec[p.pos]")} AS value
+FROM {prev} c, (SELECT unnest(range(1, {SUB} + 1)) AS pos) p
+ORDER BY m, k, pos
+"""
+
+
+@plan("train_pq_codebooks", oracle=_pq_train_sql())
+def train_pq_codebooks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd training of the PQ codebooks: PQ_TRAIN_ITERS k-means
+    iterations per subspace (all M subspaces trained in one pass per
+    iteration), initialized from the seeded codebooks sim_pq_*
+    quantizes against — FAISS's `ProductQuantizer::train`, expressed
+    Spark-first. Returns the trained codebooks as (m, k, pos, value)
+    rows.
+
+    Scale: each iteration is ONE Arrow assignment pass over the corpus
+    (the audited _assign_codes kernel, all subspaces in one batch,
+    long-form output) plus ONE per-(subspace, entry, dim) mean
+    aggregation whose output is bounded by CONSTRUCTION (M×K×SUB rows
+    to the driver — the kmeans precedent); the corpus never shuffles
+    raw vectors, codebooks ride the closure. Empty entries keep their
+    previous centroid (the oracle's COALESCE).
+
+    Parity AND run-to-run determinism: per-dim means are EXACT
+    micro-unit BIGINT sums divided once (never an unordered float
+    AVG — the seasonal-decompose boundary-flip class), FLOOR-quantized
+    before entering the next assignment (cluster_kmeans' rounded-state
+    discipline), and the assignment kernel accumulates dims
+    sequentially, so both engines walk identical codebooks through
+    every iteration; the final table compares quantized values."""
+    from compendium_spark.plans.extended import _load_embeddings  # noqa: PLC0415
+
+    emb = _load_embeddings(spark, sf_dir)
+    slices = emb.select(
+        "vec_id", F.posexplode("e").alias("pos", "x")
+    ).select(
+        "vec_id",
+        F.floor(F.col("pos") / SUB).cast("int").alias("m"),
+        (F.col("pos") % SUB + 1).cast("int").alias("spos"),
+        # snap each coordinate to the 1e-6 grid as an exact BIGINT so
+        # the centroid mean is an integer sum + one division
+        F.floor(F.col("x") * F.lit(1000000.0) + F.lit(0.5))
+        .cast("long")
+        .alias("x_micro"),
+    ).localCheckpoint(eager=True)  # reused by every iteration's update
+    cbs = [[list(entry) for entry in CODEBOOKS[m]] for m in range(M)]
+    for _ in range(PQ_TRAIN_ITERS):
+        codes = _assign_codes(emb, cbs, long_form=True)
+        rows = (
+            slices.join(codes, ["vec_id", "m"])
+            .groupBy("m", "code", "spos")
+            .agg(
+                quantize6(
+                    F.sum("x_micro")
+                    / (F.count(F.lit(1)) * F.lit(1000000.0))
+                ).alias("v")
+            )
+            .collect()
+        )  # ≤ M×K×SUB rows: bounded driver work, the kmeans precedent
+        for r in rows:
+            cbs[r.m][r.code][r.spos - 1] = r.v
+    out = [
+        (m, k, pos + 1, float(cbs[m][k][pos]))
+        for m in range(M)
+        for k in range(K)
+        for pos in range(SUB)
+    ]
+    return (
+        spark.createDataFrame(out, "m int, k int, pos int, value double")
+        .select("m", "k", "pos", quantize6("value").alias("value"))
+        .orderBy("m", "k", "pos")
     )

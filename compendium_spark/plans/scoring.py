@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from compendium_spark.functions.numeric import quantize6
+from compendium_spark.functions.numeric import quantize6, sql_quantize6
 from compendium_spark.plans.registry import plan
 from compendium_spark.tables import load
 
@@ -615,4 +615,440 @@ def sim_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rn").cast("long").alias("rank"),
         )
         .orderBy("query_id", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# curate_dsir_weights — hashed-ngram importance weights (DSIR)
+# ---------------------------------------------------------------------------
+
+# DSIR (Xie et al. 2023, "Data Selection for Language Models via
+# Importance Resampling"): score every raw document by the
+# log-likelihood ratio of a TARGET-domain unigram model vs the RAW
+# corpus model, both estimated over a FIXED hashed feature space.
+# The hashing is the scale trick: the model table is bounded by
+# CONSTRUCTION (DSIR_BUCKETS rows), immune to Heaps'-law vocabulary
+# growth — contrast text_lm_score, whose vocabulary model grows with
+# the corpus and therefore must NOT be broadcast (round-8 policy).
+# Here the forced broadcast is legitimate: ≤256 rows forever.
+DSIR_BUCKETS = 256
+DSIR_TARGET_LANG = "en"  # stand-in target domain: the English slice
+
+DSIR_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, lang,
+         unnest(string_split_regex(trim(lower(text)), ' +')) AS token
+  FROM documents
+),
+feat AS (
+  SELECT doc_id, lang,
+         ((strpos('0123456789abcdef', substr(md5(token), 1, 1)) - 1) * 16
+          + (strpos('0123456789abcdef', substr(md5(token), 2, 1)) - 1))
+           AS bucket
+  FROM tok
+),
+cnt AS (
+  SELECT bucket,
+         CAST(SUM(CASE WHEN lang = '{DSIR_TARGET_LANG}' THEN 1 ELSE 0 END)
+              AS BIGINT) AS cnt_t,
+         CAST(COUNT(*) AS BIGINT) AS cnt_r
+  FROM feat GROUP BY bucket
+),
+tot AS (
+  SELECT CAST(SUM(cnt_t) AS BIGINT) AS tot_t,
+         CAST(SUM(cnt_r) AS BIGINT) AS tot_r
+  FROM cnt
+),
+w AS (
+  SELECT bucket,
+         CAST(FLOOR((ln((cnt_t + 1.0) / (tot_t + {DSIR_BUCKETS}.0))
+                     - ln((cnt_r + 1.0) / (tot_r + {DSIR_BUCKETS}.0)))
+                    * 1000000.0 + 0.5) AS BIGINT) AS lw_micro
+  FROM cnt, tot
+),
+s AS (
+  SELECT f.doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         CAST(SUM(w.lw_micro) AS BIGINT) AS s_micro
+  FROM feat f JOIN w ON f.bucket = w.bucket
+  GROUP BY f.doc_id
+)
+SELECT doc_id, n_tokens,
+       CAST(FLOOR(CAST((s_micro / (n_tokens * 1000000.0)) AS DOUBLE)
+                  * 1000000.0 + 0.5) AS BIGINT)
+         / 1000000.0 AS dsir_weight
+FROM s ORDER BY doc_id
+"""
+
+
+@plan("curate_dsir_weights", oracle=DSIR_SQL)
+def curate_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weight per document: mean log-likelihood ratio
+    of a target-domain hashed-unigram model over the raw-corpus model
+    (Xie et al. 2023) — the data-selection score that upsamples raw
+    documents which LOOK like the target domain. Target here is the
+    corpus's own `lang = 'en'` slice (in production: a small curated
+    corpus); +1-smoothed counts over DSIR_BUCKETS md5-derived hash
+    buckets (the engine-parity hash idiom).
+
+    Scale: the whole point of DSIR's hashing is that the MODEL is
+    bounded by construction — DSIR_BUCKETS rows regardless of corpus
+    size, so the weight-table broadcast can never OOM (unlike a
+    vocabulary model: round-8 broadcast policy). Corpus-side work is
+    two passes over the token stream (model build, then scoring — in
+    production the model is a persisted artifact and only the scoring
+    pass runs) with one per-doc aggregation shuffle carrying two
+    numbers per document.
+
+    Determinism: the per-bucket log-ratio is snapped to the 1e-6 grid
+    as an exact BIGINT (lw_micro) BEFORE the per-doc mean, so the
+    per-doc aggregation is an exact integer sum divided once — never
+    an unordered float AVG (the seasonal-decompose boundary-flip
+    class); float enters only at `ln` of identical rational doubles
+    and the one final division."""
+    docs = load(spark, sf_dir, "documents")
+    par = spark.sparkContext.defaultParallelism
+    tok = docs.repartition(par, "doc_id").select(
+        "doc_id",
+        "lang",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), " +")).alias("token"),
+    )
+    bucket = F.conv(F.substring(F.md5(F.col("token")), 1, 2), 16, 10).cast("long")
+    feat = tok.select("doc_id", "lang", bucket.alias("bucket"))
+    cnt = feat.groupBy("bucket").agg(
+        F.sum(
+            F.when(F.col("lang") == DSIR_TARGET_LANG, 1).otherwise(0)
+        ).cast("long").alias("cnt_t"),
+        F.count(F.lit(1)).cast("long").alias("cnt_r"),
+    )
+    tot = cnt.agg(
+        F.sum("cnt_t").cast("long").alias("tot_t"),
+        F.sum("cnt_r").cast("long").alias("tot_r"),
+    )
+    smooth = F.lit(float(DSIR_BUCKETS))
+    # 1-row totals: the whitelisted scalar broadcast; the weight table
+    # itself is ≤DSIR_BUCKETS rows by construction — forced hint is
+    # size-safe at any corpus scale (see family comment above).
+    lw = F.log((F.col("cnt_t") + F.lit(1.0)) / (F.col("tot_t") + smooth)) - F.log(
+        (F.col("cnt_r") + F.lit(1.0)) / (F.col("tot_r") + smooth)
+    )
+    w = cnt.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        F.floor(lw * F.lit(1000000.0) + F.lit(0.5)).cast("long").alias("lw_micro"),
+    )
+    s = (
+        feat.join(F.broadcast(w), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum("lw_micro").cast("long").alias("s_micro"),
+        )
+    )
+    return s.select(
+        "doc_id",
+        "n_tokens",
+        quantize6(
+            F.col("s_micro") / (F.col("n_tokens") * F.lit(1000000.0))
+        ).alias("dsir_weight"),
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# train_quality_logreg — distributed training of the quality filter
+# ---------------------------------------------------------------------------
+
+# The TRAINING half of the learned quality filter: full-batch logistic
+# regression on hashed token-COUNT features, LOGREG_ITERS gradient-
+# descent iterations as pure DataFrame aggregations — the
+# CCNet/fastText "train the filter" step text_quality_classifier's
+# fixed weights stand in for. The label is a PLANTED relative-keyword
+# rule (more 'spark' than 'scan' tokens — distinct hash buckets,
+# verified) because the fixture's lang column is independent of its
+# text: a trainer sanity check must recover a signal that exists. In
+# production the label column is a real quality annotation; nothing
+# else changes.
+#
+# Features are mean-CENTERED via the sparse identity — the per-bucket
+# mean is a corpus constant, so  margin = Σ w_b·(cnt_b − μ_b) =
+# Σ_present w_b·cnt_b − Σ w_b·μ_b  and  grad_b = E[r·cnt_b] − μ_b·r̄:
+# the feature stream stays SPARSE (docs × present-buckets rows), the
+# centering folds into one scalar per iteration and one μ_b term per
+# bucket. Densifying instead would materialize docs × 256 rows — the
+# difference between a join on what exists and a cross join at 100 TB.
+#
+# Determinism (the seasonal-decompose boundary-flip class): ALL
+# cross-partition sums are EXACT BIGINT sums of micro-unit integers —
+# weights live as micro-units (wm = w·1e6, updated by the integer
+# step 8·g_micro), per-bucket means as mu_micro, margins/gradients
+# sum cnt·wm / resid_micro·cnt exactly and divide ONCE. No unordered
+# float sum anywhere; float enters only at single divisions, the
+# sigmoid (quantized to the grid on both engines), and per-bucket
+# scalar products of already-quantized values.
+LOGREG_BUCKETS = 256
+LOGREG_ITERS = 6
+LOGREG_LR = 8  # integer: weight micro-units update by exactly LR·g_micro
+LOGREG_POS_TOKEN = "spark"  # planted label: cnt(pos) > cnt(neg)
+LOGREG_NEG_TOKEN = "scan"
+
+_LOGREG_BASE_SQL = f"""
+tok AS MATERIALIZED (
+  SELECT doc_id,
+         unnest(string_split_regex(trim(lower(text)), ' +')) AS token
+  FROM documents
+),
+feat AS MATERIALIZED (
+  SELECT doc_id,
+         ((strpos('0123456789abcdef', substr(md5(token), 1, 1)) - 1) * 16
+          + (strpos('0123456789abcdef', substr(md5(token), 2, 1)) - 1))
+           AS bucket,
+         COUNT(*) AS cnt
+  FROM tok GROUP BY doc_id, bucket
+),
+lab AS MATERIALIZED (
+  SELECT doc_id,
+         CASE WHEN SUM(CASE WHEN token = '{LOGREG_POS_TOKEN}' THEN 1 ELSE 0 END)
+               > SUM(CASE WHEN token = '{LOGREG_NEG_TOKEN}' THEN 1 ELSE 0 END)
+              THEN 1.0 ELSE 0.0 END AS y
+  FROM tok GROUP BY doc_id
+),
+-- count TOKEN-BEARING docs (rows of lab), not documents rows: a
+-- NULL-text doc would vanish from Spark's exploded stream but not
+-- from COUNT(*) FROM documents, silently shifting every gradient
+nd AS MATERIALIZED (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM lab),
+-- per-bucket feature mean on the 1e-6 grid as an exact BIGINT: one
+-- float division of exact integers, floored — identical in Spark
+mu AS MATERIALIZED (
+  SELECT bucket,
+         CAST(FLOOR(SUM(cnt) * 1000000.0 / MAX((SELECT n_docs FROM nd))
+                    + 0.5) AS BIGINT) AS mu_micro
+  FROM feat GROUP BY bucket
+)
+"""
+
+_lq = sql_quantize6
+
+# snap an on-grid quantized float back to its exact micro-unit BIGINT
+_G_MICRO = "CAST(FLOOR({g} * 1000000.0 + 0.5) AS BIGINT)"
+
+
+def _logreg_sql() -> str:
+    """Unrolled LOGREG_ITERS-iteration GD in one SQL string. Iteration
+    1 starts from w=0, so p is exactly 0.5 and the first gradient
+    needs no margin CTE; later iterations join the accumulated
+    micro-unit weights and subtract the centering scalar
+    k = Σ wm_b·mu_micro_b / 1e12."""
+    rm = "CAST(FLOOR(resid * 1000000.0 + 0.5) AS BIGINT)"
+    rm1 = "CAST(FLOOR((y - 0.5) * 1000000.0 + 0.5) AS BIGINT)"
+    parts = [_LOGREG_BASE_SQL.rstrip()]
+    parts.append(f""",
+gb1 AS MATERIALIZED (
+  SELECT {_lq(f"SUM({rm1}) / (1000000.0 * MAX(nd.n_docs))")} AS g
+  FROM lab, nd
+),
+g1 AS MATERIALIZED (
+  SELECT f.bucket,
+         {_lq(f"SUM(CAST(FLOOR((lab.y - 0.5) * 1000000.0 + 0.5) AS BIGINT)"
+              f" * f.cnt) / (1000000.0 * MAX(nd.n_docs))"
+              " - (MAX(mu.mu_micro) / 1000000.0) * MAX((SELECT g FROM gb1))")} AS g
+  FROM feat f JOIN lab USING (doc_id) JOIN mu ON f.bucket = mu.bucket, nd
+  GROUP BY f.bucket
+),
+w1 AS MATERIALIZED (
+  SELECT bucket, {LOGREG_LR} * {_G_MICRO.format(g="g")} AS wm FROM g1
+),
+wb1 AS MATERIALIZED (
+  SELECT {LOGREG_LR} * {_G_MICRO.format(g="g")} AS wm FROM gb1
+),
+k1 AS MATERIALIZED (
+  SELECT CAST(SUM(w1.wm * mu.mu_micro) AS BIGINT) AS km
+  FROM w1 JOIN mu USING (bucket)
+)""")
+    for it in range(2, LOGREG_ITERS + 1):
+        p, c = it - 1, it
+        parts.append(f""",
+m{c} AS MATERIALIZED (
+  SELECT f.doc_id,
+         {_lq(f"SUM(f.cnt * w.wm) / 1000000.0"
+              f" - MAX((SELECT km FROM k{p})) / 1000000000000.0"
+              f" + MAX((SELECT wm FROM wb{p})) / 1000000.0")} AS m
+  FROM feat f JOIN w{p} w USING (bucket) GROUP BY f.doc_id
+),
+r{c} AS MATERIALIZED (
+  SELECT lab.doc_id, lab.y - {_lq(f"1.0 / (1.0 + exp(-m{c}.m))")} AS resid
+  FROM lab JOIN m{c} USING (doc_id)
+),
+gb{c} AS MATERIALIZED (
+  SELECT {_lq(f"SUM({rm}) / (1000000.0 * MAX(nd.n_docs))")} AS g
+  FROM r{c}, nd
+),
+g{c} AS MATERIALIZED (
+  SELECT f.bucket,
+         {_lq(f"SUM({rm} * f.cnt) / (1000000.0 * MAX(nd.n_docs))"
+              f" - (MAX(mu.mu_micro) / 1000000.0) * MAX((SELECT g FROM gb{c}))")} AS g
+  FROM feat f JOIN r{c} USING (doc_id) JOIN mu ON f.bucket = mu.bucket, nd
+  GROUP BY f.bucket
+),
+w{c} AS MATERIALIZED (
+  SELECT w.bucket, w.wm + {LOGREG_LR} * {_G_MICRO.format(g="g.g")} AS wm
+  FROM w{p} w JOIN g{c} g USING (bucket)
+),
+wb{c} AS MATERIALIZED (
+  SELECT wb.wm + {LOGREG_LR} * {_G_MICRO.format(g="g.g")} AS wm
+  FROM wb{p} wb, gb{c} g
+),
+k{c} AS MATERIALIZED (
+  SELECT CAST(SUM(w.wm * mu.mu_micro) AS BIGINT) AS km
+  FROM w{c} w JOIN mu USING (bucket)
+)""")
+    last = LOGREG_ITERS
+    parts.append(f"""
+SELECT CAST(bucket AS INT) AS bucket, wm / 1000000.0 AS weight
+FROM (
+  SELECT bucket, wm FROM w{last}
+  UNION ALL
+  SELECT -1 AS bucket, wm FROM wb{last}
+)
+ORDER BY bucket""")
+    return "WITH " + "".join(parts)
+
+
+@plan("train_quality_logreg", oracle=_logreg_sql())
+def train_quality_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-batch logistic-regression TRAINING of the quality filter
+    as DataFrame aggregations: LOGREG_ITERS gradient-descent
+    iterations on LOGREG_BUCKETS hashed, mean-centered token-count
+    features, label = the planted relative-keyword rule
+    (cnt('spark') > cnt('scan') — see family comment); returns the
+    learned weights (bucket -1 = bias). The missing half of
+    text_quality_classifier (which APPLIES fixed weights): together
+    they are the fastText/CCNet train-then-filter loop, expressed
+    Spark-first.
+
+    Scale: each iteration is one pass over the SPARSE (doc, bucket,
+    cnt) feature stream — a margin join against the ≤LOGREG_BUCKETS+1-
+    row weight table (bounded by CONSTRUCTION, broadcast-safe
+    forever), a per-doc aggregation, and a per-bucket gradient
+    aggregation; centering folds into one scalar per iteration
+    (sparse identity — family comment), and the driver touches only
+    the weights per iteration (the kmeans precedent). Features
+    materialize ONCE (localCheckpoint): the alternative re-tokenizes
+    the corpus LOGREG_ITERS times.
+
+    Parity AND run-to-run determinism: integer state end-to-end —
+    weights are micro-unit BIGINTs updated by the exact integer step
+    LR·g_micro, every cross-partition sum is an exact BIGINT sum
+    (margins: Σcnt·wm; gradients: Σresid_micro·cnt), and every
+    nonlinear input is FLOOR-quantized to the 1e-6 grid in both
+    engines before use, so partition ordering cannot move any value
+    and both engines walk identical weights through every iteration."""
+    docs = load(spark, sf_dir, "documents")
+    par = spark.sparkContext.defaultParallelism
+    tok = docs.repartition(par, "doc_id").select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), " +")).alias("token"),
+    )
+    bucket = F.conv(F.substring(F.md5(F.col("token")), 1, 2), 16, 10).cast(
+        "int"
+    )
+    feat = (
+        tok.groupBy("doc_id", bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=True)  # one tokenize pass, reused per iter
+    )
+    lab = (
+        tok.groupBy("doc_id")
+        .agg(
+            F.when(
+                F.sum(
+                    F.when(F.col("token") == LOGREG_POS_TOKEN, 1).otherwise(0)
+                )
+                > F.sum(
+                    F.when(F.col("token") == LOGREG_NEG_TOKEN, 1).otherwise(0)
+                ),
+                F.lit(1.0),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("y")
+        )
+        .localCheckpoint(eager=True)
+    )
+    import math  # noqa: PLC0415
+
+    n_docs = lab.count()  # bounded driver work: the kmeans precedent
+    # per-bucket means on the 1e-6 grid as exact BIGINTs: exact-integer
+    # sums, ONE float division, floored — identical in the oracle's mu
+    mu_micro = {
+        r.bucket: math.floor(r.s * 1000000.0 / n_docs + 0.5)
+        for r in feat.groupBy("bucket")
+        .agg(F.sum("cnt").cast("long").alias("s"))
+        .collect()
+    }
+    mu_df = spark.createDataFrame(
+        sorted(mu_micro.items()), "bucket int, mu_micro long"
+    )
+    resid_micro = F.floor(F.col("resid") * F.lit(1000000.0) + F.lit(0.5)).cast(
+        "long"
+    )
+
+    def grad(resid_df: DataFrame) -> tuple[dict[int, int], int]:
+        """Quantized gradients as exact micro-unit integers."""
+        gb = (
+            resid_df.agg(
+                quantize6(
+                    F.sum(resid_micro) / (F.lit(1000000.0) * F.lit(float(n_docs)))
+                ).alias("g")
+            ).collect()[0].g
+        )
+        gbm = math.floor(gb * 1000000.0 + 0.5)
+        rows = (
+            feat.join(resid_df, "doc_id")
+            .groupBy("bucket")
+            .agg(F.sum(resid_micro * F.col("cnt")).cast("long").alias("s"))
+            .join(F.broadcast(mu_df), "bucket")
+            .select(
+                "bucket",
+                quantize6(
+                    F.col("s") / (F.lit(1000000.0) * F.lit(float(n_docs)))
+                    - (F.col("mu_micro") / F.lit(1000000.0)) * F.lit(gb)
+                ).alias("g"),
+            )
+            .collect()
+        )
+        return {r.bucket: math.floor(r.g * 1000000.0 + 0.5) for r in rows}, gbm
+
+    # iteration 1: w = 0 → p = 0.5 exactly, no margin pass needed
+    g, gbm = grad(lab.select("doc_id", (F.col("y") - F.lit(0.5)).alias("resid")))
+    wm = {b: LOGREG_LR * v for b, v in g.items()}
+    wbm = LOGREG_LR * gbm
+    for _ in range(LOGREG_ITERS - 1):
+        # centering scalar: exact integer dot of micro-unit weights and
+        # means (Σ wm·mu_micro), divided once — order-free
+        km = sum(wm[b] * mu_micro[b] for b in wm)
+        wdf = spark.createDataFrame(
+            sorted(wm.items()), "bucket int, wm long"
+        )
+        m = (
+            feat.join(F.broadcast(wdf), "bucket")
+            .groupBy("doc_id")
+            .agg(
+                quantize6(
+                    F.sum(F.col("cnt") * F.col("wm")) / F.lit(1000000.0)
+                    - F.lit(km / 1000000000000.0)
+                    + F.lit(wbm / 1000000.0)
+                ).alias("m")
+            )
+        )
+        p = quantize6(F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("m"))))
+        resid = lab.join(m, "doc_id").select(
+            "doc_id", (F.col("y") - p).alias("resid")
+        )
+        g, gbm = grad(resid)
+        wm = {b: wm[b] + LOGREG_LR * g[b] for b in wm}
+        wbm = wbm + LOGREG_LR * gbm
+    out = [(int(b), v / 1000000.0) for b, v in wm.items()] + [
+        (-1, wbm / 1000000.0)
+    ]
+    return (
+        spark.createDataFrame(out, "bucket int, weight double")
+        .orderBy("bucket")
     )

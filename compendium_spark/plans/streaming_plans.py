@@ -256,3 +256,50 @@ def streaming_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     unknowable mid-stream, so they correctly stay in state), proving
     stream ≡ batch at value level."""
     return sw.streaming_scd2(spark, sf_dir).orderBy("user_id", "version")
+
+
+# ---------------------------------------------------------------------------
+# streaming_interval_outer_join — LEFT OUTER stream-stream join
+# ---------------------------------------------------------------------------
+
+# The state-eviction case the INNER interval join never exercises:
+# a left-outer stream-stream join must HOLD every unmatched view in
+# state until the watermark proves no qualifying click can still
+# arrive, then emit it exactly once with nulls. This is the
+# correctness cliff of production stream joins (emit too early →
+# phantom nulls; never advance → unbounded state). Views are capped
+# at a fixed cutoff well inside every fixture's time range so the
+# final no-data micro-batch can flush every unmatched view — the
+# same determinism discipline as the md5 samplers.
+STREAM_OUTER_JOIN_SQL = f"""
+WITH views AS (
+  SELECT event_id AS view_id, user_id AS a_user, ts AS a_ts
+  FROM events
+  WHERE event_type = 'view' AND ts < TIMESTAMP '{sw.OUTER_JOIN_CUTOFF}'
+),
+clicks AS (
+  SELECT event_id AS click_id, user_id AS b_user, ts AS b_ts
+  FROM events WHERE event_type = 'click'
+)
+SELECT v.view_id, v.a_user, v.a_ts, c.click_id, c.b_ts
+FROM views v
+LEFT JOIN clicks c
+  ON v.a_user = c.b_user
+ AND c.b_ts > v.a_ts
+ AND c.b_ts <= v.a_ts + INTERVAL {sw.OUTER_JOIN_MINUTES} MINUTE
+ORDER BY v.view_id, c.click_id
+"""
+
+
+@plan("streaming_interval_outer_join", oracle=STREAM_OUTER_JOIN_SQL)
+def streaming_interval_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER stream-stream interval join: every view emits
+    exactly once — joined to each qualifying click, or null-extended
+    AFTER the watermark proves no click can still arrive. The
+    eviction-correctness counterpart of streaming_interval_join
+    (inner), value-checked against the batch LEFT JOIN oracle: a
+    stream that emits unmatched rows too early or never flushes them
+    cannot hash-match the batch result. Transform + watermark-stall
+    guard live in streaming/windows.py
+    (interval_outer_join_transform)."""
+    return sw.streaming_interval_outer_join(spark, sf_dir)

@@ -386,3 +386,140 @@ def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "ts", "event_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# ts_seasonal_decompose — trend / seasonal / remainder over events
+# ---------------------------------------------------------------------------
+
+TREND_HALF_WINDOW = 12  # hours each side → 25-bucket centered MA
+
+SEASONAL_SQL = f"""
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hr,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS y_cents
+  FROM events GROUP BY event_type, date_trunc('hour', ts)
+),
+tr AS (
+  SELECT event_type, hr, n_events, y_cents,
+         CAST(SUM(y_cents) OVER wf AS BIGINT) AS w_sum,
+         CAST(COUNT(*) OVER wf AS BIGINT) AS w_cnt
+  FROM hourly
+  WINDOW wf AS (PARTITION BY event_type ORDER BY hr
+                ROWS BETWEEN {TREND_HALF_WINDOW} PRECEDING
+                         AND {TREND_HALF_WINDOW} FOLLOWING)
+),
+de AS (
+  SELECT event_type, hr, n_events, y_cents,
+         CAST(FLOOR(w_sum * 1000000 / w_cnt) AS BIGINT) AS trend_mc,
+         y_cents * 1000000
+           - CAST(FLOOR(w_sum * 1000000 / w_cnt) AS BIGINT) AS detr_mc,
+         CAST(EXTRACT(hour FROM hr) AS INT) AS hod
+  FROM tr
+),
+seas AS (
+  SELECT event_type, hod,
+         CAST(SUM(detr_mc) AS BIGINT) AS s_sum,
+         CAST(COUNT(*) AS BIGINT) AS s_cnt
+  FROM de GROUP BY event_type, hod
+)
+SELECT d.event_type, d.hr AS hour, d.n_events,
+       CAST(FLOOR(CAST((d.y_cents / 100.0) AS DOUBLE) * 1000000.0 + 0.5)
+            AS BIGINT) / 1000000.0 AS y,
+       CAST(FLOOR(CAST((d.trend_mc / 100000000.0) AS DOUBLE)
+                  * 1000000.0 + 0.5) AS BIGINT) / 1000000.0 AS trend,
+       CAST(FLOOR(CAST((se.s_sum / (se.s_cnt * 100000000.0)) AS DOUBLE)
+                  * 1000000.0 + 0.5) AS BIGINT) / 1000000.0 AS seasonal,
+       CAST(FLOOR(CAST((d.detr_mc / 100000000.0
+                        - se.s_sum / (se.s_cnt * 100000000.0)) AS DOUBLE)
+                  * 1000000.0 + 0.5) AS BIGINT) / 1000000.0 AS remainder
+FROM de d
+JOIN seas se ON d.event_type = se.event_type AND d.hod = se.hod
+ORDER BY d.event_type, d.hr
+"""
+
+
+@plan("ts_seasonal_decompose", oracle=SEASONAL_SQL)
+def ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical seasonal decomposition of the hourly event-value
+    series, per event type: trend = centered 25-bucket moving average,
+    seasonal = mean detrended value per hour-of-day, remainder = what
+    neither explains (the additive STL-lite every monitoring stack
+    runs before alerting on the remainder).
+
+    Exactness: the WHOLE decomposition is integer arithmetic — hourly
+    sums are exact cents, the trend is a FLOOR-divided micro-cent
+    BIGINT, the detrended series is a BIGINT, and the seasonal mean is
+    an exact BIGINT sum divided once — so there is NO unordered float
+    sum anywhere and the output is deterministic across engines AND
+    across Spark partition orderings (the first cut averaged float
+    detrended values; at sf0.1 its hour-of-day mean sat within 1e-13
+    of a quantization boundary and flipped 5 cells run-to-run).
+    Scale: one shuffle to the (type, hour) grid, whose cardinality is
+    bounded by the TIME RANGE, not the event count; the trend window
+    partitions by event_type (parallel across types, no global sort);
+    the seasonal join is a types × 24-row frame AQE broadcasts on its
+    own."""
+    ev = load(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    hourly = (
+        ev.select(
+            "event_type",
+            F.date_trunc("hour", F.col("ts")).alias("hr"),
+            cents.alias("cents"),
+        )
+        .groupBy("event_type", "hr")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum("cents").cast("long").alias("y_cents"),
+        )
+    )
+    wf = (
+        Window.partitionBy("event_type")
+        .orderBy("hr")
+        .rowsBetween(-TREND_HALF_WINDOW, TREND_HALF_WINDOW)
+    )
+    tr = hourly.select(
+        "event_type",
+        "hr",
+        "n_events",
+        "y_cents",
+        F.sum("y_cents").over(wf).cast("long").alias("w_sum"),
+        F.count(F.lit(1)).over(wf).cast("long").alias("w_cnt"),
+    )
+    trend_mc = F.floor(
+        F.col("w_sum") * F.lit(1000000) / F.col("w_cnt")
+    ).cast("long")
+    de = tr.select(
+        "event_type",
+        "hr",
+        "n_events",
+        "y_cents",
+        trend_mc.alias("trend_mc"),
+        (F.col("y_cents") * F.lit(1000000) - trend_mc).alias("detr_mc"),
+        F.hour("hr").alias("hod"),
+    )
+    seas = de.groupBy("event_type", "hod").agg(
+        F.sum("detr_mc").cast("long").alias("s_sum"),
+        F.count(F.lit(1)).cast("long").alias("s_cnt"),
+    )
+    s_raw = F.col("s_sum") / (F.col("s_cnt") * F.lit(100000000.0))
+    from compendium_spark.functions.numeric import quantize6  # noqa: PLC0415
+
+    return (
+        de.join(seas, ["event_type", "hod"])
+        .select(
+            "event_type",
+            F.col("hr").alias("hour"),
+            "n_events",
+            quantize6(F.col("y_cents") / F.lit(100.0)).alias("y"),
+            quantize6(F.col("trend_mc") / F.lit(100000000.0)).alias("trend"),
+            quantize6(s_raw).alias("seasonal"),
+            quantize6(
+                F.col("detr_mc") / F.lit(100000000.0) - s_raw
+            ).alias("remainder"),
+        )
+        .orderBy("event_type", "hour")
+    )

@@ -578,3 +578,65 @@ def scd2_transform(ev: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+OUTER_JOIN_CUTOFF = "2024-01-25 00:00:00"
+OUTER_JOIN_MINUTES = 30
+
+
+def interval_outer_join_transform(ev: DataFrame) -> DataFrame:
+    """The left-outer interval join as a stream transform (clicks
+    within OUTER_JOIN_MINUTES after a view, same user; views capped at
+    OUTER_JOIN_CUTOFF so end-of-input watermark movement can flush the
+    unmatched tail). Same two-legs-from-one-stream shape as
+    interval_join_transform; the outer side adds a state horizon of
+    watermark + OUTER_JOIN_MINUTES per view, after which Spark emits
+    the null-extended row and evicts."""
+    # watermark BEFORE the cutoff filter: the view leg's event-time
+    # clock must keep advancing on the uncapped stream, else the
+    # global (min-policy) watermark stalls at the cutoff and the last
+    # ~(delay + horizon) of unmatched views are never proven
+    # unmatched — measured as a 1-2-row deficit vs the batch oracle.
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id").alias("a_user"),
+            F.col("ts").alias("a_ts"),
+        )
+        .withWatermark("a_ts", "10 minutes")
+        .filter(F.col("a_ts") < F.lit(OUTER_JOIN_CUTOFF).cast("timestamp"))
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("b_user"),
+            F.col("ts").alias("b_ts"),
+        )
+        .withWatermark("b_ts", "10 minutes")
+    )
+    return views.join(
+        clicks,
+        (F.col("a_user") == F.col("b_user"))
+        & (F.col("b_ts") > F.col("a_ts"))
+        & (
+            F.col("b_ts")
+            <= F.col("a_ts") + F.expr(f"INTERVAL {OUTER_JOIN_MINUTES} MINUTES")
+        ),
+        "leftOuter",
+    ).select("view_id", "a_user", "a_ts", "click_id", "b_ts")
+
+
+def streaming_interval_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER stream-stream interval join: every view emits
+    exactly once — joined to each qualifying click, or null-extended
+    AFTER the watermark proves no click can still arrive. The
+    eviction-correctness counterpart of streaming_interval_join
+    (inner), value-checked against the batch LEFT JOIN oracle: a
+    stream that emits unmatched rows too early or never flushes them
+    cannot hash-match the batch result."""
+    joined = interval_outer_join_transform(read_events_stream(spark, sf_dir))
+    return _run_to_memory(joined, "stream_outer_join", "append").orderBy(
+        "view_id", "click_id"
+    )

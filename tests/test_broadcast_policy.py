@@ -24,67 +24,70 @@ from pathlib import Path
 
 PKG = Path(__file__).resolve().parent.parent / "compendium_spark"
 
-# (relpath, enclosing function) -> why the broadcast side is bounded.
-ALLOWED: dict[tuple[str, str], str] = {
+# (relpath, enclosing function) -> (expected number of hint sites, why
+# the broadcast side is bounded). The site COUNT is part of the
+# contract (ADVICE r8 #1): adding a second hint inside an already-
+# allowlisted function fails the lint until the author re-states the
+# bound here — per-site review, not per-function amnesty.
+ALLOWED: dict[tuple[str, str], tuple[int, str]] = {
     # --- infrastructure: the size gate itself -------------------------
-    ("tables.py", "maybe_broadcast"): "the size-gated hint (bound checked at call time)",
+    ("tables.py", "maybe_broadcast"): (1, "the size-gated hint (bound checked at call time)"),
     # --- ≤25-row dimension tables (fixed by TPC-H semantics) ----------
-    ("plans/tpch.py", "q5_local_supplier_volume"): "nation(25)/region(5) dims",
-    ("plans/tpch2.py", "q10_returned_items"): "nation(25) dim",
-    ("plans/tpch2.py", "q7_volume_shipping"): "2-row filtered nation dim",
-    ("plans/tpch2.py", "q8_market_share"): "nation(25)/region(5) dims",
-    ("plans/tpch3.py", "q2_min_cost_supplier"): "nation(25)/region(5) dims",
-    ("plans/tpch3.py", "q9_product_type_profit"): "nation(25) dim",
-    ("plans/tpch3.py", "q11_important_stock"): "1-row nation + 1-row threshold",
-    ("plans/tpch3.py", "q20_potential_promotion"): "1-row nation slice",
-    ("plans/tpch3.py", "q21_waiting_orders"): "1-row nation slice",
-    ("plans/reference_ops.py", "j7_snowflake_dims"): "nation/region dims",
-    ("streaming/windows.py", "enrich_dim"): "nation(25) dim",
-    ("streaming/windows.py", "enrich_join_transform"): "bounded user dim (fixture contract)",
-    ("pipeline/status.py", "geo_summary"): "ISO-3166 country list (249 rows)",
+    ("plans/tpch.py", "q5_local_supplier_volume"): (2, "nation(25)/region(5) dims"),
+    ("plans/tpch2.py", "q10_returned_items"): (1, "nation(25) dim"),
+    ("plans/tpch2.py", "q7_volume_shipping"): (2, "2-row filtered nation dim"),
+    ("plans/tpch2.py", "q8_market_share"): (3, "nation(25)/region(5) dims"),
+    ("plans/tpch3.py", "q2_min_cost_supplier"): (2, "nation(25)/region(5) dims"),
+    ("plans/tpch3.py", "q9_product_type_profit"): (1, "nation(25) dim"),
+    ("plans/tpch3.py", "q11_important_stock"): (2, "1-row nation + 1-row threshold"),
+    ("plans/tpch3.py", "q20_potential_promotion"): (1, "1-row nation slice"),
+    ("plans/tpch3.py", "q21_waiting_orders"): (1, "1-row nation slice"),
+    ("plans/reference_ops.py", "j7_snowflake_dims"): (2, "nation/region dims"),
+    ("streaming/windows.py", "enrich_dim"): (1, "nation(25) dim"),
+    ("streaming/windows.py", "enrich_join_transform"): (1, "bounded user dim (fixture contract)"),
+    ("pipeline/status.py", "geo_summary"): (2, "ISO-3166 country list (249 rows)"),
     # --- 1-row scalar aggregates --------------------------------------
-    ("plans/tpch2.py", "q22_global_sales_opportunity"): "1-row avg balance",
-    ("plans/tpch3.py", "q15_top_supplier"): "1-row max revenue",
-    ("plans/history.py", "j18_snapshot_diff"): "1-row snapshot bounds",
-    ("plans/olap_ext.py", "a19_robust_stats"): "per-group medians (groups bounded by semantics)",
-    ("plans/curation.py", "text_lm_score"): "1-row corpus total",
-    ("plans/curation.py", "curate_domain_mix_report"): "1-row grand total",
-    ("plans/text.py", "text_tfidf_topk"): "1-row doc count N",
-    ("plans/text.py", "text_tfidf_log"): "1-row doc count N",
-    ("plans/text.py", "text_boilerplate_shingles"): "1-row corpus total",
-    ("plans/sketches.py", "a20_hll_sketch"): "1-row exact-count check side",
-    ("plans/sketches.py", "a21_histogram_quantile"): "per-type exacts (types bounded)",
-    ("plans/sketches.py", "a23_countmin_sketch"): "CM counters (d×w fixed) + 1-row total",
-    ("plans/quality.py", "emb_quantize_int8"): "1-row min/max stats",
-    ("plans/quality.py", "emb_outlier_filter"): "per-label centroids (labels×dim, bounded by semantics)",
+    ("plans/tpch2.py", "q22_global_sales_opportunity"): (1, "1-row avg balance"),
+    ("plans/tpch3.py", "q15_top_supplier"): (1, "1-row max revenue"),
+    ("plans/history.py", "j18_snapshot_diff"): (1, "1-row snapshot bounds"),
+    ("plans/olap_ext.py", "a19_robust_stats"): (1, "per-group medians (groups bounded by semantics)"),
+    ("plans/curation.py", "text_lm_score"): (1, "1-row corpus total"),
+    ("plans/curation.py", "curate_domain_mix_report"): (1, "1-row grand total"),
+    ("plans/text.py", "text_tfidf_topk"): (1, "1-row doc count N"),
+    ("plans/text.py", "text_tfidf_log"): (1, "1-row doc count N"),
+    ("plans/text.py", "text_boilerplate_shingles"): (1, "1-row corpus total"),
+    ("plans/sketches.py", "a20_hll_sketch"): (1, "1-row exact-count check side"),
+    ("plans/sketches.py", "a21_histogram_quantile"): (1, "per-type exacts (types bounded)"),
+    ("plans/sketches.py", "a23_countmin_sketch"): (2, "CM counters (d×w fixed) + 1-row total"),
+    ("plans/quality.py", "emb_quantize_int8"): (1, "1-row min/max stats"),
+    ("plans/quality.py", "emb_outlier_filter"): (1, "per-label centroids (labels×dim, bounded by semantics)"),
     # --- ≤10-query / fixed-constant ANN sides -------------------------
-    ("plans/ann.py", "sim_lsh_topk"): "≤10-query side",
-    ("plans/ann.py", "sim_multiprobe_topk"): "≤10-query side",
-    ("plans/ann.py", "sim_recall_report"): "≤10-query side + 2-row method frame",
-    ("plans/extended.py", "sim_cosine_topk"): "≤10-query side (documented exact baseline)",
-    ("plans/extended.py", "sim_mips_topk"): "≤10-query side",
-    ("plans/pq.py", "sim_pq_adc_topk"): "per-query LUT (queries×M×K fixed)",
-    ("plans/pq.py", "sim_ivfpq_topk"): "per-query LUT (queries×M×K fixed)",
-    ("plans/quality.py", "sim_sq_topk_recall"): "≤10-query side",
-    ("plans/quality.py", "sim_bq_topk"): "≤10-query side",
-    ("plans/scoring.py", "emb_matryoshka_recall"): "≤10-query side",
-    ("plans/scoring.py", "sim_hybrid_topk"): "≤10-query side + 1-row stats",
-    ("plans/scoring.py", "sim_rrf_fusion"): "≤10-query side",
-    ("plans/graph.py", "graph_common_neighbors"): "capped neighbor lists (degree-capped)",
+    ("plans/ann.py", "sim_lsh_topk"): (1, "≤10-query side"),
+    ("plans/ann.py", "sim_multiprobe_topk"): (1, "≤10-query side"),
+    ("plans/ann.py", "sim_recall_report"): (3, "≤10-query side + 2-row method frame"),
+    ("plans/extended.py", "sim_cosine_topk"): (1, "≤10-query side (documented exact baseline)"),
+    ("plans/extended.py", "sim_mips_topk"): (1, "≤10-query side"),
+    ("plans/pq.py", "sim_pq_adc_topk"): (1, "per-query LUT (queries×M×K fixed)"),
+    ("plans/pq.py", "sim_ivfpq_topk"): (1, "per-query LUT (queries×M×K fixed)"),
+    ("plans/quality.py", "sim_sq_topk_recall"): (2, "≤10-query side"),
+    ("plans/quality.py", "sim_bq_topk"): (1, "≤10-query side"),
+    ("plans/scoring.py", "emb_matryoshka_recall"): (1, "≤10-query side"),
+    ("plans/scoring.py", "sim_hybrid_topk"): (2, "≤10-query side + 1-row stats"),
+    ("plans/scoring.py", "sim_rrf_fusion"): (1, "≤10-query side"),
+    ("plans/graph.py", "graph_common_neighbors"): (2, "capped neighbor lists (degree-capped)"),
     # --- fixed-size sketch/filter structures --------------------------
-    ("plans/bloom.py", "dedup_bloom_prefilter"): "Bloom bit array (m=256 fixed) + ref hashes of a FILTERED slice (documented)",
-    ("plans/curation.py", "curate_decontaminate"): "eval-set grams (eval corpus bounded by construction)",
-    ("operators/merge.py", "partial_update"): "update batch (delta, bounded by ingest contract)",
-    # --- on-deck round-9 plans ----------------------------------------
-    ("plans/ondeck_r9.py", "curate_dsir_weights"): "1-row totals + ≤256-bucket hashed model (bounded by construction)",
-    ("plans/ondeck_r9.py", "sim_ivf_tuning_curve"): "≤10-query side, 4-row sweep, 1-row totals",
-    ("plans/ondeck_r9.py", "emb_dedup_threshold_curve"): "6-row tau sweep + 1-row corpus total",
-    ("plans/ondeck_r9.py", "text_heaps_curve"): "4-row prefix-share frame",
-    ("plans/ondeck_r9.py", "sim_filtered_topk"): "≤10-query label and vector sides",
-    ("plans/ondeck_r9.py", "train_quality_logreg"): "≤257-row weight table (bounded by construction)",
-    ("plans/ondeck_r9.py", "grad"): "≤257-row per-bucket mean table (bounded by construction)",
+    ("plans/bloom.py", "dedup_bloom_prefilter"): (2, "Bloom bit array (m=256 fixed) + ref hashes of a FILTERED slice (documented)"),
+    ("operators/merge.py", "partial_update"): (1, "update batch (delta, bounded by ingest contract)"),
+    # --- round-9 plans (folded in from the r8 on-deck module) ---------
+    ("plans/scoring.py", "curate_dsir_weights"): (2, "1-row totals + ≤256-bucket hashed model (bounded by construction)"),
+    ("plans/ivf.py", "sim_ivf_tuning_curve"): (4, "≤10-query side, 4-row sweep, 1-row totals"),
+    ("plans/extended.py", "emb_dedup_threshold_curve"): (2, "6-row tau sweep + 1-row corpus total"),
+    ("plans/text.py", "text_heaps_curve"): (1, "4-row prefix-share frame"),
+    ("plans/ivf.py", "sim_filtered_topk"): (2, "≤10-query label and vector sides"),
+    ("plans/scoring.py", "train_quality_logreg"): (1, "≤257-row micro-unit weight table (bounded by construction)"),
+    ("plans/scoring.py", "grad"): (1, "≤257-row per-bucket mean table (bounded by construction)"),
     # --- text ranking --------------------------------------------------
-    ("plans/text.py", "text_bm25_topk"): "≤10-term query set + 1-row corpus stats",
+    ("plans/text.py", "text_bm25_topk"): (2, "≤10-term query set + 1-row corpus stats"),
 }
 
 
@@ -147,6 +150,20 @@ def test_every_forced_broadcast_is_allowlisted():
         "bounded frames — use tables.maybe_broadcast or a plain join "
         "for anything that scales with SF, or add an allowlist entry "
         "stating the bound):\n  " + "\n  ".join(unknown)
+    )
+    # per-site counts (ADVICE r8 #1): a NEW hint inside an already-
+    # allowlisted function must re-state its bound by bumping the count
+    from collections import Counter
+
+    got = Counter((rel, fn) for rel, fn, _ in sites)
+    mismatched = [
+        f"{k[0]}:{k[1]}() has {got[k]} hint site(s), allowlist expects {v[0]}"
+        for k, v in ALLOWED.items()
+        if k in got and got[k] != v[0]
+    ]
+    assert not mismatched, (
+        "forced-broadcast site COUNT drifted from the allowlist "
+        "(restate the bound for every site):\n  " + "\n  ".join(mismatched)
     )
 
 

@@ -1,55 +1,71 @@
-"""Hash-strength parity for the round-9 ON-DECK plans.
+"""Hash-strength parity + semantic pins for the 9 round-9 plans.
 
-These plans are complete but deliberately unregistered (round 8's
-50-slot gate window closed full — see plans/ondeck_r9.py). This suite
-holds them to the exact standard the driver gate will apply when they
-register in round 9: Spark result ≡ DuckDB oracle, bitwise on floats,
-at sf0.001 AND sf0.01 (the gate SF), plus semantic pins a value-hash
-can't express (nested-probe monotonicity, decomposition identity).
+These shipped in round 8 as the unregistered on-deck module (the
+50-slot gate window was full) and were folded into their home modules
+and registered at round-9 start. tests/test_parity.py already runs
+the registered-plan hash parity at sf0.001/sf0.01; this suite goes one
+SF further (sf0.1 — the round-7 embedding-cosine lesson: sf0.01-only
+checks can hide scale behavior), sweeps shuffle-partition counts, and
+pins the semantics a value-hash can't express (nested-probe
+monotonicity, decomposition identity, trained-model quality).
 """
 
 from __future__ import annotations
 
 import pytest
 
-from compendium_spark.plans import ondeck_r9 as od
+from compendium_spark.plans import extended, ivf, scoring, streaming_plans, text, timeseries
+from compendium_spark.plans.registry import all_plans
 
 from .conftest import SF_ORACLE, SF_SMOKE
 from .test_parity import _assert_hash_equal, _duck_conn, _normalize
 
-# derived from the module's single source of truth: a plan added to
-# ONDECK enters this suite automatically (and register() in round 9)
-CASES = {name: (fn, oracle) for name, fn, oracle in od.ONDECK}
+R9_PLANS = [
+    "curate_dsir_weights",
+    "sim_ivf_tuning_curve",
+    "ts_seasonal_decompose",
+    "emb_dedup_threshold_curve",
+    "text_heaps_curve",
+    "sim_filtered_topk",
+    "streaming_interval_outer_join",
+    "train_quality_logreg",
+    "train_pq_codebooks",
+]
 
-# sf0.1 included on purpose: the round-7 embedding-cosine lesson is
-# that sf0.01-only checks can hide scale behavior (recall knees, plan
-# flips); the driver gates at sf0.01, this suite goes one SF further.
 SF_FULL = "/root/testdata/sf0.1"
 
 
-@pytest.mark.parametrize("sf_dir", [SF_SMOKE, SF_ORACLE, SF_FULL])
-@pytest.mark.parametrize("name", sorted(CASES))
-def test_ondeck_parity(spark, name, sf_dir):
-    fn, sql = CASES[name]
-    got = _normalize(fn(spark, sf_dir).toPandas())
-    want = _normalize(_duck_conn(sf_dir).execute(sql()).df())
+def test_all_r9_plans_registered_with_oracles():
+    live = all_plans()
+    for name in R9_PLANS:
+        assert name in live, f"{name} not registered"
+        assert live[name].oracle, f"{name} registered without an oracle"
+
+
+@pytest.mark.parametrize("sf_dir", [SF_FULL])
+@pytest.mark.parametrize("name", sorted(R9_PLANS))
+def test_r9_parity_sf01(spark, name, sf_dir):
+    """sf0.1 parity — one SF beyond the driver gate (sf0.001/sf0.01
+    are covered for every registered plan by tests/test_parity.py)."""
+    p = all_plans()[name]
+    got = _normalize(p.fn(spark, sf_dir).toPandas())
+    want = _normalize(_duck_conn(sf_dir).execute(p.oracle).df())
     assert len(got) > 0, f"{name}: empty result is a vacuous parity check"
     _assert_hash_equal(got, want, name)
 
 
-@pytest.mark.parametrize("name", sorted(CASES))
-def test_ondeck_partition_invariance(spark, name, monkeypatch):
+@pytest.mark.parametrize("name", sorted(R9_PLANS))
+def test_r9_partition_invariance(spark, name, monkeypatch):
     """Distributed-correctness core property: the result must be
-    bitwise identical at any shuffle-partition count (the round-8
-    window's 50-plan partition sweep, applied to the on-deck set).
-    The streaming plan pins shuffle partitions internally
-    (_run_to_memory → STREAM_STATE_PARTITIONS), so for it the sweep
-    varies THAT constant — otherwise both runs would silently execute
-    at the same 8-partition state layout and the test would be
-    vacuous for exactly the plan whose state distribution matters."""
+    bitwise identical at any shuffle-partition count. The streaming
+    plan pins shuffle partitions internally (_run_to_memory →
+    STREAM_STATE_PARTITIONS), so for it the sweep varies THAT constant
+    — otherwise both runs would silently execute at the same
+    8-partition state layout and the test would be vacuous for exactly
+    the plan whose state distribution matters."""
     import compendium_spark.streaming.windows as sw
 
-    fn, _ = CASES[name]
+    fn = all_plans()[name].fn
     prev = spark.conf.get("spark.sql.shuffle.partitions")
 
     def run(n_part: int):
@@ -67,10 +83,36 @@ def test_ondeck_partition_invariance(spark, name, monkeypatch):
     _assert_hash_equal(lo, hi, f"{name}@partitions")
 
 
-# on-deck mirror of tests/test_plan_shapes.py: keyless joins only
-# where they are the documented design (exact-baseline sweeps against
-# ≤10 broadcast queries, 1-row scalar totals, literal sweep frames)
-ONDECK_KEYLESS_OK = {
+@pytest.mark.parametrize(
+    "name",
+    sorted(
+        n
+        for n in R9_PLANS
+        # the trainers run their iteration floats-through-integers
+        # inside the function and return a driver-built table at grid
+        # precision — a second full GD/Lloyd run per repeat is covered
+        # by the partition sweep above; the seasonal plan is the one
+        # whose r8 bug WAS a repeat-run flip, so it repeats here too
+        if n in ("ts_seasonal_decompose", "curate_dsir_weights",
+                 "train_quality_logreg")
+    ),
+)
+def test_r9_repeatruns_stable_sf01(spark, name):
+    """ADVICE r8 #2: the float-sum→FLOOR-quantizer boundary-flip class
+    is RUN-TO-RUN nondeterminism, which a single parity pass can't
+    see. Re-run the reworked integer-exact plans at sf0.1 and require
+    bitwise-identical results (the verification that caught the
+    ts_seasonal_decompose bug)."""
+    fn = all_plans()[name].fn
+    a = _normalize(fn(spark, SF_FULL).toPandas())
+    b = _normalize(fn(spark, SF_FULL).toPandas())
+    _assert_hash_equal(a, b, f"{name}@repeat")
+
+
+# mirror of tests/test_plan_shapes.py: keyless joins only where they
+# are the documented design (exact-baseline sweeps against ≤10
+# broadcast queries, 1-row scalar totals, literal sweep frames)
+R9_KEYLESS_OK = {
     "curate_dsir_weights",  # 1-row (tot_t, tot_r) scalar broadcast
     "sim_ivf_tuning_curve",  # exact-baseline sweep + ≤8-row rank/sweep frames + 1-row totals
     "emb_dedup_threshold_curve",  # 1-row corpus-total broadcast into the shares
@@ -80,108 +122,25 @@ ONDECK_KEYLESS_OK = {
 # their joins eagerly inside the function and return a driver-built
 # table; the streaming plan returns a memory-sink read. Their join
 # hygiene is covered by the broadcast-policy lint (every hint site
-# allowlisted with a bound) — asserting on their returned LocalTable-
-# Scan here would be FALSE assurance, not coverage.
-ONDECK_DRIVER_BUILT = {
+# allowlisted with a bound and a site count).
+R9_DRIVER_BUILT = {
     "train_quality_logreg",
     "train_pq_codebooks",
     "streaming_interval_outer_join",
 }
 
 
-@pytest.mark.parametrize(
-    "name", sorted(set(CASES) - ONDECK_DRIVER_BUILT)
-)
-def test_ondeck_no_accidental_allpairs_join(spark, name):
-    fn, _ = CASES[name]
+@pytest.mark.parametrize("name", sorted(set(R9_PLANS) - R9_DRIVER_BUILT))
+def test_r9_no_accidental_allpairs_join(spark, name):
+    fn = all_plans()[name].fn
     df = fn(spark, SF_SMOKE)
     df.collect()
     plan = df._jdf.queryExecution().executedPlan().toString()
     plan = plan.split("== Initial Plan ==")[0]
-    if name in ONDECK_KEYLESS_OK:
+    if name in R9_KEYLESS_OK:
         return  # documented
     assert "CartesianProduct" not in plan, name
     assert "BroadcastNestedLoopJoin" not in plan, name
-
-
-def test_driver_built_exclusions_are_exact():
-    """ONDECK_DRIVER_BUILT must list exactly the plans whose returned
-    frame is a LocalTableScan/memory read — anything else must go
-    through the real shape guard."""
-    assert ONDECK_DRIVER_BUILT <= set(CASES)
-
-
-def test_pq_assign_kernels_identical():
-    """The parameterized long-form assign kernel is a forced COPY of
-    pq._assign_codes (round-8 window: pq.py is untouchable). Pin the
-    two bit-identical on the shared init so they cannot drift apart
-    silently; fold into one kernel in round 9."""
-    import inspect
-    import re
-
-    from compendium_spark.plans import pq
-
-    # the numerically-load-bearing statements must be identical up to
-    # the codebook variable name: slice, diff, accumulation, argmin
-    def core(fn):
-        out = []
-        for line in inspect.getsource(fn).splitlines():
-            t = line.strip()
-            if t.startswith("#"):
-                continue
-            if re.match(r"(xs = x\[|diff = xs\[|dists = dists)", t):
-                out.append(t.replace("cbs[", "cb["))
-            elif "dists.argmin(axis=1)" in t:
-                out.append("ARGMIN")
-        return out
-
-    got, want = core(od._assign_codes_long), core(pq._assign_codes)
-    assert got and got == want, (got, want)
-
-
-def test_register_hook_registers_everything():
-    """The round-9 hook must register every ONDECK plan with its
-    oracle attached — run in a SUBPROCESS so the live registry (and
-    test_ondeck_not_registered's invariant) stays untouched."""
-    import subprocess
-    import sys
-
-    code = (
-        "from compendium_spark.plans import all_plans\n"
-        "from compendium_spark.plans import ondeck_r9 as od\n"
-        "before = len(all_plans())\n"
-        "od.register()\n"
-        "after = all_plans()\n"
-        "assert len(after) == before + len(od.ONDECK), (before, len(after))\n"
-        "for name, _, ob in od.ONDECK:\n"
-        "    assert name in after and after[name].oracle == ob(), name\n"
-        "print('OK', len(after))\n"
-    )
-    from pathlib import Path
-
-    out = subprocess.run(
-        [sys.executable, "-c", code],
-        capture_output=True,
-        text=True,
-        cwd=str(Path(__file__).resolve().parent.parent),
-    )
-    assert out.returncode == 0, out.stderr[-2000:]
-    assert out.stdout.startswith("OK"), out.stdout
-
-
-def test_ondeck_not_registered():
-    """Round-8 invariant: the gate window is full, so these names must
-    NOT be in the live registry (registering one would strand a 51st
-    stale plan outside the 50-slot window). Round 9 flips this test:
-    delete it when ondeck_r9.register() is wired in."""
-    from compendium_spark.plans import all_plans
-
-    live = set(all_plans())
-    for name in CASES:
-        assert name not in live, (
-            f"{name} registered while round-8 window is full — "
-            "see plans/ondeck_r9.py docstring"
-        )
 
 
 def test_dsir_target_slice_scores_higher(spark):
@@ -190,23 +149,23 @@ def test_dsir_target_slice_scores_higher(spark):
     of the raw corpus — the weight is the target-vs-raw log-ratio."""
     import pandas as pd
 
-    got = od.curate_dsir_weights(spark, SF_ORACLE).toPandas()
+    got = scoring.curate_dsir_weights(spark, SF_ORACLE).toPandas()
     langs = (
         _duck_conn(SF_ORACLE)
         .execute("SELECT doc_id, lang FROM documents")
         .df()
     )
     m = pd.merge(got, langs, on="doc_id")
-    mean_en = m.loc[m.lang == od.DSIR_TARGET_LANG, "dsir_weight"].mean()
-    mean_rest = m.loc[m.lang != od.DSIR_TARGET_LANG, "dsir_weight"].mean()
+    mean_en = m.loc[m.lang == scoring.DSIR_TARGET_LANG, "dsir_weight"].mean()
+    mean_rest = m.loc[m.lang != scoring.DSIR_TARGET_LANG, "dsir_weight"].mean()
     assert mean_en > mean_rest, (mean_en, mean_rest)
 
 
 def test_tuning_curve_monotone(spark):
     """Nested probes ⇒ candidates and recall are non-decreasing in
     nprobe, and cand_share stays a proper fraction."""
-    rows = od.sim_ivf_tuning_curve(spark, SF_ORACLE).toPandas()
-    assert list(rows.nprobe) == od.PROBE_SWEEP
+    rows = ivf.sim_ivf_tuning_curve(spark, SF_ORACLE).toPandas()
+    assert list(rows.nprobe) == ivf.PROBE_SWEEP
     assert rows.n_candidates.is_monotonic_increasing
     assert rows.n_hits.is_monotonic_increasing
     assert (rows.cand_share <= 1.0).all() and (rows.cand_share > 0).all()
@@ -219,18 +178,34 @@ def test_threshold_curve_monotone_and_consistent(spark):
     """Raising tau can only shrink every count; at tau=0.5 (where the
     LSH candidate recall is exact at sf0.01 — dedup_embedding_cosine
     docstring) the pair count must equal the brute-force all-pairs
-    count at cosine ≥ 0.5."""
-    rows = od.emb_dedup_threshold_curve(spark, SF_ORACLE).toPandas()
-    assert list(rows.threshold) == od.EMB_TAU_SWEEP
+    count of pairs whose QUANTIZED cosine clears 0.5 — the same 1e-6
+    grid semantics the curve counts on (ADVICE r8 #4: filtering the
+    brute side on the raw cosine would spuriously drop a pair sitting
+    in [0.4999995, 0.5))."""
+    rows = extended.emb_dedup_threshold_curve(spark, SF_ORACLE).toPandas()
+    assert list(rows.threshold) == extended.EMB_TAU_SWEEP
     for c in ["n_pairs", "n_docs_affected", "n_dropped_greedy"]:
         assert rows[c].is_monotonic_decreasing, c
     assert rows.n_pairs.iloc[0] > 0
-    from compendium_spark.plans.extended import COSINE_ALLPAIRS_SQL
-
-    brute = _duck_conn(SF_ORACLE).execute(COSINE_ALLPAIRS_SQL).df()
-    want = int((brute.cosine >= 0.5).sum())
+    want = _duck_conn(SF_ORACLE).execute("""
+        WITH v AS (
+          SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+          FROM embeddings
+        ),
+        n AS (
+          SELECT vec_id, e,
+                 sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm
+          FROM v
+        )
+        SELECT COUNT(*) FROM (
+          SELECT CAST(FLOOR(CAST((list_sum(list_transform(a.e, (x, i) -> x * b.e[i]))
+                   / (a.nrm * b.nrm)) AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)
+                   / 1000000.0 AS cosine
+          FROM n a, n b WHERE a.vec_id < b.vec_id
+        ) WHERE cosine >= 0.5
+    """).fetchone()[0]
     got = int(rows.loc[rows.threshold == 0.5, "n_pairs"].iloc[0])
-    assert got == want, (got, want)
+    assert got == int(want), (got, want)
 
 
 def test_logreg_actually_learns(spark):
@@ -238,13 +213,20 @@ def test_logreg_actually_learns(spark):
     'scan' tokens): the learned weight on the pos token's bucket must
     exceed the neg token's bucket weight, and scoring every doc with
     the returned centered-margin model must beat chance on balanced
-    accuracy."""
+    accuracy. The scoring SQL normalizes mu by the TOKEN-BEARING doc
+    count (lab), matching the trainer (ADVICE r8 #3: COUNT(*) FROM
+    documents would scale margins inconsistently if the fixture had
+    NULL-text docs)."""
     import hashlib
 
-    train = od.train_quality_logreg(spark, SF_ORACLE).toPandas()
+    train = scoring.train_quality_logreg(spark, SF_ORACLE).toPandas()
     w = dict(zip(train.bucket, train.weight))
-    b_pos = int(hashlib.md5(od.LOGREG_POS_TOKEN.encode()).hexdigest()[:2], 16)
-    b_neg = int(hashlib.md5(od.LOGREG_NEG_TOKEN.encode()).hexdigest()[:2], 16)
+    b_pos = int(
+        hashlib.md5(scoring.LOGREG_POS_TOKEN.encode()).hexdigest()[:2], 16
+    )
+    b_neg = int(
+        hashlib.md5(scoring.LOGREG_NEG_TOKEN.encode()).hexdigest()[:2], 16
+    )
     assert w[b_pos] > 0 > w[b_neg], (b_pos, b_neg, w[b_pos], w[b_neg])
     con = _duck_conn(SF_ORACLE)
     con.execute("CREATE TEMP TABLE wts (bucket INT, weight DOUBLE)")
@@ -260,8 +242,8 @@ def test_logreg_actually_learns(spark):
         ),
         lab AS (
           SELECT doc_id,
-                 SUM(CASE WHEN token = '{od.LOGREG_POS_TOKEN}' THEN 1 ELSE 0 END)
-                  > SUM(CASE WHEN token = '{od.LOGREG_NEG_TOKEN}' THEN 1 ELSE 0 END)
+                 SUM(CASE WHEN token = '{scoring.LOGREG_POS_TOKEN}' THEN 1 ELSE 0 END)
+                  > SUM(CASE WHEN token = '{scoring.LOGREG_NEG_TOKEN}' THEN 1 ELSE 0 END)
                    AS y
           FROM tok GROUP BY doc_id
         ),
@@ -275,7 +257,7 @@ def test_logreg_actually_learns(spark):
         ),
         mu AS (
           SELECT bucket,
-                 SUM(cnt) * 1.0 / (SELECT COUNT(*) FROM documents) AS mu
+                 SUM(cnt) * 1.0 / (SELECT COUNT(*) FROM lab) AS mu
           FROM feat GROUP BY bucket
         ),
         k AS (
@@ -307,9 +289,15 @@ def test_pq_training_reduces_distortion(spark):
     than under the seeded init."""
     import numpy as np
 
-    from compendium_spark.plans.pq import CODEBOOKS, K, M, SUB
+    from compendium_spark.plans.pq import (
+        CODEBOOKS,
+        K,
+        M,
+        SUB,
+        train_pq_codebooks,
+    )
 
-    rows = od.train_pq_codebooks(spark, SF_ORACLE).toPandas()
+    rows = train_pq_codebooks(spark, SF_ORACLE).toPandas()
     trained = np.zeros((M, K, SUB))
     for r in rows.itertuples():
         trained[r.m, r.k, r.pos - 1] = r.value
@@ -338,10 +326,14 @@ def test_outer_join_emit_once_semantics(spark):
     (exactly once) OR matched — never both; and the unmatched tail
     near the cutoff actually flushed (the watermark-stall regression
     this plan's transform guards against)."""
-    rows = od.streaming_interval_outer_join(spark, SF_ORACLE).toPandas()
+    import compendium_spark.streaming.windows as sw
+
+    rows = streaming_plans.streaming_interval_outer_join(
+        spark, SF_ORACLE
+    ).toPandas()
     views = _duck_conn(SF_ORACLE).execute(
         "SELECT event_id FROM events WHERE event_type = 'view'"
-        f" AND ts < TIMESTAMP '{od.OUTER_JOIN_CUTOFF}'"
+        f" AND ts < TIMESTAMP '{sw.OUTER_JOIN_CUTOFF}'"
     ).df()
     assert set(rows.view_id) == set(views.event_id)
     nulls = rows[rows.click_id.isna()]
@@ -351,7 +343,7 @@ def test_outer_join_emit_once_semantics(spark):
     # the last capped view must be present (tail flushed)
     last_view = _duck_conn(SF_ORACLE).execute(
         "SELECT MAX(event_id) FROM events WHERE event_type = 'view'"
-        f" AND ts < TIMESTAMP '{od.OUTER_JOIN_CUTOFF}'"
+        f" AND ts < TIMESTAMP '{sw.OUTER_JOIN_CUTOFF}'"
     ).fetchone()[0]
     assert last_view in set(rows.view_id)
 
@@ -360,7 +352,7 @@ def test_filtered_topk_respects_predicate(spark):
     """Every returned neighbor must share the query's label, and the
     filtered candidate count must be well below the unfiltered probe
     reach (the pre-filter is really pruning)."""
-    rows = od.sim_filtered_topk(spark, SF_ORACLE).toPandas()
+    rows = ivf.sim_filtered_topk(spark, SF_ORACLE).toPandas()
     labels = dict(
         _duck_conn(SF_ORACLE)
         .execute("SELECT vec_id, label FROM embeddings")
@@ -380,8 +372,8 @@ def test_heaps_curve_properties(spark):
     (docs, tokens, distinct tokens), cumulative counts must be
     monotone, and vocabulary growth must be SUBLINEAR in tokens over
     the top interval (Heaps' law — the broadcast policy's premise)."""
-    rows = od.text_heaps_curve(spark, SF_ORACLE).toPandas()
-    assert list(rows.share) == od.HEAPS_SHARES
+    rows = text.text_heaps_curve(spark, SF_ORACLE).toPandas()
+    assert list(rows.share) == text.HEAPS_SHARES
     for c in ["n_docs", "n_tokens", "n_distinct_tokens"]:
         assert rows[c].is_monotonic_increasing, c
     want = _duck_conn(SF_ORACLE).execute(
@@ -406,7 +398,7 @@ def test_heaps_curve_properties(spark):
 def test_seasonal_identity_and_coverage(spark):
     """y == trend + seasonal + remainder (within quantization), and
     every (event_type, hour) cell of the raw table is present."""
-    rows = od.ts_seasonal_decompose(spark, SF_ORACLE).toPandas()
+    rows = timeseries.ts_seasonal_decompose(spark, SF_ORACLE).toPandas()
     resid = (rows.y - (rows.trend + rows.seasonal + rows.remainder)).abs()
     assert (resid <= 3e-6).all(), resid.max()
     n_cells = (
