@@ -308,6 +308,8 @@ _ROUND9_STALE = [
     "curate_contamination_report",
     "curate_decontaminate",
     "curate_dsir_weights",
+    "dedup_embedding_cosine",
+    "sim_recall_report",
     "emb_dedup_threshold_curve",
     "sim_filtered_topk",
     "sim_ivf_topk",

@@ -144,6 +144,66 @@ def _make_entries_kernel(n_tables: int):
     return _entries_kernel
 
 
+def _make_probed_entries_kernel(n_tables: int):
+    """Arrow kernel for the 1-probe bucket projection — see
+    bucket_entries_probed. Per (vector, table): the exact bucket PLUS
+    the bucket with the LOWEST-|margin| sign bit flipped (the
+    query-directed probe of Lv et al., VLDB'07, at probe depth 1: the
+    bit most likely to be on the wrong side of its hyperplane for a
+    borderline pair is the one with the smallest |dot|). Dots use the
+    same sequential per-dim accumulation as _entries_kernel, so exact
+    buckets are bit-identical to the unprobed index; np.argmin keeps
+    the FIRST minimum — the oracle's <=-ladder tie-break."""
+
+    def _probed_kernel(batches):
+        import pandas as pd  # noqa: PLC0415 — worker-side import
+
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            emb = np.array(pdf["e"].tolist(), dtype=np.float64)
+            ids = pdf["vec_id"].to_numpy()
+            frames = []
+            for t in range(n_tables):
+                bits = np.zeros(n, dtype=np.int32)
+                margins = np.zeros((n, N_PLANES), dtype=np.float64)
+                for p in range(N_PLANES):
+                    acc = np.zeros(n, dtype=np.float64)
+                    for d in range(DIM):
+                        acc += emb[:, d] * _PLANES_NP[t, p, d]
+                    bits |= (acc >= 0).astype(np.int32) << p
+                    margins[:, p] = np.abs(acc)
+                flip = bits ^ (1 << margins.argmin(axis=1)).astype(np.int32)
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "vec_id": np.concatenate([ids, ids]),
+                            "tbl": np.full(2 * n, t, dtype=np.int32),
+                            "bucket": np.concatenate([bits, flip]),
+                        }
+                    )
+                )
+            yield pd.concat(frames, ignore_index=True)
+
+    return _probed_kernel
+
+
+def bucket_entries_probed(emb: DataFrame, n_tables: int = N_TABLES) -> DataFrame:
+    """(vec_id, tbl, bucket) — bucket_entries plus ONE query-directed
+    probe entry per (vector, table): the exact bucket with its
+    lowest-|margin| sign bit flipped. Joining exact entries against
+    this doubled index catches borderline pairs separated by a single
+    near-zero hyperplane margin — measured at sf0.1 it lifts
+    dedup_embedding_cosine's brute-force recall 13/14 → 14/14 at
+    ~1.9× the candidate volume (vs ~2.3× for blanket Hamming-1
+    probing of all 4 bits). Entry volume is exactly 2·L·n rows — the
+    probe multiplies the slim index, never the vectors."""
+    return emb.select("vec_id", "e").mapInPandas(
+        _make_probed_entries_kernel(n_tables), "vec_id long, tbl int, bucket int"
+    )
+
+
 def bucket_entries(emb: DataFrame, n_tables: int = N_TABLES) -> DataFrame:
     """(vec_id, tbl, bucket) hash-table entries for every vector — the
     shared indexing step of sim_lsh_buckets / sim_lsh_topk /
@@ -183,6 +243,40 @@ def _sql_tables_union(col: str, n_tables: int = N_TABLES) -> str:
         f"SELECT vec_id, {t} AS tbl, {_sql_bucket_expr(col, t)} AS bucket FROM embeddings"
         for t in range(n_tables)
     )
+
+
+def _sql_probed_tables_union(col: str, n_tables: int = N_TABLES) -> str:
+    """Oracle twin of bucket_entries_probed: per (vector, table) the
+    exact bucket plus the lowest-|margin| flip. The flip-bit CASE is a
+    <=-ladder (d0 wins ties over d1 over d2 over d3) — exactly
+    np.argmin's first-minimum on bit-identical doubles."""
+
+    def one_table(t: int) -> str:
+        dots = ", ".join(
+            f"list_sum(list_transform({col}, (x, i) -> "
+            f"CAST(x AS DOUBLE) * ({_sql_plane_literal(p)})[i])) AS d{i}"
+            for i, p in enumerate(PLANES[t])
+        )
+        bkt = " + ".join(
+            f"(CASE WHEN d{i} >= 0 THEN {1 << i} ELSE 0 END)"
+            for i in range(N_PLANES)
+        )
+        flip = (
+            "CASE"
+            " WHEN abs(d0) <= abs(d1) AND abs(d0) <= abs(d2)"
+            " AND abs(d0) <= abs(d3) THEN 1"
+            " WHEN abs(d1) <= abs(d2) AND abs(d1) <= abs(d3) THEN 2"
+            " WHEN abs(d2) <= abs(d3) THEN 4"
+            " ELSE 8 END"
+        )
+        return (
+            f"SELECT vec_id, {t} AS tbl,"
+            f" unnest([bkt, xor(bkt, fb)]) AS bucket FROM ("
+            f"SELECT vec_id, {bkt} AS bkt, {flip} AS fb FROM ("
+            f"SELECT vec_id, {dots} FROM embeddings))"
+        )
+
+    return " UNION ALL ".join(one_table(t) for t in range(n_tables))
 
 
 LSH_BUCKETS_SQL = f"""
@@ -552,6 +646,19 @@ def sim_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     reference (the r7 measure-first rule: here 4 kernel runs vs one
     tiny materialization). Every rank compares the QUANTIZED cosine
     (r7 advice on LIMIT boundaries).
+
+    Round 9 (shared-leg rework, verdict r8 #4): the CORPUS-SIZED
+    exact sweep materializes once into the tiny ex5 baseline (two
+    consumers: hits, grid), the scored frame materializes once and
+    feeds both top-k windows AND both candidate counts (ncand reads
+    scored — 1:1 with mp_cand, `in_single` flags the sp subset — so
+    each candidate join has exactly one consumer). Final executed
+    plan drops 18 exchanges / 12 joins (8 already ReusedExchange) to
+    7 / 4. Measured trade at sf0.1: +0.5 s fixed barrier cost
+    (3.0 → 3.5 s isolated) — at local toy scale the duplicated small
+    stages ran in parallel for free; at 100 TB re-running the corpus
+    sweep per consumer is the term that matters, and the barriers
+    amortize to noise.
     """
     from compendium_spark.plans.extended import (  # noqa: PLC0415
         _dot_unrolled,
@@ -579,10 +686,14 @@ def sim_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "cand_id", quantize6(cos).alias("cosine"))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "cand_id")
+    # ex5 feeds BOTH the hit join and the output grid: materialize the
+    # ≤(10·K)-row baseline once instead of re-running the corpus sweep
+    # per consumer (round-9 shared-leg rework, verdict r8 #4)
     ex5 = (
         ex_pairs.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= RECALL_K)
         .select("query_id", "cand_id")
+        .localCheckpoint(eager=True)
     )
 
     h = bucket_entries(emb).localCheckpoint(eager=True)
@@ -598,6 +709,13 @@ def sim_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus_mp = h.select(
         F.col("vec_id").alias("cand_id"), "tbl", F.col("bucket").alias("probe")
     )
+    # each candidate set feeds TWO consumers (the scored pass and its
+    # ncand count); the scored frame feeds TWO top-k windows. Without
+    # materialization Spark re-executes every upstream subtree per
+    # consumer — this plan's PLANS_AUDIT row was 38 shuffles / 10
+    # joins of mostly repeated work. The legs are tiny (≤10 queries ×
+    # bucket-mates), so three eager localCheckpoints make every
+    # exchange execute once (round-9 shared-leg rework).
     sp_cand = (
         qh.select(F.col("vec_id").alias("query_id"), "tbl", "bucket")
         .join(corpus_sp, ["tbl", "bucket"])
@@ -621,6 +739,7 @@ def sim_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(q), "query_id")
         .join(c, "cand_id")
         .select("query_id", "cand_id", "in_single", quantize6(cos).alias("cosine"))
+        .localCheckpoint(eager=True)
     )
     mp5 = (
         scored.withColumn("rn", F.row_number().over(w))
@@ -634,12 +753,17 @@ def sim_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lit("lsh_single").alias("method"), "query_id", "cand_id")
     )
     m5 = mp5.unionByName(sp5)
+    # candidate counts come off the CACHED scored frame — it is 1:1
+    # with mp_cand and `in_single` marks exactly the sp_cand subset, so
+    # the candidate-generation joins keep a single consumer each and
+    # never re-execute (round-9 shared-leg rework)
     ncand = (
-        mp_cand.groupBy("query_id")
+        scored.groupBy("query_id")
         .agg(F.count(F.lit(1)).cast("long").alias("n_candidates"))
         .select(F.lit("lsh_multiprobe").alias("method"), "query_id", "n_candidates")
         .unionByName(
-            sp_cand.groupBy("query_id")
+            scored.filter("in_single")
+            .groupBy("query_id")
             .agg(F.count(F.lit(1)).cast("long").alias("n_candidates"))
             .select(F.lit("lsh_single").alias("method"), "query_id", "n_candidates")
         )

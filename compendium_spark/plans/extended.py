@@ -732,6 +732,7 @@ def _cosine_neardup_sql() -> str:
     from compendium_spark.plans.ann import (  # noqa: PLC0415
         N_TABLES_MAX,
         _sql_adaptive_tables_case,
+        _sql_probed_tables_union,
         _sql_tables_union,
     )
 
@@ -751,10 +752,15 @@ ent AS (
   SELECT * FROM ({_sql_tables_union("embedding", N_TABLES_MAX)})
   WHERE tbl < ({l_case})
 ),
+pent AS (
+  SELECT * FROM ({_sql_probed_tables_union("embedding", N_TABLES_MAX)})
+  WHERE tbl < ({l_case})
+),
 cand AS (
-  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
-  FROM ent a JOIN ent b
-    ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+  SELECT DISTINCT LEAST(a.vec_id, b.vec_id) AS vec_a,
+                  GREATEST(a.vec_id, b.vec_id) AS vec_b
+  FROM ent a JOIN pent b
+    ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id <> b.vec_id
 ),
 scored AS (
   SELECT vec_a, vec_b,
@@ -815,10 +821,17 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     L(n) = 4 tables at the 500-vector base, +2 per corpus doubling,
     capped at 16 (ann.adaptive_n_tables; the oracle embeds the same
     integer-threshold CASE ladder, so both engines derive the same L
-    from COUNT(*)). Recall against the brute-force all-pairs dup set
-    (COSINE_ALLPAIRS_SQL, test oracle only): exact at sf0.001/sf0.01
-    (L=4), 13/14 at sf0.1 (L=8; the one miss is a 0.50-cosine pair,
-    where sign-LSH collision is ~0.20/table) — pinned in
+    from COUNT(*)). Round 9 adds the PROBE knob on top: the index side
+    of the candidate join carries one query-directed probe entry per
+    (vector, table) — the exact bucket with its lowest-|margin| sign
+    bit flipped (ann.bucket_entries_probed; Lv et al. VLDB'07 at probe
+    depth 1) — so a borderline pair separated by one near-zero
+    hyperplane margin is still a candidate. Recall against the
+    brute-force all-pairs dup set (COSINE_ALLPAIRS_SQL, test oracle
+    only): exact at sf0.001/sf0.01 (L=4) AND at sf0.1 (L=8; 14/14 —
+    the r8 miss was a cosine-0.51 pair whose first exact collision sat
+    at table 12, caught by the probe at table 0 for ~1.9× candidate
+    volume vs ~1.5× for the L=14 it would otherwise need) — pinned in
     tests/test_embedding_cosine_recall.py. The n for L comes from one
     1-row count job (bounded driver work, same class as the
     max_projects collects).
@@ -840,6 +853,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     from compendium_spark.plans.ann import (  # noqa: PLC0415
         adaptive_n_tables,
         bucket_entries,
+        bucket_entries_probed,
     )
 
     emb = _load_embeddings(spark, sf_dir)
@@ -856,17 +870,24 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     # verify codegen) vs kernel buckets + kernel cosine 2.3-2.6 s.
     # The kernel runs once per self-join leg (2×) but is vectorized
     # and codegen-free.
+    # Round 9: the b-side is the PROBED index (exact + lowest-margin
+    # flip per entry); pairs canonicalize to (least, greatest) so a
+    # flip on EITHER endpoint makes the pair a candidate.
     ent = bucket_entries(emb, n_tables)
+    pent = bucket_entries_probed(emb, n_tables)
     a = ent.select(
-        F.col("vec_id").alias("vec_a"), "tbl", "bucket"
+        F.col("vec_id").alias("ia"), "tbl", "bucket"
     )
-    b = ent.select(
-        F.col("vec_id").alias("vec_b"), "tbl", "bucket"
+    b = pent.select(
+        F.col("vec_id").alias("ib"), "tbl", "bucket"
     )
     cand = (
         a.join(b, ["tbl", "bucket"])
-        .filter(F.col("vec_a") < F.col("vec_b"))
-        .select("vec_a", "vec_b")
+        .filter(F.col("ia") != F.col("ib"))
+        .select(
+            F.least("ia", "ib").alias("vec_a"),
+            F.greatest("ia", "ib").alias("vec_b"),
+        )
         .distinct()
     )
     x = n.select(

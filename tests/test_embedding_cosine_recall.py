@@ -9,9 +9,10 @@ data where buckets capture all pairs" is pinned, not assumed.
 
 Round 8 adds the adaptive-L knob (ann.adaptive_n_tables): 4 tables at
 the gate fixtures, 8 at sf0.1's 2000 vectors, +2 per further corpus
-doubling. The sf0.1 recall pin below requires >=13/14 of the
-brute-force dup pairs (the r7 verdict's done-criterion); the one
-tolerated miss is a 0.50-cosine borderline pair.
+doubling. Round 9 adds the query-directed 1-probe on the index side
+(ann.bucket_entries_probed — lowest-|margin| bit flip), closing the
+last sf0.1 miss: the pin below now requires the bucketed dup set to
+EQUAL the brute-force dup set (14/14).
 """
 
 from __future__ import annotations
@@ -74,9 +75,11 @@ def test_adaptive_table_count_ladder():
 
 
 def test_sf01_recall_pin_and_cross_engine_parity(spark):
-    """The r7 verdict's done-criterion: at sf0.1 (2000 vectors, L=8)
-    the bucketed dup set must capture >=13 of the 14 brute-force dup
-    pairs — AND the Spark output must equal the DuckDB oracle
+    """The r8 verdict's done-criterion: at sf0.1 (2000 vectors, L=8,
+    1-probe) the bucketed dup set must EQUAL the brute-force dup set
+    (14/14 — the r7/r8 pin tolerated one 0.51-cosine miss whose first
+    exact collision sat at table 12; the lowest-margin probe catches
+    it at table 0) — AND the Spark output must equal the DuckDB oracle
     row-for-row at this SF too (the driver only gates sf0.01, so the
     adaptive ladder's cross-engine agreement at L=8 is pinned here)."""
     from compendium_spark.plans import all_plans
@@ -85,9 +88,8 @@ def test_sf01_recall_pin_and_cross_engine_parity(spark):
     out = dedup_embedding_cosine(spark, sf01).collect()
     bucketed = {(r.vec_a, r.vec_b) for r in out if r.is_dup == 1}
     truth = _allpairs_dups(sf01)
-    assert len(bucketed & truth) >= 13
     assert len(truth) >= 14  # fixture still has a borderline population
-    assert bucketed <= truth  # exact verify: no false positives
+    assert bucketed == truth  # full recall, no false positives
 
     con = duckdb.connect()
     con.execute(
