@@ -160,40 +160,55 @@ def _family(name: str) -> str:
 
 def _baseline() -> dict[str, float]:
     """Per-query seconds from the last committed run, for the
-    regression guard. Prefers BENCH_DETAIL.json (full per-query dump,
-    written by this script and committed each round) and falls back to
-    the driver's BENCH_r{N}.json captures (whose `parsed.queries` was
-    full per-query through r04). Empty if none exists (round 1)."""
+    regression guard. Prefers the newest per-round ARCHIVE
+    (BENCH_DETAIL_r{N}.json — frozen at round close after a min-of-N
+    uncontended run, so a throttled mid-round session can never
+    silently become the baseline: verdict r8 #5), then the rolling
+    BENCH_DETAIL.json, then the driver's BENCH_r{N}.json captures
+    (whose `parsed.queries` was full per-query through r04). Empty if
+    none exists (round 1)."""
     import glob
     import re
 
     here = os.path.dirname(os.path.abspath(__file__))
-    detail = os.path.join(here, "BENCH_DETAIL.json")
-    try:
-        with open(detail) as f:
-            doc = json.load(f)
-        queries = {
-            k: v for k, v in dict(doc.get("queries", {})).items()
-            if isinstance(v, (int, float))
-        }
-        # only a detail file recorded at the guard's scale factor is a
-        # valid baseline (local sf0.001 smoke runs also write it), and
-        # only a COMPLETE one: a partial/errored run would silently
-        # drop its failed plans from the guard and make one throttled
-        # session the committed baseline (r7 advice). "Complete" =
-        # no recorded errors and per-query coverage ≥90% of the
-        # current registry (new plans legitimately miss from an old
-        # baseline, hence not ==).
-        from compendium_spark.plans import all_plans as _ap
+    archives = sorted(
+        glob.glob(os.path.join(here, "BENCH_DETAIL_r*.json")),
+        key=lambda p: int(re.search(r"BENCH_DETAIL_r(\d+)", p).group(1)),
+        reverse=True,
+    )
+    for detail in [*archives, os.path.join(here, "BENCH_DETAIL.json")]:
+        try:
+            with open(detail) as f:
+                doc = json.load(f)
+            queries = {
+                k: v for k, v in dict(doc.get("queries", {})).items()
+                if isinstance(v, (int, float))
+            }
+            # only a detail file recorded at the guard's scale factor
+            # is a valid baseline (local sf0.001 smoke runs also write
+            # the rolling file), and only a COMPLETE one: a
+            # partial/errored run would silently drop its failed plans
+            # from the guard and make one throttled session the
+            # committed baseline (r7 advice). "Complete" = no recorded
+            # errors and per-query coverage ≥90% of the current
+            # registry (new plans legitimately miss from an old
+            # baseline, hence not ==).
+            from compendium_spark.plans import all_plans as _ap
 
-        complete = (
-            not doc.get("errors")
-            and len(queries) >= 0.9 * len(_ap())
-        )
-        if queries and doc.get("sf") == 0.1 and complete:
-            return queries
-    except (OSError, json.JSONDecodeError, AttributeError, TypeError, ImportError):
-        pass
+            complete = (
+                not doc.get("errors")
+                and len(queries) >= 0.9 * len(_ap())
+            )
+            if queries and doc.get("sf") == 0.1 and complete:
+                return queries
+        except (
+            OSError,
+            json.JSONDecodeError,
+            AttributeError,
+            TypeError,
+            ImportError,
+        ):
+            continue
     runs = sorted(
         glob.glob(os.path.join(here, "BENCH_r*.json")),
         key=lambda p: int(re.search(r"BENCH_r(\d+)", p).group(1)),
