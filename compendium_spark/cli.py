@@ -381,6 +381,17 @@ def cmd_summary(wh: Warehouse, args) -> int:
     return 0
 
 
+def cmd_progress(wh: Warehouse, args) -> int:
+    """Per-project pipeline-stage report — the reference's
+    Report_progress (projects.py:156-198): DONE! / CURRENTLY RUNNING
+    banners, per-stage filesystem checks, one arrow at the earliest
+    failure. Exit code 0 when done, 1 otherwise (the reference returns
+    True/False the autoforward loop branches on)."""
+    report = orchestrate.progress_report(args.projects_dir, args.project)
+    print(orchestrate.render_progress(report))
+    return 0 if report["done"] else 1
+
+
 def cmd_find_todo(wh: Warehouse, args) -> int:
     todo = find_todo(
         wh.read("samples"),
@@ -458,6 +469,9 @@ def build_parser() -> argparse.ArgumentParser:
     sub.add_parser("status")
     sub.add_parser("compendium")
     sub.add_parser("summary")
+    pg = sub.add_parser("progress")
+    pg.add_argument("project")
+    pg.add_argument("--projects-dir", default="./projects")
     ft = sub.add_parser("find-todo")
     ft.add_argument("--min", type=int, default=50)  # management.py:90
     ft.add_argument("--max", type=int, default=10000)
@@ -490,6 +504,7 @@ COMMANDS = {
     "compendium": cmd_compendium,
     "summary": cmd_summary,
     "find-todo": cmd_find_todo,
+    "progress": cmd_progress,
 }
 
 

@@ -296,3 +296,91 @@ def autoforward(
         "decisions": decisions,
         "launched": launched,
     }
+
+
+# (category, [(label, relative path, is_dir), ...]) — the reference's
+# Report_progress probe table (`projects.py:156-198`) verbatim: three
+# stage groups, each check a filesystem existence test relative to the
+# project directory.
+PROGRESS_CHECKS: list[tuple[str, list[tuple[str, str, bool]]]] = [
+    (
+        "Initialization",
+        [
+            ("Directory created", ".", True),
+            ("Repository cloned", "workflow", True),
+            ("Accession list created", "SraAccList.txt", False),
+            ("Virtual environment created", "venv", True),
+        ],
+    ),
+    (
+        "Pipeline",
+        [
+            ("1/6 Prefetch job started", ".snakemake/slurm_logs/rule_sra_prefetch", False),
+            ("2/6 SRA data extraction job started", ".snakemake/slurm_logs/rule_sra_to_fastq", False),
+            ("3/6 FASTQ filtering job started", ".snakemake/slurm_logs/rule_filter", False),
+            ("4/6 Error modeling job started", ".snakemake/slurm_logs/rule_errormodel", False),
+            ("5/6 ASV calculation job started", ".snakemake/slurm_logs/rule_make_asv_table", False),
+            ("6/6 Taxonomic assignment job started", ".snakemake/slurm_logs/rule_assign_taxonomy", False),
+        ],
+    ),
+    (
+        "Results",
+        [
+            ("Result file: ASVs.fa", "ASVs.fa", False),
+            ("Result file: ASVs_counts.tsv", "ASVs_counts.tsv", False),
+            ("Result file: ASVs_taxonomy.tsv", "ASVs_taxonomy.tsv", False),
+        ],
+    ),
+]
+
+# the reference's check_if_done file list (`projects.py:137-148`)
+_DONE_FILES = ("ASVs.fa", "ASVs_counts.tsv", "ASVs_taxonomy.tsv")
+
+
+def progress_report(projects_dir: str, project: str) -> dict:
+    """The reference's per-project stage report (`Report_progress`,
+    projects.py:156-198) as a pure filesystem probe: which pipeline
+    stages have started, whether the run is live (running.txt —
+    check_if_running, projects.py:149-154), whether all result files
+    exist (check_if_done, projects.py:137-148), and the EARLIEST
+    failing check (the reference's single `<<<` arrow). Returns a
+    plain dict so the CLI renderer and tests share one source."""
+    d = Path(projects_dir) / project
+    done = all((d / f).exists() for f in _DONE_FILES)
+    running = (d / "running.txt").exists()
+    cats = []
+    arrow: str | None = None
+    for cat, checks in PROGRESS_CHECKS:
+        rows = []
+        for label, rel, is_dir in checks:
+            p = d if rel == "." else d / rel
+            ok = p.is_dir() if is_dir else p.exists()
+            if not ok and arrow is None:
+                arrow = label
+            rows.append((label, ok))
+        cats.append((cat, rows))
+    return {
+        "project": project,
+        "done": done,
+        "running": running,
+        "categories": cats,
+        "arrow": arrow,
+    }
+
+
+def render_progress(report: dict) -> str:
+    """Text rendering in the reference's format (projects.py:158-197):
+    DONE! short-circuits, a CURRENTLY RUNNING banner when live, then
+    per-category check lists with one arrow at the earliest failure."""
+    lines = [report["project"]]
+    if report["done"]:
+        lines.append("DONE!")
+        return "\n".join(lines)
+    if report["running"]:
+        lines.append("\n===============\nCURRENTLY RUNNING\n===============\n")
+    for cat, rows in report["categories"]:
+        lines.append(f"\n======{cat}======")
+        for label, ok in rows:
+            arrow = "   <<< XXXXXXX <<<" if report["arrow"] == label else ""
+            lines.append(f"{'✓' if ok else 'X'}   {label}{arrow}")
+    return "\n".join(lines)

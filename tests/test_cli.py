@@ -272,3 +272,43 @@ def test_schema_validation_rejects_drift(spark, tmp_path):
     with pytest.raises(SchemaMismatchError) as e:
         wh.append("status", wrong_type)
     assert "wrong_type" in str(e.value)
+
+
+def test_progress_report_golden(spark, wh_dir, tmp_path, capsys):
+    """cmd_progress mirrors the reference's Report_progress
+    (projects.py:156-198): fresh project shows the arrow at the
+    earliest failing check; a mid-pipeline project arrows the first
+    missing stage log and banners CURRENTLY RUNNING; a finished
+    project short-circuits to DONE! with exit code 0."""
+    pdir = tmp_path / "projects"
+    proj = pdir / "PRJX"
+
+    # nothing exists: exit 1, arrow at the very first check
+    assert run(spark, wh_dir, "progress", "PRJX", "--projects-dir", str(pdir)) == 1
+    out = capsys.readouterr().out
+    assert "X   Directory created   <<< XXXXXXX <<<" in out
+    assert "DONE!" not in out
+
+    # initialized + first two stage logs + live run marker
+    (proj / ".snakemake" / "slurm_logs").mkdir(parents=True)
+    (proj / "workflow").mkdir()
+    (proj / "venv").mkdir()
+    (proj / "SraAccList.txt").write_text("SRR100\n")
+    (proj / ".snakemake" / "slurm_logs" / "rule_sra_prefetch").write_text("")
+    (proj / ".snakemake" / "slurm_logs" / "rule_sra_to_fastq").write_text("")
+    (proj / "running.txt").write_text("")
+    assert run(spark, wh_dir, "progress", "PRJX", "--projects-dir", str(pdir)) == 1
+    out = capsys.readouterr().out
+    assert "CURRENTLY RUNNING" in out
+    assert "✓   Repository cloned" in out
+    assert "✓   2/6 SRA data extraction job started" in out
+    assert "X   3/6 FASTQ filtering job started   <<< XXXXXXX <<<" in out
+    # only ONE arrow in the whole report (the reference's `arrow` latch)
+    assert out.count("<<< XXXXXXX <<<") == 1
+
+    # all result files present: DONE! short-circuit, exit 0
+    for f in ("ASVs.fa", "ASVs_counts.tsv", "ASVs_taxonomy.tsv"):
+        (proj / f).write_text("x")
+    assert run(spark, wh_dir, "progress", "PRJX", "--projects-dir", str(pdir)) == 0
+    out = capsys.readouterr().out
+    assert out.strip().endswith("DONE!")
