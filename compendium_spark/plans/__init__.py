@@ -307,9 +307,13 @@ assert len(_ROUND8_WINDOW) == 50, len(_ROUND8_WINDOW)
 _ROUND9_STALE = [
     "curate_contamination_report",
     "curate_decontaminate",
+    "curate_dsir_resample",
     "curate_dsir_weights",
     "dedup_embedding_cosine",
+    "dedup_winnowing",
     "sim_recall_report",
+    "train_ivf_centroids",
+    "ts_anomaly_remainder",
     "emb_dedup_threshold_curve",
     "sim_filtered_topk",
     "sim_ivf_topk",

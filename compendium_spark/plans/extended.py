@@ -1839,3 +1839,192 @@ def emb_dedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("threshold")
     )
+
+
+# ---------------------------------------------------------------------------
+# dedup_winnowing — MOSS-style local fingerprinting
+# ---------------------------------------------------------------------------
+
+# Winnowing (Schleimer, Wilkerson, Aiken — SIGMOD 2003, the MOSS
+# algorithm): slide a window of WINNOW_W consecutive k-gram hashes and
+# keep each window's MINIMUM as a fingerprint. Guarantee the sampled
+# families here lack: any shared run of WINNOW_W + WINNOW_K - 1 tokens
+# between two documents yields at least one SHARED fingerprint — so
+# partial overlap (a paragraph lifted into an otherwise-different
+# document) is caught positionally, where whole-document MinHash
+# dilutes it below the Jaccard bar and SimHash averages it away.
+# Density is ~2/(WINNOW_W+1) of the k-gram stream: the index is a
+# fixed fraction of the corpus, selected scan-side.
+WINNOW_K = 3  # tokens per k-gram (the corpus-suitable n, see NGRAM_N)
+WINNOW_W = 4  # k-gram hashes per winnowing window
+WINNOW_MAX_DF = 50  # drop boilerplate fingerprints shared by > this many docs
+WINNOW_MIN_SHARED = 2  # report pairs sharing at least this many fingerprints
+_POS_BITS = 20  # position packed below the hash: docs < 2^20 k-grams
+
+WINNOWING_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), ' +') AS t
+  FROM documents
+),
+grams AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, greatest(len(t) - {WINNOW_K} + 2, 1)),
+                i -> array_to_string(list_slice(t, i, i + {WINNOW_K} - 1), ' ')))
+           AS g,
+         unnest(range(1, greatest(len(t) - {WINNOW_K} + 2, 1))) AS pos,
+         greatest(len(t) - {WINNOW_K} + 1, 0) AS n_grams
+  FROM toks WHERE len(t) >= {WINNOW_K}
+),
+keyed AS (
+  SELECT doc_id, pos, n_grams,
+         (((strpos('0123456789abcdef', substr(md5(g), 1, 1)) - 1) * 268435456
+          + (strpos('0123456789abcdef', substr(md5(g), 2, 1)) - 1) * 16777216
+          + (strpos('0123456789abcdef', substr(md5(g), 3, 1)) - 1) * 1048576
+          + (strpos('0123456789abcdef', substr(md5(g), 4, 1)) - 1) * 65536
+          + (strpos('0123456789abcdef', substr(md5(g), 5, 1)) - 1) * 4096
+          + (strpos('0123456789abcdef', substr(md5(g), 6, 1)) - 1) * 256
+          + (strpos('0123456789abcdef', substr(md5(g), 7, 1)) - 1) * 16
+          + (strpos('0123456789abcdef', substr(md5(g), 8, 1)) - 1))
+            * {1 << _POS_BITS}
+          + ({(1 << _POS_BITS) - 1} - pos)) AS key
+  FROM grams
+),
+wmin AS (
+  SELECT doc_id, pos, n_grams,
+         MIN(key) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN CURRENT ROW
+                                 AND {WINNOW_W - 1} FOLLOWING) AS sel
+  FROM keyed
+),
+fp AS (
+  SELECT DISTINCT doc_id, sel // {1 << _POS_BITS} AS fp_hash
+  FROM wmin WHERE pos <= greatest(n_grams - {WINNOW_W} + 1, 1)
+),
+live AS (
+  SELECT fp_hash FROM fp GROUP BY fp_hash
+  HAVING COUNT(*) <= {WINNOW_MAX_DF}
+),
+kept AS (SELECT f.doc_id, f.fp_hash FROM fp f JOIN live USING (fp_hash)),
+cnt AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_fp FROM kept GROUP BY doc_id
+),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(COUNT(*) AS BIGINT) AS n_shared
+  FROM kept a JOIN kept b
+    ON a.fp_hash = b.fp_hash AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+  HAVING COUNT(*) >= {WINNOW_MIN_SHARED}
+)
+SELECT p.doc_a, p.doc_b, p.n_shared,
+       CAST(FLOOR(CAST((1.0 * p.n_shared / LEAST(ca.n_fp, cb.n_fp))
+            AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) / 1000000.0
+         AS containment
+FROM pairs p
+JOIN cnt ca ON p.doc_a = ca.doc_id
+JOIN cnt cb ON p.doc_b = cb.doc_id
+ORDER BY p.doc_a, p.doc_b
+"""
+
+
+@plan("dedup_winnowing", oracle=WINNOWING_SQL)
+def dedup_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing near-dup detection (Schleimer et al., SIGMOD 2003 —
+    the MOSS fingerprinter): per document, hash token WINNOW_K-grams,
+    keep each WINNOW_W-window's MINIMUM hash as a fingerprint
+    (rightmost tie-break via the packed position key), then pair
+    documents sharing ≥ WINNOW_MIN_SHARED fingerprints and report the
+    fingerprint-containment share. The positional guarantee the other
+    dedup modalities lack: ANY shared token run of length
+    WINNOW_W + WINNOW_K - 1 produces a shared fingerprint, so a lifted
+    paragraph is caught even when whole-document Jaccard (MinHash) or
+    the global bit-average (SimHash) can't see it.
+
+    Shape: selection is SCAN-SIDE — the windowed MIN partitions by
+    doc_id (parallel across docs, no global sort) and keeps
+    ~2/(WINNOW_W+1) of the k-gram stream; boilerplate fingerprints in
+    more than WINNOW_MAX_DF docs are dropped before pairing (the
+    hot-bucket cap every fingerprint index needs — density × cap
+    bounds every group's pair fan-out); the pair join is
+    fingerprint-keyed, never all-pairs.
+
+    Determinism: the min key packs (32-bit md5 hash, inverted
+    position) into one BIGINT — rightmost-min tie-break as pure
+    integer ordering, identical in both engines; counts are exact,
+    float enters once at the containment division."""
+    docs = load(spark, sf_dir, "documents")
+    toks_df = docs.select(
+        "doc_id", F.split(F.trim(F.lower(F.col("text"))), " +").alias("t")
+    ).filter(F.size("t") >= WINNOW_K)
+    n_grams = F.greatest(F.size("t") - WINNOW_K + 1, F.lit(0))
+    grams_arr = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size("t") - WINNOW_K + 1, F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(F.col("t"), i, WINNOW_K)),
+    )
+    grams = toks_df.select(
+        "doc_id",
+        n_grams.alias("n_grams"),
+        F.posexplode(grams_arr).alias("pos0", "g"),
+    ).select(
+        "doc_id",
+        "n_grams",
+        (F.col("pos0") + 1).alias("pos"),
+        F.conv(F.substring(F.md5(F.col("g")), 1, 8), 16, 10)
+        .cast("long")
+        .alias("h"),
+    )
+    key = (
+        F.col("h") * F.lit(1 << _POS_BITS)
+        + (F.lit((1 << _POS_BITS) - 1) - F.col("pos"))
+    ).alias("key")
+    wmin = grams.select("doc_id", "pos", "n_grams", key).withColumn(
+        "sel",
+        F.min("key").over(
+            Window.partitionBy("doc_id")
+            .orderBy("pos")
+            .rowsBetween(0, WINNOW_W - 1)
+        ),
+    )
+    fp = (
+        wmin.filter(
+            F.col("pos")
+            <= F.greatest(F.col("n_grams") - WINNOW_W + 1, F.lit(1))
+        )
+        .select(
+            "doc_id",
+            F.floor(F.col("sel") / F.lit(1 << _POS_BITS))
+            .cast("long")
+            .alias("fp_hash"),
+        )
+        .distinct()
+    )
+    live = fp.groupBy("fp_hash").agg(
+        F.count(F.lit(1)).alias("df")
+    ).filter(F.col("df") <= WINNOW_MAX_DF).select("fp_hash")
+    kept = fp.join(live, "fp_hash")
+    cnt = kept.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("n_fp"))
+    a = kept.select(F.col("doc_id").alias("doc_a"), "fp_hash")
+    b = kept.select(F.col("doc_id").alias("doc_b"), "fp_hash")
+    pairs = (
+        a.join(b, "fp_hash")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+        .filter(F.col("n_shared") >= WINNOW_MIN_SHARED)
+    )
+    ca = cnt.select(F.col("doc_id").alias("doc_a"), F.col("n_fp").alias("nfa"))
+    cb = cnt.select(F.col("doc_id").alias("doc_b"), F.col("n_fp").alias("nfb"))
+    return (
+        pairs.join(ca, "doc_a")
+        .join(cb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_shared",
+            quantize6(
+                F.lit(1.0) * F.col("n_shared")
+                / F.least("nfa", "nfb")
+            ).alias("containment"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )

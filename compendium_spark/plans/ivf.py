@@ -733,3 +733,148 @@ def sim_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# train_ivf_centroids — Lloyd training of the coarse quantizer
+# ---------------------------------------------------------------------------
+
+# The train step of the IVF coarse quantizer (FAISS `Clustering` on the
+# full vectors): sim_ivf_* probes FIXED seeded centroids; this plan
+# RUNS the k-means those deployments train with — two Lloyd iterations
+# from the seeded centroids as init, returning the trained centroids.
+# Completes the IVF index-build story the way train_pq_codebooks
+# completes PQ's. Same determinism discipline: per-(cell, dim) means
+# are exact micro-unit BIGINT sums divided once and FLOOR-quantized
+# before the next assignment, and the assignment argmax uses the same
+# sequential accumulation as _assign_cells, so both engines walk
+# identical centroids through both iterations.
+IVF_TRAIN_ITERS = 2
+
+
+def _ivf_train_sql() -> str:
+    from compendium_spark.functions.numeric import sql_quantize6  # noqa: PLC0415
+
+    cb0 = " UNION ALL ".join(
+        f"SELECT {i} AS cell, {_sql_centroid_lit(c)} AS cvec"
+        for i, c in enumerate(CENTROIDS)
+    )
+    mean = (
+        "SUM(CAST(FLOOR(ex.x * 1000000.0 + 0.5) AS BIGINT))"
+        " / (COUNT(*) * 1000000.0)"
+    )
+
+    def assign(c: int, prev_cb: str) -> str:
+        # nearest = best dot score (the _assign_cells rule), tie → cell
+        return f"""
+a{c} AS MATERIALIZED (
+  SELECT vec_id, cell FROM (
+    SELECT v.vec_id, k.cell,
+           ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+             list_sum(list_transform(v.e, (x, i) -> x * k.cvec[i])) DESC,
+             k.cell) AS rn
+    FROM v JOIN {prev_cb} k ON TRUE
+  ) WHERE rn = 1
+)"""
+
+    def update(c: int, prev_cb: str) -> str:
+        return f"""
+mu{c} AS MATERIALIZED (
+  SELECT a.cell, ex.pos, {sql_quantize6(mean)} AS v
+  FROM (
+    SELECT vec_id, unnest(e) AS x,
+           unnest(range(1, {DIM} + 1)) AS pos
+    FROM v
+  ) ex
+  JOIN a{c} a ON ex.vec_id = a.vec_id
+  GROUP BY a.cell, ex.pos
+),
+cb{c} AS MATERIALIZED (
+  SELECT p.cell,
+         list_transform(range(1, {DIM} + 1),
+                        i -> COALESCE(mu.mlist[i], p.cvec[i])) AS cvec
+  FROM {prev_cb} p LEFT JOIN (
+    SELECT cell, list(v ORDER BY pos) AS mlist FROM mu{c} GROUP BY cell
+  ) mu ON p.cell = mu.cell
+)"""
+
+    iters = []
+    prev = "cb0"
+    for c in range(1, IVF_TRAIN_ITERS + 1):
+        iters.append("," + assign(c, prev) + "," + update(c, prev))
+        prev = f"cb{c}"
+    return f"""
+WITH v AS MATERIALIZED (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+),
+cb0 AS MATERIALIZED ({cb0}){"".join(iters)}
+SELECT CAST(c.cell AS INT) AS cell, CAST(p.pos AS INT) AS pos,
+       {sql_quantize6("c.cvec[p.pos]")} AS value
+FROM {prev} c, (SELECT unnest(range(1, {DIM} + 1)) AS pos) p
+ORDER BY cell, pos
+"""
+
+
+@plan("train_ivf_centroids", oracle=_ivf_train_sql())
+def train_ivf_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd training of the IVF coarse quantizer: IVF_TRAIN_ITERS
+    k-means iterations over the full vectors, initialized from the
+    seeded centroids sim_ivf_* probes against — FAISS's coarse
+    `Clustering`, expressed Spark-first. Returns the trained centroids
+    as (cell, pos, value) rows. Same nearest rule as the serving path
+    (max dot score, tie → lowest cell), so the trained table drops
+    into _assign_cells unchanged.
+
+    Scale: each iteration is ONE Arrow assignment pass over the corpus
+    (the audited _assign_cells kernel with a parameterized centroid
+    table) plus ONE per-(cell, dim) mean aggregation whose output is
+    bounded by CONSTRUCTION (N_CELLS×DIM rows to the driver — the
+    kmeans precedent); the corpus never shuffles raw vectors,
+    centroids ride the closure. Empty cells keep their previous
+    centroid (the oracle's COALESCE).
+
+    Parity AND run-to-run determinism: per-dim means are EXACT
+    micro-unit BIGINT sums divided once (never an unordered float AVG
+    — the seasonal-decompose boundary-flip class), FLOOR-quantized
+    before entering the next assignment, and the assignment kernel
+    accumulates dims sequentially, so both engines walk identical
+    centroids through every iteration."""
+    from compendium_spark.plans.extended import _load_embeddings  # noqa: PLC0415
+
+    emb = _load_embeddings(spark, sf_dir)
+    coords = emb.select(
+        "vec_id", F.posexplode("e").alias("pos0", "x")
+    ).select(
+        "vec_id",
+        (F.col("pos0") + 1).cast("int").alias("pos"),
+        F.floor(F.col("x") * F.lit(1000000.0) + F.lit(0.5))
+        .cast("long")
+        .alias("x_micro"),
+    ).localCheckpoint(eager=True)  # reused by every iteration's update
+    cents = [list(c) for c in CENTROIDS]
+    for _ in range(IVF_TRAIN_ITERS):
+        assign = _assign_cells(emb, cents)
+        rows = (
+            coords.join(assign, "vec_id")
+            .groupBy("cell", "pos")
+            .agg(
+                quantize6(
+                    F.sum("x_micro")
+                    / (F.count(F.lit(1)) * F.lit(1000000.0))
+                ).alias("v")
+            )
+            .collect()
+        )  # ≤ N_CELLS×DIM rows: bounded driver work, the kmeans precedent
+        for r in rows:
+            cents[r.cell][r.pos - 1] = r.v
+    out = [
+        (cell, pos + 1, float(cents[cell][pos]))
+        for cell in range(N_CELLS)
+        for pos in range(DIM)
+    ]
+    return (
+        spark.createDataFrame(out, "cell int, pos int, value double")
+        .select("cell", "pos", quantize6("value").alias("value"))
+        .orderBy("cell", "pos")
+    )

