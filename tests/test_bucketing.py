@@ -1,97 +1,85 @@
-"""Bucketed co-located join: the 100 TB fact-fact join strategy.
+"""Bucketed co-located join: the pre-shuffled table layout.
 
-q12-style orders ⋈ lineitem joins shuffle both fact tables on the
-join key every query. Bucketing both tables by that key at write time
-(`bucketBy`) pre-shuffles ONCE: every later join reads matching
-buckets and sort-merge-joins with NO exchange on either side. This
-test materializes bucketed copies of the testdata facts and asserts
-the join plan is exchange-free — the property that makes repeated
-fact joins affordable at scale.
+tools/bucket_bench.py measures the A/B at sf0.1; this test pins the
+PLAN-SHAPE contract at the smoke SF so a regression (bucket spec not
+honored, config drift re-enabling the shuffle) fails the suite: both
+sides written `bucketBy(join key)` must sort-merge-join with ZERO
+join-key Exchange, and the result must equal the plain-layout join.
 """
 
 from __future__ import annotations
 
-import pytest
+import re
+
 from pyspark.sql import functions as F
 
 from compendium_spark.tables import load
 
 from .conftest import SF_SMOKE
 
-N_BUCKETS = 8
 
-
-@pytest.fixture(scope="module")
-def bucketed(spark, tmp_path_factory):
-    wh_dir = str(tmp_path_factory.mktemp("bucketed_wh"))
-    spark.sql("DROP TABLE IF EXISTS b_orders")
-    spark.sql("DROP TABLE IF EXISTS b_lineitem")
-    (
-        load(spark, SF_SMOKE, "orders")
-        .write.bucketBy(N_BUCKETS, "o_orderkey")
-        .sortBy("o_orderkey")
-        .format("parquet")
-        .option("path", f"{wh_dir}/b_orders")
-        .saveAsTable("b_orders")
-    )
-    (
-        load(spark, SF_SMOKE, "lineitem")
-        .write.bucketBy(N_BUCKETS, "l_orderkey")
-        .sortBy("l_orderkey")
-        .format("parquet")
-        .option("path", f"{wh_dir}/b_lineitem")
-        .saveAsTable("b_lineitem")
-    )
-    yield spark
-    spark.sql("DROP TABLE IF EXISTS b_orders")
-    spark.sql("DROP TABLE IF EXISTS b_lineitem")
-
-
-def test_bucketed_join_is_shuffle_free(bucketed):
-    spark = bucketed
-    joined = (
-        spark.table("b_orders")
-        .hint("merge")  # pin SMJ: the point is bucket co-location, not
-        # the tiny-SF broadcast AQE would otherwise pick
-        .join(
-            spark.table("b_lineitem"),
-            F.col("o_orderkey") == F.col("l_orderkey"),
-        )
+def _join_agg(orders, lineitem):
+    return (
+        orders.join(lineitem, orders["o_orderkey"] == lineitem["l_orderkey"])
         .groupBy("o_orderpriority")
-        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(18,4)"
+                )
+            ).alias("revenue"),
+        )
+        .orderBy("o_orderpriority")
     )
-    joined.collect()
-    plan = joined._jdf.queryExecution().executedPlan().toString()
-    plan = plan.split("== Initial Plan ==")[0]
-    assert "SortMergeJoin" in plan
-    # the join subtree (below the partial aggregate) must be
-    # exchange-free: both sides stream straight from bucketed files
-    join_part = plan.split("HashAggregate")[-1]
-    assert "Exchange" not in join_part, f"join shuffled:\n{join_part}"
 
 
-def test_bucketed_join_matches_unbucketed(bucketed):
-    spark = bucketed
-    got = {
-        r.o_orderpriority: r.n
-        for r in spark.table("b_orders")
-        .join(
-            spark.table("b_lineitem"),
-            F.col("o_orderkey") == F.col("l_orderkey"),
+def test_bucketed_join_has_no_join_key_exchange(spark, tmp_path):
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    prev_aqe = spark.conf.get(
+        "spark.sql.adaptive.autoBroadcastJoinThreshold", None
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    spark.sql("CREATE DATABASE IF NOT EXISTS btest LOCATION '"
+              + str(tmp_path / "btest.db") + "'")
+    try:
+        orders = load(spark, SF_SMOKE, "orders")
+        lineitem = load(spark, SF_SMOKE, "lineitem")
+        for name, df, key in [
+            ("btest.orders_b", orders, "o_orderkey"),
+            ("btest.lineitem_b", lineitem, "l_orderkey"),
+        ]:
+            (
+                df.write.mode("overwrite")
+                .bucketBy(4, key)
+                .sortBy(key)
+                .format("parquet")
+                .saveAsTable(name)
+            )
+        plain = _join_agg(orders, lineitem)
+        bucketed = _join_agg(
+            spark.table("btest.orders_b"), spark.table("btest.lineitem_b")
         )
-        .groupBy("o_orderpriority")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .collect()
-    }
-    want = {
-        r.o_orderpriority: r.n
-        for r in load(spark, SF_SMOKE, "orders")
-        .join(
-            load(spark, SF_SMOKE, "lineitem"),
-            F.col("o_orderkey") == F.col("l_orderkey"),
+        want = [tuple(r) for r in plain.collect()]
+        got = [tuple(r) for r in bucketed.collect()]
+        assert got == want  # layout must not change values
+        ex = re.findall(
+            r"Exchange hashpartitioning\((?:o_orderkey|l_orderkey)",
+            bucketed._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+            .split("== Initial Plan ==")[0],
         )
-        .groupBy("o_orderpriority")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .collect()
-    }
-    assert got == want
+        assert not ex, f"bucketed join still shuffles: {ex}"
+    finally:
+        spark.sql("DROP TABLE IF EXISTS btest.orders_b")
+        spark.sql("DROP TABLE IF EXISTS btest.lineitem_b")
+        spark.sql("DROP DATABASE IF EXISTS btest")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        if prev_aqe is None:
+            spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+        else:
+            spark.conf.set(
+                "spark.sql.adaptive.autoBroadcastJoinThreshold", prev_aqe
+            )
