@@ -309,6 +309,7 @@ _ROUND9_STALE = [
     "curate_decontaminate",
     "curate_dsir_resample",
     "curate_dsir_weights",
+    "curate_mixture_epochs",
     "dedup_embedding_cosine",
     "dedup_winnowing",
     "sim_recall_report",
@@ -322,6 +323,7 @@ _ROUND9_STALE = [
     "sim_pq_codes",
     "sim_range_search",
     "streaming_interval_outer_join",
+    "text_gopher_rules",
     "text_heaps_curve",
     "train_pq_codebooks",
     "train_quality_logreg",

@@ -1590,3 +1590,121 @@ def dedup_impact_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# curate_mixture_epochs: per-source epoch multipliers under a token budget
+# ---------------------------------------------------------------------------
+
+# The data-recipe table LLaMA/Gopher-style reports: given temperature-
+# scaled target weights and each source's AVAILABLE tokens, how many
+# epochs (repeats) of each source does the training budget imply — and
+# which sources blow past the repeat ceiling beyond which extra epochs
+# stop helping (≈4, Muennighoff et al. 2023, "Scaling Data-Constrained
+# Language Models"). curate_mixture_temperature allocates documents;
+# this is the token/epoch view that decides actual sampling configs.
+EPOCH_BUDGET_X = 2  # training budget = 2× the total corpus tokens
+EPOCH_CAP = 4  # diminishing-returns repeat ceiling
+
+MIX_EPOCHS_SQL = f"""
+WITH per_src AS (
+  SELECT source,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(len(string_split_regex(trim(text), ' +'))) AS BIGINT)
+           AS n_tokens
+  FROM documents GROUP BY source
+),
+sq AS (
+  SELECT source, n_docs, n_tokens,
+         CAST(FLOOR(SQRT(CAST(n_tokens AS DOUBLE)) * 1000000.0) AS BIGINT)
+           AS sq_scaled
+  FROM per_src
+),
+tot AS (
+  SELECT CAST(SUM(sq_scaled) AS BIGINT) AS d,
+         CAST(SUM(n_tokens) AS BIGINT) AS t
+  FROM sq
+)
+SELECT s.source, s.n_docs, s.n_tokens,
+       CAST(FLOOR(CAST(s.sq_scaled AS DOUBLE) / tot.d * 1000000.0 + 0.5)
+            AS BIGINT) / 1000000.0 AS weight,
+       CAST(FLOOR({EPOCH_BUDGET_X} * tot.t * CAST(s.sq_scaled AS DOUBLE)
+                  / tot.d) AS BIGINT) AS target_tokens,
+       CAST(FLOOR(CAST(FLOOR({EPOCH_BUDGET_X} * tot.t
+                             * CAST(s.sq_scaled AS DOUBLE) / tot.d) AS BIGINT)
+                  * 1000000.0 / s.n_tokens + 0.5) AS BIGINT) / 1000000.0
+         AS epochs,
+       (CAST(FLOOR({EPOCH_BUDGET_X} * tot.t * CAST(s.sq_scaled AS DOUBLE)
+                   / tot.d) AS BIGINT) > {EPOCH_CAP} * s.n_tokens)
+         AS over_cap
+FROM sq s CROSS JOIN tot
+ORDER BY s.source
+"""
+
+
+@plan("curate_mixture_epochs", oracle=MIX_EPOCHS_SQL)
+def curate_mixture_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source EPOCH multipliers under a token budget: with
+    temperature-scaled target weights (w_s ∝ tokens_s^0.5, the
+    curate_mixture_temperature convention) and a training budget of
+    EPOCH_BUDGET_X × the corpus's total tokens, report each source's
+    target token draw and the implied epochs = target/available —
+    flagging sources whose draw exceeds the EPOCH_CAP-repeat ceiling
+    past which repeated data stops buying loss (Muennighoff et al.
+    2023). This is the table a data recipe actually ships: sampling
+    weights become per-source repeat factors. (Production waterfills
+    the over-cap excess back into uncapped sources; that iteration
+    lives in the recipe tool, not the per-source report.)
+
+    Parity discipline: sqrt of an exact BIGINT is correctly-rounded
+    IEEE; the scaled sqrt FLOORs to an integer so the denominator is
+    an exact BIGINT sum; target_tokens FLOORs to a BIGINT, so the
+    epochs division and the over-cap flag (a pure INTEGER cross-
+    multiply) are engine-identical. Scale: one groupBy(source) with
+    map-side combine; everything after runs on source-count rows (the
+    single-partition window over the tiny aggregate, the
+    mixture-temperature shape)."""
+    per_src = (
+        load(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.size(F.split(F.trim(F.col("text")), " +")))
+            .cast("long")
+            .alias("n_tokens"),
+        )
+    )
+    sq = per_src.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.floor(F.sqrt(F.col("n_tokens").cast("double")) * 1000000.0)
+        .cast("long")
+        .alias("sq_scaled"),
+    )
+    wall = Window.partitionBy()
+    d = F.sum("sq_scaled").over(wall).cast("long")
+    t = F.sum("n_tokens").over(wall).cast("long")
+    target = F.floor(
+        F.lit(EPOCH_BUDGET_X) * t * F.col("sq_scaled").cast("double") / d
+    ).cast("long")
+    return (
+        sq.select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            quantize6(F.col("sq_scaled").cast("double") / d).alias("weight"),
+            target.alias("target_tokens"),
+            # NOT quantize6(target/n_tokens): that would evaluate
+            # (x/1e6)*1e6 which can sit 1 ulp off the oracle's direct
+            # x form at a FLOOR boundary — write the identical op chain
+            (
+                F.floor(
+                    target * F.lit(1000000.0) / F.col("n_tokens") + F.lit(0.5)
+                ).cast("long")
+                / F.lit(1000000.0)
+            ).alias("epochs"),
+            (target > F.lit(EPOCH_CAP) * F.col("n_tokens")).alias("over_cap"),
+        )
+        .orderBy("source")
+    )

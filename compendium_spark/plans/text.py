@@ -1279,3 +1279,149 @@ def text_heaps_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("d_tokens").over(w).cast("long").alias("n_tokens"),
         F.sum("d_vocab").over(w).cast("long").alias("n_distinct_tokens"),
     ).orderBy("share")
+
+
+# ---------------------------------------------------------------------------
+# text_gopher_rules — the MassiveText/Gopher quality-filter rule set
+# ---------------------------------------------------------------------------
+
+# Rae et al. 2021 (Gopher), table A1: the rule set most open-data
+# pipelines start from. Every threshold below compares INTEGERS
+# (cross-multiplied ratios), so the keep decision is immune to float
+# entirely; the two reported ratios are display-only.
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MWL = 3  # mean word length bounds (chars)
+GOPHER_MAX_MWL = 10
+# the paper's list is ["the","be","to","of","and","that","have","with"];
+# the synthetic fixture's vocabulary contains only its two function
+# words, so the rule keeps the paper's SHAPE (>= MIN distinct required
+# words present) over the corpus-appropriate list — swap the literal
+# back for English prose.
+GOPHER_STOPWORDS = ["the", "a"]
+GOPHER_MIN_STOPWORDS = 2
+
+_GOPHER_STOP_LIT = ", ".join(f"'{w}'" for w in GOPHER_STOPWORDS)
+
+GOPHER_SQL = f"""
+WITH base AS (
+  SELECT doc_id,
+         string_split_regex(trim(text), ' +') AS words,
+         (len(text) - len(replace(text, '#', ''))
+          + (len(text) - len(replace(text, '...', ''))) // 3) AS n_symbols
+  FROM documents
+),
+m AS (
+  SELECT doc_id,
+         CAST(len(words) AS BIGINT) AS n_words,
+         CAST(len(array_to_string(words, '')) AS BIGINT) AS n_word_chars,
+         n_symbols,
+         CAST(len(list_filter(words, x -> regexp_matches(x, '[a-zA-Z]')))
+              AS BIGINT) AS n_alpha_words,
+         CAST(len(list_intersect(list_transform(words, x -> lower(x)),
+                                 [{_GOPHER_STOP_LIT}])) AS BIGINT)
+           AS n_stopwords
+  FROM base
+)
+SELECT doc_id, n_words,
+       CAST(FLOOR(CAST((1.0 * n_word_chars / n_words) AS DOUBLE)
+            * 1000000.0 + 0.5) AS BIGINT) / 1000000.0 AS mean_word_len,
+       (n_words >= {GOPHER_MIN_WORDS} AND n_words <= {GOPHER_MAX_WORDS})
+         AS r_word_count,
+       (n_word_chars >= {GOPHER_MIN_MWL} * n_words
+        AND n_word_chars <= {GOPHER_MAX_MWL} * n_words) AS r_mean_word_len,
+       (10 * n_symbols < n_words) AS r_symbol_ratio,
+       (5 * n_alpha_words >= 4 * n_words) AS r_alpha_words,
+       (n_stopwords >= {GOPHER_MIN_STOPWORDS}) AS r_stopwords,
+       CAST((CASE WHEN n_words >= {GOPHER_MIN_WORDS}
+                   AND n_words <= {GOPHER_MAX_WORDS} THEN 1 ELSE 0 END)
+          + (CASE WHEN n_word_chars >= {GOPHER_MIN_MWL} * n_words
+                   AND n_word_chars <= {GOPHER_MAX_MWL} * n_words
+              THEN 1 ELSE 0 END)
+          + (CASE WHEN 10 * n_symbols < n_words THEN 1 ELSE 0 END)
+          + (CASE WHEN 5 * n_alpha_words >= 4 * n_words THEN 1 ELSE 0 END)
+          + (CASE WHEN n_stopwords >= {GOPHER_MIN_STOPWORDS}
+              THEN 1 ELSE 0 END) AS BIGINT) AS n_passed,
+       (n_words >= {GOPHER_MIN_WORDS} AND n_words <= {GOPHER_MAX_WORDS}
+        AND n_word_chars >= {GOPHER_MIN_MWL} * n_words
+        AND n_word_chars <= {GOPHER_MAX_MWL} * n_words
+        AND 10 * n_symbols < n_words
+        AND 5 * n_alpha_words >= 4 * n_words
+        AND n_stopwords >= {GOPHER_MIN_STOPWORDS}) AS keep
+FROM m ORDER BY doc_id
+"""
+
+
+@plan("text_gopher_rules", oracle=GOPHER_SQL)
+def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher/MassiveText quality-filter rule set (Rae et al.
+    2021, table A1) as one scan-stage pass: per document, the per-rule
+    pass flags (word-count bounds, mean-word-length bounds,
+    symbol-to-word ratio, alphabetic-word share, required-stopword
+    presence), the pass count, and the conjunctive keep decision —
+    the named rule battery text_quality_score's generic thresholds
+    stand in for. (The fixture's synthetic text is symbol- and
+    bullet-free, so the symbol and alpha rules pass everywhere here;
+    the word-count, mean-length and stopword rules split it.)
+
+    Determinism: every threshold is a CROSS-MULTIPLIED INTEGER compare
+    (e.g. alpha-share ≥ 0.8 as 5·n_alpha ≥ 4·n_words), so the keep
+    decision never touches a float; the one reported ratio is
+    display-only and quantized. Scale: pure scan-stage expression work
+    over codegen'd string primitives, no shuffle at all (the output
+    ordering is the gate's, not the operator's)."""
+    docs = load(spark, sf_dir, "documents")
+    words = F.split(F.trim(F.col("text")), " +")
+    n_symbols = (
+        F.length("text") - F.length(F.replace(F.col("text"), F.lit("#"), F.lit("")))
+        + F.floor(
+            (
+                F.length("text")
+                - F.length(F.replace(F.col("text"), F.lit("..."), F.lit("")))
+            )
+            / F.lit(3)
+        ).cast("long")
+    )
+    m = docs.select(
+        "doc_id",
+        F.size(words).cast("long").alias("n_words"),
+        F.length(F.concat_ws("", words)).cast("long").alias("n_word_chars"),
+        n_symbols.alias("n_symbols"),
+        F.size(F.filter(words, lambda x: x.rlike("[a-zA-Z]")))
+        .cast("long")
+        .alias("n_alpha_words"),
+        F.size(
+            F.array_intersect(
+                F.transform(words, F.lower),
+                F.array(*[F.lit(w) for w in GOPHER_STOPWORDS]),
+            )
+        )
+        .cast("long")
+        .alias("n_stopwords"),
+    )
+    r_wc = (F.col("n_words") >= GOPHER_MIN_WORDS) & (
+        F.col("n_words") <= GOPHER_MAX_WORDS
+    )
+    r_mwl = (F.col("n_word_chars") >= GOPHER_MIN_MWL * F.col("n_words")) & (
+        F.col("n_word_chars") <= GOPHER_MAX_MWL * F.col("n_words")
+    )
+    r_sym = F.lit(10) * F.col("n_symbols") < F.col("n_words")
+    r_alpha = F.lit(5) * F.col("n_alpha_words") >= F.lit(4) * F.col("n_words")
+    r_stop = F.col("n_stopwords") >= GOPHER_MIN_STOPWORDS
+    n_passed = sum(
+        F.when(r, 1).otherwise(0) for r in [r_wc, r_mwl, r_sym, r_alpha, r_stop]
+    ).cast("long")
+    return m.select(
+        "doc_id",
+        "n_words",
+        quantize6(
+            F.lit(1.0) * F.col("n_word_chars") / F.col("n_words")
+        ).alias("mean_word_len"),
+        r_wc.alias("r_word_count"),
+        r_mwl.alias("r_mean_word_len"),
+        r_sym.alias("r_symbol_ratio"),
+        r_alpha.alias("r_alpha_words"),
+        r_stop.alias("r_stopwords"),
+        n_passed.alias("n_passed"),
+        (r_wc & r_mwl & r_sym & r_alpha & r_stop).alias("keep"),
+    ).orderBy("doc_id")

@@ -219,3 +219,40 @@ def test_ivf_training_reduces_distortion(spark):
 
     d_init, d_trained = distortion(init), distortion(trained)
     assert d_trained < d_init * 0.995, (d_init, d_trained)
+
+
+def test_gopher_rules_split_and_consistency(spark):
+    """The named rule battery must actually split the fixture (keeps
+    and drops both present), keep must equal the conjunction of the
+    flags, and n_passed must count them."""
+    from compendium_spark.plans.text import text_gopher_rules
+
+    rows = text_gopher_rules(spark, SF_ORACLE).toPandas()
+    flags = ["r_word_count", "r_mean_word_len", "r_symbol_ratio",
+             "r_alpha_words", "r_stopwords"]
+    assert rows.keep.any() and (~rows.keep).any()
+    assert (rows.keep == rows[flags].all(axis=1)).all()
+    assert (rows.n_passed == rows[flags].sum(axis=1)).all()
+    # at least two distinct rules must actually discriminate on the
+    # fixture (not a single-rule filter in disguise)
+    assert sum(rows[f].nunique() > 1 for f in flags) >= 2
+
+
+def test_mixture_epochs_budget_reconciles(spark):
+    """Σ target_tokens must equal the budget (± one FLOOR per source),
+    epochs must equal target/available, and the over-cap flag must
+    match the integer cross-multiply."""
+    from compendium_spark.plans.curation import (
+        EPOCH_BUDGET_X,
+        EPOCH_CAP,
+        curate_mixture_epochs,
+    )
+
+    rows = curate_mixture_epochs(spark, SF_ORACLE).toPandas()
+    total = int(rows.n_tokens.sum())
+    budget = EPOCH_BUDGET_X * total
+    got = int(rows.target_tokens.sum())
+    assert budget - len(rows) <= got <= budget
+    for r in rows.itertuples():
+        assert abs(r.epochs - r.target_tokens / r.n_tokens) < 2e-6
+        assert r.over_cap == (r.target_tokens > EPOCH_CAP * r.n_tokens)
