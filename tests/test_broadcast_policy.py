@@ -79,7 +79,7 @@ ALLOWED: dict[tuple[str, str], tuple[int, str]] = {
     ("plans/bloom.py", "dedup_bloom_prefilter"): (2, "Bloom bit array (m=256 fixed) + ref hashes of a FILTERED slice (documented)"),
     ("operators/merge.py", "partial_update"): (1, "update batch (delta, bounded by ingest contract)"),
     # --- round-9 plans (folded in from the r8 on-deck module) ---------
-    ("plans/scoring.py", "curate_dsir_weights"): (2, "1-row totals + ≤256-bucket hashed model (bounded by construction)"),
+    ("plans/scoring.py", "_dsir_doc_scores"): (2, "1-row totals + ≤256-bucket hashed model (bounded by construction); shared by both DSIR plans"),
     ("plans/ivf.py", "sim_ivf_tuning_curve"): (4, "≤10-query side, 4-row sweep, 1-row totals"),
     ("plans/extended.py", "emb_dedup_threshold_curve"): (2, "6-row tau sweep + 1-row corpus total"),
     ("plans/text.py", "text_heaps_curve"): (1, "4-row prefix-share frame"),

@@ -18,6 +18,8 @@ R9B_PLANS = [
     "curate_dsir_resample",
     "ts_anomaly_remainder",
     "train_ivf_centroids",
+    "text_gopher_rules",
+    "curate_mixture_epochs",
 ]
 
 SF_FULL = "/root/testdata/sf0.1"
