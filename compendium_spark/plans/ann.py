@@ -251,6 +251,10 @@ def _sql_probed_tables_union(col: str, n_tables: int = N_TABLES) -> str:
     <=-ladder (d0 wins ties over d1 over d2 over d3) — exactly
     np.argmin's first-minimum on bit-identical doubles."""
 
+    # the flip CASE ladder below is written for exactly 4 bits; a
+    # plane-count change must extend it or this assert fires at import
+    assert N_PLANES == 4, N_PLANES
+
     def one_table(t: int) -> str:
         dots = ", ".join(
             f"list_sum(list_transform({col}, (x, i) -> "

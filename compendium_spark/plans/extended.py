@@ -841,7 +841,8 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     the last scale-killer in the registry. The all-pairs form survives
     only as the recall oracle above.
 
-    Scale: candidates = Σ_bucket |b|²/2, never n²/2; the self-join
+    Scale: candidates = Σ_bucket |b_exact|·|b_probed| (≈1.9× the
+    exact-only Σ|b|²/2 at sf0.1), never n²/2; the self-join
     shuffles slim (vec_id, tbl, bucket) rows on the bucket key, arrays
     join in AFTER the distinct, and the top-k is a TakeOrdered, not a
     global sort. Top-k membership and ordering compare the QUANTIZED

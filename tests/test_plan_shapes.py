@@ -58,6 +58,10 @@ ALLPAIRS_BASELINES = {
     # exact sweep (<=10 broadcast queries × corpus, keyless by
     # design); both LSH candidate legs and every report join are keyed
     "sim_recall_report",
+    # nprobe tuning curve: exact-baseline <=10-query broadcast sweep
+    # plus the <=8-row rank/sweep frames and 1-row totals; the
+    # candidate leg is the keyed probe⋈inverted-file join
+    "sim_ivf_tuning_curve",
 }
 # plans whose only BNLJ/cartesian is a broadcast single-row scalar
 # (threshold / total / max) joined against every row — keyless by nature
@@ -79,6 +83,9 @@ SCALAR_SUBQUERY = {
     "text_bm25_topk",  # 1-row (N, avgdl) corpus-stats broadcast
     "text_boilerplate_shingles",  # 1-row corpus-size broadcast into the share
     "curate_domain_mix_report",  # 1-row (tot_docs, tot_tokens) broadcast into the shares
+    "emb_dedup_threshold_curve",  # 1-row corpus-total broadcast + 6-row tau sweep
+    "curate_dsir_weights",  # 1-row (tot_t, tot_r) model-totals broadcast
+    "curate_dsir_resample",  # same DSIR totals broadcast via _dsir_doc_scores
 }
 
 
