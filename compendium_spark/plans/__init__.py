@@ -329,11 +329,40 @@ _ROUND9_STALE = [
     "train_quality_logreg",
     "ts_seasonal_decompose",
 ]
-# tier 2 — drift canaries: oldest clean greens, re-sampled so data/env
-# drift cannot hide behind a many-round-old green (finalized at round
-# close once the stale set is complete).
-_ROUND9_CANARIES: list[str] = []
+# tier 2 — drift canaries: the 27 OLDEST clean greens (r01/r02 rows
+# whose closure fingerprints still match), re-sampled so data/env
+# drift cannot hide behind an eight-round-old green.
+_ROUND9_CANARIES = [
+    "o1_topk",
+    "p1_ordered_key_scan",
+    "p2_distinct_projection",
+    "p3_null_work_queue",
+    "p4_eligibility_filter",
+    "p5_status_set_filter",
+    "p7_nonzero_filter",
+    "p8_nonempty_array_filter",
+    "t1_melt_wide_to_long",
+    "a15_argmax",
+    "a_grouping_sets",
+    "f_json_extract",
+    "f_scalar_functions",
+    "j11_full_outer_join",
+    "j12_salted_skew_join",
+    "j9_semi_join",
+    "mm_feature_pipeline",
+    "p6_keyword_filter",
+    "q10_returned_items",
+    "q12_priority_shipping",
+    "q13_customer_distribution",
+    "q14_promo_effect",
+    "q16_supplier_count",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_orders",
+    "q19_discounted_revenue",
+    "q1_pricing_summary",
+]
 _ROUND9_WINDOW = [*_ROUND9_STALE, *_ROUND9_CANARIES]
+assert len(_ROUND9_WINDOW) == 50, len(_ROUND9_WINDOW)
 registry.promote(_ROUND9_WINDOW)
 
 all_plans = registry.all_plans
