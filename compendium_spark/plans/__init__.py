@@ -312,6 +312,7 @@ _ROUND9_STALE = [
     "curate_mixture_epochs",
     "dedup_embedding_cosine",
     "dedup_winnowing",
+    "graph_kcore",
     "sim_recall_report",
     "train_ivf_centroids",
     "ts_anomaly_remainder",
@@ -325,13 +326,15 @@ _ROUND9_STALE = [
     "streaming_interval_outer_join",
     "text_gopher_rules",
     "text_heaps_curve",
+    "text_source_overlap_matrix",
     "train_pq_codebooks",
     "train_quality_logreg",
     "ts_seasonal_decompose",
 ]
-# tier 2 — drift canaries: the 27 OLDEST clean greens (r01/r02 rows
+# tier 2 — drift canaries: the 25 OLDEST clean greens (r01/r02 rows
 # whose closure fingerprints still match), re-sampled so data/env
-# drift cannot hide behind an eight-round-old green.
+# drift cannot hide behind an eight-round-old green (two slots ceded
+# to the late graph_kcore / text_source_overlap_matrix additions).
 _ROUND9_CANARIES = [
     "o1_topk",
     "p1_ordered_key_scan",
@@ -357,8 +360,6 @@ _ROUND9_CANARIES = [
     "q14_promo_effect",
     "q16_supplier_count",
     "q17_small_quantity_revenue",
-    "q18_large_volume_orders",
-    "q19_discounted_revenue",
     "q1_pricing_summary",
 ]
 _ROUND9_WINDOW = [*_ROUND9_STALE, *_ROUND9_CANARIES]

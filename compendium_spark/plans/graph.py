@@ -480,3 +480,113 @@ def graph_2hop_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n_2hop"))
         .orderBy("node")
     )
+
+
+# ---------------------------------------------------------------------------
+# graph_kcore — coreness by iterative peeling
+# ---------------------------------------------------------------------------
+
+# k-core decomposition (Seidman 1983; the distributed form is
+# Montresor et al.'s iterative peel): repeatedly remove nodes of
+# degree < k until none remain — the standard density/robustness
+# screen a graph pipeline runs before community detection, and the
+# prune an ANN-graph maintainer applies to weakly-connected vectors.
+# Coreness(v) = the largest k whose k-core contains v. Rounds are
+# UNROLLED to a fixed depth (the trainers' discipline: both engines
+# execute the identical iteration count; convergence at the fixture
+# is asserted separately in tests), so the oracle is a chained-CTE
+# twin, not a recursive fixpoint the two engines could time
+# differently.
+KCORE_MAX_K = 4
+KCORE_ROUNDS = 6  # peel rounds per k; fixture converges in <= 4
+
+
+def _kcore_sql() -> str:
+    parts = [f"""WITH {_CN_GRAPH_CTES},
+nodes AS (SELECT DISTINCT node FROM nbr)"""]
+    survivors = {}
+    for k in range(1, KCORE_MAX_K + 1):
+        prev_e = "und"
+        for r in range(1, KCORE_ROUNDS + 1):
+            parts.append(f""",
+d_{k}_{r} AS MATERIALIZED (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+    SELECT a AS node FROM {prev_e} UNION ALL SELECT b FROM {prev_e}
+  ) GROUP BY node
+),
+s_{k}_{r} AS MATERIALIZED (SELECT node FROM d_{k}_{r} WHERE deg >= {k}),
+e_{k}_{r} AS MATERIALIZED (
+  SELECT e.a, e.b FROM {prev_e} e
+  JOIN s_{k}_{r} sa ON e.a = sa.node
+  JOIN s_{k}_{r} sb ON e.b = sb.node
+)""")
+            prev_e = f"e_{k}_{r}"
+        survivors[k] = f"s_{k}_{KCORE_ROUNDS}"
+    core_sum = " + ".join(
+        f"(CASE WHEN n.node IN (SELECT node FROM {survivors[k]}) THEN 1 ELSE 0 END)"
+        for k in range(1, KCORE_MAX_K + 1)
+    )
+    parts.append(f"""
+SELECT n.node, CAST({core_sum} AS BIGINT) AS coreness
+FROM nodes n
+ORDER BY coreness DESC, n.node
+""")
+    return "".join(parts)
+
+
+@plan("graph_kcore", oracle=_kcore_sql())
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core decomposition of the sparsified trade graph: coreness(v)
+    = the largest k (≤ KCORE_MAX_K) such that v survives iterative
+    peeling of all degree-<k nodes — Seidman's density measure, the
+    screen community detection and ANN-graph pruning run first. Cores
+    are NESTED, so coreness = the count of k-sweeps survived.
+
+    Shape: per (k, round) one degree aggregation over the surviving
+    edge list and one semi-join filter — each round is a keyed
+    groupBy + two joins on the (shrinking) edge list, never anything
+    quadratic; rounds are UNROLLED to KCORE_ROUNDS in BOTH engines
+    (the trainers' fixed-iteration discipline — a driver-side
+    early-exit would diverge from the chained-CTE oracle), and
+    convergence at the fixture (round n == round n-1) is asserted in
+    tests. At scale the peel is the textbook distributed k-core
+    (Montresor et al.): rounds bounded by the degeneracy, state =
+    the surviving edge list, all integer."""
+    und = _sparse_und(spark, sf_dir).localCheckpoint(eager=True)
+    nodes = (
+        und.select(F.col("a").alias("node"))
+        .unionAll(und.select("b"))
+        .distinct()
+    )
+    coreness = nodes.select("node", F.lit(0).cast("long").alias("coreness"))
+    for k in range(1, KCORE_MAX_K + 1):
+        e = und
+        s = None
+        for _ in range(KCORE_ROUNDS):
+            deg = (
+                e.select(F.col("a").alias("node"))
+                .unionAll(e.select(F.col("b").alias("node")))
+                .groupBy("node")
+                .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+            )
+            s = deg.filter(F.col("deg") >= k).select("node")
+            # eager checkpoint per round: the unrolled peel otherwise
+            # builds an exponentially deep lineage (each round
+            # references the previous edge frame three times)
+            e = (
+                e.join(s.withColumnRenamed("node", "a"), "a")
+                .join(s.withColumnRenamed("node", "b"), "b")
+                .select("a", "b")
+                .localCheckpoint(eager=True)
+            )
+        in_core = s.withColumn("hit", F.lit(1))
+        coreness = (
+            coreness.join(in_core, "node", "left")
+            .select(
+                "node",
+                (F.col("coreness") + F.coalesce("hit", F.lit(0))).alias(
+                    "coreness"
+                ),
+            )
+        )
+    return coreness.orderBy(F.desc("coreness"), "node")

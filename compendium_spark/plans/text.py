@@ -1425,3 +1425,120 @@ def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_passed.alias("n_passed"),
         (r_wc & r_mwl & r_sym & r_alpha & r_stop).alias("keep"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# text_source_overlap_matrix — corpus-level content overlap by source
+# ---------------------------------------------------------------------------
+
+# The governance matrix next to dedup_cross_source_rate: that plan
+# counts VERIFIED near-dup pairs between sources; this one measures
+# raw content overlap — Jaccard of the sources' distinct 3-gram
+# shingle sets — catching partial mirroring and shared boilerplate
+# that never forms a document-level dup pair. The per-shingle join
+# fan-out is bounded by the SOURCE count squared (each shingle
+# contributes at most C(sources, 2) pairs), so no hot-key cap is
+# needed: the reduction to (source, shingle) distinct rows happens
+# map-side before anything joins.
+
+
+def _source_overlap_sql() -> str:
+    return """
+WITH sh AS (
+  SELECT DISTINCT source,
+         unnest(list_transform(range(1, len(t) - 1),
+                i -> array_to_string(list_slice(t, i, i + 2), ' '))) AS g
+  FROM (SELECT source, string_split_regex(trim(lower(text)), ' +') AS t
+        FROM documents)
+  WHERE len(t) >= 3
+),
+per_src AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_shingles
+  FROM sh GROUP BY source
+),
+shared AS (
+  SELECT a.source AS src_a, b.source AS src_b,
+         CAST(COUNT(*) AS BIGINT) AS n_shared
+  FROM sh a JOIN sh b ON a.g = b.g AND a.source < b.source
+  GROUP BY a.source, b.source
+),
+grid AS (
+  SELECT a.source AS src_a, b.source AS src_b
+  FROM per_src a JOIN per_src b ON a.source < b.source
+)
+SELECT g.src_a, g.src_b,
+       CAST(COALESCE(s.n_shared, 0) AS BIGINT) AS n_shared,
+       pa.n_shingles AS n_a, pb.n_shingles AS n_b,
+       CAST(FLOOR(CAST((1.0 * COALESCE(s.n_shared, 0)
+                        / (pa.n_shingles + pb.n_shingles
+                           - COALESCE(s.n_shared, 0))) AS DOUBLE)
+                  * 1000000.0 + 0.5) AS BIGINT) / 1000000.0 AS jaccard
+FROM grid g
+LEFT JOIN shared s ON g.src_a = s.src_a AND g.src_b = s.src_b
+JOIN per_src pa ON g.src_a = pa.source
+JOIN per_src pb ON g.src_b = pb.source
+ORDER BY g.src_a, g.src_b
+"""
+
+
+@plan("text_source_overlap_matrix", oracle=_source_overlap_sql())
+def text_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source×source content-overlap matrix: Jaccard similarity of
+    each source pair's DISTINCT token-3-gram shingle sets — the
+    corpus-level mirror/boilerplate-sharing signal
+    dedup_cross_source_rate's verified-pair counts can miss (partial
+    mirroring below the per-document dup bar still inflates this
+    cell). The licensing/provenance review reads this before deciding
+    which feeds are redundant.
+
+    Shape: the corpus reduces MAP-SIDE to distinct (source, shingle)
+    rows (one shuffle on the shingle-keyed distinct); the pair join is
+    shingle-keyed with fan-out bounded by C(sources, 2) per shingle —
+    never corpus-sized — and every downstream frame is sources² rows.
+    All counts exact BIGINTs; float enters once at the Jaccard
+    division."""
+    docs = load(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.lower(F.col("text"))), " +")
+    grams_arr = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - 2, F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, 3)),
+    )
+    sh = (
+        docs.filter(F.size(toks) >= 3)
+        .select("source", F.explode(grams_arr).alias("g"))
+        .distinct()
+    )
+    per_src = sh.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_shingles")
+    )
+    a = sh.select(F.col("source").alias("src_a"), "g")
+    b = sh.select(F.col("source").alias("src_b"), "g")
+    shared = (
+        a.join(b, "g")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+    )
+    pa = per_src.select(
+        F.col("source").alias("src_a"), F.col("n_shingles").alias("n_a")
+    )
+    pb = per_src.select(
+        F.col("source").alias("src_b"), F.col("n_shingles").alias("n_b")
+    )
+    grid = pa.join(pb, F.col("src_a") < F.col("src_b"))
+    return (
+        grid.join(shared, ["src_a", "src_b"], "left")
+        .select(
+            "src_a",
+            "src_b",
+            F.coalesce("n_shared", F.lit(0)).cast("long").alias("n_shared"),
+            "n_a",
+            "n_b",
+            quantize6(
+                F.lit(1.0)
+                * F.coalesce("n_shared", F.lit(0))
+                / (F.col("n_a") + F.col("n_b") - F.coalesce("n_shared", F.lit(0)))
+            ).alias("jaccard"),
+        )
+        .orderBy("src_a", "src_b")
+    )

@@ -86,6 +86,7 @@ SCALAR_SUBQUERY = {
     "emb_dedup_threshold_curve",  # 1-row corpus-total broadcast + 6-row tau sweep
     "curate_dsir_weights",  # 1-row (tot_t, tot_r) model-totals broadcast
     "curate_dsir_resample",  # same DSIR totals broadcast via _dsir_doc_scores
+    "text_source_overlap_matrix",  # sources² grid: inequality join of two ≤20-row frames
 }
 
 

@@ -20,6 +20,8 @@ R9B_PLANS = [
     "train_ivf_centroids",
     "text_gopher_rules",
     "curate_mixture_epochs",
+    "graph_kcore",
+    "text_source_overlap_matrix",
 ]
 
 SF_FULL = "/root/testdata/sf0.1"
@@ -52,11 +54,23 @@ def test_r9b_partition_invariance(spark, name):
 # the IVF trainer runs its joins eagerly and returns a driver-built
 # table (the train_pq_codebooks exemption class); all others must show
 # a keyed-join-only executed plan
-R9B_DRIVER_BUILT = {"train_ivf_centroids"}
+R9B_DRIVER_BUILT = {
+    "train_ivf_centroids",
+    # kcore's returned frame ends at the coreness join chain; the peel
+    # rounds materialize eagerly inside the loop (checkpointed), so
+    # the final plan proves nothing about the peel joins — covered by
+    # the parity + convergence pins instead
+    "graph_kcore",
+}
 # documented keyless joins: the DSIR 1-row (tot_t, tot_r) scalar
 # broadcast rides into the resampler through _dsir_doc_scores (the
 # same exemption curate_dsir_weights carries in test_r9_plans.py)
-R9B_KEYLESS_OK = {"curate_dsir_resample"}
+R9B_KEYLESS_OK = {
+    "curate_dsir_resample",
+    # source×source grid: an inequality join of two SOURCE-COUNT-row
+    # frames (≤20 rows/side — bounded by semantics, not SF)
+    "text_source_overlap_matrix",
+}
 
 
 @pytest.mark.parametrize("name", sorted(set(R9B_PLANS) - R9B_DRIVER_BUILT))
@@ -258,3 +272,59 @@ def test_mixture_epochs_budget_reconciles(spark):
     for r in rows.itertuples():
         assert abs(r.epochs - r.target_tokens / r.n_tokens) < 2e-6
         assert r.over_cap == (r.target_tokens > EPOCH_CAP * r.n_tokens)
+
+
+def test_kcore_converged_and_nested(spark):
+    """KCORE_ROUNDS must be enough: one more peel round changes
+    nothing (the fixpoint reached), and cores must be nested
+    (coreness counts every k-sweep survived, so the max-coreness
+    nodes form a clique-ish dense core with degree >= coreness)."""
+    from compendium_spark.plans.graph import (
+        KCORE_MAX_K,
+        KCORE_ROUNDS,
+        _sparse_und,
+        graph_kcore,
+    )
+    import pandas as pd
+
+    rows = graph_kcore(spark, SF_ORACLE).toPandas()
+    assert rows.coreness.max() >= 2  # the fixture has a dense core
+    assert rows.coreness.min() >= 0
+    # replicate the peel in pandas to the fixpoint and compare
+    und = _sparse_und(spark, SF_ORACLE).toPandas()
+    import collections
+
+    def kcore_nodes(k):
+        edges = {(r.a, r.b) for r in und.itertuples()}
+        while True:
+            deg = collections.Counter()
+            for a, b in edges:
+                deg[a] += 1
+                deg[b] += 1
+            keep = {n for n, d in deg.items() if d >= k}
+            new_edges = {(a, b) for a, b in edges if a in keep and b in keep}
+            if new_edges == edges:
+                return {n for e in edges for n in e}
+            edges = new_edges
+
+    want = collections.Counter()
+    all_nodes = set(und.a) | set(und.b)
+    for k in range(1, KCORE_MAX_K + 1):
+        for n in kcore_nodes(k):
+            want[n] += 1
+    got = dict(zip(rows.node, rows.coreness))
+    for n in all_nodes:
+        assert got[n] == want.get(n, 0), (n, got[n], want.get(n, 0))
+
+
+def test_source_overlap_matrix_bounds(spark):
+    """Jaccard in [0, 1], symmetric grid complete (C(sources, 2)
+    rows), and the shared count never exceeds either side."""
+    from compendium_spark.plans.text import text_source_overlap_matrix
+
+    rows = text_source_overlap_matrix(spark, SF_ORACLE).toPandas()
+    n_src = len(set(rows.src_a) | set(rows.src_b))
+    assert len(rows) == n_src * (n_src - 1) // 2
+    assert ((rows.jaccard >= 0) & (rows.jaccard <= 1)).all()
+    assert (rows.n_shared <= rows[["n_a", "n_b"]].min(axis=1)).all()
+    assert rows.n_shared.max() > 0  # the shared-vocabulary corpus overlaps
