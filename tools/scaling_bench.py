@@ -113,6 +113,10 @@ PROBES = [
     ("dedup_winnowing", "MOSS winnowing fingerprints"),
     ("train_quality_logreg", "integer-state logreg trainer"),
     ("train_ivf_centroids", "coarse-quantizer Lloyd trainer"),
+    ("graph_kcore", "iterative k-core peel"),
+    ("text_source_overlap_matrix", "source-pair shingle Jaccard"),
+    ("text_gopher_rules", "integer-compare quality rule battery"),
+    ("curate_mixture_epochs", "token-budget epoch recipe"),
 ]
 
 
@@ -151,6 +155,7 @@ def main() -> None:
             f"| {name} | {family} | {times[0.001]:.2f} | {times[0.01]:.2f} "
             f"| {times[0.1]:.2f} | {slope:+.2f} |"
         )
+    print(BUCKETED_JOIN_FOOTER.rstrip())
 
 
 BUCKETED_JOIN_FOOTER = """
