@@ -176,7 +176,14 @@ def _baseline() -> dict[str, float]:
         key=lambda p: int(re.search(r"BENCH_DETAIL_r(\d+)", p).group(1)),
         reverse=True,
     )
-    for detail in [*archives, os.path.join(here, "BENCH_DETAIL.json")]:
+    # ADVICE r9 #2: only the NEWEST archive plus the rolling file are
+    # baseline candidates — silently falling through to a many-rounds-
+    # old archive would compare against timings that predate plan
+    # reworks. An incomplete/wrong-SF newest archive now degrades to
+    # the rolling file with a loud stderr note, never to round N-3.
+    candidates = [*archives[:1], os.path.join(here, "BENCH_DETAIL.json")]
+    skipped: list[str] = []
+    for detail in candidates:
         try:
             with open(detail) as f:
                 doc = json.load(f)
@@ -200,7 +207,14 @@ def _baseline() -> dict[str, float]:
                 and len(queries) >= 0.9 * len(_ap())
             )
             if queries and doc.get("sf") == 0.1 and complete:
+                if skipped:
+                    print(
+                        f"bench: baseline = {os.path.basename(detail)} "
+                        f"(skipped unusable: {', '.join(skipped)})",
+                        file=sys.stderr,
+                    )
                 return queries
+            skipped.append(os.path.basename(detail))
         except (
             OSError,
             json.JSONDecodeError,
@@ -208,7 +222,15 @@ def _baseline() -> dict[str, float]:
             TypeError,
             ImportError,
         ):
+            skipped.append(os.path.basename(detail))
             continue
+    if skipped:
+        print(
+            "bench: WARNING no usable BENCH_DETAIL baseline "
+            f"(unusable: {', '.join(skipped)}); falling back to driver "
+            "BENCH_r*.json captures",
+            file=sys.stderr,
+        )
     runs = sorted(
         glob.glob(os.path.join(here, "BENCH_r*.json")),
         key=lambda p: int(re.search(r"BENCH_r(\d+)", p).group(1)),

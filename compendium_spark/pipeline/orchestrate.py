@@ -369,10 +369,16 @@ def progress_report(projects_dir: str, project: str) -> dict:
 
 
 def render_progress(report: dict) -> str:
-    """Text rendering in the reference's format (projects.py:158-197):
-    DONE! short-circuits, a CURRENTLY RUNNING banner when live, then
-    per-category check lists with one arrow at the earliest failure."""
-    lines = [report["project"]]
+    """Text rendering in the reference's format (projects.py:156-197),
+    byte-exact (ADVICE r9 #3): the header is the Project __str__
+    (`Project <id>`, projects.py:575-576), DONE! short-circuits, a
+    CURRENTLY RUNNING banner when live, then per-category check lists
+    with one arrow at the earliest failure. Every check line carries
+    the reference's trailing space after the label (its f-string
+    always emits `{label} {arrow-or-empty}`, projects.py:194), so a
+    non-arrowed line ends in one space and an arrowed line reads
+    `label   <<< XXXXXXX <<<`."""
+    lines = [f"Project {report['project']}"]
     if report["done"]:
         lines.append("DONE!")
         return "\n".join(lines)
@@ -381,6 +387,6 @@ def render_progress(report: dict) -> str:
     for cat, rows in report["categories"]:
         lines.append(f"\n======{cat}======")
         for label, ok in rows:
-            arrow = "   <<< XXXXXXX <<<" if report["arrow"] == label else ""
-            lines.append(f"{'✓' if ok else 'X'}   {label}{arrow}")
+            arrow = "  <<< XXXXXXX <<<" if report["arrow"] == label else ""
+            lines.append(f"{'✓' if ok else 'X'}   {label} {arrow}")
     return "\n".join(lines)

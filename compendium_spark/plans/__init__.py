@@ -12,9 +12,11 @@ from compendium_spark.plans import (  # noqa: F401
     curation,
     dq,
     extended,
+    frontier,
     graph,
     history,
     incremental,
+    ingest,
     ivf,
     kmeans,
     knn,
@@ -364,6 +366,78 @@ _ROUND9_CANARIES = [
 ]
 _ROUND9_WINDOW = [*_ROUND9_STALE, *_ROUND9_CANARIES]
 assert len(_ROUND9_WINDOW) == 50, len(_ROUND9_WINDOW)
-registry.promote(_ROUND9_WINDOW)
+
+# Round 10:
+#   tier 1 — the ledger's stale set: 5 NEW plans (the fixture-backed
+#            ingest family closing VERDICT r9 #1, + the cross-family
+#            ANN frontier, VERDICT #7) and the reworked
+#            text_source_overlap_matrix (VERDICT "weak" #1: MinHash
+#            signatures replace the hot-shingle self-join).
+#   tier 2 — drift canaries: the oldest-gated plans, rotating the
+#            r≤4 tail per VERDICT #4 — all 19 r2 rows, all 14 r3
+#            rows, and the first 10 of the 16 r4 rows (the remaining
+#            6 r4 w*-window plans lead round 11's canary tier).
+_ROUND10_STALE = [
+    "ing_xml_samples",
+    "ing_xml_tags",
+    "ing_fasta_pairs",
+    "ing_summary_disposition",
+    "sim_frontier_report",
+    "text_source_overlap_matrix",
+    # ADVICE r9 #1 confirmed live: the fixed unroll was 1 round short
+    # of the sf0.1 fixpoint — reworked to iterate-to-convergence
+    "graph_kcore",
+]
+_ROUND10_CANARIES = [
+    # r2 (19)
+    "q18_large_volume_orders",
+    "q19_discounted_revenue",
+    "q22_global_sales_opportunity",
+    "q2_min_cost_supplier",
+    "q3_shipping_priority",
+    "q4_order_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_type_profit",
+    "s_set_operations",
+    "t2_pivot",
+    "text_fingerprint",
+    "text_lang_id",
+    "text_token_count",
+    "text_token_frequency",
+    "w5_topk_per_group",
+    "w8_ntile_bands_scaled",
+    # r3 (14)
+    "curate_cap_per_source",
+    "curate_mixture_sample",
+    "curate_pack_sequences",
+    "curate_pii_redact",
+    "curate_split_assign",
+    "dedup_normalized",
+    "dedup_substring_shingle",
+    "j13_blocked_fuzzy_join",
+    "o2_stratified_deterministic",
+    "q11_important_stock",
+    "q15_top_supplier",
+    "q21_waiting_orders",
+    "text_chunk_windows",
+    "text_cooccurrence",
+    # r4 (first 10 of 16; one slot ceded to the graph_kcore rework)
+    "a16_grouping_sets",
+    "curate_token_budget",
+    "f_date_functions",
+    "j10_range_join",
+    "j14_interval_overlap_join",
+    "j8_asof_join",
+    "mm_decode",
+    "ts_resample_ffill",
+    "w10_funnel_conversion",
+    "w11_sequence_pattern",
+]
+_ROUND10_WINDOW = [*_ROUND10_STALE, *_ROUND10_CANARIES]
+assert len(_ROUND10_WINDOW) == 50, len(_ROUND10_WINDOW)
+registry.promote(_ROUND10_WINDOW)
 
 all_plans = registry.all_plans

@@ -491,21 +491,31 @@ def graph_2hop_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 # degree < k until none remain — the standard density/robustness
 # screen a graph pipeline runs before community detection, and the
 # prune an ANN-graph maintainer applies to weakly-connected vectors.
-# Coreness(v) = the largest k whose k-core contains v. Rounds are
-# UNROLLED to a fixed depth (the trainers' discipline: both engines
-# execute the identical iteration count; convergence at the fixture
-# is asserted separately in tests), so the oracle is a chained-CTE
-# twin, not a recursive fixpoint the two engines could time
-# differently.
+# Coreness(v) = the largest k whose k-core contains v.
+#
+# Round 10 (ADVICE r9 #1, confirmed live): the previous fixed 6-round
+# unroll did NOT reach the fixpoint at sf0.1 — the k=4 cascade there
+# is 7 removals deep, so both engines shipped identical-but-wrong
+# coreness that the parity gate could never catch. Peel depth is a
+# DATA property (bounded only by the removal-cascade length), so the
+# Spark side now iterates to the observed fixpoint (one bounded
+# driver count per round — Montresor's actual termination rule),
+# while the DuckDB oracle, which cannot express a fixpoint loop
+# (no recursive-CTE fixpoint semantics in 1.0), unrolls to a generous
+# KCORE_SQL_ROUNDS: extra rounds on a converged edge list are no-ops,
+# so the oracle equals the fixpoint whenever the true depth ≤ the
+# unroll — asserted against a pandas-replicated fixpoint at sf0.001 /
+# 0.01 / 0.1 in tests (test_r9b_plans.py, test_r10_plans.py).
 KCORE_MAX_K = 4
-KCORE_ROUNDS = 6  # peel rounds per k; fixture k=4 cascade needs 5
+KCORE_SQL_ROUNDS = 16  # oracle unroll; measured cascade ≤ 7 at sf0.1
+KCORE_SPARK_ROUND_CAP = 64  # runaway guard for the fixpoint loop
 
 
 def _kcore_rounds(k: int) -> int:
-    """k=1 PROVABLY converges in one round (peeling an isolated node
-    cannot drop any other node's degree); higher ks can cascade up to
-    the peel depth, so they get the full unroll."""
-    return 1 if k == 1 else KCORE_ROUNDS
+    """Oracle unroll depth: k=1 PROVABLY converges in one round
+    (peeling an isolated node cannot drop any other node's degree);
+    higher ks can cascade, so they get the full unroll."""
+    return 1 if k == 1 else KCORE_SQL_ROUNDS
 
 
 def _kcore_sql() -> str:
@@ -554,21 +564,25 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     of k-sweeps survived (one union + count, no per-k join chain),
     and each k WARM-STARTS from the previous k's converged edge list
     (the k-core of G equals the k-core of its (k-1)-core), so later
-    sweeps peel already-shrunk graphs and KCORE_ROUNDS stays small.
+    sweeps peel already-shrunk graphs and round counts stay small.
 
     Shape: per (k, round) one degree aggregation over the surviving
     edge list and one semi-join filter — each round is a keyed
     groupBy + two joins on the (shrinking) edge list, never anything
-    quadratic; rounds are UNROLLED to KCORE_ROUNDS in BOTH engines
-    (the trainers' fixed-iteration discipline — a driver-side
-    early-exit would diverge from the chained-CTE oracle), and
-    convergence at the fixture is asserted against a pandas-replicated
-    true fixpoint in tests. Each round's edge frame is EAGERLY
-    checkpointed: the unrolled peel otherwise builds an exponentially
-    deep lineage (each round references the previous frame three
-    times). At scale the peel is the textbook distributed k-core
-    (Montresor et al.): rounds bounded by the degeneracy, state =
-    the surviving edge list, all integer."""
+    quadratic. The Spark side iterates each k TO THE FIXPOINT: a
+    round whose edge count is unchanged removed nothing (the filter
+    can only shrink), so that k's peel is converged — one bounded
+    driver-side count per round, which Montresor's algorithm needs
+    anyway as its termination vote. The oracle unrolls to
+    KCORE_SQL_ROUNDS instead (module comment); equality of the two
+    at the fixpoint is pinned at three SFs in tests. Each round's
+    edge frame is EAGERLY checkpointed: every round references the
+    previous frame three times, so skipping the barrier re-executes
+    that subtree thrice (measured 8.3 s vs 5.4 s in the unrolled r9
+    form) and an unbarriered loop accumulates exponential lineage
+    (planning alone times out). At scale the peel is the textbook
+    distributed k-core: rounds bounded by the removal-cascade depth,
+    state = the surviving edge list, all integer."""
     und = _sparse_und(spark, sf_dir).localCheckpoint(eager=True)
     nodes = (
         und.select(F.col("a").alias("node"))
@@ -577,9 +591,9 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     survivors = []
     e = und
+    n_edges = e.count()
     for k in range(1, KCORE_MAX_K + 1):
-        s = None
-        for r in range(_kcore_rounds(k)):
+        for _ in range(KCORE_SPARK_ROUND_CAP):
             deg = (
                 e.select(F.col("a").alias("node"))
                 .unionAll(e.select(F.col("b").alias("node")))
@@ -587,18 +601,21 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .agg(F.count(F.lit(1)).cast("long").alias("deg"))
             )
             s = deg.filter(F.col("deg") >= k).select("node")
-            e = (
+            e2 = (
                 e.join(s.withColumnRenamed("node", "a"), "a")
                 .join(s.withColumnRenamed("node", "b"), "b")
                 .select("a", "b")
+                .localCheckpoint(eager=True)  # barrier every round (docstring)
             )
-            # eager checkpoint EVERY round: each round references the
-            # previous edge frame three times, so skipping a barrier
-            # re-executes that subtree thrice (measured 8.3 s vs 5.4 s
-            # for every-other-round checkpointing) and letting the
-            # whole unroll accumulate is exponential (planning alone
-            # times out)
-            e = e.localCheckpoint(eager=True)
+            n2 = e2.count()
+            converged = n2 == n_edges
+            e, n_edges = e2, n2
+            if converged:
+                break
+        else:  # pragma: no cover — data would need a >cap cascade
+            raise RuntimeError(
+                f"k-core peel exceeded {KCORE_SPARK_ROUND_CAP} rounds at k={k}"
+            )
         survivors.append(s)
     surv = survivors[0]
     for frame in survivors[1:]:

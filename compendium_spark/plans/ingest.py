@@ -1,0 +1,451 @@
+"""Fixture-backed ingest plans — oracle-gating the reference-native
+sources (SURVEY §2.1 S1/S4/S6, §2.8 U4, §2.5 F5-F7/A4-A7).
+
+Every other plan family runs over the driver's testdata tables, which
+leaves the reference's own ingest surface (BioSample XML → samples /
+tags, ASVs.fa → sequences, summary.tsv → QC disposition) covered only
+by unit tests. These plans close that gap: each stages a FIXTURES.md
+fixture as a real file, runs the REAL source reader + downstream
+transform (`sources/biosample_xml.py`, `sources/fasta.py`,
+`sources/tsv.py`, `functions/qc.py`), and pairs it with a DuckDB
+oracle that re-derives the same result INDEPENDENTLY from the same
+fixture text embedded as a SQL literal (regex XML field extraction,
+chr(10)/chr(9) TSV splitting) — so the parse logic itself is
+value-hash-checked, not just the relational tail.
+
+Fixture edge cases are the reference's documented ones
+(`/root/reference/db.py:194-263`, `projects.py:579-629`):
+  * sample without an ``Id[@db='SRA']`` → skipped (db.py:233-237);
+  * empty-text attribute → skipped (db.py:250-251);
+  * duplicate tag keys in one sample → last wins (db.py:248-259);
+  * @harmonized_name over @attribute_name (db.py:253-256), values
+    lower-cased (db.py:252), XML entities decoded;
+  * already-ingested sample → anti-join skip (db.py:215-221);
+  * zero-denominator control samples → QC flags False
+    (projects.py:603-610);
+  * single-end project → NULL merged stats, never re_run
+    (projects.py:250-265 documented intent; see functions/qc.py);
+  * all three dispositions (save / re_run / discard) including the
+    re_run short-circuit (projects.py:294-296).
+
+Scale note: the fixtures are kilobytes by construction (they are the
+gate vehicle for the PARSERS, not a data path). The staged file lands
+on local disk because local[n] shares one filesystem; on a real
+cluster the same readers point at shared storage — the plan code is
+identical, only the path changes.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from compendium_spark.functions.numeric import quantize6
+from compendium_spark.functions.qc import (
+    project_disposition,
+    project_qc,
+    sample_qc,
+)
+from compendium_spark.plans.registry import plan
+from compendium_spark.sources.biosample_xml import (
+    read_biosample_xml,
+    to_samples,
+    to_tags,
+)
+from compendium_spark.sources.fasta import read_fasta
+from compendium_spark.sources.tsv import read_summary
+
+# ---------------------------------------------------------------------------
+# Fixtures (FIXTURES.md §1 / §3 / §5 shapes, single-line XML so the
+# oracle's regexes never straddle lines)
+# ---------------------------------------------------------------------------
+
+TAXON = "txid408170"  # the reference CLI's taxon arg (main.py:27)
+EXISTING_SRS = ("SRS000007",)  # already-ingested sample (db.py:215-221)
+
+BIOSAMPLE_XML = (
+    "<BioSampleSet>"
+    '<BioSample><Ids><Id db="BioSample">SAMN001</Id><Id db="SRA">SRS000001</Id></Ids>'
+    "<Attributes>"
+    '<Attribute attribute_name="geo loc name" harmonized_name="geo_loc_name">USA: Minnesota</Attribute>'
+    '<Attribute attribute_name="host body product">Stool</Attribute>'
+    '<Attribute attribute_name="ENV Material" harmonized_name="env_material">Gut &amp; Feces</Attribute>'
+    "</Attributes></BioSample>"
+    '<BioSample><Ids><Id db="SRA">SRS000002</Id></Ids>'
+    "<Attributes>"
+    '<Attribute attribute_name="collection date" harmonized_name="collection_date">2019-07-04</Attribute>'
+    '<Attribute attribute_name="Collection_Date" harmonized_name="collection_date">2020-01-15</Attribute>'
+    '<Attribute attribute_name="host">Homo Sapiens</Attribute>'
+    "</Attributes></BioSample>"
+    '<BioSample><Ids><Id db="BioSample">SAMN003</Id></Ids>'
+    '<Attributes><Attribute attribute_name="host">mouse</Attribute></Attributes></BioSample>'
+    '<BioSample><Ids><Id db="SRA">SRS000004</Id></Ids>'
+    "<Attributes>"
+    '<Attribute attribute_name="empty tag" harmonized_name="empty_tag"></Attribute>'
+    '<Attribute attribute_name="isolation source">Fecal Sample</Attribute>'
+    "</Attributes></BioSample>"
+    '<BioSample><Ids><Id db="SRA">SRS000005</Id></Ids></BioSample>'
+    '<BioSample><Ids><Id db="SRA">SRS000007</Id></Ids>'
+    '<Attributes><Attribute attribute_name="host">human</Attribute></Attributes></BioSample>'
+    "</BioSampleSet>"
+)
+
+# strict 2-line records (projects.py:446-459); two sequences share a
+# prefix so downstream region inference has signal, one is a reverse
+# complement fragment — content is irrelevant to the parse being gated
+FASTA_TEXT = "".join(
+    f">ASV_{i}\n{seq}\n"
+    for i, seq in [
+        (1, "CCTACGGGAGGCAGCAGTAGGGAATCTTCC"),
+        (2, "CCTACGGGTGGCAGCAGTGGGGAATATTGC"),
+        (3, "GTGCCAGCMGCCGCGGTAA"),
+        (4, "CCTACGGGAGGCAGCAG"),
+        (10, "ACTCCTACGGGAGGCAGCAGT"),
+        (11, "TTACCGCGGCTGCTGGCAC"),
+    ]
+)
+
+# summary.tsv trios (projects.py:203-226 format: blank first header
+# cell, row names carry an 8-char suffix the parser strips). Three
+# projects hit all three dispositions; PRJ_RERUN includes a
+# zero-count control row (flags False via NULL ratios), PRJ_DISCARD
+# is single-end (no revse/merged columns at all).
+SUMMARY_RERUN = (
+    "\tdinput\tfilter\tforwd\trevse\tmerged\tlength\tnonchim\n"
+    "SRR100001_1.fastq\t50000\t48000\t47000\t46500\t45000\t44800\t44000\n"
+    "SRR100002_1.fastq\t60000\t58000\t57000\t56000\t30000\t29000\t28000\n"
+    "SRR100003_1.fastq\t40000\t39000\t38000\t37500\t20000\t19500\t19000\n"
+    "SRR100004_1.fastq\t30000\t29000\t28000\t27500\t27000\t26000\t21000\n"
+    "SRR100005_1.fastq\t1000\t0\t0\t0\t0\t0\t0\n"
+)
+SUMMARY_DISCARD = (
+    "\tdinput\tfilter\tforwd\tlength\tnonchim\n"
+    "SRR200001_1.fastq\t50000\t20000\t19000\t18000\t12000\n"
+    "SRR200002_1.fastq\t60000\t25000\t24000\t23000\t15000\n"
+    "SRR200003_1.fastq\t40000\t39000\t38000\t37000\t36500\n"
+)
+SUMMARY_SAVE = (
+    "\tdinput\tfilter\tforwd\trevse\tmerged\tlength\tnonchim\n"
+    "SRR300001_1.fastq\t50000\t49000\t48500\t48000\t47500\t47000\t46500\n"
+    "SRR300002_1.fastq\t60000\t59000\t58500\t58000\t57000\t56500\t56000\n"
+)
+
+_STAGE_DIR = "/tmp/compendium_spark_fixtures"
+
+
+def _stage(name: str, text: str) -> str:
+    """Write fixture ``text`` to a deterministic path, atomically
+    (tmp + rename), so concurrent plan runs never see a torn file."""
+    os.makedirs(_STAGE_DIR, exist_ok=True)
+    path = os.path.join(_STAGE_DIR, name)
+    tmp = f"{path}.tmp.{os.getpid()}"
+    with open(tmp, "w") as f:
+        f.write(text)
+    os.replace(tmp, path)
+    return path
+
+
+def _sql_text(text: str) -> str:
+    """Embed ``text`` as a DuckDB string literal (newline-safe)."""
+    body = text.replace("'", "''").replace("\n", "' || chr(10) || '")
+    return f"'{body}'"
+
+
+# ---------------------------------------------------------------------------
+# S1/U4: BioSample XML → tags (attr precedence, lower, last-wins)
+# ---------------------------------------------------------------------------
+
+def _xml_keyed_cte() -> str:
+    """Shared oracle CTEs: BioSample elements keyed by SRA id — the
+    regex re-derivation of the reader's Ids/Id[@db='SRA'] walk."""
+    return f"""
+raw AS (SELECT {_sql_text(BIOSAMPLE_XML)} AS xml),
+bs AS (
+  SELECT unnest(regexp_extract_all(xml, '<BioSample>.*?</BioSample>')) AS s
+  FROM raw
+),
+keyed AS (
+  SELECT regexp_extract(s, '<Id db="SRA">([^<]*)</Id>', 1) AS srs, s
+  FROM bs
+  WHERE s LIKE '%<Id db="SRA">%'
+)"""
+
+
+ING_XML_TAGS_SQL = f"""
+WITH {_xml_keyed_cte()},
+attrs AS (
+  SELECT srs,
+         unnest(regexp_extract_all(s, '<Attribute [^>]*>[^<]*</Attribute>')) AS a,
+         unnest(range(1, len(regexp_extract_all(s, '<Attribute [^>]*>[^<]*</Attribute>')) + 1)) AS pos
+  FROM keyed
+),
+tags0 AS (
+  SELECT srs,
+         CASE WHEN a LIKE '%harmonized_name=%'
+              THEN regexp_extract(a, 'harmonized_name="([^"]*)"', 1)
+              ELSE regexp_extract(a, 'attribute_name="([^"]*)"', 1) END AS tag,
+         lower(replace(regexp_extract(a, '>([^<]*)<', 1), '&amp;', '&')) AS value,
+         pos
+  FROM attrs
+  WHERE regexp_extract(a, '>([^<]*)<', 1) <> ''
+),
+dedup AS (
+  SELECT srs, tag, value,
+         ROW_NUMBER() OVER (PARTITION BY srs, tag ORDER BY pos DESC) AS rn
+  FROM tags0
+)
+SELECT srs, tag, value FROM dedup WHERE rn = 1 ORDER BY srs, tag
+"""
+
+
+@plan("ing_xml_tags", oracle=ING_XML_TAGS_SQL)
+def ing_xml_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BioSample XML → tags EAV (S1+U4+F10+A10, ref `db.py:248-259`):
+    the REAL reader (`sources/biosample_xml.py` — Spark 4 native XML
+    datasource, ElementTree mapInPandas fallback) parses a staged
+    FIXTURES.md §1 export; @harmonized_name precedence, lower-cased
+    values, empty-text skip, entity decode and last-wins dedup are all
+    exercised and hash-checked against a regex re-derivation in the
+    oracle. ``sf_dir`` is unused: the fixture IS the input (parser
+    gate, not a data path).
+
+    Shape: rowTag splitting makes the XML source splittable within a
+    file; the last-wins dedup is one window per (srs, tag) — at scale
+    partitioned by sample, never global."""
+    path = _stage("biosample.xml", BIOSAMPLE_XML)
+    parsed = read_biosample_xml(spark, path)
+    return (
+        to_tags(parsed)
+        .select("srs", "tag", "value")
+        .orderBy("srs", "tag")
+    )
+
+
+_EXISTING_IN = "(" + ", ".join(f"'{s}'" for s in EXISTING_SRS) + ")"
+
+ING_XML_SAMPLES_SQL = f"""
+WITH {_xml_keyed_cte()}
+SELECT DISTINCT srs, '{TAXON}' AS taxon
+FROM keyed
+WHERE srs NOT IN {_EXISTING_IN}
+ORDER BY srs
+"""
+
+
+@plan("ing_xml_samples", oracle=ING_XML_SAMPLES_SQL)
+def ing_xml_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BioSample XML → samples rows (S1+J2, ref `db.py:229-246`): SRA
+    id extraction (samples without one are SKIPPED, db.py:233-237),
+    constant taxon column, and the already-ingested anti-join
+    (db.py:215-221) — over the REAL reader on a staged fixture, so the
+    attribute-free and no-SRA-id samples exercise the reader's null
+    paths. Oracle = independent regex parse + NOT IN.
+
+    Shape: distinct on the sample key then a broadcast-able anti-join
+    against the existing-keys dim (at 100 TB: the existing set is the
+    samples table's key projection — a shuffle anti-join on srs)."""
+    path = _stage("biosample.xml", BIOSAMPLE_XML)
+    parsed = read_biosample_xml(spark, path)
+    existing = spark.createDataFrame([(s,) for s in EXISTING_SRS], "srs string")
+    return to_samples(parsed, TAXON, existing=existing).orderBy("srs")
+
+
+# ---------------------------------------------------------------------------
+# S6: ASVs.fa strict 2-line FASTA
+# ---------------------------------------------------------------------------
+
+ING_FASTA_PAIRS_SQL = f"""
+WITH raw AS (SELECT {_sql_text(FASTA_TEXT)} AS txt),
+lines AS (
+  SELECT unnest(string_split(txt, chr(10))) AS line,
+         unnest(range(1, len(string_split(txt, chr(10))) + 1)) AS i
+  FROM raw
+),
+paired AS (SELECT line, i, lead(line) OVER (ORDER BY i) AS nxt FROM lines)
+SELECT substr(line, 2) AS asv, nxt AS seq
+FROM paired WHERE line LIKE '>%' ORDER BY asv
+"""
+
+
+@plan("ing_fasta_pairs", oracle=ING_FASTA_PAIRS_SQL)
+def ing_fasta_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASVs.fa → (asv, seq) pairs (S6, ref `projects.py:446-459`):
+    strict 2-line records, leading ``>`` stripped (projects.py:455),
+    via the REAL `sources/fasta.py` reader (spark.read.text + per-file
+    lead() pairing) on a staged fixture; oracle = line split + window
+    lead in SQL.
+
+    Shape: the pairing window partitions per file — parallel across
+    files, no global sort; a multi-GB single-file FASTA would swap in
+    the chunked mapPartitions parser noted in the source docstring."""
+    path = _stage("asvs.fa", FASTA_TEXT)
+    return read_fasta(spark, path).orderBy("asv")
+
+
+# ---------------------------------------------------------------------------
+# S4 + F5-F7 + A4-A7: summary.tsv → per-project QC disposition
+# ---------------------------------------------------------------------------
+
+def _summary_cte(name: str, text: str, paired: bool, project: str) -> str:
+    """Oracle CTE: parse one summary.tsv literal (header skipped,
+    chr(9) split, 8-char suffix strip per projects.py:581). Column
+    POSITIONS are fixture-fixed; the Spark side derives them from the
+    header via the real reader — the oracle re-derives the same rows
+    independently."""
+    revse = "CAST(c[5] AS BIGINT)" if paired else "NULL"
+    merged = "CAST(c[6] AS BIGINT)" if paired else "NULL"
+    length = "CAST(c[7] AS BIGINT)" if paired else "CAST(c[5] AS BIGINT)"
+    nonchim = "CAST(c[8] AS BIGINT)" if paired else "CAST(c[6] AS BIGINT)"
+    return f"""
+{name} AS (
+  SELECT '{project}' AS project,
+         substr(c[1], 1, length(c[1]) - 8) AS srr,
+         CAST(c[2] AS BIGINT) AS dinput, CAST(c[3] AS BIGINT) AS filter,
+         CAST(c[4] AS BIGINT) AS forwd, {revse} AS revse, {merged} AS merged,
+         {length} AS length, {nonchim} AS nonchim,
+         {str(paired).upper()} AS is_paired
+  FROM (
+    SELECT string_split(unnest(string_split({_sql_text(text)}, chr(10))), chr(9)) AS c
+  )
+  WHERE len(c) > 1 AND c[2] <> 'dinput'
+)"""
+
+
+def _q6(expr: str, alias: str) -> str:
+    return (
+        f"CAST(FLOOR(CAST({expr} AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)"
+        f" / 1000000.0 AS {alias}"
+    )
+
+
+ING_SUMMARY_DISPOSITION_SQL = f"""
+WITH {_summary_cte('t1', SUMMARY_RERUN, True, 'PRJ_RERUN')},
+{_summary_cte('t2', SUMMARY_DISCARD, False, 'PRJ_DISCARD')},
+{_summary_cte('t3', SUMMARY_SAVE, True, 'PRJ_SAVE')},
+summ AS (SELECT * FROM t1 UNION ALL SELECT * FROM t2 UNION ALL SELECT * FROM t3),
+qc AS (
+  SELECT *,
+    1 - nonchim / nullif(length, 0) AS chimera_percent,
+    CASE WHEN is_paired THEN merged / nullif(forwd, 0) END AS merged_percent,
+    nonchim / nullif(dinput, 0) AS retained_percent
+  FROM summ
+),
+flags AS (
+  SELECT project, is_paired,
+    coalesce(chimera_percent > 0.10, FALSE) AS chimeric_warn,
+    coalesce(chimera_percent > 0.20, FALSE) AS chimeric_error,
+    coalesce(merged_percent < 0.80, FALSE) AS merged_warn,
+    coalesce(merged_percent < 0.65, FALSE) AS merged_error,
+    coalesce(retained_percent < 0.69, FALSE) AS retained_warn,
+    coalesce(retained_percent < 0.59, FALSE) AS retained_error
+  FROM qc
+),
+proj AS (
+  SELECT project,
+    CAST(COUNT(*) AS BIGINT) AS sample_count,
+    MIN(CAST(is_paired AS INT)) = 1 AS paired,
+    SUM(CAST(chimeric_warn AS INT)) * 1.0 / COUNT(*) AS chimeric_warn,
+    SUM(CAST(chimeric_error AS INT)) * 1.0 / COUNT(*) AS chimeric_error,
+    SUM(CAST(merged_warn AS INT)) * 1.0 / COUNT(*) AS _mw,
+    SUM(CAST(merged_error AS INT)) * 1.0 / COUNT(*) AS _me,
+    SUM(CAST(retained_warn AS INT)) * 1.0 / COUNT(*) AS retained_warn,
+    SUM(CAST(retained_error AS INT)) * 1.0 / COUNT(*) AS retained_error
+  FROM flags GROUP BY project
+),
+proj2 AS (
+  SELECT project, sample_count, paired, chimeric_warn, chimeric_error,
+    CASE WHEN paired THEN _mw END AS merged_warn,
+    CASE WHEN paired THEN _me END AS merged_error,
+    retained_warn, retained_error
+  FROM proj
+),
+disp AS (
+  SELECT *,
+    coalesce(merged_warn > 0.40, FALSE)
+      OR coalesce(merged_error > 0.15, FALSE) AS re_run
+  FROM proj2
+),
+disp2 AS (
+  SELECT *,
+    (NOT re_run) AND (coalesce(retained_warn > 0.70, FALSE)
+      OR coalesce(retained_error > 0.20, FALSE)
+      OR coalesce(chimeric_warn > 0.40, FALSE)
+      OR coalesce(chimeric_error > 0.20, FALSE)) AS discard
+  FROM disp
+)
+SELECT project, sample_count, paired,
+  {_q6('chimeric_warn', 'chimeric_warn')},
+  {_q6('chimeric_error', 'chimeric_error')},
+  {_q6('merged_warn', 'merged_warn')},
+  {_q6('merged_error', 'merged_error')},
+  {_q6('retained_warn', 'retained_warn')},
+  {_q6('retained_error', 'retained_error')},
+  re_run, discard,
+  coalesce(array_to_string(list_filter([
+    CASE WHEN coalesce(merged_warn > 0.40, FALSE) THEN
+      printf('%d%% of samples had warning for merged read count.',
+             CAST(FLOOR(merged_warn * 100) AS INT)) END,
+    CASE WHEN coalesce(merged_error > 0.15, FALSE) THEN
+      printf('%d%% of samples had ERROR for merged read count.',
+             CAST(FLOOR(merged_error * 100) AS INT)) END,
+    CASE WHEN NOT re_run AND coalesce(retained_warn > 0.70, FALSE) THEN
+      printf('%d%% of samples had warning for reads retained.',
+             CAST(FLOOR(retained_warn * 100) AS INT)) END,
+    CASE WHEN NOT re_run AND coalesce(retained_error > 0.20, FALSE) THEN
+      printf('%d%% of samples had ERROR for reads retained.',
+             CAST(FLOOR(retained_error * 100) AS INT)) END,
+    CASE WHEN NOT re_run AND coalesce(chimeric_warn > 0.40, FALSE) THEN
+      printf('%d%% of samples had warning for chimeric read count.',
+             CAST(FLOOR(chimeric_warn * 100) AS INT)) END,
+    CASE WHEN NOT re_run AND coalesce(chimeric_error > 0.20, FALSE) THEN
+      printf('%d%% of samples had ERROR for chimeric read count.',
+             CAST(FLOOR(chimeric_error * 100) AS INT)) END
+  ], x -> x IS NOT NULL), '|'), '') AS errors,
+  CASE WHEN discard THEN 'discard' WHEN re_run THEN 're_run'
+       ELSE 'save' END AS decision
+FROM disp2 ORDER BY project
+"""
+
+
+@plan("ing_summary_disposition", oracle=ING_SUMMARY_DISPOSITION_SQL)
+def ing_summary_disposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """summary.tsv → per-project QC disposition — the reference's full
+    results-evaluation chain end-to-end (S4 parse `projects.py:203-226`
+    → F5-F7 null-safe ratios `projects.py:599-629` → A4/A5/A7
+    proportions + ALL-pairedness `projects.py:233-311` → A6 decision
+    with the re_run short-circuit `projects.py:294-296` and the
+    ``int(p*100)%`` error strings) over the REAL `sources/tsv.py`
+    reader + `functions/qc.py` engine on three staged fixture files
+    hitting save / re_run / discard, a zero-count control row, and a
+    single-end project (NULL merged stats). Oracle re-parses the same
+    TSV literals in SQL.
+
+    Shape: per-sample scalars scan-side, ONE hash-agg shuffle on
+    project, disposition scalar on |projects| rows — the same plan the
+    production `cli.py eval` path runs on real summary files."""
+    p1 = _stage("summary_rerun.tsv", SUMMARY_RERUN)
+    p2 = _stage("summary_discard.tsv", SUMMARY_DISCARD)
+    p3 = _stage("summary_save.tsv", SUMMARY_SAVE)
+    summ = (
+        read_summary(spark, p1, project="PRJ_RERUN")
+        .unionByName(read_summary(spark, p2, project="PRJ_DISCARD"))
+        .unionByName(read_summary(spark, p3, project="PRJ_SAVE"))
+    )
+    disp = project_disposition(project_qc(sample_qc(summ)))
+    return disp.select(
+        "project",
+        "sample_count",
+        "paired",
+        quantize6("chimeric_warn").alias("chimeric_warn"),
+        quantize6("chimeric_error").alias("chimeric_error"),
+        quantize6("merged_warn").alias("merged_warn"),
+        quantize6("merged_error").alias("merged_error"),
+        quantize6("retained_warn").alias("retained_warn"),
+        quantize6("retained_error").alias("retained_error"),
+        "re_run",
+        "discard",
+        F.concat_ws("|", "errors").alias("errors"),
+        "decision",
+    ).orderBy("project")

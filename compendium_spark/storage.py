@@ -25,12 +25,20 @@ from compendium_spark.operators.validate import validate_schema
 from compendium_spark.schemas import ALL_TABLES
 
 # Tables stored hive-partitioned on their natural partition key. An
-# upsert on a partitioned table rewrites ONLY the touched partitions
-# (partition-level swap below) — at 100 TB this is the difference
-# between a per-project merge costing O(project) and O(warehouse).
+# upsert or partial_update on a partitioned table rewrites ONLY the
+# touched partitions (partition-level swap below) — at 100 TB this is
+# the difference between a per-project merge costing O(project) and
+# O(warehouse). `samples` partitions on taxon (one taxon per
+# compendium run, main.py:27): the eUtils enrichment sweep
+# partial-updates run fields keyed on srs and never moves a sample
+# across taxa, so every status/enrichment sweep is partition-stable.
+# `status` stays unpartitioned deliberately — it is a |projects|-row
+# control table, and hive-partitioning it would mean one directory
+# per row.
 PARTITION_SPEC: dict[str, str] = {
     "asv_sequences": "project",
     "asv_inference": "project",
+    "samples": "taxon",
 }
 
 
@@ -101,24 +109,36 @@ class Warehouse:
         Untouched partitions are never read or rewritten — the parquet
         analogue of Delta's MERGE with partition pruning."""
         touched = [r[0] for r in updates.select(pcol).distinct().collect()]
-        if not touched:
+        current = self._read_partitions(name, pcol, touched)
+        if current is None:
             return
-        # null-safe partition selection: isin() never matches NULL, so a
-        # null partition value needs its own predicate
+        merged = upsert(current, updates, key)
+        self._swap_partitions(name, merged)
+
+    def _read_partitions(self, name: str, pcol: str, touched: list):
+        """The touched-partition slice of ``name`` (None when nothing
+        is touched). Null-safe: isin() never matches NULL, so a null
+        partition value needs its own predicate."""
+        if not touched:
+            return None
         non_null = [v for v in touched if v is not None]
         cond = F.col(pcol).isin(non_null) if non_null else F.lit(False)
         if len(non_null) != len(touched):
             cond = cond | F.col(pcol).isNull()
-        current = self.read(name).filter(cond)
-        merged = validate_schema(upsert(current, updates, key), ALL_TABLES[name], name)
+        return self.read(name).filter(cond)
+
+    def _swap_partitions(self, name: str, merged: DataFrame) -> None:
+        """Stage ``merged`` (touched partitions only), then swap just
+        those partition directories into the live table. Swaps the
+        partition dirs Spark actually wrote: their names carry Spark's
+        own escaping (URL-escaped specials, __HIVE_DEFAULT_PARTITION__
+        for null), so reconstructing f"{pcol}={value}" by hand would
+        miss any value needing escaping and silently drop the merged
+        data."""
+        merged = validate_schema(merged, ALL_TABLES[name], name)
         target = self.path(name)
         staging = target.with_suffix(".staging")
         self._writer(name, merged).mode("overwrite").parquet(str(staging))
-        # Swap the partition dirs Spark actually wrote: their names carry
-        # Spark's own escaping (URL-escaped specials, and
-        # __HIVE_DEFAULT_PARTITION__ for null), so reconstructing
-        # f"{pcol}={value}" by hand would miss any value needing escaping
-        # and silently drop the merged data.
         for part_dir in sorted(staging.iterdir()):
             if not part_dir.is_dir():
                 continue
@@ -129,4 +149,44 @@ class Warehouse:
         shutil.rmtree(staging)
 
     def partial_update(self, name: str, updates: DataFrame, key: str | list[str]) -> None:
+        pcol = PARTITION_SPEC.get(name)
+        if pcol is not None and self.exists(name):
+            self._partial_update_partitions(name, updates, key, pcol)
+            return
         self.write(name, partial_update(self.read(name), updates, key))
+
+    def _partial_update_partitions(
+        self, name: str, updates: DataFrame, key: str | list[str], pcol: str
+    ) -> None:
+        """Partition-pruned partial update (VERDICT r9 #5): only the
+        partitions holding updated keys are read, merged, and swapped
+        — a per-project enrichment sweep against a 100 TB `samples`
+        table rewrites O(touched taxa), not O(warehouse). Safe only
+        because rows cannot MOVE partitions: the partition column is
+        either an update key (unchanged by definition) or absent from
+        the update columns — enforced below."""
+        keys = [key] if isinstance(key, str) else list(key)
+        if pcol in updates.columns and pcol not in keys:
+            raise ValueError(
+                f"partial_update on {name!r} may not modify its "
+                f"partition column {pcol!r} (rows would change "
+                f"partition directories; use write() for a re-layout)"
+            )
+        if pcol in updates.columns:
+            upd_parts = updates.select(pcol)
+        else:
+            # map update keys -> their current partitions: a key+pcol
+            # column-pruned scan semi-joined against the (small) update
+            # key set — never a full-width table read
+            upd_parts = (
+                self.read(name)
+                .select(*keys, pcol)
+                .join(F.broadcast(updates.select(*keys)), on=keys, how="left_semi")
+                .select(pcol)
+            )
+        touched = [r[0] for r in upd_parts.distinct().collect()]
+        current = self._read_partitions(name, pcol, touched)
+        if current is None:
+            return  # no known keys -> the reference's silently-no-op UPDATE
+        merged = partial_update(current, updates, key)
+        self._swap_partitions(name, merged)

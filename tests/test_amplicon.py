@@ -79,6 +79,73 @@ class TestSWAlign:
         assert end >= 790
 
 
+def _mm(s: str, i: int) -> str:
+    """Flip base i of s to a guaranteed-mismatching base."""
+    return s[:i] + ("a" if s[i] != "a" else "c") + s[i + 1 :]
+
+
+# Golden alignment vectors (VERDICT r9 #6): (target construction,
+# expected query_begin, query_end INCLUSIVE, score) under published
+# StripedSmithWaterman semantics with the reference's 2/-3/5/2 scoring
+# (skbio.alignment.StripedSmithWaterman fields query_begin/query_end/
+# optimal_alignment_score; ref amplicon.py:58-66). Each optimum is
+# UNIQUE by construction, so any SSW-semantics aligner must reproduce
+# the triple exactly — this is the swap-in contract for the cluster's
+# NumPy kernel and for a future skbio path alike. SSW gap model:
+# a length-L gap costs open + (L-1)*extend (first base opens at 5,
+# each further base extends at 2).
+SSW_GOLDEN = [
+    # exact V4 substring: full-span perfect local alignment
+    ("exact_v4", WHOLE_16S[576:682], 576, 681, 2 * 106),
+    # one internal mismatch: span unchanged (79*2-3=155 > 80 prefix)
+    ("mid_mismatch", _mm(WHOLE_16S[200:280], 40), 200, 279, 2 * 79 - 3),
+    # 3-base DELETION in the target: query spans the gap, one open +
+    # two extends
+    ("del3", WHOLE_16S[300:350] + WHOLE_16S[353:400], 300, 399,
+     2 * 97 - (5 + 2 * 2)),
+    # 1-base deletion: open only, no extend
+    ("del1", WHOLE_16S[700:740] + WHOLE_16S[741:780], 700, 779, 2 * 79 - 5),
+    # 3-base INSERTION in the target (gap in the query dimension):
+    # query span is contiguous, same affine cost
+    ("ins3", WHOLE_16S[300:350] + "acg"[::-1] * 1 + WHOLE_16S[350:400],
+     300, 399, 2 * 100 - (5 + 2 * 2)),
+    # junk flanks that can never match (n ∉ acgt): local alignment
+    # clips them, begin/end unchanged
+    ("flanked", "nn" + WHOLE_16S[500:560] + "nn", 500, 559, 2 * 60),
+]
+
+
+class TestSSWGoldenVectors:
+    """The aligner-contract table: every (begin, end, score) triple is
+    hand-derived from SSW's published recurrences, so this pins the
+    NumPy kernel to the reference aligner's exact outputs — not just
+    its scores (tests/test_sw_golden.py) but its coordinates."""
+
+    @pytest.mark.parametrize(
+        "name,target,begin,end,score", SSW_GOLDEN, ids=[g[0] for g in SSW_GOLDEN]
+    )
+    def test_golden_vector(self, name, target, begin, end, score):
+        got = sw_align(WHOLE_16S, target)
+        assert got == (begin, end, score)
+
+    @pytest.mark.parametrize(
+        "name,target,begin,end,score", SSW_GOLDEN, ids=[g[0] for g in SSW_GOLDEN]
+    )
+    def test_golden_vector_skbio(self, name, target, begin, end, score):
+        """When skbio IS importable (not in this image), the same table
+        must hold for the real StripedSmithWaterman — the differential
+        proof that the two aligner paths are interchangeable."""
+        skbio = pytest.importorskip("skbio.alignment")
+        ssw = skbio.StripedSmithWaterman(
+            WHOLE_16S, match_score=2, mismatch_score=-3,
+            gap_open_penalty=5, gap_extend_penalty=2,
+        )
+        res = ssw(target)
+        assert (res.query_begin, res.query_end, res.optimal_alignment_score) == (
+            begin, end, score,
+        )
+
+
 class TestProcessProject:
     def test_v4_project(self):
         # start just before the v4 boundary (576) — an exact-boundary

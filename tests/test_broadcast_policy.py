@@ -74,6 +74,8 @@ ALLOWED: dict[tuple[str, str], tuple[int, str]] = {
     ("plans/scoring.py", "emb_matryoshka_recall"): (1, "≤10-query side"),
     ("plans/scoring.py", "sim_hybrid_topk"): (2, "≤10-query side + 1-row stats"),
     ("plans/scoring.py", "sim_rrf_fusion"): (1, "≤10-query side"),
+    ("plans/frontier.py", "sim_frontier_report"): (4, "≤10-query side + per-query LUTs (queries×M×K fixed) + 1-row corpus/query totals"),
+    ("plans/frontier.py", "_rollup"): (1, "≤|sweep| settings frame (constant)"),
     ("plans/graph.py", "graph_common_neighbors"): (2, "capped neighbor lists (degree-capped)"),
     # --- fixed-size sketch/filter structures --------------------------
     ("plans/bloom.py", "dedup_bloom_prefilter"): (2, "Bloom bit array (m=256 fixed) + ref hashes of a FILTERED slice (documented)"),

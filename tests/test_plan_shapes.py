@@ -62,6 +62,11 @@ ALLPAIRS_BASELINES = {
     # plus the <=8-row rank/sweep frames and 1-row totals; the
     # candidate leg is the keyed probe⋈inverted-file join
     "sim_ivf_tuning_curve",
+    # cross-family frontier: the same exact-baseline <=10-query
+    # broadcast sweep + the PQ compressed-domain scan (broadcast
+    # LUTs × code table, keyless by design) + <=4-row sweep frames
+    # and 1-row totals; ivf/lsh candidate legs are keyed joins
+    "sim_frontier_report",
 }
 # plans whose only BNLJ/cartesian is a broadcast single-row scalar
 # (threshold / total / max) joined against every row — keyless by nature

@@ -275,17 +275,16 @@ def test_mixture_epochs_budget_reconciles(spark):
 
 
 def test_kcore_converged_and_nested(spark):
-    """KCORE_ROUNDS must be enough: one more peel round changes
-    nothing (the fixpoint reached), and cores must be nested
-    (coreness counts every k-sweep survived, so the max-coreness
-    nodes form a clique-ish dense core with degree >= coreness)."""
+    """The plan must reach the true fixpoint (r10: the Spark side
+    iterates to convergence; the oracle's KCORE_SQL_ROUNDS unroll
+    must be deep enough), and cores must be nested (coreness counts
+    every k-sweep survived, so the max-coreness nodes form a
+    clique-ish dense core with degree >= coreness)."""
     from compendium_spark.plans.graph import (
         KCORE_MAX_K,
-        KCORE_ROUNDS,
         _sparse_und,
         graph_kcore,
     )
-    import pandas as pd
 
     rows = graph_kcore(spark, SF_ORACLE).toPandas()
     assert rows.coreness.max() >= 2  # the fixture has a dense core
@@ -318,13 +317,15 @@ def test_kcore_converged_and_nested(spark):
 
 
 def test_source_overlap_matrix_bounds(spark):
-    """Jaccard in [0, 1], symmetric grid complete (C(sources, 2)
-    rows), and the shared count never exceeds either side."""
-    from compendium_spark.plans.text import text_source_overlap_matrix
+    """Estimated Jaccard in [0, 1], grid complete (C(sources, 2)
+    rows), lane agreements bounded by the signature length (columns
+    per the round-10 MinHash rework; the est-vs-exact delta pin lives
+    in tests/test_r10_plans.py)."""
+    from compendium_spark.plans.text import OVERLAP_MH_K, text_source_overlap_matrix
 
     rows = text_source_overlap_matrix(spark, SF_ORACLE).toPandas()
     n_src = len(set(rows.src_a) | set(rows.src_b))
     assert len(rows) == n_src * (n_src - 1) // 2
-    assert ((rows.jaccard >= 0) & (rows.jaccard <= 1)).all()
-    assert (rows.n_shared <= rows[["n_a", "n_b"]].min(axis=1)).all()
-    assert rows.n_shared.max() > 0  # the shared-vocabulary corpus overlaps
+    assert ((rows.est_jaccard >= 0) & (rows.est_jaccard <= 1)).all()
+    assert ((rows.n_agree >= 0) & (rows.n_agree <= OVERLAP_MH_K)).all()
+    assert rows.n_agree.max() > 0  # the shared-vocabulary corpus overlaps
