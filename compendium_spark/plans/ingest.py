@@ -48,6 +48,7 @@ from compendium_spark.functions.qc import (
     project_qc,
     sample_qc,
 )
+from compendium_spark.pipeline.enrichment import parse_efetch_response
 from compendium_spark.plans.registry import plan
 from compendium_spark.sources.biosample_xml import (
     read_biosample_xml,
@@ -55,7 +56,12 @@ from compendium_spark.sources.biosample_xml import (
     to_tags,
 )
 from compendium_spark.sources.fasta import read_fasta
-from compendium_spark.sources.tsv import read_summary
+from compendium_spark.sources.tsv import (
+    melt_counts,
+    read_counts_wide,
+    read_summary,
+    read_taxonomy,
+)
 
 # ---------------------------------------------------------------------------
 # Fixtures (FIXTURES.md §1 / §3 / §5 shapes, single-line XML so the
@@ -449,3 +455,207 @@ def ing_summary_disposition(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat_ws("|", "errors").alias("errors"),
         "decision",
     ).orderBy("project")
+
+
+# ---------------------------------------------------------------------------
+# ON-DECK for round 11 (gate window full this round — the @plan
+# registrations are deferred per the on-deck pattern; tests exercise
+# fn-vs-oracle parity directly until they enter the window)
+# ---------------------------------------------------------------------------
+
+# EFetch EXPERIMENT_PACKAGE fixture (FIXTURES.md §2 / ref db.py:388-438
+# fields), single-line so the oracle regexes never straddle lines.
+# Edge cases: multi-run ;-join with last-wins run attrs, 0-run package
+# skipped, minimal package (no optionals), non-BioProject EXTERNAL_ID
+# ignored, two SAMPLE tags (iteration keeps the LAST accession).
+EFETCH_XML = (
+    "<EXPERIMENT_PACKAGE_SET>"
+    "<EXPERIMENT_PACKAGE>"
+    '<SAMPLE accession="SRS000001"><TITLE>s1</TITLE></SAMPLE>'
+    "<LIBRARY_STRATEGY>AMPLICON</LIBRARY_STRATEGY>"
+    "<LIBRARY_SOURCE>METAGENOMIC</LIBRARY_SOURCE>"
+    "<INSTRUMENT_MODEL>Illumina MiSeq</INSTRUMENT_MODEL>"
+    '<EXTERNAL_ID namespace="GEO">GSE0001</EXTERNAL_ID>'
+    '<EXTERNAL_ID namespace="BioProject">PRJNA100001</EXTERNAL_ID>'
+    '<RUN accession="SRR900001" published="2020-01-02 11:22:33" total_bases="123456"/>'
+    "</EXPERIMENT_PACKAGE>"
+    "<EXPERIMENT_PACKAGE>"
+    '<SAMPLE accession="SRS000002"/>'
+    "<LIBRARY_STRATEGY>WGS</LIBRARY_STRATEGY>"
+    '<RUN accession="SRR900002" published="2019-05-06 01:02:03" total_bases="111"/>'
+    '<RUN accession="SRR900003" published="2019-06-07 04:05:06" total_bases="222"/>'
+    "</EXPERIMENT_PACKAGE>"
+    "<EXPERIMENT_PACKAGE>"
+    '<SAMPLE accession="SRS000003"/>'
+    "<LIBRARY_STRATEGY>AMPLICON</LIBRARY_STRATEGY>"
+    "</EXPERIMENT_PACKAGE>"
+    "<EXPERIMENT_PACKAGE>"
+    '<SAMPLE accession="SRS000098"/><SAMPLE accession="SRS000004"/>'
+    '<RUN accession="SRR900004"/>'
+    "</EXPERIMENT_PACKAGE>"
+    "</EXPERIMENT_PACKAGE_SET>"
+)
+
+
+ING_XML_RUNS_SQL = f"""
+WITH raw AS (SELECT {_sql_text(EFETCH_XML)} AS xml),
+pkg AS (
+  SELECT unnest(regexp_extract_all(
+           xml, '<EXPERIMENT_PACKAGE>.*?</EXPERIMENT_PACKAGE>')) AS s
+  FROM raw
+),
+fields AS (
+  SELECT
+    list_extract(
+      regexp_extract_all(s, '<SAMPLE accession="([^"]*)"', 1),
+      len(regexp_extract_all(s, '<SAMPLE accession="([^"]*)"', 1))) AS srs,
+    array_to_string(
+      regexp_extract_all(s, '<RUN accession="([^"]*)"', 1), ';') AS srr,
+    CASE WHEN s LIKE '%namespace="BioProject"%'
+         THEN regexp_extract(s,
+              'namespace="BioProject">([^<]*)<', 1) END AS project,
+    CASE WHEN s LIKE '%<LIBRARY_STRATEGY>%'
+         THEN regexp_extract(s, '<LIBRARY_STRATEGY>([^<]*)<', 1)
+    END AS library_strategy,
+    CASE WHEN s LIKE '%<LIBRARY_SOURCE>%'
+         THEN regexp_extract(s, '<LIBRARY_SOURCE>([^<]*)<', 1)
+    END AS library_source,
+    CASE WHEN len(regexp_extract_all(s, 'published="([^"]*)"', 1)) > 0
+         THEN list_extract(regexp_extract_all(s, 'published="([^"]*)"', 1),
+              len(regexp_extract_all(s, 'published="([^"]*)"', 1))) END
+      AS pubdate,
+    CASE WHEN len(regexp_extract_all(s, 'total_bases="([^"]*)"', 1)) > 0
+         THEN CAST(list_extract(
+                regexp_extract_all(s, 'total_bases="([^"]*)"', 1),
+                len(regexp_extract_all(s, 'total_bases="([^"]*)"', 1)))
+              AS BIGINT) END AS total_bases,
+    CASE WHEN s LIKE '%<INSTRUMENT_MODEL>%'
+         THEN regexp_extract(s, '<INSTRUMENT_MODEL>([^<]*)<', 1)
+    END AS instrument
+  FROM pkg
+)
+SELECT * FROM fields WHERE srr <> '' ORDER BY srs
+"""
+
+
+def ing_xml_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EFetch XML → staged run updates (S3+U3, ref `db.py:388-438`):
+    the REAL `pipeline/enrichment.parse_efetch_response` parses a
+    FIXTURES.md §2 EXPERIMENT_PACKAGE export; per package the LAST
+    SAMPLE accession keys the row, runs join with ';' (the reference's
+    stored form, db.py:421-431 — the engine's array form is projected
+    through concat_ws for the hash), run attributes are last-wins
+    across RUN elements, 0-run packages are SKIPPED (db.py:433-438),
+    and only the BioProject EXTERNAL_ID is read. Oracle = independent
+    regex re-derivation over the same XML literal.
+
+    Shape note: the parse is a pure function over one fetched response
+    (the transport adapter's unit); at scale responses land one-per-
+    batch and parse map-side — this plan gates the parser itself."""
+    staged = parse_efetch_response(EFETCH_XML)
+    rows = [
+        (
+            d["srs"],
+            ";".join(d["srr"]),
+            d["project"],
+            d["library_strategy"],
+            d["library_source"],
+            d["pubdate"],
+            d["total_bases"],
+            d["instrument"],
+        )
+        for d in staged
+    ]
+    schema = (
+        "srs string, srr string, project string, library_strategy string, "
+        "library_source string, pubdate string, total_bases long, "
+        "instrument string"
+    )
+    return spark.createDataFrame(rows, schema).orderBy("srs")
+
+
+# Wide ASV count matrix fixture (FIXTURES.md §4 / ref projects.py:418-440):
+# blank first header cell, zero cells dropped by the melt.
+ASV_COUNTS_TSV = (
+    "\tSRR001\tSRR002\tSRR003\n"
+    "ASV_1\t23\t0\t114\n"
+    "ASV_2\t0\t7\t9\n"
+    "ASV_3\t5\t5\t0\n"
+    "ASV_4\t0\t0\t0\n"
+)
+
+ING_ASV_MELT_SQL = f"""
+WITH lines AS (
+  SELECT string_split(unnest(string_split({_sql_text(ASV_COUNTS_TSV)},
+         chr(10))), chr(9)) AS c
+),
+hdr AS (SELECT c FROM lines WHERE c[1] = '' LIMIT 1),
+rows_ AS (SELECT c FROM lines WHERE len(c) > 1 AND c[1] <> ''),
+long_ AS (
+  SELECT h.c[i] AS sample, r.c[1] AS asv, CAST(r.c[i] AS BIGINT) AS count
+  FROM rows_ r
+  CROSS JOIN hdr h
+  CROSS JOIN (SELECT unnest(range(2, 5)) AS i)
+)
+SELECT sample, asv, count FROM long_ WHERE count <> 0
+ORDER BY sample, asv
+"""
+
+
+def ing_asv_counts_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide ASV matrix → long counts with zero-drop (S5+T1+P7, ref
+    `projects.py:418-440`): the staged fixture goes through the REAL
+    `sources/tsv.py` readers — header-defined dynamic schema
+    (read_counts_wide) then the built-in unpivot with the zero filter
+    (melt_counts). entryid (xxhash64 surrogate) is projected away:
+    surrogate keys are engine-specific by design (SURVEY §7.2).
+
+    Shape: unpivot is row-local (no shuffle); the zero-drop happens
+    before anything is stored — at 100 TB the melt output is the
+    sparse nonzero stream, never the dense matrix."""
+    path = _stage("asv_counts.tsv", ASV_COUNTS_TSV)
+    wide = read_counts_wide(spark, path)
+    return (
+        melt_counts(wide)
+        .select("sample", "asv", "count")
+        .orderBy("sample", "asv")
+    )
+
+
+# Taxonomy TSV fixture (FIXTURES.md §6 / ref projects.py:461-468):
+# ASV label + 6 ranks; constant tdatabase (projects.py:517).
+TAXONOMY_TSV = (
+    "\tKingdom\tPhylum\tClass\tOrder\tFamily\tGenus\n"
+    "ASV_1\tBacteria\tFirmicutes\tClostridia\tOscillospirales\tRuminococcaceae\tFaecalibacterium\n"
+    "ASV_2\tBacteria\tBacteroidota\tBacteroidia\tBacteroidales\tBacteroidaceae\tBacteroides\n"
+    "ASV_3\tArchaea\tEuryarchaeota\tMethanobacteria\tMethanobacteriales\tMethanobacteriaceae\tNA\n"
+)
+
+ING_TAXONOMY_SQL = f"""
+WITH lines AS (
+  SELECT string_split(unnest(string_split({_sql_text(TAXONOMY_TSV)},
+         chr(10))), chr(9)) AS c
+)
+SELECT c[1] AS asv, c[2] AS kingdom, c[3] AS phylum, c[4] AS tclass,
+       c[5] AS torder, c[6] AS family, c[7] AS genus,
+       'silva_nr99_v138_train_set' AS tdatabase
+FROM lines WHERE len(c) > 1 AND c[1] <> ''
+ORDER BY asv
+"""
+
+
+def ing_taxonomy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Taxonomy TSV → asv_assignments columns (S7, ref
+    `projects.py:461-468` + the constant tdatabase at 517), through
+    the REAL `sources/tsv.py read_taxonomy` (positional columns off
+    the header-defined schema). Oracle = chr(9)-split re-parse."""
+    path = _stage("taxonomy.tsv", TAXONOMY_TSV)
+    return read_taxonomy(spark, path).orderBy("asv")
+
+
+# round-11 registration manifest: (plan name, fn, oracle SQL)
+ONDECK_R11 = [
+    ("ing_xml_runs", ing_xml_runs, ING_XML_RUNS_SQL),
+    ("ing_asv_counts_melt", ing_asv_counts_melt, ING_ASV_MELT_SQL),
+    ("ing_taxonomy", ing_taxonomy, ING_TAXONOMY_SQL),
+]

@@ -222,6 +222,67 @@ def test_overlap_minhash_vs_exact(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# round-11 on-deck ingest plans (built + oracle-checked now, @plan
+# registration deferred until the r11 gate window has slots)
+# ---------------------------------------------------------------------------
+
+
+def test_ondeck_r11_not_registered():
+    """The on-deck pattern's invariant: these plans must NOT be in the
+    registry yet (the 50-slot window is full this round); registering
+    them happens at round-11 start after gate_ledger update."""
+    from compendium_spark.plans.ingest import ONDECK_R11
+
+    registered = set(all_plans())
+    for name, _fn, _sql in ONDECK_R11:
+        assert name not in registered, name
+
+
+@pytest.mark.parametrize("sf_dir", [SF_ORACLE, SF_FULL])
+def test_ondeck_r11_parity(spark, sf_dir):
+    """Full driver-gate-strength parity for the on-deck trio, at the
+    gate SF and one past it."""
+    from compendium_spark.plans.ingest import ONDECK_R11
+
+    con = _duck_conn(sf_dir)
+    for name, fn, sql in ONDECK_R11:
+        got = _normalize(fn(spark, sf_dir).toPandas())
+        want = _normalize(con.execute(sql).df())
+        assert len(got) > 0, f"{name}: vacuous"
+        _assert_hash_equal(got, want, name)
+
+
+def test_ing_xml_runs_semantics(spark):
+    """The db.py:388-438 edges: 0-run package skipped, multi-run
+    ;-join with last-wins attrs, BioProject-only external id, LAST
+    SAMPLE accession wins, minimal package all-NULL optionals."""
+    from compendium_spark.plans.ingest import ing_xml_runs
+
+    rows = {r.srs: r for r in ing_xml_runs(spark, SF_ORACLE).collect()}
+    assert "SRS000003" not in rows  # no runs -> skipped
+    assert rows["SRS000001"].project == "PRJNA100001"  # GEO id ignored
+    assert rows["SRS000002"].srr == "SRR900002;SRR900003"
+    assert rows["SRS000002"].pubdate == "2019-06-07 04:05:06"  # last wins
+    assert rows["SRS000002"].total_bases == 222
+    r4 = rows["SRS000004"]  # last SAMPLE accession keyed the row
+    assert (r4.project, r4.library_strategy, r4.pubdate, r4.total_bases) == (
+        None, None, None, None,
+    )
+
+
+def test_ing_asv_counts_melt_semantics(spark):
+    """Zero cells dropped (P7), all-zero ASV absent entirely."""
+    from compendium_spark.plans.ingest import ing_asv_counts_melt
+
+    rows = ing_asv_counts_melt(spark, SF_ORACLE).collect()
+    cells = {(r.sample, r.asv): r["count"] for r in rows}
+    assert len(rows) == 6  # 12 cells minus 6 zeros
+    assert cells[("SRR003", "ASV_1")] == 114
+    assert ("SRR002", "ASV_1") not in cells  # zero dropped
+    assert not any(a == "ASV_4" for _, a in cells)  # all-zero row gone
+
+
+# ---------------------------------------------------------------------------
 # curate_decontaminate external eval seam (ADVICE r9 #4)
 # ---------------------------------------------------------------------------
 
