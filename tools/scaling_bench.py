@@ -113,10 +113,13 @@ PROBES = [
     ("dedup_winnowing", "MOSS winnowing fingerprints"),
     ("train_quality_logreg", "integer-state logreg trainer"),
     ("train_ivf_centroids", "coarse-quantizer Lloyd trainer"),
-    ("graph_kcore", "iterative k-core peel"),
-    ("text_source_overlap_matrix", "source-pair shingle Jaccard"),
+    ("graph_kcore", "k-core peel to fixpoint (r10)"),
+    ("text_source_overlap_matrix", "per-source MinHash sketch Jaccard (r10)"),
     ("text_gopher_rules", "integer-compare quality rule battery"),
     ("curate_mixture_epochs", "token-budget epoch recipe"),
+    # round 10
+    ("sim_frontier_report", "cross-family recall-vs-cost frontier"),
+    ("ing_summary_disposition", "fixture ingest + QC chain (SF-invariant)"),
 ]
 
 
