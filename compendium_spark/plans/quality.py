@@ -1464,3 +1464,154 @@ def sim_bq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# ON-DECK for round 11: cluster-aware split + leakage audit
+# (@plan registration deferred — the round-10 gate window is full;
+# tests exercise fn-vs-oracle parity directly until it registers)
+# ---------------------------------------------------------------------------
+
+
+def _split_leakage_sql() -> str:
+    # the near-dup cluster CTEs are the SAME text dedup_cluster_labels
+    # gates (imported builders), so the leakage audit and the cluster
+    # plan can never drift apart
+    from compendium_spark.plans.extended import (  # noqa: PLC0415
+        _MINHASH_CAND_SQL_BODY,
+        _SHINGLES_SQL,
+        JACCARD_THRESHOLD,
+        _minhash_sql_bands,
+        _minhash_sql_sigs,
+    )
+
+    body = _MINHASH_CAND_SQL_BODY.format(
+        sigs=_minhash_sql_sigs(), bands=_minhash_sql_bands()
+    )
+    split_case = (
+        "CASE WHEN substring(md5(CAST({k} AS VARCHAR)), 1, 8)"
+        f" < '{TRAIN_MAX}' THEN 'train'"
+        " WHEN substring(md5(CAST({k} AS VARCHAR)), 1, 8)"
+        f" < '{VAL_MAX}' THEN 'val'"
+        " ELSE 'test' END"
+    )
+    return f"""
+WITH RECURSIVE {body},
+sh_arr AS (SELECT doc_id, {_SHINGLES_SQL} AS sh FROM documents),
+pairs AS (
+  SELECT doc_a, doc_b
+  FROM cand
+  JOIN sh_arr a ON doc_a = a.doc_id
+  JOIN sh_arr b ON doc_b = b.doc_id
+  WHERE 1.0 * len(list_intersect(a.sh, b.sh))
+          / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+        >= {JACCARD_THRESHOLD}
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+nodes AS (SELECT DISTINCT src AS doc FROM edges),
+reach(doc, lbl) AS (
+  SELECT doc, doc FROM nodes
+  UNION
+  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.doc
+),
+clusters AS (SELECT doc AS doc_id, MIN(lbl) AS cluster_id
+             FROM reach GROUP BY doc),
+assigned AS (
+  SELECT d.doc_id,
+         c.cluster_id,
+         {split_case.format(k="d.doc_id")} AS doc_split,
+         {split_case.format(k="COALESCE(c.cluster_id, d.doc_id)")}
+           AS eff_split
+  FROM documents d LEFT JOIN clusters c ON d.doc_id = c.doc_id
+),
+leaky AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS doclevel_leaky_clusters FROM (
+    SELECT cluster_id FROM assigned WHERE cluster_id IS NOT NULL
+    GROUP BY cluster_id HAVING COUNT(DISTINCT doc_split) > 1
+  )
+)
+SELECT a.eff_split AS split,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN a.cluster_id IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_clustered,
+       CAST(SUM(CASE WHEN a.doc_split <> a.eff_split THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_moved,
+       l.doclevel_leaky_clusters
+FROM assigned a, leaky l
+GROUP BY a.eff_split, l.doclevel_leaky_clusters
+ORDER BY split
+"""
+
+
+def curate_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-aware train/val/test split + leakage audit — the
+    operator that keeps near-duplicate documents from straddling the
+    split boundary (doc-level hashing leaks eval content into train
+    whenever a near-dup pair lands in different splits; the classic
+    benchmark-contamination mechanism). Every document inherits the
+    split of its near-dup CLUSTER representative (md5-threshold on the
+    cluster id — the same content-addressed ~80/10/10 rule as
+    curate_split_assign, so unclustered docs keep their doc-level
+    assignment bit-for-bit), and the report quantifies what doc-level
+    splitting would have leaked: per split, document counts, clustered
+    counts, moved-by-clustering counts, plus the number of clusters a
+    doc-level split would have torn across boundaries.
+
+    Shape: clusters come from the SAME min-label-propagation fixpoint
+    dedup_cluster_labels gates (O(diameter) keyed rounds, edge list
+    checkpointed once); the split expression is scan-stage; the audit
+    is one (split)-keyed aggregate plus a 1-row leaky-cluster count
+    broadcast — at 100 TB everything after the (tiny) cluster frame is
+    a map-side expression over the corpus scan."""
+    from compendium_spark.plans.extended import (  # noqa: PLC0415
+        dedup_cluster_labels,
+    )
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    clusters = dedup_cluster_labels(spark, sf_dir)
+
+    def split_of(key):
+        h = F.substring(F.md5(key.cast("string")), 1, 8)
+        return (
+            F.when(h < TRAIN_MAX, "train")
+            .when(h < VAL_MAX, "val")
+            .otherwise("test")
+        )
+
+    assigned = docs.join(clusters, "doc_id", "left").select(
+        "doc_id",
+        "cluster_id",
+        split_of(F.col("doc_id")).alias("doc_split"),
+        split_of(F.coalesce("cluster_id", "doc_id")).alias("eff_split"),
+    )
+    leaky = (
+        assigned.filter(F.col("cluster_id").isNotNull())
+        .groupBy("cluster_id")
+        .agg(F.countDistinct("doc_split").alias("n_splits"))
+        .filter(F.col("n_splits") > 1)
+        .agg(F.count(F.lit(1)).cast("long").alias("doclevel_leaky_clusters"))
+    )
+    return (
+        assigned.groupBy(F.col("eff_split").alias("split"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.col("cluster_id").isNotNull().cast("int"))
+            .cast("long")
+            .alias("n_clustered"),
+            F.sum((F.col("doc_split") != F.col("eff_split")).cast("int"))
+            .cast("long")
+            .alias("n_moved"),
+        )
+        .crossJoin(F.broadcast(leaky))
+        .orderBy("split")
+    )
+
+
+# round-11 registration manifest (see plans/ingest.py ONDECK_R11)
+ONDECK_R11_QUALITY = [
+    ("curate_split_leakage", curate_split_leakage, _split_leakage_sql()),
+]

@@ -75,6 +75,8 @@ ALLOWED: dict[tuple[str, str], tuple[int, str]] = {
     ("plans/scoring.py", "sim_hybrid_topk"): (2, "≤10-query side + 1-row stats"),
     ("plans/scoring.py", "sim_rrf_fusion"): (1, "≤10-query side"),
     ("plans/frontier.py", "sim_frontier_report"): (4, "≤10-query side + per-query LUTs (queries×M×K fixed) + 1-row corpus/query totals"),
+    ("plans/mmr.py", "sim_mmr_topk"): (1, "≤10-query side (relevance-pool exact sweep; on-deck r11)"),
+    ("plans/quality.py", "curate_split_leakage"): (1, "1-row leaky-cluster count (on-deck r11)"),
     ("plans/frontier.py", "_rollup"): (1, "≤|sweep| settings frame (constant)"),
     ("plans/graph.py", "graph_common_neighbors"): (2, "capped neighbor lists (degree-capped)"),
     # --- fixed-size sketch/filter structures --------------------------

@@ -227,29 +227,104 @@ def test_overlap_minhash_vs_exact(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
+def _ondeck_r11():
+    from compendium_spark.plans.ingest import ONDECK_R11
+    from compendium_spark.plans.mmr import ONDECK_R11_MMR
+    from compendium_spark.plans.quality import ONDECK_R11_QUALITY
+
+    return [*ONDECK_R11, *ONDECK_R11_QUALITY, *ONDECK_R11_MMR]
+
+
 def test_ondeck_r11_not_registered():
     """The on-deck pattern's invariant: these plans must NOT be in the
     registry yet (the 50-slot window is full this round); registering
     them happens at round-11 start after gate_ledger update."""
-    from compendium_spark.plans.ingest import ONDECK_R11
-
     registered = set(all_plans())
-    for name, _fn, _sql in ONDECK_R11:
+    for name, _fn, _sql in _ondeck_r11():
         assert name not in registered, name
 
 
 @pytest.mark.parametrize("sf_dir", [SF_ORACLE, SF_FULL])
 def test_ondeck_r11_parity(spark, sf_dir):
-    """Full driver-gate-strength parity for the on-deck trio, at the
+    """Full driver-gate-strength parity for the on-deck plans, at the
     gate SF and one past it."""
-    from compendium_spark.plans.ingest import ONDECK_R11
-
     con = _duck_conn(sf_dir)
-    for name, fn, sql in ONDECK_R11:
+    for name, fn, sql in _ondeck_r11():
         got = _normalize(fn(spark, sf_dir).toPandas())
         want = _normalize(con.execute(sql).df())
         assert len(got) > 0, f"{name}: vacuous"
         _assert_hash_equal(got, want, name)
+
+
+def test_split_leakage_semantics(spark):
+    """Cluster-aware splitting is leak-free by construction: every
+    cluster's docs share one eff_split, the totals reconcile with the
+    corpus, and the doc-level counterfactual leak count is what the
+    clusters + md5 thresholds imply (computed independently here)."""
+    from compendium_spark.plans.extended import dedup_cluster_labels
+    from compendium_spark.plans.quality import (
+        TRAIN_MAX,
+        VAL_MAX,
+        curate_split_leakage,
+    )
+    import hashlib
+
+    rows = curate_split_leakage(spark, SF_ORACLE).toPandas()
+    n_docs_total = _duck_conn(SF_ORACLE).execute(
+        "SELECT COUNT(*) FROM documents"
+    ).fetchone()[0]
+    assert int(rows.n_docs.sum()) == n_docs_total
+    assert rows.doclevel_leaky_clusters.nunique() == 1
+
+    def split_of(key: int) -> str:
+        h = hashlib.md5(str(key).encode()).hexdigest()[:8]
+        return "train" if h < TRAIN_MAX else ("val" if h < VAL_MAX else "test")
+
+    cl = dedup_cluster_labels(spark, SF_ORACLE).toPandas()
+    by_cluster: dict = {}
+    for r in cl.itertuples():
+        by_cluster.setdefault(r.cluster_id, []).append(r.doc_id)
+    leaky = sum(
+        1
+        for docs in by_cluster.values()
+        if len({split_of(d) for d in docs}) > 1
+    )
+    assert int(rows.doclevel_leaky_clusters.iloc[0]) == leaky
+    moved = sum(
+        1
+        for cid, docs in by_cluster.items()
+        for d in docs
+        if split_of(d) != split_of(cid)
+    )
+    assert int(rows.n_moved.sum()) == moved
+
+
+def test_mmr_diversifies(spark):
+    """MMR's defining properties: rank-1 equals the pure-relevance
+    argmax, every pick is unique, every score is bounded by λ·cosine
+    (the penalty term only subtracts when the nearest selected
+    neighbor is on the positive side — with negative cosines a later
+    score may legitimately EXCEED an earlier one, so monotonicity is
+    deliberately not asserted), and the λ-tradeoff actually fires
+    somewhere: at least one later-rank pick is NOT the
+    next-best-by-cosine candidate."""
+    from compendium_spark.plans.mmr import MMR_K, sim_mmr_topk
+
+    rows = sim_mmr_topk(spark, SF_ORACLE).toPandas()
+    assert set(rows["rank"]) == set(range(1, MMR_K + 1))
+    swapped = 0
+    for qid, grp in rows.groupby("query_id"):
+        grp = grp.sort_values("rank")
+        assert grp.cand_id.is_unique
+        assert grp.iloc[0].cosine == grp.cosine.max()  # rank-1 = argmax
+        # rank-1 has no penalty: score = 0.7 * cosine exactly
+        assert abs(grp.iloc[0].mmr_score - 0.7 * grp.iloc[0].cosine) < 1e-9
+        by_cos = grp.sort_values(
+            ["cosine", "cand_id"], ascending=[False, True]
+        ).cand_id.tolist()
+        if grp.sort_values("rank").cand_id.tolist() != by_cos:
+            swapped += 1
+    assert swapped > 0, "diversity penalty never changed any ranking"
 
 
 def test_ing_xml_runs_semantics(spark):
