@@ -659,3 +659,152 @@ ONDECK_R11 = [
     ("ing_asv_counts_melt", ing_asv_counts_melt, ING_ASV_MELT_SQL),
     ("ing_taxonomy", ing_taxonomy, ING_TAXONOMY_SQL),
 ]
+
+
+# sources.txt keep/toss fixture (FIXTURES.md / ref helpers.py:1-23).
+# Case-sensitivity is the documented reference behavior (raw keyword
+# substring match): the upper-case line matches no keep keyword.
+SOURCES_TXT = (
+    "human stool sample\n"
+    "fecal culture isolate\n"
+    "ocean water\n"
+    "infant meconium\n"
+    "rectal swab\n"
+    "sample collected 2003\n"
+    "Stool Sample\n"
+    "faecal matter from donor\n"
+    "soil from fecal site\n"
+)
+
+
+def _sources_sql() -> str:
+    from compendium_spark.functions.sources_filter import (  # noqa: PLC0415
+        TO_KEEP,
+        TO_TOSS,
+    )
+
+    keep = "|".join(TO_KEEP)
+    toss = "|".join(TO_TOSS)
+    return f"""
+WITH lines AS (
+  SELECT unnest(string_split({_sql_text(SOURCES_TXT)}, chr(10))) AS source
+)
+SELECT source,
+       CASE WHEN regexp_matches(source, '{keep}')
+                 AND NOT regexp_matches(source, '{toss}')
+            THEN 'yes' ELSE 'no' END AS decision
+FROM lines WHERE source <> ''
+ORDER BY source
+"""
+
+
+def ing_sources_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sources.txt → keep/toss decisions (S8+P6+K4, ref
+    `helpers.py:1-23`): the staged fixture goes through spark.read.text
+    + the REAL `functions/sources_filter.classify_sources` (keyword
+    alternations as two codegen'd rlike predicates — keep requires ≥1
+    keep-keyword AND 0 toss-keywords); oracle = the same alternations
+    via regexp_matches over the literal. Covers keep-only, keep+toss
+    veto, toss-only, no-keyword, numeric keyword, and the
+    case-sensitivity contract.
+
+    Shape: two scan-stage regexes, no shuffle at all — the decision
+    column is written back beside the source at any scale."""
+    from compendium_spark.functions.sources_filter import (  # noqa: PLC0415
+        classify_sources,
+    )
+
+    path = _stage("sources.txt", SOURCES_TXT)
+    src = spark.read.text(path).withColumnRenamed("value", "source")
+    return classify_sources(src).select("source", "decision").orderBy("source")
+
+
+# Geo dimension fixtures (ref db.py:104-117 declares the tables but
+# ships no loader; FIXTURES.md shapes). The samples side is a literal
+# frame — the dims and the snowflake are what this plan gates.
+GEO_TSV = (
+    "geo_loc_name\tiso2\n"
+    "usa: minnesota\tUS\n"
+    "usa: california\tUS\n"
+    "canada: toronto\tCA\n"
+    "united kingdom\tGB\n"
+)
+COUNTRIES_TSV = (
+    "iso2\tname\tregion\n"
+    "US\tUnited States\tAmericas\n"
+    "CA\tCanada\tAmericas\n"
+    "GB\tUnited Kingdom\tEurope\n"
+    "FR\tFrance\tEurope\n"
+)
+GEO_SAMPLES = [
+    ("SRS1", "PRJ1", "usa: minnesota"),
+    ("SRS2", "PRJ1", "usa: california"),
+    ("SRS3", "PRJ2", "canada: toronto"),
+    ("SRS4", "PRJ2", "united kingdom"),
+    ("SRS5", "PRJ3", "mars colony"),
+    ("SRS6", "PRJ3", None),
+]
+
+
+def _geo_sql() -> str:
+    samples_rows = ", ".join(
+        "(" + ", ".join("NULL" if v is None else f"'{v}'" for v in row) + ")"
+        for row in GEO_SAMPLES
+    )
+    return f"""
+WITH geo AS (
+  SELECT c[1] AS geo_loc_name, c[2] AS iso2 FROM (
+    SELECT string_split(unnest(string_split({_sql_text(GEO_TSV)},
+           chr(10))), chr(9)) AS c
+  ) WHERE len(c) > 1 AND c[1] <> 'geo_loc_name'
+),
+ctry AS (
+  SELECT c[1] AS iso2, c[2] AS name, c[3] AS region FROM (
+    SELECT string_split(unnest(string_split({_sql_text(COUNTRIES_TSV)},
+           chr(10))), chr(9)) AS c
+  ) WHERE len(c) > 1 AND c[1] <> 'iso2'
+),
+samples AS (
+  SELECT * FROM (VALUES {samples_rows}) s(srs, project, geo_loc_name)
+)
+SELECT COALESCE(ct.region, '<unmapped>') AS region,
+       COALESCE(ct.name, '<unmapped>') AS country,
+       CAST(COUNT(DISTINCT s.srs) AS BIGINT) AS n_samples,
+       CAST(COUNT(DISTINCT s.project) AS BIGINT) AS n_projects
+FROM samples s
+LEFT JOIN geo g ON s.geo_loc_name = g.geo_loc_name
+LEFT JOIN ctry ct ON g.iso2 = ct.iso2
+GROUP BY 1, 2
+ORDER BY region, country
+"""
+
+
+def ing_geo_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geo dimension ingest + snowflake report (ref `db.py:104-117`
+    declares geo_loc_countries/countries but ships no loader; this is
+    the load-and-use path): staged TSV fixtures through the REAL
+    `sources/tsv.py read_geo_countries` / `read_countries`, joined by
+    `pipeline/status.geo_summary` (samples → geo_loc_countries →
+    countries, unmapped/null geo values rolled up under '<unmapped>').
+    Oracle = chr(9)-split re-parse of the same TSVs + VALUES samples.
+
+    Shape: two broadcast dims (≤249 rows by ISO-3166 semantics) into a
+    scan-side join, one (region, country)-keyed aggregate."""
+    from compendium_spark.pipeline.status import geo_summary  # noqa: PLC0415
+    from compendium_spark.sources.tsv import (  # noqa: PLC0415
+        read_countries,
+        read_geo_countries,
+    )
+
+    geo = read_geo_countries(spark, _stage("geo_loc_countries.tsv", GEO_TSV))
+    ctry = read_countries(spark, _stage("countries.tsv", COUNTRIES_TSV))
+    samples = spark.createDataFrame(
+        GEO_SAMPLES, "srs string, project string, geo_loc_name string"
+    )
+    return geo_summary(samples, geo, ctry)
+
+
+ONDECK_R11 += [
+    ("ing_sources_decisions", ing_sources_decisions, _sources_sql()),
+    ("ing_geo_summary", ing_geo_summary, _geo_sql()),
+]
