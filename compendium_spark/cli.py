@@ -42,7 +42,7 @@ from compendium_spark.functions.qc import project_disposition, project_qc, sampl
 from compendium_spark.functions.sources_filter import filter_sources
 from compendium_spark.pipeline import amplicon, orchestrate
 from compendium_spark.pipeline.enrichment import (
-    apply_enrichment,
+    UPDATE_FIELDS,
     enrichment_candidates,
     fetch_batches,
     with_batch_ids,
@@ -195,7 +195,12 @@ def cmd_runs(wh: Warehouse, args) -> int:
         "srs string, srr array<string>, project string, library_strategy string, "
         "library_source string, pubdate string, total_bases long, instrument string",
     ).withColumn("pubdate", F.col("pubdate").cast("timestamp"))
-    wh.write("samples", apply_enrichment(wh.read("samples"), staged))
+    # partition-pruned MERGE: rewrites O(touched taxa), never the full
+    # samples table (apply_enrichment stays as the frame-level form the
+    # emulation tests pin; this is its warehouse-pruned equivalent)
+    wh.partial_update(
+        "samples", staged.select("srs", *UPDATE_FIELDS), key="srs"
+    )
     print(f"updated {len(staged_rows)} samples")
     return 0
 

@@ -123,21 +123,46 @@ def merge_into_sql(
     bad = [c for c in update_cols if c in keys]
     if bad:
         raise ValueError(f"key columns cannot be update columns: {bad}")
-    on = " AND ".join(f"t.{k} = u.{k}" for k in keys)
+    if insert_cols is not None:
+        missing = [k for k in keys if k not in insert_cols]
+        if missing:
+            raise ValueError(
+                f"insert_cols must include every key column (the INSERT "
+                f"arm would write NULL keys): missing {missing}"
+            )
+    qt, qv = _quote_qualified(target_table), _quote_qualified(updates_view)
+    kq = [_quote_ident(k) for k in keys]
+    uq = [_quote_ident(c) for c in update_cols]
+    on = " AND ".join(f"t.{k} = u.{k}" for k in kq)
     if partial:
-        sets = ", ".join(
-            f"t.{c} = COALESCE(u.{c}, t.{c})" for c in update_cols
-        )
+        sets = ", ".join(f"t.{c} = COALESCE(u.{c}, t.{c})" for c in uq)
     else:
-        sets = ", ".join(f"t.{c} = u.{c}" for c in update_cols)
+        sets = ", ".join(f"t.{c} = u.{c}" for c in uq)
     stmt = (
-        f"MERGE INTO {target_table} t\n"
-        f"USING {updates_view} u\n"
+        f"MERGE INTO {qt} t\n"
+        f"USING {qv} u\n"
         f"ON {on}\n"
         f"WHEN MATCHED THEN UPDATE SET {sets}"
     )
     if insert_cols is not None:
-        cols = ", ".join(insert_cols)
-        vals = ", ".join(f"u.{c}" for c in insert_cols)
+        iq = [_quote_ident(c) for c in insert_cols]
+        cols = ", ".join(iq)
+        vals = ", ".join(f"u.{c}" for c in iq)
         stmt += f"\nWHEN NOT MATCHED THEN INSERT ({cols}) VALUES ({vals})"
     return stmt
+
+
+def _quote_ident(ident: str) -> str:
+    """Backtick-quote one identifier (Spark SQL's quote form; doubled
+    backticks escape embedded ones). Rejects empties and control
+    characters — interpolating raw user strings into DDL is how NULL
+    keys and broken statements happen."""
+    if not ident or any(ord(ch) < 0x20 for ch in ident):
+        raise ValueError(f"invalid identifier: {ident!r}")
+    return "`" + ident.replace("`", "``") + "`"
+
+
+def _quote_qualified(name: str) -> str:
+    """Quote a possibly catalog-qualified table/view name part-wise
+    (``db.table`` → ```db`.`table```)."""
+    return ".".join(_quote_ident(p) for p in name.split("."))

@@ -20,6 +20,7 @@ from compendium_spark.plans import (  # noqa: F401
     ivf,
     kmeans,
     knn,
+    mmr,
     multimodal,
     olap_ext,
     pq,
@@ -438,6 +439,77 @@ _ROUND10_CANARIES = [
 ]
 _ROUND10_WINDOW = [*_ROUND10_STALE, *_ROUND10_CANARIES]
 assert len(_ROUND10_WINDOW) == 50, len(_ROUND10_WINDOW)
-registry.promote(_ROUND10_WINDOW)
+
+# Round 11:
+#   tier 1 — the ledger's stale set: the 7 round-10 on-deck plans
+#            (VERDICT r10 #1: the last ungated reference readers —
+#            EFetch parse, ASV melt, taxonomy, sources classifier,
+#            geo dims — plus the cluster-aware split-leakage audit
+#            and the MMR re-ranker), the new sink round-trip plans
+#            (VERDICT #4), and this round's reworked plans.
+#   tier 2 — drift canaries: the oldest-gated plans per VERDICT #2 —
+#            the 6 remaining r4 w*-window plans, then the r5 cohort.
+_ROUND11_STALE = [
+    "ing_xml_runs",
+    "ing_asv_counts_melt",
+    "ing_taxonomy",
+    "ing_sources_decisions",
+    "ing_geo_summary",
+    "curate_split_leakage",
+    "sim_mmr_topk",
+    # re-staled by the ADVICE r10 #4 fixture-staging hardening (the
+    # shared `_stage` helper is in their closure fingerprint)
+    "ing_xml_samples",
+    "ing_xml_tags",
+    "ing_fasta_pairs",
+    "ing_summary_disposition",
+]
+_ROUND11_CANARIES = [
+    # r4 (the 6 deferred from round 10)
+    "w1_tumbling_window",
+    "w2_sliding_window",
+    "w3_sessionization",
+    "w4_running_sum",
+    "w6_lag_lead_delta",
+    "w7_range_frame",
+    # r5 (first 37 of 32 placeholder — trimmed below)
+    "a18_freq_items_sketch",
+    "a20_hll_sketch",
+    "a21_histogram_quantile",
+    "cluster_kmeans",
+    "dedup_incremental_lsh",
+    "dedup_neardup_pipeline",
+    "dedup_semdedup",
+    "dedup_signature_jaccard",
+    "emb_covariance",
+    "emb_kcenter_init",
+    "emb_matryoshka_recall",
+    "emb_pca_variance_check",
+    "emb_whiten_check",
+    "graph_pagerank",
+    "j16_scd2_intervals",
+    "j17_point_in_time_join",
+    "j18_snapshot_diff",
+    "mm_audio_vad",
+    "mv_incremental_refresh",
+    "o5_zorder_layout",
+    "o6_skew_report",
+    "sim_cosine_topk",
+    "sim_ivfpq_topk",
+    "sim_sq_topk_recall",
+    "text_quality_classifier",
+    "text_shingle_containment",
+    "ts_interpolate_linear",
+    "w12_time_bounded_funnel",
+    "w13_gap_islands",
+    "w14_attribution",
+    "w15_rolling_zscore",
+    "w16_running_distinct",
+    # r6 (oldest of the rest, topping up to 50)
+    "a12_stats_moments",
+]
+_ROUND11_WINDOW = [*_ROUND11_STALE, *_ROUND11_CANARIES]
+assert len(_ROUND11_WINDOW) == 50, len(_ROUND11_WINDOW)
+registry.promote(_ROUND11_WINDOW)
 
 all_plans = registry.all_plans

@@ -38,6 +38,7 @@ identical, only the path changes.
 from __future__ import annotations
 
 import os
+import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -138,13 +139,22 @@ SUMMARY_SAVE = (
     "SRR300002_1.fastq\t60000\t59000\t58500\t58000\t57000\t56500\t56000\n"
 )
 
-_STAGE_DIR = "/tmp/compendium_spark_fixtures"
+# uid-suffixed so another user on a shared host can neither pre-create
+# nor symlink-hijack the staging dir (ADVICE r10 #4); mode 0o700 and an
+# ownership check close the remaining pre-creation race.
+_STAGE_DIR = os.path.join(
+    tempfile.gettempdir(), f"compendium_spark_fixtures_{os.getuid()}"
+)
 
 
 def _stage(name: str, text: str) -> str:
-    """Write fixture ``text`` to a deterministic path, atomically
-    (tmp + rename), so concurrent plan runs never see a torn file."""
-    os.makedirs(_STAGE_DIR, exist_ok=True)
+    """Write fixture ``text`` to a deterministic per-user path,
+    atomically (tmp + rename), so concurrent plan runs never see a
+    torn file and other users cannot plant the directory."""
+    os.makedirs(_STAGE_DIR, mode=0o700, exist_ok=True)
+    st = os.lstat(_STAGE_DIR)
+    if st.st_uid != os.getuid() or os.path.islink(_STAGE_DIR):
+        raise RuntimeError(f"fixture dir {_STAGE_DIR} not owned by us")
     path = os.path.join(_STAGE_DIR, name)
     tmp = f"{path}.tmp.{os.getpid()}"
     with open(tmp, "w") as f:
@@ -458,9 +468,9 @@ def ing_summary_disposition(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# ON-DECK for round 11 (gate window full this round — the @plan
-# registrations are deferred per the on-deck pattern; tests exercise
-# fn-vs-oracle parity directly until they enter the window)
+# Registered in round 11 (built + oracle-pinned on-deck in round 10
+# while the gate window was full; tests/test_r10_plans.py carries the
+# two-SF parity pins from before first registration)
 # ---------------------------------------------------------------------------
 
 # EFetch EXPERIMENT_PACKAGE fixture (FIXTURES.md §2 / ref db.py:388-438
@@ -538,6 +548,7 @@ SELECT * FROM fields WHERE srr <> '' ORDER BY srs
 """
 
 
+@plan("ing_xml_runs", oracle=ING_XML_RUNS_SQL)
 def ing_xml_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EFetch XML → staged run updates (S3+U3, ref `db.py:388-438`):
     the REAL `pipeline/enrichment.parse_efetch_response` parses a
@@ -602,6 +613,7 @@ ORDER BY sample, asv
 """
 
 
+@plan("ing_asv_counts_melt", oracle=ING_ASV_MELT_SQL)
 def ing_asv_counts_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Wide ASV matrix → long counts with zero-drop (S5+T1+P7, ref
     `projects.py:418-440`): the staged fixture goes through the REAL
@@ -644,6 +656,7 @@ ORDER BY asv
 """
 
 
+@plan("ing_taxonomy", oracle=ING_TAXONOMY_SQL)
 def ing_taxonomy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Taxonomy TSV → asv_assignments columns (S7, ref
     `projects.py:461-468` + the constant tdatabase at 517), through
@@ -651,14 +664,6 @@ def ing_taxonomy(spark: SparkSession, sf_dir: str) -> DataFrame:
     the header-defined schema). Oracle = chr(9)-split re-parse."""
     path = _stage("taxonomy.tsv", TAXONOMY_TSV)
     return read_taxonomy(spark, path).orderBy("asv")
-
-
-# round-11 registration manifest: (plan name, fn, oracle SQL)
-ONDECK_R11 = [
-    ("ing_xml_runs", ing_xml_runs, ING_XML_RUNS_SQL),
-    ("ing_asv_counts_melt", ing_asv_counts_melt, ING_ASV_MELT_SQL),
-    ("ing_taxonomy", ing_taxonomy, ING_TAXONOMY_SQL),
-]
 
 
 # sources.txt keep/toss fixture (FIXTURES.md / ref helpers.py:1-23).
@@ -698,6 +703,7 @@ ORDER BY source
 """
 
 
+@plan("ing_sources_decisions", oracle=_sources_sql())
 def ing_sources_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """sources.txt → keep/toss decisions (S8+P6+K4, ref
     `helpers.py:1-23`): the staged fixture goes through spark.read.text
@@ -779,6 +785,7 @@ ORDER BY region, country
 """
 
 
+@plan("ing_geo_summary", oracle=_geo_sql())
 def ing_geo_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Geo dimension ingest + snowflake report (ref `db.py:104-117`
     declares geo_loc_countries/countries but ships no loader; this is
@@ -802,9 +809,3 @@ def ing_geo_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         GEO_SAMPLES, "srs string, project string, geo_loc_name string"
     )
     return geo_summary(samples, geo, ctry)
-
-
-ONDECK_R11 += [
-    ("ing_sources_decisions", ing_sources_decisions, _sources_sql()),
-    ("ing_geo_summary", ing_geo_summary, _geo_sql()),
-]

@@ -1,7 +1,6 @@
 """sim_mmr_topk — Maximal Marginal Relevance diversified retrieval
-(Carbonell & Goldstein, SIGIR 1998). ON-DECK for round 11 (the
-round-10 gate window is full; `@plan` registration + the plans/__init__
-import are deferred — tests exercise fn-vs-oracle parity directly).
+(Carbonell & Goldstein, SIGIR 1998). Built + oracle-pinned on-deck in
+round 10, registered round 11.
 
 The missing retrieval-quality operator next to sim_rrf_fusion: plain
 top-k returns near-duplicate passages when the corpus is redundant
@@ -32,6 +31,7 @@ import numpy as np
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from compendium_spark.plans.registry import plan
 from compendium_spark.tables import load
 
 DIM = 64
@@ -130,6 +130,7 @@ ORDER BY query_id, rank
 SIM_MMR_SQL = _mmr_sql()
 
 
+@plan("sim_mmr_topk", oracle=SIM_MMR_SQL)
 def sim_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MMR-diversified top-{MMR_K} over a top-{MMR_POOL} relevance
     pool (module docstring). Output: (query_id, rank, cand_id,
@@ -225,5 +226,3 @@ def sim_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# round-11 registration manifest (see plans/ingest.py ONDECK_R11)
-ONDECK_R11_MMR = [("sim_mmr_topk", sim_mmr_topk, SIM_MMR_SQL)]

@@ -1547,6 +1547,7 @@ ORDER BY split
 """
 
 
+@plan("curate_split_leakage", oracle=_split_leakage_sql())
 def curate_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cluster-aware train/val/test split + leakage audit — the
     operator that keeps near-duplicate documents from straddling the
@@ -1611,7 +1612,3 @@ def curate_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# round-11 registration manifest (see plans/ingest.py ONDECK_R11)
-ONDECK_R11_QUALITY = [
-    ("curate_split_leakage", curate_split_leakage, _split_leakage_sql()),
-]

@@ -107,13 +107,44 @@ class Warehouse:
         """Partition-level MERGE: merge only the partitions the updates
         touch, stage them, then swap just those partition directories.
         Untouched partitions are never read or rewritten — the parquet
-        analogue of Delta's MERGE with partition pruning."""
-        touched = [r[0] for r in updates.select(pcol).distinct().collect()]
+        analogue of Delta's MERGE with partition pruning.
+
+        A full-row upsert may MOVE a key across partitions (the
+        partition column is an ordinary update field when it is not
+        part of the key): the partitions CURRENTLY holding the updated
+        keys must join the merged set, or the old row survives in its
+        old directory and the key silently duplicates. The mapping is
+        a key+pcol column-pruned scan semi-joined against the (small)
+        update key set — the same move guard _partial_update_partitions
+        enforces by ValueError, resolved here by actually merging the
+        source partitions. A moved-out partition that ends up empty
+        gets no staging directory from Spark, so its old directory is
+        removed explicitly (old dirs are read from the touched slice's
+        real file paths — never reconstructed from values, which would
+        miss Spark's dir-name escaping)."""
+        keys = [key] if isinstance(key, str) else list(key)
+        upd_parts = updates.select(pcol)
+        if pcol not in keys:
+            upd_parts = upd_parts.unionByName(
+                self.read(name)
+                .select(*keys, pcol)
+                .join(
+                    F.broadcast(updates.select(*keys)), on=keys, how="left_semi"
+                )
+                .select(pcol)
+            )
+        touched = [r[0] for r in upd_parts.distinct().collect()]
         current = self._read_partitions(name, pcol, touched)
         if current is None:
             return
+        old_dirs = {
+            Path(r[0]).parent.name
+            for r in current.select(F.input_file_name()).distinct().collect()
+        }
         merged = upsert(current, updates, key)
-        self._swap_partitions(name, merged)
+        swapped = self._swap_partitions(name, merged)
+        for stale_dir in old_dirs - swapped:
+            shutil.rmtree(self.path(name) / stale_dir, ignore_errors=True)
 
     def _read_partitions(self, name: str, pcol: str, touched: list):
         """The touched-partition slice of ``name`` (None when nothing
@@ -127,18 +158,19 @@ class Warehouse:
             cond = cond | F.col(pcol).isNull()
         return self.read(name).filter(cond)
 
-    def _swap_partitions(self, name: str, merged: DataFrame) -> None:
+    def _swap_partitions(self, name: str, merged: DataFrame) -> set[str]:
         """Stage ``merged`` (touched partitions only), then swap just
-        those partition directories into the live table. Swaps the
-        partition dirs Spark actually wrote: their names carry Spark's
-        own escaping (URL-escaped specials, __HIVE_DEFAULT_PARTITION__
-        for null), so reconstructing f"{pcol}={value}" by hand would
-        miss any value needing escaping and silently drop the merged
-        data."""
+        those partition directories into the live table; returns the
+        swapped directory names. Swaps the partition dirs Spark
+        actually wrote: their names carry Spark's own escaping
+        (URL-escaped specials, __HIVE_DEFAULT_PARTITION__ for null),
+        so reconstructing f"{pcol}={value}" by hand would miss any
+        value needing escaping and silently drop the merged data."""
         merged = validate_schema(merged, ALL_TABLES[name], name)
         target = self.path(name)
         staging = target.with_suffix(".staging")
         self._writer(name, merged).mode("overwrite").parquet(str(staging))
+        swapped: set[str] = set()
         for part_dir in sorted(staging.iterdir()):
             if not part_dir.is_dir():
                 continue
@@ -146,7 +178,9 @@ class Warehouse:
             if dest.exists():
                 shutil.rmtree(dest)
             part_dir.rename(dest)
+            swapped.add(part_dir.name)
         shutil.rmtree(staging)
+        return swapped
 
     def partial_update(self, name: str, updates: DataFrame, key: str | list[str]) -> None:
         pcol = PARTITION_SPEC.get(name)

@@ -123,12 +123,12 @@ def test_merge_into_sql_partial_update_form():
 
     got = merge_into_sql("samples", "staged", "srs", ["srr", "project"])
     assert got == (
-        "MERGE INTO samples t\n"
-        "USING staged u\n"
-        "ON t.srs = u.srs\n"
+        "MERGE INTO `samples` t\n"
+        "USING `staged` u\n"
+        "ON t.`srs` = u.`srs`\n"
         "WHEN MATCHED THEN UPDATE SET "
-        "t.srr = COALESCE(u.srr, t.srr), "
-        "t.project = COALESCE(u.project, t.project)"
+        "t.`srr` = COALESCE(u.`srr`, t.`srr`), "
+        "t.`project` = COALESCE(u.`project`, t.`project`)"
     )
 
 
@@ -143,10 +143,10 @@ def test_merge_into_sql_upsert_form():
         partial=False,
         insert_cols=["project", "status", "note1"],
     )
-    assert "t.status = u.status, t.note1 = u.note1" in got
+    assert "t.`status` = u.`status`, t.`note1` = u.`note1`" in got
     assert got.endswith(
-        "WHEN NOT MATCHED THEN INSERT (project, status, note1) "
-        "VALUES (u.project, u.status, u.note1)"
+        "WHEN NOT MATCHED THEN INSERT (`project`, `status`, `note1`) "
+        "VALUES (u.`project`, u.`status`, u.`note1`)"
     )
 
 
@@ -156,9 +156,30 @@ def test_merge_into_sql_composite_key_and_guard():
     from compendium_spark.operators.merge import merge_into_sql
 
     got = merge_into_sql("asv_counts", "delta", ["sample", "asv"], ["count"])
-    assert "ON t.sample = u.sample AND t.asv = u.asv" in got
+    assert "ON t.`sample` = u.`sample` AND t.`asv` = u.`asv`" in got
     with pytest.raises(ValueError, match="key columns"):
         merge_into_sql("t", "u", "k", ["k", "x"])
+
+
+def test_merge_into_sql_identifier_hygiene():
+    """ADVICE r10 #3: identifiers are backtick-quoted (embedded
+    backticks doubled, qualified names quoted part-wise), control
+    characters rejected, and the INSERT arm must carry every key
+    column — an arm missing the key would insert NULL-keyed rows."""
+    import pytest
+
+    from compendium_spark.operators.merge import merge_into_sql
+
+    got = merge_into_sql("db.samples", "staged", "order", ["select"])
+    assert "MERGE INTO `db`.`samples` t" in got
+    assert "ON t.`order` = u.`order`" in got
+    assert "t.`select` = COALESCE(u.`select`, t.`select`)" in got
+    weird = merge_into_sql("t`bl", "u", "k", ["x"])
+    assert "MERGE INTO `t``bl` t" in weird
+    with pytest.raises(ValueError, match="invalid identifier"):
+        merge_into_sql("t\nDROP", "u", "k", ["x"])
+    with pytest.raises(ValueError, match="every key column"):
+        merge_into_sql("t", "u", "k", ["x"], insert_cols=["x"])
 
 
 def test_merge_into_sql_parses_as_single_statement():

@@ -54,6 +54,11 @@ ALLPAIRS_BASELINES = {
     # sharded corpus sweep as sim_hybrid_topk; the lexical ranker and
     # the fusion join are keyed
     "sim_rrf_fusion",
+    # MMR re-rank: the relevance pool is the same <=10 broadcast query
+    # vectors × corpus exact sweep (pool choice is orthogonal to the
+    # re-rank — production pools come from the keyed ANN plans); the
+    # greedy diversity pass is per-query Arrow over pool² only
+    "sim_mmr_topk",
     # recall dashboard: its ground-truth leg is the sim_cosine_topk
     # exact sweep (<=10 broadcast queries × corpus, keyless by
     # design); both LSH candidate legs and every report join are keyed

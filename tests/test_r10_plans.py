@@ -222,31 +222,39 @@ def test_overlap_minhash_vs_exact(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
-# round-11 on-deck ingest plans (built + oracle-checked now, @plan
-# registration deferred until the r11 gate window has slots)
+# round-10 on-deck plans, registered at round-11 start; the two-SF
+# parity pins earned on-deck stay here (the driver gate only runs
+# sf0.01, this also covers sf0.1)
 # ---------------------------------------------------------------------------
+
+R11_REGISTERED = [
+    "ing_xml_runs",
+    "ing_asv_counts_melt",
+    "ing_taxonomy",
+    "ing_sources_decisions",
+    "ing_geo_summary",
+    "curate_split_leakage",
+    "sim_mmr_topk",
+]
 
 
 def _ondeck_r11():
-    from compendium_spark.plans.ingest import ONDECK_R11
-    from compendium_spark.plans.mmr import ONDECK_R11_MMR
-    from compendium_spark.plans.quality import ONDECK_R11_QUALITY
-
-    return [*ONDECK_R11, *ONDECK_R11_QUALITY, *ONDECK_R11_MMR]
+    plans = all_plans()
+    return [(n, plans[n].fn, plans[n].oracle) for n in R11_REGISTERED]
 
 
-def test_ondeck_r11_not_registered():
-    """The on-deck pattern's invariant: these plans must NOT be in the
-    registry yet (the 50-slot window is full this round); registering
-    them happens at round-11 start after gate_ledger update."""
-    registered = set(all_plans())
-    for name, _fn, _sql in _ondeck_r11():
-        assert name not in registered, name
+def test_r11_cohort_registered():
+    """The round-10 on-deck cohort is registered (round-11 start),
+    each with an oracle."""
+    registered = all_plans()
+    for name in R11_REGISTERED:
+        assert name in registered, name
+        assert registered[name].oracle, name
 
 
 @pytest.mark.parametrize("sf_dir", [SF_ORACLE, SF_FULL])
 def test_ondeck_r11_parity(spark, sf_dir):
-    """Full driver-gate-strength parity for the on-deck plans, at the
+    """Full driver-gate-strength parity for the r11 cohort, at the
     gate SF and one past it."""
     con = _duck_conn(sf_dir)
     for name, fn, sql in _ondeck_r11():

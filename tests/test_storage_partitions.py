@@ -141,3 +141,63 @@ def test_partial_update_multi_partition_touch(wh, spark):
     got = {r.srs: r.pubdate for r in wh.read("samples").collect()}
     assert got["SRS1"] is not None and got["SRS5"] is not None
     assert got["SRS2"] is None
+
+
+def test_upsert_partition_move_no_duplicate(wh, spark):
+    """ADVICE r10 #1: a full-row upsert that moves a key to a NEW
+    taxon must remove the old row from its old partition — the merged
+    set includes the partitions currently holding the updated keys,
+    not just the partitions named by the updates."""
+    updates = _mk_samples(spark, [("SRS1", "PRJ1", "txidZ")])
+    wh.upsert("samples", updates, key="srs")
+    rows = wh.read("samples").collect()
+    assert len(rows) == 5, "moved key duplicated across partitions"
+    by_key = {r.srs: r.taxon for r in rows}
+    assert by_key["SRS1"] == "txidZ"
+    assert by_key["SRS2"] == "txidA"  # sibling stayed put
+
+
+def test_upsert_move_empties_source_partition(wh, spark):
+    """Moving the ONLY row out of a partition deletes that partition's
+    directory — Spark writes no staging dir for an empty partition, so
+    the swap must clean up explicitly or stale rows survive."""
+    updates = _mk_samples(spark, [("SRS5", "PRJ3", "txidA")])
+    wh.upsert("samples", updates, key="srs")
+    parts = {p.name for p in wh.path("samples").iterdir() if p.is_dir()}
+    assert "taxon=txidC" not in parts, "emptied partition left on disk"
+    rows = {r.srs: r.taxon for r in wh.read("samples").collect()}
+    assert rows == {
+        "SRS1": "txidA",
+        "SRS2": "txidA",
+        "SRS3": "txidB",
+        "SRS4": "txidB",
+        "SRS5": "txidA",
+    }
+
+
+def test_upsert_partition_stable_prunes_io(wh, spark):
+    """A partition-stable upsert (key stays in its taxon) still only
+    rewrites the touched partition — the move guard's key→partition
+    mapping scan must not widen the write set."""
+    before = _snapshot(wh.path("samples"))
+    updates = _mk_samples(spark, [("SRS3", "PRJ2-renamed", "txidB")])
+    wh.upsert("samples", updates, key="srs")
+    after = _snapshot(wh.path("samples"))
+    same_before = {k: v for k, v in before.items() if "taxon=txidB" not in k}
+    same_after = {k: v for k, v in after.items() if "taxon=txidB" not in k}
+    assert same_before == same_after, "untouched partitions rewritten"
+    rows = {r.srs: r.project for r in wh.read("samples").collect()}
+    assert rows["SRS3"] == "PRJ2-renamed"
+    assert len(rows) == 5
+
+
+def test_upsert_new_key_new_partition(wh, spark):
+    """Inserting a brand-new key under a brand-new taxon creates its
+    partition without touching the rest."""
+    before = _snapshot(wh.path("samples"))
+    updates = _mk_samples(spark, [("SRS9", "PRJ9", "txidQ")])
+    wh.upsert("samples", updates, key="srs")
+    after = _snapshot(wh.path("samples"))
+    old = {k: v for k, v in after.items() if "taxon=txidQ" not in k}
+    assert old == before
+    assert len(wh.read("samples").collect()) == 6
