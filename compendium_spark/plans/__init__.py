@@ -31,6 +31,7 @@ from compendium_spark.plans import (  # noqa: F401
     relational_ext,
     scoring,
     semantic,
+    sinks,
     sketches,
     streaming_plans,
     text,
@@ -463,6 +464,11 @@ _ROUND11_STALE = [
     "ing_xml_tags",
     "ing_fasta_pairs",
     "ing_summary_disposition",
+    # the new sink round-trips (VERDICT r10 #4 — the last operator
+    # class with no oracle exposure)
+    "sink_accessions_roundtrip",
+    "sink_sources_roundtrip",
+    "sink_archive_roundtrip",
 ]
 _ROUND11_CANARIES = [
     # r4 (the 6 deferred from round 10)
@@ -503,10 +509,6 @@ _ROUND11_CANARIES = [
     "w12_time_bounded_funnel",
     "w13_gap_islands",
     "w14_attribution",
-    "w15_rolling_zscore",
-    "w16_running_distinct",
-    # r6 (oldest of the rest, topping up to 50)
-    "a12_stats_moments",
 ]
 _ROUND11_WINDOW = [*_ROUND11_STALE, *_ROUND11_CANARIES]
 assert len(_ROUND11_WINDOW) == 50, len(_ROUND11_WINDOW)

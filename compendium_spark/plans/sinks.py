@@ -1,0 +1,232 @@
+"""Sink round-trips (VERDICT r10 #4) — the write paths, oracle-gated.
+
+Every other operator class already carries a driver-green CORRECTNESS
+row; the sinks (K1 insert, K3 accession list, K4 processed sources,
+K5 tar.gz archive — ref `projects.py:82-85`, `helpers.py:1-23`,
+`projects.py:525-551`) were pytest-only. These plans close that gap
+with the ingest-plan pattern in reverse: a fixture goes through the
+REAL sink (Warehouse write/append, cmd_accessions, filter_sources,
+tar_archive), the artifact is read back off disk, and the result is
+value-hashed against a DuckDB oracle that re-derives the expected
+artifact content independently from the same fixture embedded as SQL
+literals. Like `plans/ingest.py`, they ignore ``sf_dir``: the unit
+under test is the sink machinery, so identical output at every SF is
+expected.
+
+Scale notes per plan are inline; the shared shape: sinks stage to a
+scratch dir that is wiped per run (idempotent — re-running a plan
+never double-appends), and the read-back side is a plain
+spark.read.text / bounded driver listing, never a corpus-sized
+collect.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import shutil
+import tarfile
+from pathlib import Path
+from types import SimpleNamespace
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from compendium_spark.plans.ingest import SOURCES_TXT, _sources_sql, _sql_text
+from compendium_spark.plans.registry import plan
+
+def _workdir(name: str) -> Path:
+    """Per-uid scratch dir for one sink plan, wiped on entry so the
+    round-trip is idempotent (an append sink re-run against last run's
+    warehouse would otherwise double its rows)."""
+    import tempfile  # noqa: PLC0415
+
+    d = Path(tempfile.gettempdir()) / f"compendium_spark_sinks_{os.getuid()}" / name
+    shutil.rmtree(d, ignore_errors=True)
+    d.mkdir(parents=True, exist_ok=True)
+    return d
+
+
+# ---------------------------------------------------------------------------
+# K1 + K3: warehouse insert → accession-list file → read-back
+# ---------------------------------------------------------------------------
+
+# (srs, project, taxon, srr[], library_strategy, library_source) — the
+# eligibility axes of ref projects.py:67-73: empty srr, wrong source,
+# wrong strategy, wrong project, plus a cross-sample duplicate run
+# (SRR9_2) the DISTINCT must fold.
+ACC_SAMPLES = [
+    ("SRS1", "PRJ9", "txidA", ["SRR9_2", "SRR9_1"], "AMPLICON", "METAGENOMIC"),
+    ("SRS2", "PRJ9", "txidA", ["SRR9_2", "SRR9_3"], "AMPLICON", "GENOMIC"),
+    ("SRS3", "PRJ9", "txidB", [], "AMPLICON", "METAGENOMIC"),
+    ("SRS4", "PRJ9", "txidB", ["SRR9_4"], "AMPLICON", "SYNTHETIC"),
+    ("SRS5", "PRJ9", "txidB", ["SRR9_5"], "WGS", "METAGENOMIC"),
+    ("SRS6", "PRJX", "txidA", ["SRRX_1"], "AMPLICON", "METAGENOMIC"),
+]
+
+
+def _acc_sql() -> str:
+    rows = ", ".join(
+        "('{}', '{}', [{}], '{}', '{}')".format(
+            srs,
+            project,
+            ", ".join(f"'{r}'" for r in srr),
+            strat,
+            src,
+        )
+        for srs, project, _taxon, srr, strat, src in ACC_SAMPLES
+    )
+    return f"""
+WITH samples_fx(srs, project, srr, library_strategy, library_source) AS (
+  VALUES {rows}
+),
+elig AS (
+  SELECT * FROM samples_fx
+  WHERE len(srr) > 0
+    AND library_source IN ('GENOMIC', 'METAGENOMIC')
+    AND library_strategy = 'AMPLICON'
+    AND project = 'PRJ9'
+)
+SELECT DISTINCT unnest(srr) AS srr FROM elig ORDER BY srr
+"""
+
+
+@plan("sink_accessions_roundtrip", oracle=_acc_sql())
+def sink_accessions_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K1+K3 round-trip (ref `projects.py:82-85`): the fixture samples
+    go through the REAL `Warehouse.write` then `Warehouse.append`
+    (K1 — schema-validated, taxon-partitioned insert), the REAL
+    `cli.cmd_accessions` derives the eligible runs and writes the
+    accession-list text file (K3 — explode srr, DISTINCT, sorted,
+    one accession per line), and the plan's output is that file read
+    back. Oracle = independent VALUES re-derivation of eligibility +
+    unnest + DISTINCT.
+
+    Shape: the sink's only driver materialization is the accession
+    list itself (the reference's deliverable is this file); the
+    eligibility filter + explode + distinct run as one shuffle on srr.
+    At 100 TB the same plan writes through df.write.text instead of a
+    driver loop — cmd_accessions documents that seam."""
+    from compendium_spark.cli import cmd_accessions  # noqa: PLC0415
+    from compendium_spark.schemas import SAMPLES  # noqa: PLC0415
+    from compendium_spark.storage import Warehouse  # noqa: PLC0415
+
+    wd = _workdir("accessions")
+    wh = Warehouse(spark, str(wd / "warehouse"))
+    full = [
+        (srs, project, taxon, srr, strat, src, None, None, None, None)
+        for srs, project, taxon, srr, strat, src in ACC_SAMPLES
+    ]
+    head = spark.createDataFrame(full[:3], SAMPLES)
+    tail = spark.createDataFrame(full[3:], SAMPLES)
+    wh.write("samples", head)
+    wh.append("samples", tail)  # K1: insert into the live table
+    out = wd / "accessions.txt"
+    cmd_accessions(wh, SimpleNamespace(project="PRJ9", out=str(out)))
+    return (
+        spark.read.text(str(out))
+        .select(F.col("value").alias("srr"))
+        .orderBy("srr")
+    )
+
+
+# ---------------------------------------------------------------------------
+# K4: processed-sources sink → read-back
+# ---------------------------------------------------------------------------
+
+
+@plan("sink_sources_roundtrip", oracle=_sources_sql())
+def sink_sources_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K4 round-trip (ref `helpers.py:1-23` output file): the shared
+    SOURCES_TXT fixture goes through the REAL `filter_sources` —
+    classify + `source\\tdecision` lines written via df.write.text —
+    and the plan's output is the written artifact read back and
+    re-split. Same oracle as `ing_sources_decisions` (that plan gates
+    the classifier; this one gates that what lands ON DISK decodes to
+    the same relation).
+
+    Shape: the sink is a distributed text write (coalesce(1) here only
+    because the reference emits one file; at scale drop the coalesce
+    and the sink is embarrassingly parallel)."""
+    from compendium_spark.functions.sources_filter import (  # noqa: PLC0415
+        filter_sources,
+    )
+
+    wd = _workdir("sources")
+    infile = wd / "sources.txt"
+    infile.write_text(SOURCES_TXT)
+    outdir = wd / "decided"
+    filter_sources(spark, str(infile), str(outdir))
+    return (
+        spark.read.text(str(outdir))
+        .select(
+            F.split_part(F.col("value"), F.lit("\t"), F.lit(1)).alias("source"),
+            F.split_part(F.col("value"), F.lit("\t"), F.lit(2)).alias(
+                "decision"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# K5: tar.gz archive sink → member read-back
+# ---------------------------------------------------------------------------
+
+ARCHIVE_FILES = {
+    "summary.tsv": (
+        "\tdinput\tfilter\tnonchim\n"
+        "SRR900001_1.fastq\t1000\t900\t800\n"
+    ),
+    "ASVs_counts.tsv": "\tSRR900001\nASV_1\t42\n",
+    "logs/dada2.log": "dada2 finished ok\n",
+}
+
+
+def _archive_sql() -> str:
+    rows = ", ".join(
+        f"('PRJ9/{name}', {_sql_text(text)})"
+        for name, text in sorted(ARCHIVE_FILES.items())
+    )
+    return f"""
+WITH files(member, content) AS (VALUES {rows})
+SELECT member,
+       CAST(strlen(content) AS BIGINT) AS n_bytes,
+       md5(content) AS content_md5
+FROM files ORDER BY member
+"""
+
+
+@plan("sink_archive_roundtrip", oracle=_archive_sql())
+def sink_archive_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K5 round-trip (ref `projects.py:530-548`): a staged project dir
+    (summary + ASV counts + nested log) goes through the REAL
+    `orchestrate.tar_archive` adapter, then the archive is opened and
+    every member's (name, size, md5) is extracted; oracle = the same
+    fixture literals hashed by DuckDB's md5. Proves the archive holds
+    exactly the project's files, rooted at the project name, nested
+    dirs preserved, contents byte-identical.
+
+    Shape: archives are per-project (bounded) driver/executor-local
+    tarfile work by design — the reference's archive unit is one
+    project directory; a 100 TB warehouse archives many projects in
+    parallel, each bounded."""
+    from compendium_spark.pipeline.orchestrate import tar_archive  # noqa: PLC0415
+
+    wd = _workdir("archive")
+    proj = wd / "projects" / "PRJ9"
+    for name, text in ARCHIVE_FILES.items():
+        p = proj / name
+        p.parent.mkdir(parents=True, exist_ok=True)
+        p.write_text(text)
+    tar_archive(str(wd / "projects"), str(wd / "archive"))("PRJ9")
+    rows = []
+    with tarfile.open(wd / "archive" / "PRJ9.tar.gz", "r:gz") as tf:
+        for m in tf.getmembers():
+            if not m.isfile():
+                continue
+            data = tf.extractfile(m).read()
+            rows.append((m.name, len(data), hashlib.md5(data).hexdigest()))
+    return spark.createDataFrame(
+        sorted(rows), "member string, n_bytes long, content_md5 string"
+    ).orderBy("member")
