@@ -469,6 +469,12 @@ _ROUND11_STALE = [
     "sink_accessions_roundtrip",
     "sink_sources_roundtrip",
     "sink_archive_roundtrip",
+    # K2 transactional behaviors, natively versioned (VERDICT r10
+    # "missing" #3): snapshot commits + time travel, oracle-gated
+    "sink_timetravel_roundtrip",
+    # reworked this round (VERDICT r10 #6: cut-point derivation no
+    # longer collects a cardinality-sized histogram)
+    "w8_ntile_bands_scaled",
 ]
 _ROUND11_CANARIES = [
     # r4 (the 6 deferred from round 10)
@@ -507,8 +513,6 @@ _ROUND11_CANARIES = [
     "text_shingle_containment",
     "ts_interpolate_linear",
     "w12_time_bounded_funnel",
-    "w13_gap_islands",
-    "w14_attribution",
 ]
 _ROUND11_WINDOW = [*_ROUND11_STALE, *_ROUND11_CANARIES]
 assert len(_ROUND11_WINDOW) == 50, len(_ROUND11_WINDOW)

@@ -9,6 +9,8 @@ operators. Every plan keeps the parity rules from registry.py.
 
 from __future__ import annotations
 
+import functools
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -697,49 +699,61 @@ def w8_ntile_bands_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     is exactly "rank vs three boundary ranks", and each boundary rank
     resolves to a concrete (n_chars, doc_id) cut pair:
 
-      1. histogram of the band column (n_chars has bounded
-         cardinality — document lengths), one map-combinable groupBy;
-      2. walk the cumulative histogram on the driver to find which
-         value each boundary rank lands in — O(distinct values), the
-         legitimate driver-side step of the broadcast-cut-point
-         pattern;
+      1. histogram of the band column, one map-combinable groupBy,
+         then a cumulative sum over the (distinct-value-sized)
+         histogram — executor-side; the single-ordering window runs
+         over the histogram frame, never the corpus;
+      2. the driver collects EXACTLY the three boundary rows (one
+         filter per boundary rank on the cumulative frame) — r10
+         advice: the previous form collected the whole histogram,
+         a driver structure that grows with column cardinality;
       3. for a boundary inside a value's run, one k-th-smallest lookup
          over just that value's doc_ids (filter pushed to the scan,
-         tiny subset);
+         run-bounded TakeOrdered);
       4. band assignment is then a pure scan-stage expression: tile =
          1 + #cuts strictly below the row. No shuffle, no sort, no
-         window.
+         window over the data.
     """
     docs = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
-    hist = sorted(
-        docs.groupBy("n_chars").count().collect(), key=lambda r: r["n_chars"]
-    )
-    n_rows = sum(r["count"] for r in hist)
+    n_rows = docs.count()
     base, rem = divmod(n_rows, 4)
     ends, acc = [], 0
     for i in range(1, 4):
         acc += base + (1 if i <= rem else 0)
         ends.append(acc)
 
+    hist = docs.groupBy("n_chars").count()
+    cum = hist.withColumn(
+        "cum", F.sum("count").over(Window.orderBy("n_chars"))
+    )
+    boundary = cum.filter(
+        functools.reduce(
+            lambda a, b: a | b,
+            [
+                (F.col("cum") >= e) & (F.col("cum") - F.col("count") < e)
+                for e in ends
+            ],
+        )
+    ).collect()  # ≤3 rows: the values the boundary ranks land in
+    by_val = sorted((r["n_chars"], r["count"], r["cum"]) for r in boundary)
+
     cuts: list[tuple[int, int | None]] = []
     for end in ends:
-        cum = 0
-        for r in hist:
-            prev, cum = cum, cum + r["count"]
-            if cum >= end:
-                v, k = r["n_chars"], end - prev
-                if k == r["count"]:
-                    cuts.append((v, None))  # boundary aligns with end of value run
-                else:
-                    kth = (
-                        docs.filter(F.col("n_chars") == v)
-                        .orderBy("doc_id")
-                        .limit(k)
-                        .agg(F.max("doc_id"))
-                        .first()[0]
-                    )
-                    cuts.append((v, kth))
-                break
+        v, cnt, c = next(
+            (v, cnt, c) for v, cnt, c in by_val if c >= end > c - cnt
+        )
+        k = end - (c - cnt)
+        if k == cnt:
+            cuts.append((v, None))  # boundary aligns with end of value run
+        else:
+            kth = (
+                docs.filter(F.col("n_chars") == v)
+                .orderBy("doc_id")
+                .limit(k)
+                .agg(F.max("doc_id"))
+                .first()[0]
+            )
+            cuts.append((v, kth))
 
     tile = F.lit(1)
     for v, d in cuts:

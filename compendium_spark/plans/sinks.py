@@ -230,3 +230,101 @@ def sink_archive_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         sorted(rows), "member string, n_bytes long, content_md5 string"
     ).orderBy("member")
+
+
+# ---------------------------------------------------------------------------
+# K2 transactional behaviors: snapshot versioning + time travel
+# ---------------------------------------------------------------------------
+
+# (srs, project, taxon, strategy) per committed version:
+#   v0  write    — 4 rows
+#   v1  partial_update — SRS3 gains AMPLICON (COW: only taxon=txidB
+#       files rewritten; txidA/txidC carried by reference)
+#   v2  upsert   — SRS9 inserted under txidZ AND SRS4 MOVED txidC→txidA
+#       (the move guard: old row gone, emptied partition dropped from
+#       the manifest, v0/v1 still time-travel to the pre-move state)
+TT_V0 = [
+    ("SRS1", "PRJ1", "txidA", None),
+    ("SRS2", "PRJ1", "txidA", None),
+    ("SRS3", "PRJ2", "txidB", None),
+    ("SRS4", "PRJ3", "txidC", None),
+]
+
+
+def _tt_sql() -> str:
+    v1 = [
+        (s, p, t, "AMPLICON" if s == "SRS3" else st)
+        for s, p, t, st in TT_V0
+    ]
+    v2 = [
+        ("SRS4", "PRJ3", "txidA", "WGS") if s == "SRS4" else (s, p, t, st)
+        for s, p, t, st in v1
+    ] + [("SRS9", "PRJ9", "txidZ", "AMPLICON")]
+    rows = ", ".join(
+        "({}, '{}', '{}', {})".format(
+            v, s, t, "NULL" if st is None else f"'{st}'"
+        )
+        for v, snap in ((0, TT_V0), (1, v1), (2, v2))
+        for s, _p, t, st in snap
+    )
+    return f"""
+SELECT * FROM (VALUES {rows})
+  t(version, srs, taxon, library_strategy)
+ORDER BY version, srs
+"""
+
+
+@plan("sink_timetravel_roundtrip", oracle=_tt_sql())
+def sink_timetravel_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K2 transactional sink (storage_versioned.VersionedWarehouse):
+    three REAL commits — write, partition-pruned partial_update,
+    key-moving upsert — then every snapshot read back by TIME TRAVEL
+    and unioned as (version, srs, taxon, library_strategy). The oracle
+    re-derives each version's expected state independently as VALUES.
+    Gates: snapshot immutability (v0/v1 unchanged after v2's move),
+    non-null-field-only partial update, insert + partition move in one
+    upsert. File-level COW/conflict/vacuum invariants are pinned in
+    tests/test_storage_versioned.py (not value-hashable).
+
+    Shape: commits are O(touched partitions' files) + an O(1) atomic
+    manifest create; each time-travel read scans only its snapshot's
+    file list. Nothing here grows with warehouse size except the
+    touched data itself."""
+    from compendium_spark.schemas import SAMPLES  # noqa: PLC0415
+    from compendium_spark.storage_versioned import (  # noqa: PLC0415
+        VersionedWarehouse,
+    )
+
+    def full_rows(rows):
+        return spark.createDataFrame(
+            [
+                (s, p, t, None, st, None, None, None, None, None)
+                for s, p, t, st in rows
+            ],
+            SAMPLES,
+        )
+
+    wd = _workdir("timetravel")
+    vwh = VersionedWarehouse(spark, str(wd / "vwh"))
+    vwh.write("samples", full_rows(TT_V0))
+    vwh.partial_update(
+        "samples",
+        spark.createDataFrame(
+            [("SRS3", "AMPLICON")], "srs string, library_strategy string"
+        ),
+        key="srs",
+    )
+    vwh.upsert(
+        "samples",
+        full_rows(
+            [("SRS4", "PRJ3", "txidA", "WGS"), ("SRS9", "PRJ9", "txidZ", "AMPLICON")]
+        ),
+        key="srs",
+    )
+    out = None
+    for v in vwh.versions("samples"):
+        snap = vwh.read("samples", v).select(
+            F.lit(v).alias("version"), "srs", "taxon", "library_strategy"
+        )
+        out = snap if out is None else out.unionByName(snap)
+    return out.orderBy("version", "srs")

@@ -43,13 +43,24 @@ PARTITION_SPEC: dict[str, str] = {
 
 
 class Warehouse:
-    def __init__(self, spark: SparkSession, root: str):
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        extra_tables: dict | None = None,
+    ):
+        """``extra_tables`` registers auxiliary schemas beyond the
+        reference's nine (name -> StructType) — e.g. a streaming
+        materialized view maintained by foreachBatch needs a stored
+        home with the same staged-write/merge machinery. Extra tables
+        are unpartitioned unless also added to PARTITION_SPEC."""
         self.spark = spark
         self.root = Path(root)
         self.root.mkdir(parents=True, exist_ok=True)
+        self.tables = {**ALL_TABLES, **(extra_tables or {})}
 
     def path(self, name: str) -> Path:
-        if name not in ALL_TABLES:
+        if name not in self.tables:
             raise KeyError(f"unknown table {name!r}")
         return self.root / name
 
@@ -59,7 +70,7 @@ class Warehouse:
     def init_tables(self) -> None:
         """Idempotent: create any missing table as an empty parquet
         dataset with its declared schema."""
-        for name, schema in ALL_TABLES.items():
+        for name, schema in self.tables.items():
             if not self.exists(name):
                 empty = self.spark.createDataFrame([], schema)
                 self._writer(name, empty).mode("overwrite").parquet(
@@ -73,16 +84,16 @@ class Warehouse:
 
     def read(self, name: str) -> DataFrame:
         if not self.exists(name):
-            return self.spark.createDataFrame([], ALL_TABLES[name])
-        df = self.spark.read.schema(ALL_TABLES[name]).parquet(str(self.path(name)))
+            return self.spark.createDataFrame([], self.tables[name])
+        df = self.spark.read.schema(self.tables[name]).parquet(str(self.path(name)))
         # partition discovery may reorder columns; restore declared order
-        return df.select(*[f.name for f in ALL_TABLES[name].fields])
+        return df.select(*[f.name for f in self.tables[name].fields])
 
     def write(self, name: str, df: DataFrame) -> None:
         """Full overwrite via staging dir (safe when df reads the
         target table). Schema-validated: a drifted ingest fails here,
         not at the next read."""
-        df = validate_schema(df, ALL_TABLES[name], name)
+        df = validate_schema(df, self.tables[name], name)
         target = self.path(name)
         staging = target.with_suffix(".staging")
         self._writer(name, df).mode("overwrite").parquet(str(staging))
@@ -91,7 +102,7 @@ class Warehouse:
         staging.rename(target)
 
     def append(self, name: str, df: DataFrame) -> None:
-        df = validate_schema(df, ALL_TABLES[name], name)
+        df = validate_schema(df, self.tables[name], name)
         self._writer(name, df).mode("append").parquet(str(self.path(name)))
 
     def upsert(self, name: str, updates: DataFrame, key: str | list[str]) -> None:
@@ -166,7 +177,7 @@ class Warehouse:
         (URL-escaped specials, __HIVE_DEFAULT_PARTITION__ for null),
         so reconstructing f"{pcol}={value}" by hand would miss any
         value needing escaping and silently drop the merged data."""
-        merged = validate_schema(merged, ALL_TABLES[name], name)
+        merged = validate_schema(merged, self.tables[name], name)
         target = self.path(name)
         staging = target.with_suffix(".staging")
         self._writer(name, merged).mode("overwrite").parquet(str(staging))

@@ -22,6 +22,7 @@ SINK_PLANS = [
     "sink_accessions_roundtrip",
     "sink_sources_roundtrip",
     "sink_archive_roundtrip",
+    "sink_timetravel_roundtrip",
 ]
 
 

@@ -120,6 +120,12 @@ PROBES = [
     # round 10
     ("sim_frontier_report", "cross-family recall-vs-cost frontier"),
     ("ing_summary_disposition", "fixture ingest + QC chain (SF-invariant)"),
+    # round 11: the registered on-deck cohort + the new sink family
+    ("sim_mmr_topk", "MMR greedy re-rank over broadcast pool"),
+    ("curate_split_leakage", "cluster-aware split + leakage audit"),
+    ("ing_geo_summary", "geo-dim ingest + snowflake (SF-invariant)"),
+    ("sink_accessions_roundtrip", "warehouse insert + list sink (SF-invariant)"),
+    ("w8_ntile_bands_scaled", "broadcast-cut-point NTILE (r11 rework)"),
 ]
 
 
