@@ -328,3 +328,172 @@ def sink_timetravel_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = snap if out is None else out.unionByName(snap)
     return out.orderBy("version", "srs")
+
+
+# ---------------------------------------------------------------------------
+# round-12 on-deck: data skipping + compaction (built + pinned now,
+# @plan registration deferred — the r11 gate window is full at 50)
+# ---------------------------------------------------------------------------
+
+# (id, src, score) per single-file append — disjoint id ranges and
+# distinct sources per file, so each probe below has a provably
+# skippable file set (pinned at the file level in
+# tests/test_storage_versioned.py; the plan itself hashes VALUES).
+STATS_ROWS = [
+    (0, "a", 0.5), (1, "a", 1.5), (2, "a", 2.5),
+    (3, "b", 3.5), (4, "b", 4.5), (5, "b", 5.5),
+    (6, "c", 6.5), (7, "c", 7.5), (8, "c", 8.5),
+]
+
+# (probe label, where-conjuncts, SQL predicate) — the same predicate
+# expressed for the engine's pruned read and for the DuckDB oracle
+STATS_PROBES = [
+    ("range", [("id", ">=", 6), ("id", "<=", 8)], "id >= 6 AND id <= 8"),
+    ("eq_src", [("src", "=", "b")], "src = 'b'"),
+    ("in_ids", [("id", "in", [1, 7])], "id IN (1, 7)"),
+]
+
+
+def _stats_sql() -> str:
+    rows = ", ".join(f"({i}, '{s}', {v})" for i, s, v in STATS_ROWS)
+    probes = "\nUNION ALL\n".join(
+        f"SELECT '{label}' AS probe, id, src, score "
+        f"FROM t WHERE {pred}"
+        for label, _w, pred in STATS_PROBES
+    )
+    return f"""
+WITH t AS (SELECT * FROM (VALUES {rows}) v(id, src, score))
+SELECT * FROM ({probes}) ORDER BY probe, id
+"""
+
+
+def _metrics_schema():
+    from pyspark.sql import types as T  # noqa: PLC0415
+
+    return T.StructType(
+        [
+            T.StructField("id", T.IntegerType()),
+            T.StructField("src", T.StringType()),
+            T.StructField("score", T.DoubleType()),
+        ]
+    )
+
+
+def sink_stats_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest column-stats data skipping
+    (storage_versioned.VersionedWarehouse): three single-file commits
+    with disjoint id ranges / sources, then three predicate reads that
+    each go through `read(..., where=...)` — the snapshot's file list
+    is min/max-pruned from the MANIFEST (parquet-footer stats harvested
+    at commit, Iceberg-style) before Spark opens a file, and the same
+    predicate runs as a residual filter. The oracle re-derives each
+    probe from the fixture VALUES, so the hash proves pruning loses no
+    rows; that files WERE skipped (2 of 3 per probe) is pinned at the
+    file level in tests/test_storage_versioned.py.
+
+    Shape: the skipping decision is O(files) driver arithmetic over the
+    manifest — at 100 TB this is the difference between opening every
+    file of a table and opening the partitions-worth that can match
+    (Iceberg/Delta data skipping, reproduced on the native layout)."""
+    from compendium_spark.storage_versioned import (  # noqa: PLC0415
+        VersionedWarehouse,
+    )
+
+    wd = _workdir("stats_scan")
+    vwh = VersionedWarehouse(
+        spark, str(wd / "vwh"), extra_tables={"metrics": _metrics_schema()}
+    )
+    for lo in (0, 3, 6):
+        batch = spark.createDataFrame(
+            STATS_ROWS[lo : lo + 3], _metrics_schema()
+        ).coalesce(1)
+        if lo == 0:
+            vwh.write("metrics", batch)
+        else:
+            vwh.append("metrics", batch)
+    out = None
+    for label, where, _pred in STATS_PROBES:
+        probe = vwh.read("metrics", where=where).select(
+            F.lit(label).alias("probe"), "id", "src", "score"
+        )
+        out = probe if out is None else out.unionByName(probe)
+    return out.orderBy("probe", "id")
+
+
+# (srs, taxon) per commit of the compaction fixture: 1 write + 2
+# appends leave taxidA with 3 files and the null taxon with 2; txidB
+# stays single-file (the carry-by-reference control, pinned in tests).
+COMPACT_V0 = [("SRS1", "txidA"), ("SRS2", "txidB")]
+COMPACT_V1 = [("SRS3", "txidA"), ("SRS4", None)]
+COMPACT_V2 = [("SRS5", "txidA"), ("SRS6", None)]
+
+
+def _compact_sql() -> str:
+    snaps = []
+    acc = []
+    for rows in (COMPACT_V0, COMPACT_V1, COMPACT_V2):
+        acc = acc + list(rows)
+        snaps.append(list(acc))
+    snaps.append(list(acc))  # v3 = compact: content-identical to v2
+    rows = ", ".join(
+        "({}, '{}', {})".format(v, s, "NULL" if t is None else f"'{t}'")
+        for v, snap in enumerate(snaps)
+        for s, t in snap
+    )
+    return f"""
+SELECT * FROM (VALUES {rows}) t(version, srs, taxon)
+ORDER BY version, srs
+"""
+
+
+def sink_compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZE round-trip (storage_versioned.VersionedWarehouse
+    .compact): micro-batch appends fragment the partitioned `samples`
+    table (3 files under txidA, 2 under the null taxon), then compact
+    bin-packs each fragmented partition into one file as a NEW
+    snapshot. The plan returns every version's content — v3 (post-
+    compact) must be row-identical to v2, and v0–v2 must still
+    time-travel untouched; the oracle re-derives all four snapshots
+    from the fixture VALUES. File-level invariants (counts drop,
+    single-file txidB carried by reference, vacuum reclaims the old
+    small files) are pinned in tests/test_storage_versioned.py.
+
+    Shape: the compaction decision reads manifests, not data; the
+    rewrite shuffles ONLY the fragmented partitions' rows once on
+    (partition, bin). This is the maintenance op that keeps a
+    streaming-ingested 100 TB table scannable — small files are the
+    per-file-open scan killer."""
+    from compendium_spark.schemas import SAMPLES  # noqa: PLC0415
+    from compendium_spark.storage_versioned import (  # noqa: PLC0415
+        VersionedWarehouse,
+    )
+
+    def batch(rows):
+        return spark.createDataFrame(
+            [
+                (s, "PRJ1", t, None, None, None, None, None, None, None)
+                for s, t in rows
+            ],
+            SAMPLES,
+        ).coalesce(1)
+
+    wd = _workdir("compaction")
+    vwh = VersionedWarehouse(spark, str(wd / "vwh"))
+    vwh.write("samples", batch(COMPACT_V0))
+    vwh.append("samples", batch(COMPACT_V1))
+    vwh.append("samples", batch(COMPACT_V2))
+    vwh.compact("samples", target_file_bytes=128 * 1024 * 1024)
+    out = None
+    for v in vwh.versions("samples"):
+        snap = vwh.read("samples", v).select(
+            F.lit(v).alias("version"), "srs", "taxon"
+        )
+        out = snap if out is None else out.unionByName(snap)
+    return out.orderBy("version", "srs")
+
+
+# round-12 registration manifest: (plan name, fn, oracle SQL)
+ONDECK_R12 = [
+    ("sink_stats_pruned_scan", sink_stats_pruned_scan, _stats_sql()),
+    ("sink_compaction_roundtrip", sink_compaction_roundtrip, _compact_sql()),
+]

@@ -24,11 +24,35 @@ closes the BEHAVIORAL half natively, the same way Delta's log does:
   snapshot; ``diff`` returns the add/remove file sets between two
   versions (Delta's commit actions); ``rollback`` commits a new version
   whose file list is a previous snapshot's (never history rewrite);
-* VACUUM deletes data files no retained snapshot references.
+* VACUUM deletes data files no retained snapshot references;
+* FILE STATISTICS + DATA SKIPPING: every commit harvests per-file
+  per-column (min, max, null_count) from the parquet FOOTERS (a
+  metadata read — the data pages are never touched) plus the hive
+  partition values baked into each file's path, and records them in
+  the manifest — Iceberg's column-stats manifests. ``read(...,
+  where=[...])`` then prunes the snapshot's file list BEFORE Spark
+  ever opens a file: a file whose [min, max] range provably cannot
+  satisfy a conjunct is skipped at plan time (``scan_files`` exposes
+  the kept/skipped split for auditing). The predicate is ALSO applied
+  as a residual Spark filter, so pruning is a pure I/O optimization —
+  never a correctness dependency;
+* COMPACT (OPTIMIZE): bin-packs a snapshot's small files into
+  ~target-size files per partition as a NEW snapshot — data-identical
+  (the pre-compaction snapshot still time-travels), already-packed
+  partitions carried by reference, old small files reclaimed by the
+  existing VACUUM. This is the maintenance op a streaming ingest needs:
+  micro-batch appends write many small files, and small files are the
+  classic 100 TB scan killer (per-file open cost dominates).
 
 Scale: a manifest is O(files in snapshot) — the same order as Delta's
 checkpoint; commit cost is O(new files); time-travel read cost is the
 snapshot's own file set. Nothing scans the store to discover state.
+Stats harvest is O(new files) footer reads (driver-side here; on a
+real cluster the same footer read distributes as one task per file,
+exactly how Iceberg writes its stats from commit workers). Parquet
+writers may TRUNCATE long string min/max — truncation keeps bounds
+valid (lower bound shortened, upper bound incremented), so pruning
+on truncated stats is still sound, just less tight.
 
 At 100 TB the swap-in is mechanical: `VersionedWarehouse` keeps the
 `Warehouse` API, so `spark.sql(merge_into_sql(...))` against a real
@@ -54,6 +78,113 @@ from compendium_spark.storage import PARTITION_SPEC
 class VersionConflictError(RuntimeError):
     """Another writer committed this version first (optimistic
     concurrency): retry against the new latest snapshot."""
+
+
+# manifest stats hold only JSON-native scalar types; anything else
+# (binary, nested, timestamps) is simply not recorded — absent stats
+# mean "never prunable", which is always safe
+_JSON_SCALARS = (str, int, float, bool)
+
+# hive's encoding of a NULL partition value in the directory name
+_HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
+
+
+def _footer_stats(path: Path) -> tuple[int, dict]:
+    """(row_count, {column: {"min":…, "max":…, "nulls":…}}) from one
+    parquet file's FOOTER — a metadata-only read, the data pages are
+    never decoded. Semantics per parquet spec: min/max describe the
+    NON-NULL values (absent for an all-null column), null_count may be
+    absent (recorded as unknown, never guessed)."""
+    import pyarrow.parquet as pq  # noqa: PLC0415
+
+    meta = pq.ParquetFile(str(path)).metadata
+    agg: dict[str, dict] = {}
+    for rg in range(meta.num_row_groups):
+        group = meta.row_group(rg)
+        for ci in range(group.num_columns):
+            col = group.column(ci)
+            name = col.path_in_schema
+            if "." in name:  # nested (array/struct leaf) — not prunable
+                continue
+            st = col.statistics
+            if st is None:
+                agg[name] = {}  # a statless row group poisons the column
+                continue
+            cur = agg.setdefault(name, {"nulls": 0})
+            if cur == {}:
+                continue
+            if st.null_count is None:
+                cur["nulls"] = None
+            elif cur.get("nulls") is not None:
+                cur["nulls"] += st.null_count
+            if st.has_min_max and isinstance(st.min, _JSON_SCALARS) \
+                    and isinstance(st.max, _JSON_SCALARS):
+                cur["min"] = st.min if "min" not in cur else min(cur["min"], st.min)
+                cur["max"] = st.max if "max" not in cur else max(cur["max"], st.max)
+    return meta.num_rows, {k: v for k, v in agg.items() if v}
+
+
+def _path_partition_values(rel: str) -> dict:
+    """Hive ``k=v`` segments of a file's relative path, unescaped —
+    the partition column never appears inside the parquet file, so its
+    (exact) per-file stats come from the path: min == max == value."""
+    from urllib.parse import unquote  # noqa: PLC0415
+
+    out = {}
+    for seg in Path(rel).parts[:-1]:
+        if "=" in seg:
+            k, _, v = seg.partition("=")
+            out[k] = None if v == _HIVE_NULL else unquote(v)
+    return out
+
+
+def _conjunct_excludes(cstats: dict, rows: int | None, op: str, value) -> bool:
+    """True iff the file provably holds NO row satisfying ``col op
+    value``, given the column's manifest stats. Conservative: any
+    missing information keeps the file."""
+    nulls = cstats.get("nulls")
+    if nulls is not None and rows is not None and nulls >= rows:
+        return True  # all-null column: no comparison matches (SQL nulls)
+    mn, mx = cstats.get("min"), cstats.get("max")
+    if mn is None or mx is None:
+        return False
+    try:
+        if op == "=":
+            return value < mn or value > mx
+        if op == "<":
+            return mn >= value
+        if op == "<=":
+            return mn > value
+        if op == ">":
+            return mx <= value
+        if op == ">=":
+            return mx < value
+        if op == "in":
+            return all(e < mn or e > mx for e in value)
+    except TypeError:
+        return False  # incomparable types: never prune on a guess
+    return False
+
+
+def _where_expr(where: list[tuple]):
+    """The residual Spark filter for a ``where`` conjunct list — ALWAYS
+    applied to the pruned scan, so file skipping can only ever save
+    I/O, never change the answer."""
+    _OPS = {
+        "=": lambda c, v: F.col(c) == F.lit(v),
+        "<": lambda c, v: F.col(c) < F.lit(v),
+        "<=": lambda c, v: F.col(c) <= F.lit(v),
+        ">": lambda c, v: F.col(c) > F.lit(v),
+        ">=": lambda c, v: F.col(c) >= F.lit(v),
+        "in": lambda c, v: F.col(c).isin(list(v)),
+    }
+    expr = None
+    for col, op, value in where:
+        if op not in _OPS:
+            raise ValueError(f"unsupported where op {op!r}")
+        term = _OPS[op](col, value)
+        expr = term if expr is None else expr & term
+    return expr
 
 
 class VersionedWarehouse:
@@ -119,6 +250,7 @@ class VersionedWarehouse:
         op: str,
         partition_by: str | None,
         base: int | None,
+        carried_stats: dict | None = None,
     ) -> int:
         """Write ``new_df``'s files as snapshot ``base + 1``'s new data
         dir and atomically publish a manifest referencing them plus the
@@ -134,6 +266,13 @@ class VersionedWarehouse:
         against the new latest (Delta's ConcurrentAppendException)."""
         next_v = 0 if base is None else base + 1
         files = list(carried)
+        # carried files keep the stats recorded when THEY were written —
+        # by-reference carry means the footer is unchanged by definition
+        stats = {
+            f: (carried_stats or {}).get(f, {})
+            for f in carried
+            if f in (carried_stats or {})
+        }
         ddir = self._datadir(name, next_v)
         if new_df is not None:
             new_df = validate_schema(new_df, self.tables[name], name)
@@ -141,9 +280,17 @@ class VersionedWarehouse:
             if partition_by:
                 w = w.partitionBy(partition_by)
             w.mode("overwrite").parquet(str(ddir))
-            files += [
-                f"data/v{next_v:08d}/{rel}" for rel in self._enumerate(ddir)
-            ]
+            for rel in self._enumerate(ddir):
+                full = f"data/v{next_v:08d}/{rel}"
+                files.append(full)
+                rows, cols = _footer_stats(ddir / rel)
+                for k, v in _path_partition_values(rel).items():
+                    cols[k] = (
+                        {"nulls": rows}
+                        if v is None
+                        else {"min": v, "max": v, "nulls": 0}
+                    )
+                stats[full] = {"rows": rows, "cols": cols}
         log = self._logdir(name)
         log.mkdir(parents=True, exist_ok=True)
         manifest = {
@@ -151,6 +298,7 @@ class VersionedWarehouse:
             "op": op,
             "pcol": partition_by,
             "files": sorted(files),
+            "stats": stats,
         }
         try:
             with open(log / f"{next_v:08d}.json", "x") as f:
@@ -165,34 +313,82 @@ class VersionedWarehouse:
 
     # -- reads -------------------------------------------------------------
 
-    def read(self, name: str, version: int | None = None) -> DataFrame:
-        """The table at ``version`` (default: latest). Snapshot files
-        may span several version dirs (COW carry-forward); each dir is
+    def _read_files(self, name: str, rels: list[str]) -> DataFrame:
+        """Union an explicit file list into one DataFrame. Files may
+        span several version dirs (COW carry-forward); each dir is
         read with itself as basePath so hive-partition columns
         reconstruct, then the slices union — the dir count is bounded
         by commits since the last full rewrite."""
-        v = self.latest(name) if version is None else version
-        if v is None:
-            return self.spark.createDataFrame([], self.tables[name])
-        man = self.manifest(name, v)
         schema = self.tables[name]
         by_dir: dict[str, list[str]] = {}
-        for rel in man["files"]:
+        for rel in rels:
             parts = Path(rel).parts  # ("data", "vNNNNNNNN", ...)
             by_dir.setdefault("/".join(parts[:2]), []).append(rel)
         cols = [f.name for f in schema.fields]
         out = None
-        for base, rels in sorted(by_dir.items()):
+        for base, drels in sorted(by_dir.items()):
             df = (
                 self.spark.read.schema(schema)
                 .option("basePath", str(self._tdir(name) / base))
-                .parquet(*[str(self._tdir(name) / r) for r in rels])
+                .parquet(*[str(self._tdir(name) / r) for r in drels])
                 .select(*cols)
             )
             out = df if out is None else out.unionByName(df)
         if out is None:  # a snapshot can legitimately be empty
             return self.spark.createDataFrame([], schema)
         return out
+
+    def scan_files(
+        self,
+        name: str,
+        version: int | None = None,
+        where: list[tuple] | None = None,
+    ) -> tuple[list[str], list[str]]:
+        """(kept, skipped) file lists for a predicate scan of one
+        snapshot — the data-skipping decision, exposed so callers and
+        tests can AUDIT what a ``read(..., where=...)`` will open. A
+        file is skipped only when some conjunct's stats prove it holds
+        no matching row; files with no recorded stats are always kept."""
+        v = self.latest(name) if version is None else version
+        if v is None:
+            return [], []
+        man = self.manifest(name, v)
+        stats = man.get("stats", {})
+        kept, skipped = [], []
+        for rel in man["files"]:
+            fstats = stats.get(rel, {})
+            rows = fstats.get("rows")
+            cols = fstats.get("cols", {})
+            drop = any(
+                col in cols
+                and _conjunct_excludes(cols[col], rows, op, value)
+                for col, op, value in (where or [])
+            )
+            (skipped if drop else kept).append(rel)
+        return kept, skipped
+
+    def read(
+        self,
+        name: str,
+        version: int | None = None,
+        where: list[tuple] | None = None,
+    ) -> DataFrame:
+        """The table at ``version`` (default: latest). With ``where``
+        (a conjunct list ``[(col, op, value), ...]``, ops ``= < <= >
+        >= in``), the snapshot's file list is stats-pruned BEFORE
+        Spark opens anything (see ``scan_files``) and the same
+        predicate is applied as a residual filter — identical rows to
+        an unpruned read + filter, minus the I/O of provably-excluded
+        files."""
+        v = self.latest(name) if version is None else version
+        if v is None:
+            df = self.spark.createDataFrame([], self.tables[name])
+        else:
+            kept, _ = self.scan_files(name, v, where)
+            df = self._read_files(name, kept)
+        if where:
+            df = df.filter(_where_expr(where))
+        return df
 
     # -- write paths ---------------------------------------------------------
 
@@ -207,9 +403,11 @@ class VersionedWarehouse:
         """Append commit: the base snapshot's files carried by
         reference + the new rows' files."""
         base = self.latest(name)
-        carried = [] if base is None else self.manifest(name, base)["files"]
+        man = {} if base is None else self.manifest(name, base)
         return self._commit(
-            name, df, carried, "append", PARTITION_SPEC.get(name), base=base
+            name, df, man.get("files", []), "append",
+            PARTITION_SPEC.get(name), base=base,
+            carried_stats=man.get("stats"),
         )
 
     def upsert(self, name: str, updates: DataFrame, key) -> int:
@@ -276,7 +474,103 @@ class VersionedWarehouse:
             for r in slice_df.select(F.input_file_name()).distinct().collect()
         }
         carried = [f for f in prev_man["files"] if f not in touched_files]
-        return self._commit(name, merged, carried, "merge", pcol, base=base)
+        return self._commit(
+            name, merged, carried, "merge", pcol, base=base,
+            carried_stats=prev_man.get("stats"),
+        )
+
+    # -- maintenance -----------------------------------------------------------
+
+    def compact(
+        self,
+        name: str,
+        target_file_bytes: int = 128 * 1024 * 1024,
+        min_files: int = 2,
+    ) -> int:
+        """OPTIMIZE: bin-pack each partition's small files into
+        ``ceil(partition_bytes / target_file_bytes)`` files, committed
+        as a NEW snapshot (the pre-compaction snapshot still
+        time-travels; VACUUM reclaims the old small files once it
+        passes the horizon). Partitions already at or under their bin
+        count are carried BY REFERENCE — a steady-state table re-runs
+        compact as a no-op returning the current version, committing
+        nothing.
+
+        Scale shape: the decision is O(files) manifest+stat arithmetic
+        (no data read); the rewrite reads ONLY the candidate files and
+        shuffles them once on (partition, bin) — bin = xxhash64(row)
+        mod the partition's bin count, so each output task holds ~one
+        target-size file's rows. Bytes-per-bin assumes roughly uniform
+        row size within a partition (the honest approximation every
+        bin-packing OPTIMIZE makes without a second pass)."""
+        import math  # noqa: PLC0415
+
+        base = self.latest(name)
+        if base is None:
+            raise ValueError(f"{name}: nothing to compact (no snapshot)")
+        man = self.manifest(name, base)
+        pcol = man["pcol"]
+        tdir = self._tdir(name)
+        groups: dict[str, list[tuple[str, int]]] = {}
+        for rel in man["files"]:
+            seg = next((s for s in Path(rel).parts[:-1] if "=" in s), "")
+            groups.setdefault(seg, []).append(
+                (rel, (tdir / rel).stat().st_size)
+            )
+        todo: dict[str, tuple[list[str], int]] = {}
+        for seg, fs in groups.items():
+            n_bins = max(
+                1, math.ceil(sum(b for _, b in fs) / target_file_bytes)
+            )
+            if len(fs) >= min_files and len(fs) > n_bins:
+                todo[seg] = ([r for r, _ in fs], n_bins)
+        if not todo:
+            return base  # already packed: commit nothing
+        compact_rels = [r for files, _ in todo.values() for r in files]
+        slice_df = self._read_files(name, compact_rels)
+        # per-partition bin count: a driver-built CASE chain, bounded by
+        # the number of candidate partitions (same bound as _merge's
+        # touched-partition collect)
+        # xxhash64 accepts every type here except MapType
+        hashable = [
+            f.name
+            for f in self.tables[name].fields
+            if f.dataType.typeName() != "map"
+        ]
+        if pcol:
+            from urllib.parse import unquote  # noqa: PLC0415
+
+            bins_col = F.lit(1)
+            for seg, (_, n_bins) in todo.items():
+                v = seg.partition("=")[2]
+                cond = (
+                    F.col(pcol).isNull()
+                    if v == _HIVE_NULL
+                    else F.col(pcol) == F.lit(unquote(v))
+                )
+                bins_col = F.when(cond, F.lit(n_bins)).otherwise(bins_col)
+            total_bins = sum(n for _, n in todo.values())
+            shuffled = (
+                slice_df.withColumn(
+                    "_bin", F.pmod(F.xxhash64(*hashable), bins_col)
+                )
+                .repartition(max(1, total_bins), F.col(pcol), F.col("_bin"))
+                .drop("_bin")
+            )
+        else:
+            n_bins = todo[""][1]
+            shuffled = (
+                slice_df.withColumn(
+                    "_bin", F.pmod(F.xxhash64(*hashable), F.lit(n_bins))
+                )
+                .repartition(n_bins, F.col("_bin"))
+                .drop("_bin")
+            )
+        carried = [r for r in man["files"] if r not in set(compact_rels)]
+        return self._commit(
+            name, shuffled, carried, "compact", pcol, base=base,
+            carried_stats=man.get("stats"),
+        )
 
     # -- history operations ---------------------------------------------------
 
@@ -293,7 +587,7 @@ class VersionedWarehouse:
         man = self.manifest(name, to_version)
         return self._commit(
             name, None, man["files"], f"rollback:{to_version}", man["pcol"],
-            base=self.latest(name),
+            base=self.latest(name), carried_stats=man.get("stats"),
         )
 
     def vacuum(self, name: str, keep_last: int = 2) -> list[str]:

@@ -121,3 +121,101 @@ def test_sources_sink_matches_classifier_plan(spark):
         plans["ing_sources_decisions"].fn(spark, SF_ORACLE).toPandas()
     )
     pd.testing.assert_frame_equal(sink, direct, check_exact=True)
+
+
+# ---------------------------------------------------------------------------
+# round-12 on-deck plans (built + oracle-checked now, @plan
+# registration deferred until the r12 gate window has slots)
+# ---------------------------------------------------------------------------
+
+
+def _ondeck_r12():
+    from compendium_spark.plans.sinks import ONDECK_R12
+
+    return ONDECK_R12
+
+
+def test_ondeck_r12_not_registered():
+    """The on-deck pattern's invariant: these plans must NOT be in the
+    registry yet (the r11 50-slot window is full); registering them
+    happens at round-12 start after gate_ledger update."""
+    registered = set(all_plans())
+    for name, _fn, _sql in _ondeck_r12():
+        assert name not in registered, name
+
+
+@pytest.mark.parametrize("sf_dir", [SF_ORACLE, SF_FULL])
+def test_ondeck_r12_parity(spark, sf_dir):
+    """Full driver-gate-strength parity for the on-deck plans, at the
+    gate SF and one past it (the sinks ignore sf_dir by design — the
+    unit under test is the lakehouse machinery)."""
+    for name, fn, sql in _ondeck_r12():
+        got = _normalize(fn(spark, sf_dir).toPandas())
+        want = _normalize(_duck_conn(sf_dir).execute(sql).df())
+        assert len(got) > 0, f"{name}: vacuous"
+        _assert_hash_equal(got, want, name)
+
+
+def _reopen_vwh(spark, plan_workdir, **kw):
+    import os
+    import tempfile
+    from pathlib import Path
+
+    from compendium_spark.storage_versioned import VersionedWarehouse
+
+    root = (
+        Path(tempfile.gettempdir())
+        / f"compendium_spark_sinks_{os.getuid()}"
+        / plan_workdir
+        / "vwh"
+    )
+    return VersionedWarehouse(spark, str(root), **kw)
+
+
+def test_stats_scan_actually_skips_files(spark):
+    """The hash parity above proves pruning loses no rows; this pins
+    that it actually PRUNES — every probe's scan skips 2 of the 3
+    single-file commits (the I/O the manifest stats save), except the
+    IN probe which spans two files."""
+    from compendium_spark.plans.sinks import (
+        STATS_PROBES,
+        _metrics_schema,
+        sink_stats_pruned_scan,
+    )
+
+    sink_stats_pruned_scan(spark, SF_ORACLE).collect()
+    vwh = _reopen_vwh(
+        spark, "stats_scan", extra_tables={"metrics": _metrics_schema()}
+    )
+    expect_kept = {"range": 1, "eq_src": 1, "in_ids": 2}
+    for label, where, _pred in STATS_PROBES:
+        kept, skipped = vwh.scan_files("metrics", where=where)
+        assert len(kept) == expect_kept[label], (label, kept)
+        assert len(kept) + len(skipped) == 3
+
+
+def test_compaction_plan_file_invariants(spark):
+    """After the plan's compact commit: fragmented partitions are one
+    file each, the single-file txidB partition is carried BY REFERENCE
+    (path-identical to the pre-compaction manifest), and the old
+    snapshot's file list is untouched."""
+    from compendium_spark.plans.sinks import sink_compaction_roundtrip
+
+    sink_compaction_roundtrip(spark, SF_ORACLE).collect()
+    vwh = _reopen_vwh(spark, "compaction")
+    pre = vwh.manifest("samples", 2)
+    post = vwh.manifest("samples", 3)
+    assert post["op"] == "compact"
+
+    def by_part(man):
+        out = {}
+        for f in man["files"]:
+            part = next(s for s in f.split("/") if "=" in s)
+            out.setdefault(part, []).append(f)
+        return out
+
+    pre_by, post_by = by_part(pre), by_part(post)
+    assert len(pre_by["taxon=txidA"]) == 3
+    assert len(post_by["taxon=txidA"]) == 1
+    assert len(post_by["taxon=__HIVE_DEFAULT_PARTITION__"]) == 1
+    assert post_by["taxon=txidB"] == pre_by["taxon=txidB"]

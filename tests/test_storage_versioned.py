@@ -221,3 +221,216 @@ def test_unpartitioned_table_versions(vwh, spark):
         "initialized"
     }
     assert {r.status for r in vwh.read("status", 1).collect()} == {"done"}
+
+
+# ---------------------------------------------------------------------------
+# round 11: manifest column stats + data skipping + compaction
+# ---------------------------------------------------------------------------
+
+from pyspark.sql import types as T  # noqa: E402
+
+METRICS = T.StructType(
+    [
+        T.StructField("id", T.IntegerType()),
+        T.StructField("src", T.StringType()),
+        T.StructField("score", T.DoubleType()),
+    ]
+)
+
+
+@pytest.fixture()
+def mwh(spark, tmp_path):
+    """Three single-file commits with disjoint id ranges (0-2, 3-5,
+    6-8) and distinct src values (a, b, c) — each file provably
+    excludable by the right predicate."""
+    w = VersionedWarehouse(
+        spark, str(tmp_path / "mwh"), extra_tables={"metrics": METRICS}
+    )
+    for lo, src in ((0, "a"), (3, "b"), (6, "c")):
+        df = spark.createDataFrame(
+            [(lo + i, src, float(lo + i)) for i in range(3)], METRICS
+        ).coalesce(1)
+        (w.write if lo == 0 else w.append)("metrics", df)
+    return w
+
+
+def test_manifest_records_footer_and_path_stats(mwh, vwh):
+    """Every committed file carries (rows, per-column min/max/nulls)
+    harvested from its parquet FOOTER; partitioned tables additionally
+    get exact path-derived stats for the partition column (which never
+    appears inside the file)."""
+    man = mwh.manifest("metrics", mwh.latest("metrics"))
+    assert set(man["stats"]) == set(man["files"])
+    first = min(man["files"])
+    st = man["stats"][first]
+    assert st["rows"] == 3
+    assert st["cols"]["id"] == {"nulls": 0, "min": 0, "max": 2}
+    assert st["cols"]["src"] == {"nulls": 0, "min": "a", "max": "a"}
+    assert st["cols"]["score"]["min"] == 0.0
+    # partitioned table: taxon stats come from the hive path segment
+    pman = vwh.manifest("samples", 0)
+    for rel, pst in pman["stats"].items():
+        part = next(s for s in rel.split("/") if s.startswith("taxon="))
+        val = part.split("=", 1)[1]
+        assert pst["cols"]["taxon"] == {"nulls": 0, "min": val, "max": val}
+
+
+def test_scan_files_prunes_provably_excluded(mwh):
+    """Each probe keeps exactly the files whose [min, max] can hold a
+    match: range, equality-on-string, and IN all prune 2 of 3 files;
+    a predicate matching everything prunes none."""
+    for where, n_kept in [
+        ([("id", ">=", 6)], 1),
+        ([("id", ">=", 3), ("id", "<=", 5)], 1),
+        ([("src", "=", "b")], 1),
+        ([("id", "in", [1, 7])], 2),
+        ([("id", ">=", 0)], 3),
+        ([("id", "<", 0)], 0),
+    ]:
+        kept, skipped = mwh.scan_files("metrics", where=where)
+        assert len(kept) == n_kept, (where, kept, skipped)
+        assert len(kept) + len(skipped) == 3
+
+
+def test_pruned_read_equals_unpruned_filter(mwh):
+    """Data skipping is an I/O optimization only: read(where=...) must
+    return exactly read().filter(<same predicate>), for every probe."""
+    from pyspark.sql import functions as F
+
+    probes = [
+        ([("id", ">=", 6), ("id", "<=", 7)], F.col("id").between(6, 7)),
+        ([("src", "=", "b")], F.col("src") == "b"),
+        ([("id", "in", [1, 7])], F.col("id").isin(1, 7)),
+        ([("score", ">", 7.0)], F.col("score") > 7.0),
+    ]
+    for where, expr in probes:
+        got = sorted(r.id for r in mwh.read("metrics", where=where).collect())
+        want = sorted(r.id for r in mwh.read("metrics").filter(expr).collect())
+        assert got == want and want, where
+
+
+def test_missing_stats_never_prune(mwh, spark):
+    """A manifest WITHOUT stats (pre-r11 layout, or a writer that
+    recorded none) keeps every file and still answers correctly — the
+    residual filter carries correctness, stats only save I/O."""
+    import json as _json
+
+    v = mwh.latest("metrics")
+    mpath = mwh._logdir("metrics") / f"{v:08d}.json"
+    man = _json.loads(mpath.read_text())
+    del man["stats"]
+    mpath.write_text(_json.dumps(man))
+    kept, skipped = mwh.scan_files("metrics", where=[("id", ">=", 6)])
+    assert len(kept) == 3 and not skipped
+    rows = sorted(
+        r.id for r in mwh.read("metrics", where=[("id", ">=", 6)]).collect()
+    )
+    assert rows == [6, 7, 8]
+
+
+def test_null_partition_all_null_stats_prune_comparisons(vwh, spark):
+    """A __HIVE_DEFAULT_PARTITION__ file records nulls == rows for the
+    partition column, so any comparison predicate on it skips the file
+    (SQL comparisons never match NULL)."""
+    vwh.append(
+        "samples", _mk_samples(spark, [("SRS7", "PRJ7", None, None)])
+    )
+    kept, skipped = vwh.scan_files("samples", where=[("taxon", "=", "txidA")])
+    assert any("__HIVE_DEFAULT_PARTITION__" in f for f in skipped)
+    assert all("__HIVE_DEFAULT_PARTITION__" not in f for f in kept)
+    got = {r.srs for r in vwh.read("samples", where=[("taxon", "=", "txidA")]).collect()}
+    assert got == {"SRS1", "SRS2"}
+
+
+def test_stats_carry_by_reference_through_merge(vwh, spark):
+    """A COW merge copies the untouched files' stats entries into the
+    new manifest verbatim — by-reference carry means the footers are
+    unchanged by definition, so re-harvesting would be wasted I/O."""
+    m0 = vwh.manifest("samples", 0)
+    vwh.partial_update(
+        "samples",
+        spark.createDataFrame(
+            [("SRS3", "AMPLICON")], "srs string, library_strategy string"
+        ),
+        key="srs",
+    )
+    m1 = vwh.manifest("samples", 1)
+    carried = set(m0["files"]) & set(m1["files"])
+    assert carried
+    for f in carried:
+        assert m1["stats"][f] == m0["stats"][f]
+
+
+def _files_by_partition(man):
+    out = {}
+    for f in man["files"]:
+        part = next((s for s in f.split("/") if "=" in s), "")
+        out.setdefault(part, []).append(f)
+    return out
+
+
+@pytest.fixture()
+def fragmented(spark, tmp_path):
+    """1 write + 2 appends: txidA ends with 3 files, the null taxon
+    with 2, txidB with 1 (the carry-by-reference control)."""
+    w = VersionedWarehouse(spark, str(tmp_path / "frag"))
+    batches = [
+        [("SRS1", "PRJ1", "txidA", None), ("SRS2", "PRJ1", "txidB", None)],
+        [("SRS3", "PRJ1", "txidA", None), ("SRS4", "PRJ1", None, None)],
+        [("SRS5", "PRJ1", "txidA", None), ("SRS6", "PRJ1", None, None)],
+    ]
+    w.write("samples", _mk_samples(spark, batches[0]).coalesce(1))
+    for b in batches[1:]:
+        w.append("samples", _mk_samples(spark, b).coalesce(1))
+    return w
+
+
+def test_compact_bin_packs_and_carries(fragmented):
+    """compact() rewrites ONLY the fragmented partitions (txidA 3→1,
+    null 2→1), carries single-file txidB by reference (path-identical),
+    keeps content row-identical, and leaves the pre-compaction
+    snapshot time-travelable."""
+    pre = fragmented.manifest("samples", 2)
+    pre_by = _files_by_partition(pre)
+    v = fragmented.compact("samples")
+    assert v == 3
+    post = fragmented.manifest("samples", v)
+    post_by = _files_by_partition(post)
+    assert len(post_by["taxon=txidA"]) == 1
+    assert len(post_by["taxon=__HIVE_DEFAULT_PARTITION__"]) == 1
+    assert post_by["taxon=txidB"] == pre_by["taxon=txidB"]  # by reference
+    latest = {r.srs for r in fragmented.read("samples").collect()}
+    assert latest == {f"SRS{i}" for i in range(1, 7)}
+    old = {r.srs for r in fragmented.read("samples", 2).collect()}
+    assert old == latest
+    # new files got fresh stats; carried file kept its entry verbatim
+    assert set(post["stats"]) == set(post["files"])
+    for f in post_by["taxon=txidB"]:
+        assert post["stats"][f] == pre["stats"][f]
+
+
+def test_compact_noop_when_packed(fragmented):
+    """Re-running compact on a packed table commits NOTHING (returns
+    the current version); a target so small every partition already
+    meets its bin count is likewise a no-op."""
+    v = fragmented.compact("samples")
+    assert fragmented.compact("samples") == v
+    assert fragmented.versions("samples")[-1] == v
+    # tiny target: bins >= file count everywhere -> nothing to gain
+    assert fragmented.compact("samples", target_file_bytes=1) == v
+
+
+def test_vacuum_reclaims_precompaction_files(fragmented):
+    """After compact passes the vacuum horizon, the old small files are
+    deleted, the retained snapshot still reads identically, and the
+    carried-by-reference file SURVIVES (it is referenced by the
+    retained manifest)."""
+    pre = fragmented.manifest("samples", 2)
+    v = fragmented.compact("samples")
+    removed = fragmented.vacuum("samples", keep_last=1)
+    carried = set(_files_by_partition(pre)["taxon=txidB"])
+    assert carried.isdisjoint(removed)
+    frag_files = set(pre["files"]) - carried
+    assert frag_files <= set(removed)
+    latest = {r.srs for r in fragmented.read("samples", v).collect()}
+    assert latest == {f"SRS{i}" for i in range(1, 7)}
