@@ -36,6 +36,15 @@ closes the BEHAVIORAL half natively, the same way Delta's log does:
   the kept/skipped split for auditing). The predicate is ALSO applied
   as a residual Spark filter, so pruning is a pure I/O optimization —
   never a correctness dependency;
+* IDEMPOTENT WRITER TRANSACTIONS: a commit may carry ``txn=(app_id,
+  version)`` — Delta's txnAppId/txnVersion. The manifest keeps the
+  highest committed version PER app (carried forward every commit),
+  and ``last_txn_version`` lets an at-least-once producer (a
+  foreachBatch micro-batch sink replaying after a crash) detect that
+  a batch already landed and skip it — exactly-once table state from
+  at-least-once delivery. The check-then-commit window is closed by
+  the same O_EXCL commit race: a replayed batch that loses the race
+  re-reads the txn map and sees its own earlier commit;
 * COMPACT (OPTIMIZE): bin-packs a snapshot's small files into
   ~target-size files per partition as a NEW snapshot — data-identical
   (the pre-compaction snapshot still time-travels), already-packed
@@ -251,6 +260,7 @@ class VersionedWarehouse:
         partition_by: str | None,
         base: int | None,
         carried_stats: dict | None = None,
+        txn: tuple[str, int] | None = None,
     ) -> int:
         """Write ``new_df``'s files as snapshot ``base + 1``'s new data
         dir and atomically publish a manifest referencing them plus the
@@ -293,12 +303,22 @@ class VersionedWarehouse:
                 stats[full] = {"rows": rows, "cols": cols}
         log = self._logdir(name)
         log.mkdir(parents=True, exist_ok=True)
+        # writer-transaction map: highest committed version per app_id,
+        # carried forward from the base snapshot on EVERY commit so the
+        # latest manifest always answers last_txn_version in O(1)
+        txns = (
+            {} if base is None else dict(self.manifest(name, base).get("txn", {}))
+        )
+        if txn is not None:
+            app_id, tver = txn
+            txns[app_id] = max(int(tver), int(txns.get(app_id, -1)))
         manifest = {
             "version": next_v,
             "op": op,
             "pcol": partition_by,
             "files": sorted(files),
             "stats": stats,
+            "txn": txns,
         }
         try:
             with open(log / f"{next_v:08d}.json", "x") as f:
@@ -392,14 +412,25 @@ class VersionedWarehouse:
 
     # -- write paths ---------------------------------------------------------
 
-    def write(self, name: str, df: DataFrame) -> int:
+    def last_txn_version(self, name: str, app_id: str) -> int | None:
+        """Highest ``txn`` version this app has committed to the table,
+        or None — the idempotence check for an at-least-once producer:
+        ``if last_txn_version(t, app) >= batch_id: skip`` (Delta's
+        txnAppId/txnVersion read side). One manifest read, O(1)."""
+        v = self.latest(name)
+        if v is None:
+            return None
+        got = self.manifest(name, v).get("txn", {}).get(app_id)
+        return None if got is None else int(got)
+
+    def write(self, name: str, df: DataFrame, txn=None) -> int:
         """Full-overwrite commit: all-new files, nothing carried."""
         return self._commit(
             name, df, [], "overwrite", PARTITION_SPEC.get(name),
-            base=self.latest(name),
+            base=self.latest(name), txn=txn,
         )
 
-    def append(self, name: str, df: DataFrame) -> int:
+    def append(self, name: str, df: DataFrame, txn=None) -> int:
         """Append commit: the base snapshot's files carried by
         reference + the new rows' files."""
         base = self.latest(name)
@@ -407,16 +438,18 @@ class VersionedWarehouse:
         return self._commit(
             name, df, man.get("files", []), "append",
             PARTITION_SPEC.get(name), base=base,
-            carried_stats=man.get("stats"),
+            carried_stats=man.get("stats"), txn=txn,
         )
 
-    def upsert(self, name: str, updates: DataFrame, key) -> int:
-        return self._merge(name, updates, key, full_row=True)
+    def upsert(self, name: str, updates: DataFrame, key, txn=None) -> int:
+        return self._merge(name, updates, key, full_row=True, txn=txn)
 
-    def partial_update(self, name: str, updates: DataFrame, key) -> int:
-        return self._merge(name, updates, key, full_row=False)
+    def partial_update(self, name: str, updates: DataFrame, key, txn=None) -> int:
+        return self._merge(name, updates, key, full_row=False, txn=txn)
 
-    def _merge(self, name: str, updates: DataFrame, key, full_row: bool) -> int:
+    def _merge(
+        self, name: str, updates: DataFrame, key, full_row: bool, txn=None
+    ) -> int:
         """Copy-on-write MERGE. Partitioned tables rewrite only the
         touched partitions' files; every other file is carried into
         the new manifest by reference (asserted path-identical in
@@ -430,7 +463,7 @@ class VersionedWarehouse:
         if pcol is None or base is None:
             return self._commit(
                 name, merge(current, updates, key), [], "merge", pcol,
-                base=base,
+                base=base, txn=txn,
             )
         if not full_row and pcol in updates.columns and pcol not in keys:
             raise ValueError(
@@ -454,6 +487,15 @@ class VersionedWarehouse:
             r[0] for r in upd_parts.unionByName(mapped).distinct().collect()
         }
         if not touched:
+            if txn is not None:
+                # an EMPTY transactional batch still records its txn
+                # version (all files carried, no data written) so a
+                # replay of it is detected like any other
+                prev = self.manifest(name, base)
+                return self._commit(
+                    name, None, prev["files"], "merge", pcol, base=base,
+                    carried_stats=prev.get("stats"), txn=txn,
+                )
             # the reference's silently-no-op UPDATE: commit nothing
             return base
         non_null = [v for v in touched if v is not None]
@@ -476,7 +518,7 @@ class VersionedWarehouse:
         carried = [f for f in prev_man["files"] if f not in touched_files]
         return self._commit(
             name, merged, carried, "merge", pcol, base=base,
-            carried_stats=prev_man.get("stats"),
+            carried_stats=prev_man.get("stats"), txn=txn,
         )
 
     # -- maintenance -----------------------------------------------------------

@@ -528,32 +528,94 @@ def mv_refresh_warehouse_sink(wh, table: str = "mv_hourly"):
     Delta/Iceberg MERGE via operators/merge.merge_into_sql."""
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
-        partials = batch_df.groupBy("hour", "event_type").agg(
-            F.count(F.lit(1)).cast("long").alias("n_events"),
-            F.sum("value").cast("double").alias("total_value"),
+        wh.upsert(
+            table, _mv_fold(batch_df, wh, table), key=["hour", "event_type"]
         )
-        cur = wh.read(table).select(
-            "hour",
-            "event_type",
-            F.col("n_events").alias("n0"),
-            F.col("total_value").alias("t0"),
-        )
-        folded = (
-            partials.join(cur, ["hour", "event_type"], "left")
-            .select(
-                "hour",
-                "event_type",
-                (F.col("n_events") + F.coalesce("n0", F.lit(0)))
-                .cast("long")
-                .alias("n_events"),
-                (F.col("total_value") + F.coalesce("t0", F.lit(0.0)))
-                .cast("double")
-                .alias("total_value"),
-            )
-        )
-        wh.upsert(table, folded, key=["hour", "event_type"])
 
     return apply_batch
+
+
+def _mv_fold(batch_df: DataFrame, wh, table: str) -> DataFrame:
+    """One micro-batch's add-merge: aggregate the batch to mergeable
+    (count, sum) partials and ADD them onto the stored rows for the
+    touched keys — the rows an upsert then lands, O(touched keys)."""
+    partials = batch_df.groupBy("hour", "event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum("value").cast("double").alias("total_value"),
+    )
+    cur = wh.read(table).select(
+        "hour",
+        "event_type",
+        F.col("n_events").alias("n0"),
+        F.col("total_value").alias("t0"),
+    )
+    return partials.join(cur, ["hour", "event_type"], "left").select(
+        "hour",
+        "event_type",
+        (F.col("n_events") + F.coalesce("n0", F.lit(0)))
+        .cast("long")
+        .alias("n_events"),
+        (F.col("total_value") + F.coalesce("t0", F.lit(0.0)))
+        .cast("double")
+        .alias("total_value"),
+    )
+
+
+def mv_refresh_versioned_sink(vwh, table: str = "mv_hourly", app_id: str = "mv_fold"):
+    """EXACTLY-ONCE foreachBatch body (the replay-safety
+    mv_refresh_warehouse_sink deliberately does not claim): Structured
+    Streaming's foreachBatch is at-least-once across crash recovery —
+    a micro-batch whose sink ran but whose checkpoint offset commit
+    didn't lands AGAIN with the same batch_id, and an additive fold
+    would double-count it. This body closes that with the
+    VersionedWarehouse writer-transaction protocol (Delta's
+    txnAppId/txnVersion): each fold commits with txn=(app_id,
+    batch_id); a replayed batch sees last_txn_version >= batch_id and
+    skips. The check-then-commit race is closed by the warehouse's
+    O_EXCL commit — a losing replica raises VersionConflictError,
+    re-checks, and finds its batch already recorded."""
+    from compendium_spark.storage_versioned import (  # noqa: PLC0415
+        VersionConflictError,
+    )
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        last = vwh.last_txn_version(table, app_id)
+        if last is not None and last >= int(batch_id):
+            return  # replayed micro-batch: already folded, skip
+        try:
+            vwh.upsert(
+                table,
+                _mv_fold(batch_df, vwh, table),
+                key=["hour", "event_type"],
+                txn=(app_id, int(batch_id)),
+            )
+        except VersionConflictError:
+            last = vwh.last_txn_version(table, app_id)
+            if last is None or last < int(batch_id):
+                raise  # a rival writer, not our own replay: surface it
+
+    return apply_batch
+
+
+def run_mv_refresh_versioned(
+    updates: DataFrame, vwh, table: str = "mv_hourly", app_id: str = "mv_fold"
+) -> DataFrame:
+    """Drain ``updates`` through the exactly-once versioned sink and
+    return the stored MV. Replay-safety is pinned in
+    tests/test_streaming_mv_sink.py by re-delivering a batch."""
+    q = (
+        updates.writeStream.foreachBatch(
+            mv_refresh_versioned_sink(vwh, table, app_id)
+        )
+        .trigger(availableNow=True)
+        .option(
+            "checkpointLocation",
+            tempfile.mkdtemp(prefix="cs_mv_refresh_vwh_ckpt_"),
+        )
+        .start()
+    )
+    q.awaitTermination()
+    return vwh.read(table)
 
 
 def run_mv_refresh_warehouse(

@@ -434,3 +434,18 @@ def test_vacuum_reclaims_precompaction_files(fragmented):
     assert frag_files <= set(removed)
     latest = {r.srs for r in fragmented.read("samples", v).collect()}
     assert latest == {f"SRS{i}" for i in range(1, 7)}
+
+
+def test_txn_versions_are_monotonic(mwh, spark):
+    """The per-app txn marker never regresses: a lower version landing
+    later (an out-of-order replay that slipped past the skip check)
+    cannot roll the marker back, and apps are independent."""
+    df = spark.createDataFrame([(100, "z", 0.0)], METRICS).coalesce(1)
+    mwh.append("metrics", df, txn=("app_a", 5))
+    assert mwh.last_txn_version("metrics", "app_a") == 5
+    mwh.append("metrics", df, txn=("app_a", 3))
+    assert mwh.last_txn_version("metrics", "app_a") == 5
+    mwh.append("metrics", df, txn=("app_b", 1))
+    assert mwh.last_txn_version("metrics", "app_a") == 5
+    assert mwh.last_txn_version("metrics", "app_b") == 1
+    assert mwh.last_txn_version("metrics", "app_c") is None

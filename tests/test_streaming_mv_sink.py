@@ -79,3 +79,113 @@ def test_extra_table_is_isolated(spark, tmp_path):
     plain = Warehouse(spark, str(tmp_path / "wh2"))
     with pytest.raises(KeyError):
         plain.path("mv_hourly")
+
+
+# ---------------------------------------------------------------------------
+# round 11: exactly-once fold via VersionedWarehouse writer txns
+# ---------------------------------------------------------------------------
+
+from datetime import datetime  # noqa: E402
+
+from compendium_spark.storage_versioned import VersionedWarehouse  # noqa: E402
+from compendium_spark.streaming.windows import (  # noqa: E402
+    mv_refresh_versioned_sink,
+    run_mv_refresh_versioned,
+)
+
+BATCH_SCHEMA = "hour timestamp, event_type string, value double"
+H0 = datetime(2024, 1, 1, 10)
+
+
+def _vwh(spark, tmp_path):
+    return VersionedWarehouse(
+        spark,
+        str(tmp_path / "vwh"),
+        extra_tables={"mv_hourly": MV_HOURLY_SCHEMA},
+    )
+
+
+def _batch(spark, rows):
+    return spark.createDataFrame(rows, BATCH_SCHEMA)
+
+
+def _mv_state(vwh):
+    return {
+        (r.hour, r.event_type): (r.n_events, round(r.total_value, 6))
+        for r in vwh.read("mv_hourly").collect()
+    }
+
+
+def test_versioned_mv_equals_driver_dict(spark, tmp_path):
+    """End-to-end: the exactly-once versioned sink drains the same
+    stream to the same MV state as the registered plan's driver dict."""
+    vwh = _vwh(spark, tmp_path)
+    stored = run_mv_refresh_versioned(
+        mv_refresh_updates(read_events_stream(spark, SF_ORACLE)), vwh
+    )
+    got = (
+        stored.toPandas()
+        .assign(total_value=lambda d: d.total_value.round(4))
+        .sort_values(["hour", "event_type"], ignore_index=True)
+    )
+    want = (
+        streaming_mv_refresh(spark, SF_ORACLE)
+        .toPandas()
+        .assign(total_value=lambda d: d.total_value.round(4))
+        .sort_values(["hour", "event_type"], ignore_index=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_exact=False, atol=1e-9)
+    assert len(got) > 0
+
+
+def test_replayed_batch_is_skipped(spark, tmp_path):
+    """THE exactly-once pin: re-delivering a micro-batch with the same
+    batch_id (Structured Streaming's crash-recovery behavior for a
+    batch whose offsets never committed) leaves the MV unchanged,
+    while the same data under a NEW batch_id folds in again."""
+    vwh = _vwh(spark, tmp_path)
+    sink = mv_refresh_versioned_sink(vwh)
+    b0 = _batch(spark, [(H0, "click", 1.0), (H0, "click", 2.0)])
+    sink(b0, 0)
+    after_first = _mv_state(vwh)
+    assert after_first[(H0, "click")] == (2, 3.0)
+
+    sink(b0, 0)  # replay: same batch_id -> must be a no-op
+    assert _mv_state(vwh) == after_first
+    assert vwh.latest("mv_hourly") == 0  # not even an empty commit
+
+    sink(b0, 1)  # same DATA, new batch_id -> legitimately folds again
+    assert _mv_state(vwh)[(H0, "click")] == (4, 6.0)
+    # out-of-order replay of an OLD batch after newer ones landed
+    sink(b0, 0)
+    assert _mv_state(vwh)[(H0, "click")] == (4, 6.0)
+
+
+def test_txn_survives_unrelated_commits(spark, tmp_path):
+    """The txn map rides every manifest: an unrelated append after the
+    transactional fold must not lose the replay marker."""
+    vwh = _vwh(spark, tmp_path)
+    sink = mv_refresh_versioned_sink(vwh)
+    sink(_batch(spark, [(H0, "view", 5.0)]), 7)
+    assert vwh.last_txn_version("mv_hourly", "mv_fold") == 7
+    vwh.append(
+        "mv_hourly",
+        spark.createDataFrame([(H0, "manual", 1, 1.0)], MV_HOURLY_SCHEMA),
+    )
+    assert vwh.last_txn_version("mv_hourly", "mv_fold") == 7
+    state = _mv_state(vwh)
+    sink(_batch(spark, [(H0, "view", 5.0)]), 7)  # replay after the append
+    assert _mv_state(vwh) == state
+
+
+def test_empty_transactional_batch_records_progress(spark, tmp_path):
+    """An EMPTY micro-batch still advances the txn version (all files
+    carried, nothing written) so its replay is detected like any
+    other; app_ids are independent."""
+    vwh = _vwh(spark, tmp_path)
+    sink = mv_refresh_versioned_sink(vwh)
+    sink(_batch(spark, [(H0, "click", 1.0)]), 0)
+    sink(_batch(spark, []), 1)
+    assert vwh.last_txn_version("mv_hourly", "mv_fold") == 1
+    assert vwh.last_txn_version("mv_hourly", "other_app") is None
+    assert _mv_state(vwh)[(H0, "click")] == (1, 1.0)
