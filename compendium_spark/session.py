@@ -45,6 +45,12 @@ def get_session(
         # regenerates testdata. tables._normalize_timestamps covers
         # sessions not built through this factory.
         .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+        # Write timestamps as INT64 micros, not Spark's legacy INT96:
+        # INT96 carries NO parquet column statistics, which silently
+        # disables both parquet row-group pushdown and the versioned
+        # warehouse's manifest-stats file skipping on every time
+        # column — the single most common pruning axis at scale.
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.ui.enabled", "false")

@@ -90,9 +90,34 @@ class VersionConflictError(RuntimeError):
 
 
 # manifest stats hold only JSON-native scalar types; anything else
-# (binary, nested, timestamps) is simply not recorded — absent stats
-# mean "never prunable", which is always safe
+# (binary, nested) is simply not recorded — absent stats mean "never
+# prunable", which is always safe. Naive datetimes/dates are stored as
+# ISO-8601 strings (zero-padded, so lexicographic order IS
+# chronological order); dates normalize to midnight datetimes so a
+# date probe against a timestamp column (or vice versa) compares in
+# one consistent format.
 _JSON_SCALARS = (str, int, float, bool)
+
+
+def _stat_scalar(v):
+    """``v`` as a manifest-storable, order-preserving scalar, or None
+    if the type can't be represented faithfully (bytes, Decimal, ...).
+    Tz-aware datetimes (parquet isAdjustedToUTC=true — what the UTC
+    engine session writes) normalize to UTC-naive before formatting,
+    so stats and probe values land in ONE comparable format; naive
+    probe values are therefore interpreted as UTC, matching the
+    factory session's spark.sql.session.timeZone."""
+    import datetime as _dt  # noqa: PLC0415
+
+    if isinstance(v, _JSON_SCALARS):
+        return v
+    if isinstance(v, _dt.datetime):  # before date: datetime IS a date
+        if v.tzinfo is not None:
+            v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+        return v.isoformat()
+    if isinstance(v, _dt.date):
+        return _dt.datetime(v.year, v.month, v.day).isoformat()
+    return None
 
 # hive's encoding of a NULL partition value in the directory name
 _HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
@@ -126,10 +151,11 @@ def _footer_stats(path: Path) -> tuple[int, dict]:
                 cur["nulls"] = None
             elif cur.get("nulls") is not None:
                 cur["nulls"] += st.null_count
-            if st.has_min_max and isinstance(st.min, _JSON_SCALARS) \
-                    and isinstance(st.max, _JSON_SCALARS):
-                cur["min"] = st.min if "min" not in cur else min(cur["min"], st.min)
-                cur["max"] = st.max if "max" not in cur else max(cur["max"], st.max)
+            if st.has_min_max:
+                lo, hi = _stat_scalar(st.min), _stat_scalar(st.max)
+                if lo is not None and hi is not None:
+                    cur["min"] = lo if "min" not in cur else min(cur["min"], lo)
+                    cur["max"] = hi if "max" not in cur else max(cur["max"], hi)
     return meta.num_rows, {k: v for k, v in agg.items() if v}
 
 
@@ -157,6 +183,14 @@ def _conjunct_excludes(cstats: dict, rows: int | None, op: str, value) -> bool:
     mn, mx = cstats.get("min"), cstats.get("max")
     if mn is None or mx is None:
         return False
+    if op == "in":
+        value = [_stat_scalar(e) for e in value]
+        if any(e is None for e in value):
+            return False
+    else:
+        value = _stat_scalar(value)
+        if value is None:
+            return False
     try:
         if op == "=":
             return value < mn or value > mx
