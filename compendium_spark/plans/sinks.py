@@ -497,3 +497,98 @@ ONDECK_R12 = [
     ("sink_stats_pruned_scan", sink_stats_pruned_scan, _stats_sql()),
     ("sink_compaction_roundtrip", sink_compaction_roundtrip, _compact_sql()),
 ]
+
+
+# exactly-once fold fixture: micro-batches delivered (id, rows);
+# batch 0 is DELIVERED TWICE (Structured Streaming's at-least-once
+# crash recovery) and an out-of-order replay lands after batch 2 —
+# the txn protocol must fold each batch exactly once.
+EO_H0 = "2024-01-01 10:00:00"
+EO_H1 = "2024-01-01 11:00:00"
+EO_BATCHES = [
+    (0, [(EO_H0, "click", 1.25), (EO_H0, "click", 2.25), (EO_H1, "view", 4.5)]),
+    (0, [(EO_H0, "click", 1.25), (EO_H0, "click", 2.25), (EO_H1, "view", 4.5)]),
+    (1, [(EO_H0, "view", 8.0), (EO_H1, "view", 0.5)]),
+    (2, [(EO_H1, "click", 3.0)]),
+    (0, [(EO_H0, "click", 1.25), (EO_H0, "click", 2.25), (EO_H1, "view", 4.5)]),
+]
+
+
+def _eo_sql() -> str:
+    # fold each DISTINCT batch id exactly once — the oracle's own
+    # dedup is by id, independent of the engine's txn bookkeeping
+    seen, rows = set(), []
+    for bid, batch in EO_BATCHES:
+        if bid in seen:
+            continue
+        seen.add(bid)
+        rows += batch
+    agg: dict = {}
+    for hour, et, val in rows:
+        n, t = agg.get((hour, et), (0, 0.0))
+        agg[(hour, et)] = (n + 1, t + val)
+    n_commits = len(seen) - 1  # version numbers start at 0
+    values = ", ".join(
+        f"(TIMESTAMP '{h}', '{et}', CAST({n} AS BIGINT), {t!r}, "
+        f"CAST({n_commits} AS BIGINT))"
+        for (h, et), (n, t) in sorted(agg.items())
+    )
+    return f"""
+SELECT * FROM (VALUES {values})
+  t(hour, event_type, n_events, total_value, last_version)
+ORDER BY hour, event_type
+"""
+
+
+def sink_exactly_once_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once streaming fold
+    (streaming/windows.mv_refresh_versioned_sink +
+    VersionedWarehouse writer txns): the fixture delivers batch 0
+    TWICE back-to-back and once more OUT OF ORDER after later batches
+    — exactly Structured Streaming's at-least-once replay surface.
+    The plan returns the stored MV plus the warehouse's last committed
+    version; the oracle folds each DISTINCT batch id once. Replay
+    damage is unhidable: a double-counted batch changes n_events /
+    total_value, and a replay that COMMITTED (instead of skipping)
+    changes last_version.
+
+    Shape: the skip check is one O(1) manifest read per micro-batch;
+    each fold commit is O(touched keys). The protocol is Delta's
+    txnAppId/txnVersion, reproduced on the native snapshot layout."""
+    from compendium_spark.storage_versioned import (  # noqa: PLC0415
+        VersionedWarehouse,
+    )
+    from compendium_spark.streaming.windows import (  # noqa: PLC0415
+        MV_HOURLY_SCHEMA,
+        mv_refresh_versioned_sink,
+    )
+
+    wd = _workdir("exactly_once")
+    vwh = VersionedWarehouse(
+        spark, str(wd / "vwh"), extra_tables={"mv_hourly": MV_HOURLY_SCHEMA}
+    )
+    sink = mv_refresh_versioned_sink(vwh)
+    for bid, batch in EO_BATCHES:
+        bdf = spark.createDataFrame(
+            [(b[0], b[1], b[2]) for b in batch],
+            "hour string, event_type string, value double",
+        ).select(
+            F.to_timestamp("hour").alias("hour"), "event_type", "value"
+        )
+        sink(bdf, bid)
+    return (
+        vwh.read("mv_hourly")
+        .select(
+            "hour",
+            "event_type",
+            "n_events",
+            "total_value",
+            F.lit(vwh.latest("mv_hourly")).cast("long").alias("last_version"),
+        )
+        .orderBy("hour", "event_type")
+    )
+
+
+ONDECK_R12.append(
+    ("sink_exactly_once_roundtrip", sink_exactly_once_roundtrip, _eo_sql())
+)

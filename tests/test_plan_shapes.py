@@ -97,6 +97,7 @@ SCALAR_SUBQUERY = {
     "curate_dsir_weights",  # 1-row (tot_t, tot_r) model-totals broadcast
     "curate_dsir_resample",  # same DSIR totals broadcast via _dsir_doc_scores
     "text_source_overlap_matrix",  # sources² grid: inequality join of two ≤20-row frames
+    "curate_split_leakage",  # 1-row leaky-cluster count crossed onto the ≤3-row split report
 }
 
 
