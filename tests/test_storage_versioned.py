@@ -449,3 +449,52 @@ def test_txn_versions_are_monotonic(mwh, spark):
     assert mwh.last_txn_version("metrics", "app_a") == 5
     assert mwh.last_txn_version("metrics", "app_b") == 1
     assert mwh.last_txn_version("metrics", "app_c") is None
+
+
+def test_clustered_compaction_enables_skipping(spark, tmp_path):
+    """compact(cluster_by=...) is OPTIMIZE ZORDER-lite: scattered
+    files (every file spanning the full id domain — a point/range
+    probe can never prune) become range-clustered files with
+    near-disjoint spans, and the SAME probe then skips files. The
+    hash-bin path, by contrast, preserves full-span files: fewer
+    files, no new prunability."""
+    rows = [(i, "s", float(i)) for i in range(400)]
+
+    def scattered(w):
+        # 4 commits, each a full-domain stride -> every file spans 0..399
+        for k in range(4):
+            df = spark.createDataFrame(rows[k::4], METRICS).coalesce(1)
+            (w.write if k == 0 else w.append)("metrics", df)
+
+    probe = [("id", ">=", 0), ("id", "<=", 40)]
+
+    wc = VersionedWarehouse(
+        spark, str(tmp_path / "c"), extra_tables={"metrics": METRICS}
+    )
+    scattered(wc)
+    kept0, skipped0 = wc.scan_files("metrics", where=probe)
+    assert len(kept0) == 4 and not skipped0  # full-span: nothing prunable
+    # force 2 output bins: total bytes / target ~ 2
+    man = wc.manifest("metrics", wc.latest("metrics"))
+    total = sum(
+        (wc._tdir("metrics") / f).stat().st_size for f in man["files"]
+    )
+    v = wc.compact("metrics", target_file_bytes=total // 2 + 1, cluster_by="id")
+    man_c = wc.manifest("metrics", v)
+    assert man_c["op"] == "compact"
+    assert 1 < len(man_c["files"]) <= 3
+    kept, skipped = wc.scan_files("metrics", where=probe)
+    assert skipped, "clustered compaction must make the probe prunable"
+    got = sorted(r.id for r in wc.read("metrics", where=probe).collect())
+    assert got == list(range(41))
+
+    wh = VersionedWarehouse(
+        spark, str(tmp_path / "h"), extra_tables={"metrics": METRICS}
+    )
+    scattered(wh)
+    wh.compact("metrics", target_file_bytes=total // 2 + 1)  # hash bins
+    kept_h, skipped_h = wh.scan_files("metrics", where=probe)
+    assert not skipped_h  # hash bins keep full-span files
+    assert sorted(
+        r.id for r in wh.read("metrics", where=probe).collect()
+    ) == list(range(41))
