@@ -165,6 +165,7 @@ def main() -> None:
             f"| {times[0.1]:.2f} | {slope:+.2f} |"
         )
     print(BUCKETED_JOIN_FOOTER.rstrip())
+    print(SKIPPING_FOOTER.rstrip())
 
 
 BUCKETED_JOIN_FOOTER = """
@@ -186,6 +187,33 @@ disabled (the technique under test is shuffle removal):
 One-time bucketed write: 5.3 s — the amortized shuffle. At 100 TB the
 per-run saving is the full both-sides shuffle of the two largest
 tables, and the layout also serves every OTHER orderkey join.
+"""
+
+
+SKIPPING_FOOTER = """
+## Layout × data skipping: manifest stats as scan planning
+
+The VersionedWarehouse records per-file column (min, max, null_count)
+in its snapshot manifests (parquet-footer harvest at commit);
+`read(..., where=...)` prunes provably-excluded files BEFORE Spark
+opens anything. How much that saves is pure layout — which is why
+`compact(cluster_by=...)` exists (OPTIMIZE ZORDER-lite). Measured r11
+by tools/skipping_bench.py: sf0.1 lineitem, 16 files per layout,
+min-of-3 scan wall, identical rows both ways:
+
+| probe | layout | files kept | bytes read | scan wall |
+|---|---|---|---|---|
+| 1-month ship window | scattered (hash) | 16/16 | 12.0 MB | 0.360 s |
+| 1-month ship window | clustered (range) | 1/16 | 0.7 MB | 0.190 s |
+| 1-year ship window | scattered (hash) | 16/16 | 12.0 MB | 0.193 s |
+| 1-year ship window | clustered (range) | 3/16 | 2.1 MB | 0.140 s |
+
+At 100 TB the files-kept column IS the scan cost: the clustered
+layout schedules ~1/16 of the tasks for the selective probe. The
+prerequisite found while measuring: Spark's legacy INT96 timestamp
+output carries NO parquet statistics — session.py pins
+outputTimestampType=TIMESTAMP_MICROS (regression-pinned in
+tests/test_data_skipping_layout.py).
 """
 
 
