@@ -562,7 +562,7 @@ class VersionedWarehouse:
         name: str,
         target_file_bytes: int = 128 * 1024 * 1024,
         min_files: int = 2,
-        cluster_by: str | None = None,
+        cluster_by: str | list[str] | None = None,
     ) -> int:
         """OPTIMIZE: bin-pack each partition's small files into
         ``ceil(partition_bytes / target_file_bytes)`` files, committed
@@ -573,13 +573,22 @@ class VersionedWarehouse:
         compact as a no-op returning the current version, committing
         nothing.
 
-        With ``cluster_by`` (OPTIMIZE ZORDER-lite, single dimension):
-        the rewritten rows are RANGE-partitioned and sorted on that
-        column instead of hash-binned, so the compacted files carry
-        near-disjoint [min, max] spans — which is what turns the
-        manifest stats into real file skipping for probes on that
-        column (tools/skipping_bench.py measures 1/16 files opened vs
-        16/16 for the same probe, layout being the only difference).
+        With ``cluster_by`` (OPTIMIZE ZORDER): one column range-
+        partitions and sorts the rewrite on that column, so compacted
+        files carry near-disjoint [min, max] spans — which is what
+        turns the manifest stats into real file skipping for probes on
+        that column (tools/skipping_bench.py measures 1/16 files
+        opened vs 16/16 for the same probe, layout being the only
+        difference). A LIST of numeric/timestamp columns clusters on
+        the Morton-interleaved z-value instead: each column is
+        normalized to a 16-bit lattice cell by its span (one min/max
+        aggregate over the candidate rows — the same files the rewrite
+        reads anyway) and the bit planes interleave, so files get
+        small hyper-rectangles in the combined space — probes on
+        EITHER dimension prune, the single-sort layout's blind spot.
+        Linear (not rank) normalization: skewed columns degrade toward
+        the dominant dim's 1-D clustering, the honest one-pass
+        trade-off.
         Range bins are sampled-balanced by Spark, so per-partition
         output file counts are approximate; the rerun-is-a-no-op
         guarantee is exact only for the hash-bin path.
@@ -627,11 +636,18 @@ class VersionedWarehouse:
         ]
         total_bins = max(1, sum(n for _, n in todo.values()))
         if cluster_by is not None:
-            # range-cluster: contiguous cluster_by spans per output
-            # file -> prunable manifest stats on that column
-            range_cols = ([pcol] if pcol else []) + [cluster_by]
+            cluster_cols = (
+                [cluster_by] if isinstance(cluster_by, str) else list(cluster_by)
+            )
+            if len(cluster_cols) == 1:
+                # range-cluster: contiguous spans per output file ->
+                # prunable manifest stats on that column
+                order = F.col(cluster_cols[0])
+            else:
+                order = self._z_expr(name, slice_df, cluster_cols)
+            range_cols = ([F.col(pcol)] if pcol else []) + [order]
             shuffled = slice_df.repartitionByRange(
-                total_bins, *[F.col(c) for c in range_cols]
+                total_bins, *range_cols
             ).sortWithinPartitions(*range_cols)
         elif pcol:
             from urllib.parse import unquote  # noqa: PLC0415
@@ -666,6 +682,68 @@ class VersionedWarehouse:
             name, shuffled, carried, "compact", pcol, base=base,
             carried_stats=man.get("stats"),
         )
+
+    _Z_BITS = 16  # lattice resolution per dimension
+
+    def _z_expr(self, name: str, slice_df: DataFrame, cols: list[str]):
+        """Morton z-value Column over ``cols`` (numeric / timestamp /
+        date): each column maps to a 16-bit lattice cell by linear
+        min-max normalization (spans from ONE bounded aggregate over
+        ``slice_df`` — a single driver row), then the cells' bit
+        planes interleave: bit b of dim d lands at position
+        b*ndims + d. Sorting by the z-value gives every output file a
+        small hyper-rectangle in the combined space, which is what
+        makes the per-file min/max stats prunable on every clustered
+        dimension at once."""
+        from functools import reduce  # noqa: PLC0415
+        from operator import add  # noqa: PLC0415
+
+        types = {f.name: f.dataType.typeName() for f in slice_df.schema.fields}
+
+        def numeric(c: str):
+            t = types.get(c)
+            if t in ("timestamp", "timestamp_ntz"):
+                return F.unix_micros(F.col(c)).cast("double")
+            if t == "date":
+                return F.datediff(F.col(c), F.lit("1970-01-01")).cast("double")
+            if t in ("byte", "short", "integer", "long", "float", "double"):
+                return F.col(c).cast("double")
+            raise ValueError(
+                f"z-order needs numeric/timestamp columns; {c!r} is {t}"
+            )
+
+        nums = {c: numeric(c) for c in cols}
+        spans = slice_df.agg(
+            *[F.min(nums[c]).alias(f"lo_{i}") for i, c in enumerate(cols)],
+            *[F.max(nums[c]).alias(f"hi_{i}") for i, c in enumerate(cols)],
+        ).first()  # bounded: one row, 2*ndims cells
+        top = (1 << self._Z_BITS) - 1
+        ndims = len(cols)
+        terms = []
+        for d, c in enumerate(cols):
+            lo, hi = spans[f"lo_{d}"], spans[f"hi_{d}"]
+            if lo is None or hi is None or hi <= lo:
+                continue  # constant/all-null dim contributes nothing
+            cell = F.least(
+                F.lit(top),
+                F.greatest(
+                    F.lit(0),
+                    ((nums[c] - F.lit(float(lo)))
+                     * F.lit(top / (float(hi) - float(lo)))).cast("long"),
+                ),
+            )
+            # NULLs sort first (cell 0) rather than killing the z-value
+            cell = F.coalesce(cell, F.lit(0))
+            terms += [
+                F.shiftleft(
+                    F.shiftright(cell, b).bitwiseAND(F.lit(1)),
+                    b * ndims + d,
+                )
+                for b in range(self._Z_BITS)
+            ]
+        if not terms:
+            return F.lit(0)
+        return reduce(add, terms).alias("_z")
 
     # -- history operations ---------------------------------------------------
 

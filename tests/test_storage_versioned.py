@@ -498,3 +498,52 @@ def test_clustered_compaction_enables_skipping(spark, tmp_path):
     assert sorted(
         r.id for r in wh.read("metrics", where=probe).collect()
     ) == list(range(41))
+
+
+def test_zorder_compaction_prunes_both_dimensions(spark, tmp_path):
+    """compact(cluster_by=[a, b]) Morton-interleaves the two columns:
+    single-column clustering prunes only its own dimension (the other
+    probe opens every file — its blind spot); the z-ordered layout
+    prunes BOTH probes. Values are anti-correlated by construction
+    (score = 37*id mod 400) so 1-D id clustering provably scatters
+    score."""
+    rows = [(i, "s", float((i * 37) % 400)) for i in range(400)]
+
+    def build(path, cluster):
+        w = VersionedWarehouse(
+            spark, str(path), extra_tables={"metrics": METRICS}
+        )
+        for k in range(8):
+            df = spark.createDataFrame(rows[k::8], METRICS).coalesce(1)
+            (w.write if k == 0 else w.append)("metrics", df)
+        man = w.manifest("metrics", w.latest("metrics"))
+        total = sum(
+            (w._tdir("metrics") / f).stat().st_size for f in man["files"]
+        )
+        v = w.compact(
+            "metrics", target_file_bytes=total // 4 + 1, cluster_by=cluster
+        )
+        assert w.manifest("metrics", v)["op"] == "compact"
+        return w
+
+    id_probe = [("id", "<", 100)]
+    score_probe = [("score", "<", 100.0)]
+
+    w1 = build(tmp_path / "oned", "id")
+    kept_id, _ = w1.scan_files("metrics", where=id_probe)
+    kept_sc, _ = w1.scan_files("metrics", where=score_probe)
+    n_files = len(w1.manifest("metrics", w1.latest("metrics"))["files"])
+    assert len(kept_id) <= n_files // 2  # own dim prunes
+    assert len(kept_sc) == n_files  # blind spot: other dim opens all
+
+    wz = build(tmp_path / "z", ["id", "score"])
+    nz = len(wz.manifest("metrics", wz.latest("metrics"))["files"])
+    kept_idz, _ = wz.scan_files("metrics", where=id_probe)
+    kept_scz, _ = wz.scan_files("metrics", where=score_probe)
+    assert len(kept_idz) < nz  # BOTH dims prune under z-order
+    assert len(kept_scz) < nz
+
+    # correctness unchanged by layout, on both warehouses and probes
+    for w in (w1, wz):
+        assert w.read("metrics", where=id_probe).count() == 100
+        assert w.read("metrics", where=score_probe).count() == 100
