@@ -36,6 +36,14 @@ closes the BEHAVIORAL half natively, the same way Delta's log does:
   the kept/skipped split for auditing). The predicate is ALSO applied
   as a residual Spark filter, so pruning is a pure I/O optimization —
   never a correctness dependency;
+* SCHEMA EVOLUTION (additive): ``add_columns`` commits a new manifest
+  whose SCHEMA gains nullable fields, all data files carried by
+  reference — Iceberg's metadata-only evolution. Each snapshot records
+  ITS OWN schema, so time travel reads an old version under the old
+  schema, and files written before the evolution read the new column
+  as NULL (the parquet reader fills missing columns). Only additive
+  nullable changes are allowed — drops/retypes would make carried
+  files unreadable, exactly what the validation rejects;
 * IDEMPOTENT WRITER TRANSACTIONS: a commit may carry ``txn=(app_id,
   version)`` — Delta's txnAppId/txnVersion. The manifest keeps the
   highest committed version PER app (carried forward every commit),
@@ -273,6 +281,21 @@ class VersionedWarehouse:
         path = self._logdir(name) / f"{version:08d}.json"
         return json.loads(path.read_text())
 
+    def table_schema(self, name: str, version: int | None = None):
+        """The table's schema AT a snapshot (default: latest) — each
+        manifest records its own, so evolution is per-version state
+        and time travel reads old versions under their old schema.
+        Falls back to the registered StructType for tables with no
+        snapshot yet (and for pre-evolution manifests)."""
+        from pyspark.sql import types as T  # noqa: PLC0415
+
+        v = self.latest(name) if version is None else version
+        if v is not None:
+            man = self.manifest(name, v)
+            if man.get("schema") is not None:
+                return T.StructType.fromJson(man["schema"])
+        return self.tables[name]
+
     # -- commit protocol --------------------------------------------------
 
     def _enumerate(self, staged: Path) -> list[str]:
@@ -295,6 +318,7 @@ class VersionedWarehouse:
         base: int | None,
         carried_stats: dict | None = None,
         txn: tuple[str, int] | None = None,
+        schema=None,
     ) -> int:
         """Write ``new_df``'s files as snapshot ``base + 1``'s new data
         dir and atomically publish a manifest referencing them plus the
@@ -317,9 +341,10 @@ class VersionedWarehouse:
             for f in carried
             if f in (carried_stats or {})
         }
+        sch = schema if schema is not None else self.table_schema(name, base)
         ddir = self._datadir(name, next_v)
         if new_df is not None:
-            new_df = validate_schema(new_df, self.tables[name], name)
+            new_df = validate_schema(new_df, sch, name)
             w = new_df.write
             if partition_by:
                 w = w.partitionBy(partition_by)
@@ -353,6 +378,7 @@ class VersionedWarehouse:
             "files": sorted(files),
             "stats": stats,
             "txn": txns,
+            "schema": sch.jsonValue(),
         }
         try:
             with open(log / f"{next_v:08d}.json", "x") as f:
@@ -367,13 +393,16 @@ class VersionedWarehouse:
 
     # -- reads -------------------------------------------------------------
 
-    def _read_files(self, name: str, rels: list[str]) -> DataFrame:
+    def _read_files(self, name: str, rels: list[str], schema=None) -> DataFrame:
         """Union an explicit file list into one DataFrame. Files may
         span several version dirs (COW carry-forward); each dir is
         read with itself as basePath so hive-partition columns
         reconstruct, then the slices union — the dir count is bounded
-        by commits since the last full rewrite."""
-        schema = self.tables[name]
+        by commits since the last full rewrite. ``schema`` may be an
+        evolved snapshot schema: files predating an added column read
+        it as NULL (parquet missing-column semantics)."""
+        if schema is None:
+            schema = self.tables[name]
         by_dir: dict[str, list[str]] = {}
         for rel in rels:
             parts = Path(rel).parts  # ("data", "vNNNNNNNN", ...)
@@ -436,10 +465,10 @@ class VersionedWarehouse:
         files."""
         v = self.latest(name) if version is None else version
         if v is None:
-            df = self.spark.createDataFrame([], self.tables[name])
+            df = self.spark.createDataFrame([], self.table_schema(name))
         else:
             kept, _ = self.scan_files(name, v, where)
-            df = self._read_files(name, kept)
+            df = self._read_files(name, kept, self.table_schema(name, v))
         if where:
             df = df.filter(_where_expr(where))
         return df
@@ -555,6 +584,43 @@ class VersionedWarehouse:
             carried_stats=prev_man.get("stats"), txn=txn,
         )
 
+    # -- schema evolution --------------------------------------------------------
+
+    def add_columns(self, name: str, *fields) -> int:
+        """Metadata-only additive schema evolution (Iceberg ADD
+        COLUMN): commit a new snapshot whose schema gains ``fields``,
+        every data file carried by reference — nothing is rewritten.
+        Old files read the new columns as NULL; old snapshots still
+        time-travel under their own schema. Fields must be NEW and
+        NULLABLE (a non-nullable addition would be a lie about every
+        already-written file — rejected, like drops/retypes, which
+        this API simply cannot express)."""
+        base = self.latest(name)
+        cur = self.table_schema(name, base)
+        have = {f.name for f in cur.fields}
+        for f in fields:
+            if f.name in have:
+                raise ValueError(
+                    f"{name}: column {f.name!r} already exists "
+                    "(evolution is additive only)"
+                )
+            if not f.nullable:
+                raise ValueError(
+                    f"{name}: new column {f.name!r} must be nullable — "
+                    "files written before the evolution hold no values "
+                    "for it"
+                )
+        from pyspark.sql import types as T  # noqa: PLC0415
+
+        new_schema = T.StructType(list(cur.fields) + list(fields))
+        man = {} if base is None else self.manifest(name, base)
+        added = ",".join(f.name for f in fields)
+        return self._commit(
+            name, None, man.get("files", []), f"add-columns:{added}",
+            man.get("pcol", PARTITION_SPEC.get(name)), base=base,
+            carried_stats=man.get("stats"), schema=new_schema,
+        )
+
     # -- maintenance -----------------------------------------------------------
 
     def compact(
@@ -624,15 +690,14 @@ class VersionedWarehouse:
         if not todo:
             return base  # already packed: commit nothing
         compact_rels = [r for files, _ in todo.values() for r in files]
-        slice_df = self._read_files(name, compact_rels)
+        sch = self.table_schema(name, base)
+        slice_df = self._read_files(name, compact_rels, sch)
         # per-partition bin count: a driver-built CASE chain, bounded by
         # the number of candidate partitions (same bound as _merge's
         # touched-partition collect)
         # xxhash64 accepts every type here except MapType
         hashable = [
-            f.name
-            for f in self.tables[name].fields
-            if f.dataType.typeName() != "map"
+            f.name for f in sch.fields if f.dataType.typeName() != "map"
         ]
         total_bins = max(1, sum(n for _, n in todo.values()))
         if cluster_by is not None:
@@ -761,6 +826,9 @@ class VersionedWarehouse:
         return self._commit(
             name, None, man["files"], f"rollback:{to_version}", man["pcol"],
             base=self.latest(name), carried_stats=man.get("stats"),
+            # RESTORE semantics: the rolled-back snapshot carries the
+            # TARGET version's schema, not the current one
+            schema=self.table_schema(name, to_version),
         )
 
     def vacuum(self, name: str, keep_last: int = 2) -> list[str]:

@@ -547,3 +547,67 @@ def test_zorder_compaction_prunes_both_dimensions(spark, tmp_path):
     for w in (w1, wz):
         assert w.read("metrics", where=id_probe).count() == 100
         assert w.read("metrics", where=score_probe).count() == 100
+
+
+def test_schema_evolution_add_column(mwh, spark):
+    """add_columns is metadata-only: all files carried by reference,
+    old rows read the new column as NULL, new writes carry it, old
+    snapshots time-travel under their OLD schema, and rollback
+    restores the old schema (RESTORE semantics)."""
+    from pyspark.sql import types as T
+
+    pre = mwh.manifest("metrics", mwh.latest("metrics"))
+    v = mwh.add_columns("metrics", T.StructField("grade", T.StringType()))
+    man = mwh.manifest("metrics", v)
+    assert man["files"] == pre["files"]  # nothing rewritten
+    assert man["op"] == "add-columns:grade"
+
+    latest = mwh.read("metrics")
+    assert "grade" in latest.columns
+    assert latest.filter("grade IS NOT NULL").count() == 0  # old files
+    # time travel: the pre-evolution snapshot has no such column
+    assert "grade" not in mwh.read("metrics", v - 1).columns
+
+    evolved = T.StructType(
+        list(METRICS.fields) + [T.StructField("grade", T.StringType())]
+    )
+    mwh.append(
+        "metrics",
+        spark.createDataFrame([(100, "z", 1.0, "A")], evolved).coalesce(1),
+    )
+    got = {r.id: r.grade for r in mwh.read("metrics").collect()}
+    assert got[100] == "A" and got[0] is None
+    # the new file's manifest stats cover the new column
+    man2 = mwh.manifest("metrics", mwh.latest("metrics"))
+    new_files = set(man2["files"]) - set(man["files"])
+    assert all(
+        man2["stats"][f]["cols"]["grade"] == {"nulls": 0, "min": "A", "max": "A"}
+        for f in new_files
+    )
+    # rollback to pre-evolution restores the old schema
+    rb = mwh.rollback("metrics", v - 1)
+    assert "grade" not in mwh.read("metrics", rb).columns
+
+
+def test_schema_evolution_rejects_bad_additions(mwh, spark):
+    """Duplicates and non-nullable additions are rejected; writes
+    against the OLD schema fail loudly after evolution (the storage
+    boundary validates against the snapshot schema)."""
+    from pyspark.sql import types as T
+
+    import pytest as _pytest
+
+    from compendium_spark.operators.validate import SchemaMismatchError
+
+    with _pytest.raises(ValueError, match="already exists"):
+        mwh.add_columns("metrics", T.StructField("id", T.LongType()))
+    with _pytest.raises(ValueError, match="nullable"):
+        mwh.add_columns(
+            "metrics", T.StructField("req", T.StringType(), nullable=False)
+        )
+    mwh.add_columns("metrics", T.StructField("grade", T.StringType()))
+    with _pytest.raises(SchemaMismatchError):
+        mwh.append(
+            "metrics",
+            spark.createDataFrame([(1, "x", 1.0)], METRICS).coalesce(1),
+        )
