@@ -97,6 +97,11 @@ class VersionConflictError(RuntimeError):
     concurrency): retry against the new latest snapshot."""
 
 
+class SnapshotNotFoundError(LookupError):
+    """The requested version has no manifest — it never existed or
+    was dropped below the VACUUM horizon."""
+
+
 # manifest stats hold only JSON-native scalar types; anything else
 # (binary, nested) is simply not recorded — absent stats mean "never
 # prunable", which is always safe. Naive datetimes/dates are stored as
@@ -279,7 +284,36 @@ class VersionedWarehouse:
 
     def manifest(self, name: str, version: int) -> dict:
         path = self._logdir(name) / f"{version:08d}.json"
-        return json.loads(path.read_text())
+        try:
+            return json.loads(path.read_text())
+        except FileNotFoundError:
+            vs = self.versions(name)
+            raise SnapshotNotFoundError(
+                f"{name}: no snapshot {version} — "
+                + (
+                    f"retained versions are {vs[0]}..{vs[-1]} "
+                    "(older snapshots were vacuumed)"
+                    if vs
+                    else "the table has no snapshots"
+                )
+            ) from None
+
+    def history(self, name: str) -> list[dict]:
+        """Per-retained-snapshot summary, oldest first — Delta's
+        DESCRIBE HISTORY: version, operation, file count, txn map.
+        O(retained manifests) metadata reads, no data touched."""
+        out = []
+        for v in self.versions(name):
+            man = self.manifest(name, v)
+            out.append(
+                {
+                    "version": v,
+                    "op": man.get("op"),
+                    "n_files": len(man.get("files", [])),
+                    "txn": man.get("txn", {}),
+                }
+            )
+        return out
 
     def table_schema(self, name: str, version: int | None = None):
         """The table's schema AT a snapshot (default: latest) — each

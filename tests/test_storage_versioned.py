@@ -183,7 +183,9 @@ def test_vacuum_drops_unreferenced_files_only(vwh, spark):
     assert vwh.versions("samples") == [1, 2]
     assert _state(vwh, 1) == before_v1
     assert _state(vwh, 2) == before_v2
-    with pytest.raises(FileNotFoundError):
+    from compendium_spark.storage_versioned import SnapshotNotFoundError
+
+    with pytest.raises(SnapshotNotFoundError):
         vwh.manifest("samples", 0)
 
 
@@ -611,3 +613,23 @@ def test_schema_evolution_rejects_bad_additions(mwh, spark):
             "metrics",
             spark.createDataFrame([(1, "x", 1.0)], METRICS).coalesce(1),
         )
+
+
+def test_history_and_vacuum_horizon_error(mwh, spark):
+    """history() summarizes each retained snapshot (DESCRIBE HISTORY);
+    time travel below the vacuum horizon raises SnapshotNotFoundError
+    naming the retained range instead of a bare file error."""
+    from compendium_spark.storage_versioned import SnapshotNotFoundError
+
+    h = mwh.history("metrics")
+    assert [e["version"] for e in h] == [0, 1, 2]
+    assert [e["op"] for e in h] == ["overwrite", "append", "append"]
+    assert [e["n_files"] for e in h] == [1, 2, 3]
+
+    mwh.vacuum("metrics", keep_last=1)
+    assert [e["version"] for e in mwh.history("metrics")] == [2]
+    with pytest.raises(SnapshotNotFoundError, match="retained versions are 2..2"):
+        mwh.read("metrics", 0)
+    with pytest.raises(SnapshotNotFoundError, match="no snapshot 99"):
+        mwh.manifest("metrics", 99)
+    assert mwh.read("metrics", 2).count() == 9  # horizon snapshot intact
