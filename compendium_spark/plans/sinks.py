@@ -331,8 +331,8 @@ def sink_timetravel_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# round-12 on-deck: data skipping + compaction (built + pinned now,
-# @plan registration deferred — the r11 gate window is full at 50)
+# data skipping + compaction + exactly-once (built + pinned in r11,
+# registered r12 — VERDICT r11 #1)
 # ---------------------------------------------------------------------------
 
 # (id, src, score) per single-file append — disjoint id ranges and
@@ -379,6 +379,7 @@ def _metrics_schema():
     )
 
 
+@plan("sink_stats_pruned_scan", oracle=_stats_sql())
 def sink_stats_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Manifest column-stats data skipping
     (storage_versioned.VersionedWarehouse): three single-file commits
@@ -446,6 +447,7 @@ ORDER BY version, srs
 """
 
 
+@plan("sink_compaction_roundtrip", oracle=_compact_sql())
 def sink_compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OPTIMIZE round-trip (storage_versioned.VersionedWarehouse
     .compact): micro-batch appends fragment the partitioned `samples`
@@ -492,13 +494,6 @@ def sink_compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("version", "srs")
 
 
-# round-12 registration manifest: (plan name, fn, oracle SQL)
-ONDECK_R12 = [
-    ("sink_stats_pruned_scan", sink_stats_pruned_scan, _stats_sql()),
-    ("sink_compaction_roundtrip", sink_compaction_roundtrip, _compact_sql()),
-]
-
-
 # exactly-once fold fixture: micro-batches delivered (id, rows);
 # batch 0 is DELIVERED TWICE (Structured Streaming's at-least-once
 # crash recovery) and an out-of-order replay lands after batch 2 —
@@ -540,6 +535,7 @@ ORDER BY hour, event_type
 """
 
 
+@plan("sink_exactly_once_roundtrip", oracle=_eo_sql())
 def sink_exactly_once_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exactly-once streaming fold
     (streaming/windows.mv_refresh_versioned_sink +
@@ -587,8 +583,3 @@ def sink_exactly_once_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("hour", "event_type")
     )
-
-
-ONDECK_R12.append(
-    ("sink_exactly_once_roundtrip", sink_exactly_once_roundtrip, _eo_sql())
-)

@@ -124,34 +124,35 @@ def test_sources_sink_matches_classifier_plan(spark):
 
 
 # ---------------------------------------------------------------------------
-# round-12 on-deck plans (built + oracle-checked now, @plan
-# registration deferred until the r12 gate window has slots)
+# r11 on-deck lakehouse plans, registered at r12 start (VERDICT r11 #1)
 # ---------------------------------------------------------------------------
 
+_R12_LAKEHOUSE = [
+    "sink_stats_pruned_scan",
+    "sink_compaction_roundtrip",
+    "sink_exactly_once_roundtrip",
+]
 
-def _ondeck_r12():
-    from compendium_spark.plans.sinks import ONDECK_R12
 
-    return ONDECK_R12
-
-
-def test_ondeck_r12_not_registered():
-    """The on-deck pattern's invariant: these plans must NOT be in the
-    registry yet (the r11 50-slot window is full); registering them
-    happens at round-12 start after gate_ledger update."""
-    registered = set(all_plans())
-    for name, _fn, _sql in _ondeck_r12():
-        assert name not in registered, name
+def test_r12_lakehouse_plans_registered():
+    """The r11 on-deck plans are now first-class registry entries with
+    oracles (the driver gate hashes them like every other plan)."""
+    plans = all_plans()
+    for name in _R12_LAKEHOUSE:
+        assert name in plans, name
+        assert plans[name].oracle, name
 
 
 @pytest.mark.parametrize("sf_dir", [SF_ORACLE, SF_FULL])
-def test_ondeck_r12_parity(spark, sf_dir):
-    """Full driver-gate-strength parity for the on-deck plans, at the
-    gate SF and one past it (the sinks ignore sf_dir by design — the
-    unit under test is the lakehouse machinery)."""
-    for name, fn, sql in _ondeck_r12():
-        got = _normalize(fn(spark, sf_dir).toPandas())
-        want = _normalize(_duck_conn(sf_dir).execute(sql).df())
+def test_r12_lakehouse_parity(spark, sf_dir):
+    """Full driver-gate-strength parity for the lakehouse sink plans,
+    at the gate SF and one past it (the sinks ignore sf_dir by design —
+    the unit under test is the lakehouse machinery)."""
+    plans = all_plans()
+    for name in _R12_LAKEHOUSE:
+        p = plans[name]
+        got = _normalize(p.fn(spark, sf_dir).toPandas())
+        want = _normalize(_duck_conn(sf_dir).execute(p.oracle).df())
         assert len(got) > 0, f"{name}: vacuous"
         _assert_hash_equal(got, want, name)
 
