@@ -157,6 +157,20 @@ def _footer_stats(path: Path) -> tuple[int, dict]:
             if st is None:
                 agg[name] = {}  # a statless row group poisons the column
                 continue
+            # a Statistics object with NO min/max is spec-legal even for
+            # row groups holding non-null values (writers may record only
+            # null_count) — treating it like an all-null group would
+            # under-cover the file's true range and let _conjunct_excludes
+            # prune a file that DOES hold matching rows (a wrong-results
+            # hole the residual filter can't repair: the file is never
+            # opened). Poison the column unless the group is provably
+            # all-null (null_count == the group's row count).
+            if not st.has_min_max and not (
+                st.null_count is not None
+                and st.null_count == group.num_rows
+            ):
+                agg[name] = {}
+                continue
             cur = agg.setdefault(name, {"nulls": 0})
             if cur == {}:
                 continue
@@ -266,7 +280,21 @@ class VersionedWarehouse:
         return self._tdir(name) / "_log"
 
     def _datadir(self, name: str, version: int) -> Path:
-        return self._tdir(name) / "data" / f"v{version:08d}"
+        """A UNIQUE staging dir for one commit ATTEMPT's new files.
+        The version prefix is for humans; the random suffix is the
+        correctness: two writers racing for the same version number
+        must never stage into the same directory, or the loser's
+        cleanup (and its overwrite-mode write before that) would
+        clobber the files the WINNER's manifest references. Like
+        Delta/Iceberg, a file's identity is its manifest entry, not
+        its path shape."""
+        import uuid  # noqa: PLC0415
+
+        return (
+            self._tdir(name)
+            / "data"
+            / f"v{version:08d}-{uuid.uuid4().hex[:12]}"
+        )
 
     # -- snapshot bookkeeping --------------------------------------------
 
@@ -383,8 +411,9 @@ class VersionedWarehouse:
             if partition_by:
                 w = w.partitionBy(partition_by)
             w.mode("overwrite").parquet(str(ddir))
+            dname = ddir.name
             for rel in self._enumerate(ddir):
-                full = f"data/v{next_v:08d}/{rel}"
+                full = f"data/{dname}/{rel}"
                 files.append(full)
                 rows, cols = _footer_stats(ddir / rel)
                 for k, v in _path_partition_values(rel).items():
@@ -538,22 +567,105 @@ class VersionedWarehouse:
             carried_stats=man.get("stats"), txn=txn,
         )
 
-    def upsert(self, name: str, updates: DataFrame, key, txn=None) -> int:
-        return self._merge(name, updates, key, full_row=True, txn=txn)
+    # sentinel: "caller did not pin a base" (None is a real value — the
+    # observed state of an empty table)
+    _UNPINNED = object()
 
-    def partial_update(self, name: str, updates: DataFrame, key, txn=None) -> int:
-        return self._merge(name, updates, key, full_row=False, txn=txn)
+    def upsert(
+        self, name: str, updates: DataFrame, key, txn=None,
+        base_version=_UNPINNED,
+    ) -> int:
+        return self._merge(
+            name, updates, key, full_row=True, txn=txn,
+            base_version=base_version,
+        )
+
+    def partial_update(
+        self, name: str, updates: DataFrame, key, txn=None,
+        base_version=_UNPINNED,
+    ) -> int:
+        return self._merge(
+            name, updates, key, full_row=False, txn=txn,
+            base_version=base_version,
+        )
+
+    def _rebase_target(
+        self,
+        name: str,
+        base: int | None,
+        touched: set,
+        touched_files: set[str],
+        pcol: str | None,
+    ) -> dict | None:
+        """After a lost commit race: the LATEST manifest, iff every
+        rival commit between ``base`` and it is provably disjoint from
+        this merge — Iceberg's conflict-resolution rule, which is what
+        lets writers on different partitions proceed concurrently
+        instead of serializing on the table-level O_EXCL manifest.
+
+        Disjoint means, vs the base snapshot:
+        * no rival removed/rewrote a file this merge READ
+          (``touched_files`` — our merged output was computed from
+          them, so their replacement would be silently clobbered);
+        * no rival ADDED a file inside one of our touched partitions
+          (sequential semantics would have merged those rows; carrying
+          them beside our rewrite could duplicate keys);
+        * schema and partition spec unchanged (our output was
+          validated against the base schema).
+        Unpartitioned tables never rebase: their COW unit is the whole
+        table, so any concurrent write genuinely conflicts.
+        Returns the latest manifest to re-commit against, or None if
+        the conflict is real. O(manifest) driver arithmetic."""
+        if pcol is None:
+            return None
+        latest = self.latest(name)
+        if latest is None or (base is not None and latest <= base):
+            return None
+        base_man = {} if base is None else self.manifest(name, base)
+        base_files = set(base_man.get("files", []))
+        latest_man = self.manifest(name, latest)
+        latest_files = set(latest_man["files"])
+        if latest_man.get("schema") != base_man.get("schema"):
+            return None
+        if latest_man.get("pcol") != base_man.get("pcol", pcol):
+            return None
+        removed = base_files - latest_files
+        if removed & touched_files:
+            return None
+        for rel in latest_files - base_files:
+            if _path_partition_values(rel).get(pcol, None) in touched:
+                return None
+        return latest_man
 
     def _merge(
-        self, name: str, updates: DataFrame, key, full_row: bool, txn=None
+        self, name: str, updates: DataFrame, key, full_row: bool, txn=None,
+        base_version=_UNPINNED,
     ) -> int:
         """Copy-on-write MERGE. Partitioned tables rewrite only the
         touched partitions' files; every other file is carried into
         the new manifest by reference (asserted path-identical in
         tests — stronger than byte-identity). Unpartitioned tables
-        rewrite fully (their COW unit is the table)."""
+        rewrite fully (their COW unit is the table).
+
+        ``base_version`` pins the snapshot ALL reads are computed
+        against (default: latest observed here). Callers that make a
+        decision from a read BEFORE merging (the exactly-once sink's
+        last_txn_version check) must pass the version that decision
+        observed: any commit landing in between then forces
+        VersionConflictError instead of being silently built upon —
+        the check-then-commit window ADVICE r11 flagged.
+
+        A lost commit race retries by REBASING when every rival commit
+        is provably disjoint (see ``_rebase_target``): same merged
+        output, carried set re-derived from the rival's manifest, so
+        disjoint-partition writers both land. A genuine overlap still
+        raises VersionConflictError."""
         pcol = PARTITION_SPEC.get(name)
-        base = self.latest(name)  # every read below is against base
+        base = (
+            self.latest(name)
+            if base_version is VersionedWarehouse._UNPINNED
+            else base_version
+        )
         current = self.read(name, base)
         keys = [key] if isinstance(key, str) else list(key)
         merge = upsert if full_row else partial_update
@@ -583,40 +695,50 @@ class VersionedWarehouse:
         touched = {
             r[0] for r in upd_parts.unionByName(mapped).distinct().collect()
         }
-        if not touched:
-            if txn is not None:
-                # an EMPTY transactional batch still records its txn
-                # version (all files carried, no data written) so a
-                # replay of it is detected like any other
-                prev = self.manifest(name, base)
-                return self._commit(
-                    name, None, prev["files"], "merge", pcol, base=base,
-                    carried_stats=prev.get("stats"), txn=txn,
-                )
+        if not touched and txn is None:
             # the reference's silently-no-op UPDATE: commit nothing
             return base
-        non_null = [v for v in touched if v is not None]
-        cond = F.col(pcol).isin(non_null) if non_null else F.lit(False)
-        if len(non_null) != len(touched):
-            cond = cond | F.col(pcol).isNull()
-        slice_df = current.filter(cond)
-        merged = merge(slice_df, updates, key)
-        # carried = previous snapshot's files minus the touched slice's
-        # (input_file_name yields file: URIs — resolve through urlparse,
-        # never string surgery on the scheme)
-        from urllib.parse import unquote, urlparse  # noqa: PLC0415
+        if touched:
+            non_null = [v for v in touched if v is not None]
+            cond = F.col(pcol).isin(non_null) if non_null else F.lit(False)
+            if len(non_null) != len(touched):
+                cond = cond | F.col(pcol).isNull()
+            slice_df = current.filter(cond)
+            merged = merge(slice_df, updates, key)
+            # touched files = the slice's (input_file_name yields file:
+            # URIs — resolve through urlparse, never string surgery on
+            # the scheme)
+            from urllib.parse import unquote, urlparse  # noqa: PLC0415
 
+            tdir = self._tdir(name).resolve()
+            touched_files = {
+                str(Path(unquote(urlparse(r[0]).path)).relative_to(tdir))
+                for r in slice_df.select(
+                    F.input_file_name()
+                ).distinct().collect()
+            }
+        else:
+            # an EMPTY transactional batch still records its txn version
+            # (all files carried, no data written) so a replay of it is
+            # detected like any other
+            merged, touched_files = None, set()
         prev_man = self.manifest(name, base)
-        tdir = self._tdir(name).resolve()
-        touched_files = {
-            str(Path(unquote(urlparse(r[0]).path)).relative_to(tdir))
-            for r in slice_df.select(F.input_file_name()).distinct().collect()
-        }
-        carried = [f for f in prev_man["files"] if f not in touched_files]
-        return self._commit(
-            name, merged, carried, "merge", pcol, base=base,
-            carried_stats=prev_man.get("stats"), txn=txn,
-        )
+        while True:
+            carried = [
+                f for f in prev_man["files"] if f not in touched_files
+            ]
+            try:
+                return self._commit(
+                    name, merged, carried, "merge", pcol, base=base,
+                    carried_stats=prev_man.get("stats"), txn=txn,
+                )
+            except VersionConflictError:
+                rebased = self._rebase_target(
+                    name, base, touched, touched_files, pcol
+                )
+                if rebased is None:
+                    raise
+                base, prev_man = rebased["version"], rebased
 
     # -- schema evolution --------------------------------------------------------
 
@@ -793,7 +915,15 @@ class VersionedWarehouse:
         b*ndims + d. Sorting by the z-value gives every output file a
         small hyper-rectangle in the combined space, which is what
         makes the per-file min/max stats prunable on every clustered
-        dimension at once."""
+        dimension at once.
+
+        Bit budget: interleaved positions must stay BELOW bit 63 —
+        Spark's long is signed, so a term shifted into the sign bit
+        (or past it, where shiftleft wraps) silently corrupts the
+        z-order into noise. Bits per dimension are therefore capped at
+        ``63 // ndims`` (16 at ≤3 dims, 15 at 4, 12 at 5, ...): the
+        lattice coarsens gracefully with dimensionality instead of
+        overflowing."""
         from functools import reduce  # noqa: PLC0415
         from operator import add  # noqa: PLC0415
 
@@ -816,8 +946,9 @@ class VersionedWarehouse:
             *[F.min(nums[c]).alias(f"lo_{i}") for i, c in enumerate(cols)],
             *[F.max(nums[c]).alias(f"hi_{i}") for i, c in enumerate(cols)],
         ).first()  # bounded: one row, 2*ndims cells
-        top = (1 << self._Z_BITS) - 1
         ndims = len(cols)
+        bits = min(self._Z_BITS, 63 // ndims)
+        top = (1 << bits) - 1
         terms = []
         for d, c in enumerate(cols):
             lo, hi = spans[f"lo_{d}"], spans[f"hi_{d}"]
@@ -838,7 +969,7 @@ class VersionedWarehouse:
                     F.shiftright(cell, b).bitwiseAND(F.lit(1)),
                     b * ndims + d,
                 )
-                for b in range(self._Z_BITS)
+                for b in range(bits)
             ]
         if not terms:
             return F.lit(0)
@@ -869,7 +1000,14 @@ class VersionedWarehouse:
         """Drop manifests older than the last ``keep_last`` and delete
         data files no retained snapshot references. Time travel below
         the horizon is gone afterwards — exactly Delta's VACUUM
-        trade-off."""
+        trade-off. ``keep_last`` must be >= 1: a table always retains
+        its current snapshot (and ``vs[-0:]`` would silently retain
+        EVERYTHING — the opposite of what a 0 would be asking for)."""
+        if keep_last < 1:
+            raise ValueError(
+                f"vacuum keep_last must be >= 1, got {keep_last} "
+                "(the current snapshot is always retained)"
+            )
         vs = self.versions(name)
         retained, dropped = vs[-keep_last:], vs[:-keep_last]
         live: set[str] = set()

@@ -529,21 +529,26 @@ def mv_refresh_warehouse_sink(wh, table: str = "mv_hourly"):
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         wh.upsert(
-            table, _mv_fold(batch_df, wh, table), key=["hour", "event_type"]
+            table,
+            _mv_fold(batch_df, wh.read(table)),
+            key=["hour", "event_type"],
         )
 
     return apply_batch
 
 
-def _mv_fold(batch_df: DataFrame, wh, table: str) -> DataFrame:
+def _mv_fold(batch_df: DataFrame, cur_mv: DataFrame) -> DataFrame:
     """One micro-batch's add-merge: aggregate the batch to mergeable
-    (count, sum) partials and ADD them onto the stored rows for the
-    touched keys — the rows an upsert then lands, O(touched keys)."""
+    (count, sum) partials and ADD them onto ``cur_mv``'s rows for the
+    touched keys — the rows an upsert then lands, O(touched keys).
+    ``cur_mv`` is the caller's read of the stored MV; the versioned
+    sink passes a SNAPSHOT-PINNED read so the fold and its commit base
+    are the same version."""
     partials = batch_df.groupBy("hour", "event_type").agg(
         F.count(F.lit(1)).cast("long").alias("n_events"),
         F.sum("value").cast("double").alias("total_value"),
     )
-    cur = wh.read(table).select(
+    cur = cur_mv.select(
         "hour",
         "event_type",
         F.col("n_events").alias("n0"),
@@ -571,28 +576,41 @@ def mv_refresh_versioned_sink(vwh, table: str = "mv_hourly", app_id: str = "mv_f
     VersionedWarehouse writer-transaction protocol (Delta's
     txnAppId/txnVersion): each fold commits with txn=(app_id,
     batch_id); a replayed batch sees last_txn_version >= batch_id and
-    skips. The check-then-commit race is closed by the warehouse's
-    O_EXCL commit — a losing replica raises VersionConflictError,
-    re-checks, and finds its batch already recorded."""
+    skips. The check-then-commit race is closed by capturing the
+    OBSERVED version once — before the skip check and the fold read —
+    and threading it to the commit as ``base_version`` (ADVICE r11):
+    any commit landing between observation and our O_EXCL manifest
+    create (a rival replica's same-batch fold, or an unrelated
+    writer) forces VersionConflictError instead of being silently
+    built upon or clobbered. The loser then re-observes: if its batch
+    is now recorded it skips; otherwise it re-folds against the new
+    snapshot and retries — lost-update-free at-least-once → exactly-
+    once."""
     from compendium_spark.storage_versioned import (  # noqa: PLC0415
         VersionConflictError,
     )
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
-        last = vwh.last_txn_version(table, app_id)
-        if last is not None and last >= int(batch_id):
-            return  # replayed micro-batch: already folded, skip
-        try:
-            vwh.upsert(
-                table,
-                _mv_fold(batch_df, vwh, table),
-                key=["hour", "event_type"],
-                txn=(app_id, int(batch_id)),
+        while True:
+            base = vwh.latest(table)  # observed ONCE per attempt
+            last = (
+                None
+                if base is None
+                else vwh.manifest(table, base).get("txn", {}).get(app_id)
             )
-        except VersionConflictError:
-            last = vwh.last_txn_version(table, app_id)
-            if last is None or last < int(batch_id):
-                raise  # a rival writer, not our own replay: surface it
+            if last is not None and int(last) >= int(batch_id):
+                return  # replayed micro-batch: already folded, skip
+            try:
+                vwh.upsert(
+                    table,
+                    _mv_fold(batch_df, vwh.read(table, base)),
+                    key=["hour", "event_type"],
+                    txn=(app_id, int(batch_id)),
+                    base_version=base,
+                )
+                return
+            except VersionConflictError:
+                continue  # something landed after `base`: re-observe
 
     return apply_batch
 

@@ -133,8 +133,16 @@ def test_concurrent_commit_conflict(vwh, spark):
             "taxon",
             base=base,
         )
-    # loser's orphaned data dir was cleaned up
-    assert not vwh._datadir("samples", 1).exists()
+    # loser's orphaned data files were cleaned up: everything on disk
+    # is referenced by a retained manifest
+    tdir = vwh._tdir("samples")
+    on_disk = {
+        str(p.relative_to(tdir)) for p in tdir.rglob("*.parquet")
+    }
+    referenced = set()
+    for ver in vwh.versions("samples"):
+        referenced.update(vwh.manifest("samples", ver)["files"])
+    assert on_disk <= referenced
     # a retry against the NEW latest succeeds at version 2
     v = vwh.append(
         "samples", _mk_samples(spark, [("SRS8", "PRJ8", "txidA", None)])
@@ -633,3 +641,152 @@ def test_history_and_vacuum_horizon_error(mwh, spark):
     with pytest.raises(SnapshotNotFoundError, match="no snapshot 99"):
         mwh.manifest("metrics", 99)
     assert mwh.read("metrics", 2).count() == 9  # horizon snapshot intact
+
+
+# ---------------------------------------------------------------------------
+# round 12: partition-scoped conflict rebase + ADVICE r11 hardening
+# ---------------------------------------------------------------------------
+
+
+def test_disjoint_partition_upserts_both_commit(vwh, spark):
+    """VERDICT r11 #6: two writers prepared against the same base, on
+    DISJOINT partitions, must both land (Iceberg conflict resolution)
+    instead of serializing at the table-level O_EXCL manifest. The
+    loser rebases: same merged output, carried set re-derived from the
+    rival's manifest — so the rival's write survives verbatim."""
+    base = vwh.latest("samples")  # both writers observed v0
+    # rival lands first, touching only txidB
+    vwh.upsert(
+        "samples",
+        _mk_samples(spark, [("SRS3", "PRJ2", "txidB", "AMPLICON")]),
+        "srs",
+    )
+    rival_files = set(vwh.manifest("samples", 1)["files"])
+    # we were prepared against the STALE base and touch only txidA
+    v = vwh.upsert(
+        "samples",
+        _mk_samples(spark, [("SRS1", "PRJ1", "txidA", "WGS")]),
+        "srs",
+        base_version=base,
+    )
+    assert v == 2  # rebased commit on top of the rival, not an error
+    st = _state(vwh)
+    assert st["SRS3"] == ("txidB", "AMPLICON")  # rival's write survived
+    assert st["SRS1"] == ("txidA", "WGS")  # ours landed too
+    assert len(st) == 4
+    # the rival's txidB replacement file is carried BY REFERENCE
+    ours = set(vwh.manifest("samples", 2)["files"])
+    assert {f for f in rival_files if "txidB" in f} <= ours
+
+
+def test_overlapping_partition_upserts_conflict(vwh, spark):
+    """A genuine overlap still raises: the rival rewrote the very
+    partition our merge read, so our output was computed from a
+    superseded snapshot — rebasing would clobber the rival's rows."""
+    base = vwh.latest("samples")
+    vwh.upsert(
+        "samples",
+        _mk_samples(spark, [("SRS1", "PRJ1", "txidA", "AMPLICON")]),
+        "srs",
+    )
+    with pytest.raises(VersionConflictError):
+        vwh.upsert(
+            "samples",
+            _mk_samples(spark, [("SRS2", "PRJ1", "txidA", "WGS")]),
+            "srs",
+            base_version=base,
+        )
+    # the rival's state is intact, no half-commit landed
+    assert _state(vwh)["SRS1"] == ("txidA", "AMPLICON")
+    assert vwh.latest("samples") == 1
+
+
+def test_rebase_rejects_rival_schema_change(vwh, spark):
+    """A rival schema evolution between our base and our commit is a
+    real conflict even though its file set is untouched: our output
+    was validated against the OLD schema."""
+    from pyspark.sql import types as T
+
+    base = vwh.latest("samples")
+    vwh.add_columns(
+        "samples", T.StructField("note", T.StringType(), True)
+    )
+    with pytest.raises(VersionConflictError):
+        vwh.upsert(
+            "samples",
+            _mk_samples(spark, [("SRS1", "PRJ1", "txidA", "WGS")]),
+            "srs",
+            base_version=base,
+        )
+
+
+def test_vacuum_rejects_keep_last_below_one(vwh):
+    """ADVICE r11: vacuum(keep_last=0) used to silently retain
+    everything (vs[-0:] is the whole list) — now it's a loud error."""
+    with pytest.raises(ValueError, match="keep_last"):
+        vwh.vacuum("samples", keep_last=0)
+    with pytest.raises(ValueError, match="keep_last"):
+        vwh.vacuum("samples", keep_last=-1)
+
+
+def test_zorder_bit_budget_caps_below_sign_bit(vwh, spark):
+    """ADVICE r11: with 4+ cluster dims the 16-bit-per-dim layout put
+    interleaved positions at/after bit 63, silently corrupting the
+    z-order via signed-long wrap. Bits per dim now cap at 63 // ndims,
+    so every z value stays non-negative and the all-max row is the
+    maximum."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(200).select(
+        (F.col("id") % 10).cast("double").alias("a"),
+        ((F.col("id") / 10) % 10).cast("double").alias("b"),
+        (F.col("id") % 7).cast("double").alias("c"),
+        (F.col("id") % 5).cast("double").alias("d"),
+    )
+    for cols in (["a", "b", "c", "d"], ["a", "b", "c", "d", "b"]):
+        z = df.select(vwh._z_expr("samples", df, cols).alias("z"))
+        vals = [r.z for r in z.collect()]
+        assert all(v >= 0 for v in vals), f"{len(cols)} dims: negative z"
+        assert len(set(vals)) > 1  # still discriminates
+
+
+def test_footer_stats_poison_minmaxless_groups(monkeypatch, vwh):
+    """ADVICE r11: a Statistics object with null_count but NO min/max
+    on a row group holding NON-NULL values (spec-legal) must poison
+    the column — absent stats mean "never prunable" — not silently
+    under-cover the file and let _conjunct_excludes prune matching
+    rows. A provably all-null group still contributes its null count."""
+    from types import SimpleNamespace as NS
+
+    import pyarrow.parquet as pq
+
+    from compendium_spark.storage_versioned import _footer_stats
+
+    def col(stats):
+        return NS(path_in_schema="x", statistics=stats)
+
+    def group(n_rows, stats):
+        return NS(num_rows=n_rows, num_columns=1, column=lambda ci: col(stats))
+
+    def run(groups):
+        meta = NS(
+            num_row_groups=len(groups),
+            num_rows=sum(g.num_rows for g in groups),
+            row_group=lambda i: groups[i],
+        )
+        monkeypatch.setattr(pq, "ParquetFile", lambda p: NS(metadata=meta))
+        return _footer_stats(__file__)
+
+    bounded = NS(has_min_max=True, null_count=0, min=1, max=5)
+    unbounded_nonnull = NS(has_min_max=False, null_count=0)
+    all_null = NS(has_min_max=False, null_count=4)
+
+    # non-null values with omitted bounds: the whole column poisons
+    _, cols = run([group(3, unbounded_nonnull)])
+    assert "x" not in cols
+    # ... even when another group HAS bounds (the under-coverage case)
+    _, cols = run([group(3, bounded), group(3, unbounded_nonnull)])
+    assert "x" not in cols
+    # a provably all-null group is fine: bounds from the other group
+    _, cols = run([group(3, bounded), group(4, all_null)])
+    assert cols["x"] == {"min": 1, "max": 5, "nulls": 4}

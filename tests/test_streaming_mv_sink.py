@@ -189,3 +189,70 @@ def test_empty_transactional_batch_records_progress(spark, tmp_path):
     assert vwh.last_txn_version("mv_hourly", "mv_fold") == 1
     assert vwh.last_txn_version("mv_hourly", "other_app") is None
     assert _mv_state(vwh)[(H0, "click")] == (1, 1.0)
+
+
+# ---------------------------------------------------------------------------
+# round 12 (ADVICE r11): the check-then-commit window is actually closed
+# ---------------------------------------------------------------------------
+
+
+class _RaceInjector(VersionedWarehouse):
+    """Fires a rival commit INSIDE the sink's observation→commit window
+    (after latest()/manifest()/read() ran against the pinned base,
+    immediately before our own upsert) — the exact interleaving ADVICE
+    r11 flagged as unprotected."""
+
+    rival = None
+
+    def upsert(self, name, updates, key, txn=None, **kw):
+        if self.rival is not None:
+            fire, self.rival = self.rival, None
+            fire()
+        return super().upsert(name, updates, key, txn=txn, **kw)
+
+
+def _race_pair(spark, tmp_path):
+    root = str(tmp_path / "vwh")
+    ours = _RaceInjector(
+        spark, root, extra_tables={"mv_hourly": MV_HOURLY_SCHEMA}
+    )
+    rival = VersionedWarehouse(
+        spark, root, extra_tables={"mv_hourly": MV_HOURLY_SCHEMA}
+    )
+    return ours, rival
+
+
+def test_rival_replica_same_batch_not_double_folded(spark, tmp_path):
+    """A zombie replica replaying the SAME batch_id commits between our
+    skip check and our commit: the pinned base forces our commit to
+    lose the O_EXCL race, the re-observe sees the batch recorded, and
+    we skip — the batch folds EXACTLY once (the old code committed on
+    top of the rival and double-folded)."""
+    ours, rival = _race_pair(spark, tmp_path)
+    b0 = _batch(spark, [(H0, "click", 1.0), (H0, "click", 2.0)])
+    ours.rival = lambda: mv_refresh_versioned_sink(rival)(b0, 0)
+    mv_refresh_versioned_sink(ours)(b0, 0)
+    assert _mv_state(ours)[(H0, "click")] == (2, 3.0)  # once, not twice
+    assert ours.latest("mv_hourly") == 0  # only the rival's commit
+    assert ours.last_txn_version("mv_hourly", "mv_fold") == 0
+
+
+def test_rival_unrelated_writer_not_clobbered(spark, tmp_path):
+    """An UNRELATED writer's commit inside the window must not be lost:
+    our fold was computed against the pre-rival snapshot, so the
+    conflict forces a re-fold against the rival's state — both writes
+    survive (the old code silently clobbered the rival's touched
+    keys)."""
+    ours, rival = _race_pair(spark, tmp_path)
+    ours.rival = lambda: rival.upsert(
+        "mv_hourly",
+        spark.createDataFrame([(H0, "click", 10, 50.0)], MV_HOURLY_SCHEMA),
+        key=["hour", "event_type"],
+    )
+    mv_refresh_versioned_sink(ours)(
+        _batch(spark, [(H0, "click", 1.0)]), 0
+    )
+    # the rival's 10 events + our 1, folded on the rival's state
+    assert _mv_state(ours)[(H0, "click")] == (11, 51.0)
+    assert ours.latest("mv_hourly") == 1
+    assert ours.last_txn_version("mv_hourly", "mv_fold") == 0
