@@ -35,6 +35,19 @@ from pyspark.sql import functions as F
 from compendium_spark.plans.ingest import SOURCES_TXT, _sources_sql, _sql_text
 from compendium_spark.plans.registry import plan
 
+def _one_slice_df(spark: SparkSession, rows, schema) -> DataFrame:
+    """A fixture DataFrame that is ONE partition from birth — the
+    single-file commit shape the compaction/skipping fixtures need.
+    ``createDataFrame(rows).coalesce(1)`` is the wrong way to get it:
+    the local rows land in defaultParallelism slices and the coalesced
+    single task then pays one serial Python-worker roundtrip PER
+    parent slice (~4 s of pure scheduling for 3 rows on local[32]);
+    parallelizing with numSlices=1 writes the same file in ~0.2 s."""
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), schema
+    )
+
+
 def _workdir(name: str) -> Path:
     """Per-uid scratch dir for one sink plan, wiped on entry so the
     round-trip is idempotent (an append sink re-run against last run's
@@ -405,9 +418,7 @@ def sink_stats_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, str(wd / "vwh"), extra_tables={"metrics": _metrics_schema()}
     )
     for lo in (0, 3, 6):
-        batch = spark.createDataFrame(
-            STATS_ROWS[lo : lo + 3], _metrics_schema()
-        ).coalesce(1)
+        batch = _one_slice_df(spark, STATS_ROWS[lo : lo + 3], _metrics_schema())
         if lo == 0:
             vwh.write("metrics", batch)
         else:
@@ -471,13 +482,14 @@ def sink_compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def batch(rows):
-        return spark.createDataFrame(
+        return _one_slice_df(
+            spark,
             [
                 (s, "PRJ1", t, None, None, None, None, None, None, None)
                 for s, t in rows
             ],
             SAMPLES,
-        ).coalesce(1)
+        )
 
     wd = _workdir("compaction")
     vwh = VersionedWarehouse(spark, str(wd / "vwh"))
