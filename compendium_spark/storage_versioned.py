@@ -135,6 +135,128 @@ def _stat_scalar(v):
 # hive's encoding of a NULL partition value in the directory name
 _HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
 
+# -- point-lookup hints (VERDICT r11 #7) -------------------------------------
+#
+# Range stats prune range probes, but the reference's hottest lookup
+# shape is `WHERE srs = ?` (ref db.py:440-470 update targets): on an
+# unclustered layout every file's [min, max] spans the key domain and
+# min/max never excludes anything. For configured KEY columns each
+# commit therefore also records a membership hint per new file:
+#   * a DICTIONARY (the exact distinct-value set) when the file holds
+#     ≤ _HINT_DICT_MAX distinct values — exact skipping;
+#   * otherwise a BLOOM filter (~_HINT_BLOOM_BPD bits per distinct
+#     value, k=_HINT_BLOOM_K, double hashing off md5) — Delta's bloom
+#     filter index, reproduced in the manifest. False positives keep
+#     a file (pure I/O cost); a bloom can never exclude a file that
+#     holds the value, so pruning stays correctness-free.
+# Harvest cost is one COLUMN read per new file per hinted column at
+# commit time (pyarrow, dictionary-encoded parquet makes this cheap) —
+# the same write-side trade Delta's bloom index makes. On a cluster
+# the harvest distributes with the commit tasks like the footer reads.
+_HINT_DICT_MAX = 64
+_HINT_BLOOM_BPD = 10  # bits per distinct value
+_HINT_BLOOM_K = 5
+_HINT_BLOOM_MIN_BITS = 4096
+_HINT_BLOOM_MAX_BITS = 1 << 20  # 128 KiB of bits -> 256 KiB hex, cap
+# default hinted key columns per table (callers extend/override via
+# the constructor's hint_columns)
+DEFAULT_HINT_COLUMNS = {"samples": ["srs"]}
+
+
+def _hint_key(v) -> str:
+    """Canonical hash/equality key for a membership hint value: the
+    manifest JSON round-trip and the engines' type systems must agree
+    (an int column probed with 5.0, a float column holding 5.0 stored
+    by JSON as 5) — integral floats collapse to ints, every key is
+    tagged by kind so '1' and 1 stay distinct."""
+    if isinstance(v, bool):
+        return f"b:{v}"
+    if isinstance(v, float) and v.is_integer():
+        v = int(v)
+    if isinstance(v, int):
+        return f"n:{v}"
+    if isinstance(v, float):
+        return f"f:{v!r}"
+    return f"s:{v}"
+
+
+def _bloom_positions(key: str, m: int, k: int):
+    """k bit positions for ``key`` in an m-bit bloom: double hashing
+    off the two md5 halves — deterministic across sessions/engines."""
+    import hashlib  # noqa: PLC0415
+
+    d = hashlib.md5(key.encode()).digest()
+    h1 = int.from_bytes(d[:8], "big")
+    h2 = int.from_bytes(d[8:], "big") | 1
+    return [(h1 + i * h2) % m for i in range(k)]
+
+
+def _bloom_maybe_contains(hint: dict, key: str) -> bool:
+    bits = int(hint["hex"], 16)
+    return all(
+        (bits >> p) & 1
+        for p in _bloom_positions(key, hint["m"], hint["k"])
+    )
+
+
+def _key_hints(path: Path, cols: list[str]) -> dict[str, dict]:
+    """{column: {"dict": [...]} | {"bloom": {...}}} for one new data
+    file — the point-lookup membership hints. Unrepresentable values
+    (bytes, nested) disable the hint for that column (absent hint =
+    never prunable, always safe)."""
+    import math  # noqa: PLC0415
+
+    import pyarrow.compute as pc  # noqa: PLC0415
+    import pyarrow.parquet as pq  # noqa: PLC0415
+
+    pf = pq.ParquetFile(str(path))
+    have = [c for c in cols if c in pf.schema_arrow.names]
+    if not have:
+        return {}
+    tbl = pq.read_table(str(path), columns=have)
+    out: dict[str, dict] = {}
+    for c in have:
+        uniq = [v for v in pc.unique(tbl.column(c)).to_pylist() if v is not None]
+        norm = [_stat_scalar(v) for v in uniq]
+        if any(n is None for n in norm):
+            continue  # unrepresentable type: no hint, never prunable
+        keys = sorted({_hint_key(n) for n in norm})
+        if len(keys) <= _HINT_DICT_MAX:
+            out[c] = {"dict": keys}
+            continue
+        m = min(
+            _HINT_BLOOM_MAX_BITS,
+            max(
+                _HINT_BLOOM_MIN_BITS,
+                1 << math.ceil(math.log2(_HINT_BLOOM_BPD * len(keys))),
+            ),
+        )
+        bits = 0
+        for key in keys:
+            for p in _bloom_positions(key, m, _HINT_BLOOM_K):
+                bits |= 1 << p
+        out[c] = {"bloom": {"m": m, "k": _HINT_BLOOM_K, "hex": format(bits, "x")}}
+    return out
+
+
+def _hint_excludes(cstats: dict, op: str, value) -> bool:
+    """True iff a membership hint proves the file holds NO row with
+    ``col op value`` (point probes only: = and in)."""
+    if op not in ("=", "in"):
+        return False
+    vals = list(value) if op == "in" else [value]
+    norm = [_stat_scalar(v) for v in vals]
+    if not norm or any(n is None for n in norm):
+        return False
+    keys = [_hint_key(n) for n in norm]
+    d = cstats.get("dict")
+    if d is not None:
+        return not any(k in set(d) for k in keys)
+    b = cstats.get("bloom")
+    if b is not None:
+        return not any(_bloom_maybe_contains(b, k) for k in keys)
+    return False
+
 
 def _footer_stats(path: Path) -> tuple[int, dict]:
     """(row_count, {column: {"min":…, "max":…, "nulls":…}}) from one
@@ -207,6 +329,8 @@ def _conjunct_excludes(cstats: dict, rows: int | None, op: str, value) -> bool:
     nulls = cstats.get("nulls")
     if nulls is not None and rows is not None and nulls >= rows:
         return True  # all-null column: no comparison matches (SQL nulls)
+    if _hint_excludes(cstats, op, value):
+        return True  # membership hint (dict/bloom) proves absence
     mn, mx = cstats.get("min"), cstats.get("max")
     if mn is None or mx is None:
         return False
@@ -263,11 +387,16 @@ class VersionedWarehouse:
         spark: SparkSession,
         root: str,
         extra_tables: dict | None = None,
+        hint_columns: dict[str, list[str]] | None = None,
     ):
         self.spark = spark
         self.root = Path(root)
         self.root.mkdir(parents=True, exist_ok=True)
         self.tables = {**ALL_TABLES, **(extra_tables or {})}
+        # per-table KEY columns that get membership hints (dict/bloom)
+        # harvested at commit — point-probe file skipping on layouts
+        # where min/max ranges overlap (VERDICT r11 #7)
+        self.hint_columns = {**DEFAULT_HINT_COLUMNS, **(hint_columns or {})}
 
     # -- layout ---------------------------------------------------------
 
@@ -412,6 +541,7 @@ class VersionedWarehouse:
                 w = w.partitionBy(partition_by)
             w.mode("overwrite").parquet(str(ddir))
             dname = ddir.name
+            hinted = self.hint_columns.get(name, [])
             for rel in self._enumerate(ddir):
                 full = f"data/{dname}/{rel}"
                 files.append(full)
@@ -422,6 +552,10 @@ class VersionedWarehouse:
                         if v is None
                         else {"min": v, "max": v, "nulls": 0}
                     )
+                # membership hints are computed from the DATA, so they
+                # stay valid even where the footer min/max poisoned
+                for k, hint in _key_hints(ddir / rel, hinted).items():
+                    cols.setdefault(k, {}).update(hint)
                 stats[full] = {"rows": rows, "cols": cols}
         log = self._logdir(name)
         log.mkdir(parents=True, exist_ok=True)

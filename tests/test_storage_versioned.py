@@ -790,3 +790,104 @@ def test_footer_stats_poison_minmaxless_groups(monkeypatch, vwh):
     # a provably all-null group is fine: bounds from the other group
     _, cols = run([group(3, bounded), group(4, all_null)])
     assert cols["x"] == {"min": 1, "max": 5, "nulls": 4}
+
+
+# ---------------------------------------------------------------------------
+# round 12 (VERDICT r11 #7): point-lookup membership hints (dict/bloom)
+# ---------------------------------------------------------------------------
+
+
+def _kv_schema():
+    from pyspark.sql import types as T
+
+    return T.StructType(
+        [T.StructField("k", T.StringType()), T.StructField("v", T.IntegerType())]
+    )
+
+
+def _hint_wh(spark, tmp_path, rows_per_file, n_files=3):
+    """A hash-scattered layout: file j holds keys i ≡ j (mod n_files),
+    so every file's [min, max] spans ~the whole key domain and range
+    stats alone can never exclude anything — the layout where only a
+    membership hint prunes a point probe."""
+    vwh = VersionedWarehouse(
+        spark,
+        str(tmp_path / "kvwh"),
+        extra_tables={"kv": _kv_schema()},
+        hint_columns={"kv": ["k"]},
+    )
+    for j in range(n_files):
+        batch = spark.createDataFrame(
+            spark.sparkContext.parallelize(
+                [
+                    (f"k{i:05d}", i)
+                    for i in range(j, n_files * rows_per_file, n_files)
+                ],
+                1,
+            ),
+            _kv_schema(),
+        )
+        (vwh.write if j == 0 else vwh.append)("kv", batch)
+    return vwh
+
+
+def test_dict_hint_prunes_point_probe_on_scattered_layout(spark, tmp_path):
+    """≤64 distinct keys per file → the manifest records the exact
+    dictionary; a point probe keeps exactly the one holding file even
+    though every file's [min, max] covers the probe value."""
+    vwh = _hint_wh(spark, tmp_path, rows_per_file=50)
+    man = vwh.manifest("kv", 2)
+    hints = [s["cols"]["k"] for s in man["stats"].values()]
+    assert all("dict" in h for h in hints)
+    # ranges genuinely overlap: min/max alone keeps everything
+    assert all(h["min"] < "k00003" < h["max"] for h in hints)
+    kept, skipped = vwh.scan_files("kv", where=[("k", "=", "k00001")])
+    assert (len(kept), len(skipped)) == (1, 2)
+    got = vwh.read("kv", where=[("k", "=", "k00001")]).collect()
+    assert [(r.k, r.v) for r in got] == [("k00001", 1)]
+
+
+def test_bloom_hint_prunes_point_probe_on_scattered_layout(spark, tmp_path):
+    """>64 distinct keys per file → bloom hint; a point probe skips
+    the files that provably lack the key (false positives may keep
+    extras — never the reverse), and the pruned read returns exactly
+    the unpruned filter's rows."""
+    vwh = _hint_wh(spark, tmp_path, rows_per_file=300)
+    man = vwh.manifest("kv", 2)
+    hints = [s["cols"]["k"] for s in man["stats"].values()]
+    assert all("bloom" in h for h in hints)
+    kept, skipped = vwh.scan_files("kv", where=[("k", "=", "k00301")])
+    assert len(kept) < 3 and len(kept) >= 1
+    got = vwh.read("kv", where=[("k", "=", "k00301")]).collect()
+    assert [(r.k, r.v) for r in got] == [("k00301", 301)]
+    # an IN probe spanning two files keeps at most those two + FPs
+    kept, _ = vwh.scan_files("kv", where=[("k", "in", ["k00000", "k00001"])])
+    assert len(kept) >= 2
+    assert vwh.read(
+        "kv", where=[("k", "in", ["k00000", "k00001"])]
+    ).count() == 2
+    # a key that exists NOWHERE prunes every file
+    kept, skipped = vwh.scan_files("kv", where=[("k", "=", "zzz")])
+    assert len(skipped) == 3
+
+
+def test_hints_conservative_for_unhinted_and_range_ops(spark, tmp_path):
+    """No hint on the column, or a non-point op: hints never exclude —
+    range stats remain the only (here powerless) pruner."""
+    vwh = _hint_wh(spark, tmp_path, rows_per_file=50)
+    # v is not a hinted column: a mid-range point probe (inside every
+    # file's [min, max], but held by only one file) keeps all files
+    kept, _ = vwh.scan_files("kv", where=[("v", "=", 7)])
+    assert len(kept) == 3
+    # range op on the hinted column: dict is ignored, ranges overlap
+    kept, _ = vwh.scan_files("kv", where=[("k", ">=", "k00000")])
+    assert len(kept) == 3
+
+
+def test_samples_srs_hinted_by_default(vwh, spark):
+    """The reference's hottest lookup (`WHERE srs = ?`) is hinted out
+    of the box on the samples table."""
+    kept, skipped = vwh.scan_files("samples", where=[("srs", "=", "SRS1")])
+    assert len(skipped) >= 1  # other taxa's files provably lack SRS1
+    got = vwh.read("samples", where=[("srs", "=", "SRS1")]).collect()
+    assert [r.srs for r in got] == ["SRS1"]

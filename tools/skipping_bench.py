@@ -60,7 +60,14 @@ PROBES = [
 def build(spark, root: str, layout: str) -> VersionedWarehouse:
     src = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
     wh = VersionedWarehouse(
-        spark, root, extra_tables={"lineitem": src.schema}
+        spark,
+        root,
+        extra_tables={"lineitem": src.schema},
+        # point-lookup hints (VERDICT r11 #7): per-file bloom over the
+        # key column, harvested at commit — the only pruner that works
+        # for `key = ?` on the scattered layout, where every file's
+        # [min, max] spans the whole key domain
+        hint_columns={"lineitem": ["l_orderkey"]},
     )
     if layout == "clustered":
         # range-cluster on the probe column: files get disjoint spans
