@@ -159,14 +159,19 @@ def _family(name: str) -> str:
 
 
 def _baseline() -> dict[str, float]:
-    """Per-query seconds from the last committed run, for the
-    regression guard. Prefers the newest per-round ARCHIVE
-    (BENCH_DETAIL_r{N}.json — frozen at round close after a min-of-N
-    uncontended run, so a throttled mid-round session can never
-    silently become the baseline: verdict r8 #5), then the rolling
-    BENCH_DETAIL.json, then the driver's BENCH_r{N}.json captures
-    (whose `parsed.queries` was full per-query through r04). Empty if
-    none exists (round 1)."""
+    """Per-query seconds for the regression guard: the per-query MIN
+    over the newest TWO per-round archives (BENCH_DETAIL_r{N}.json —
+    frozen at round close after a min-of-N uncontended run) plus the
+    rolling BENCH_DETAIL.json, each admitted only if complete and at
+    sf0.1. VERDICT r11 #4 (ratchet risk): freezing happens in ONE
+    session, and a uniformly throttled session (r11's freeze measured
+    ~1.13× r10's) would otherwise become the sole denominator — every
+    next round then reads as a phantom speed-up. Taking the fastest
+    complete recent observation per query means a slow freeze can
+    never inflate the baseline, while a plan REWORKED faster still
+    ratchets down as soon as one clean freeze records it. Falls back
+    to the driver's BENCH_r{N}.json captures (full per-query through
+    r04); empty if nothing exists (round 1)."""
     import glob
     import re
 
@@ -176,13 +181,13 @@ def _baseline() -> dict[str, float]:
         key=lambda p: int(re.search(r"BENCH_DETAIL_r(\d+)", p).group(1)),
         reverse=True,
     )
-    # ADVICE r9 #2: only the NEWEST archive plus the rolling file are
-    # baseline candidates — silently falling through to a many-rounds-
-    # old archive would compare against timings that predate plan
-    # reworks. An incomplete/wrong-SF newest archive now degrades to
-    # the rolling file with a loud stderr note, never to round N-3.
-    candidates = [*archives[:1], os.path.join(here, "BENCH_DETAIL.json")]
+    # ADVICE r9 #2 still holds: never fall through to a many-rounds-old
+    # archive whose timings predate plan reworks — only the newest two
+    # freezes + the rolling file are candidates.
+    candidates = [*archives[:2], os.path.join(here, "BENCH_DETAIL.json")]
     skipped: list[str] = []
+    used: list[str] = []
+    best: dict[str, float] = {}
     for detail in candidates:
         try:
             with open(detail) as f:
@@ -207,14 +212,12 @@ def _baseline() -> dict[str, float]:
                 and len(queries) >= 0.9 * len(_ap())
             )
             if queries and doc.get("sf") == 0.1 and complete:
-                if skipped:
-                    print(
-                        f"bench: baseline = {os.path.basename(detail)} "
-                        f"(skipped unusable: {', '.join(skipped)})",
-                        file=sys.stderr,
-                    )
-                return queries
-            skipped.append(os.path.basename(detail))
+                used.append(os.path.basename(detail))
+                for k, v in queries.items():
+                    if k not in best or v < best[k]:
+                        best[k] = v
+            else:
+                skipped.append(os.path.basename(detail))
         except (
             OSError,
             json.JSONDecodeError,
@@ -224,6 +227,13 @@ def _baseline() -> dict[str, float]:
         ):
             skipped.append(os.path.basename(detail))
             continue
+    if best:
+        note = f" (skipped unusable: {', '.join(skipped)})" if skipped else ""
+        print(
+            f"bench: baseline = per-query min of {', '.join(used)}{note}",
+            file=sys.stderr,
+        )
+        return best
     if skipped:
         print(
             "bench: WARNING no usable BENCH_DETAIL baseline "

@@ -194,3 +194,51 @@ class TestCompactLine:
             bench.os.path, "dirname", lambda _p: str(tmp_path)
         )
         assert bench._baseline() == {"q1": 1.5}
+
+
+class TestBaselineDeRatchet:
+    """VERDICT r11 #4: one uniformly slow freeze session must never
+    become the sole regression denominator — the baseline is the
+    per-query MIN across the newest two complete archives + the
+    rolling file."""
+
+    def _write(self, tmp_path, fname, queries):
+        (tmp_path / fname).write_text(
+            json.dumps({"sf": 0.1, "queries": queries, "errors": {}})
+        )
+
+    def test_per_query_min_across_recent_freezes(self, tmp_path, monkeypatch):
+        from compendium_spark.plans import all_plans
+
+        names = list(all_plans())
+        fast = {n: 1.0 for n in names}
+        slow = {n: 1.3 for n in names}  # the inflated r11-style freeze
+        slow[names[0]] = 0.5  # ... but genuinely faster on one plan
+        self._write(tmp_path, "BENCH_DETAIL_r10.json", fast)
+        self._write(tmp_path, "BENCH_DETAIL_r11.json", slow)
+        monkeypatch.setattr(bench.os.path, "dirname", lambda _p: str(tmp_path))
+        base = bench._baseline()
+        assert base[names[0]] == 0.5  # real improvement ratchets down
+        assert all(base[n] == 1.0 for n in names[1:])  # inflation ignored
+
+    def test_unusable_freeze_degrades_to_older(self, tmp_path, monkeypatch):
+        from compendium_spark.plans import all_plans
+
+        names = list(all_plans())
+        good = {n: 2.0 for n in names}
+        self._write(tmp_path, "BENCH_DETAIL_r10.json", good)
+        # r11 freeze exists but is partial -> skipped, r10 still used
+        self._write(tmp_path, "BENCH_DETAIL_r11.json", {"q1": 0.1})
+        monkeypatch.setattr(bench.os.path, "dirname", lambda _p: str(tmp_path))
+        assert bench._baseline() == good
+
+    def test_never_reaches_three_rounds_back(self, tmp_path, monkeypatch):
+        from compendium_spark.plans import all_plans
+
+        names = list(all_plans())
+        self._write(tmp_path, "BENCH_DETAIL_r09.json", {n: 0.1 for n in names})
+        self._write(tmp_path, "BENCH_DETAIL_r10.json", {n: 2.0 for n in names})
+        self._write(tmp_path, "BENCH_DETAIL_r11.json", {n: 3.0 for n in names})
+        monkeypatch.setattr(bench.os.path, "dirname", lambda _p: str(tmp_path))
+        # r09's stale 0.1s timings must not leak into the min
+        assert bench._baseline() == {n: 2.0 for n in names}
