@@ -79,3 +79,33 @@ def test_closure_resolves_module_attribute_references():
     src = gl._closure_source(p.fn)
     assert "applyInPandasWithState" in src  # windows.scd2_transform body
     assert "processAllAvailable" in src  # windows._run_to_memory body
+
+
+def test_closure_sees_function_body_imports():
+    """Round-12 fix: `from compendium_spark.x import y` INSIDE a plan
+    body binds a local, invisible to the __globals__ name scan — a
+    storage_versioned.py edit used to leave every sink_* plan
+    fingerprint-clean. The closure must now chase those imports."""
+    gl = _gl()
+    from compendium_spark.plans import all_plans
+
+    p = all_plans()["sink_timetravel_roundtrip"]
+    src = gl._closure_source(p.fn)
+    # markers from the lazily-imported VersionedWarehouse implementation
+    assert "_rebase_target" in src
+    assert "VersionConflictError" in src
+
+
+def test_window_file_is_the_registry_prefix():
+    """plans/__init__ promotes exactly tools/gate_window.json (VERDICT
+    r11 #8): the registry's 50-plan prefix IS the committed window,
+    and every stale plan sits inside it."""
+    gl = _gl()
+    from compendium_spark.plans import all_plans
+
+    window = json.loads(
+        (REPO / "tools" / "gate_window.json").read_text()
+    )["window"]
+    assert len(window) == gl.WINDOW
+    assert list(all_plans())[: gl.WINDOW] == window
+    assert set(gl.stale_plans()) <= set(window)

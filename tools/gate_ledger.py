@@ -24,6 +24,16 @@ Commands:
     python tools/gate_ledger.py window-audit
         check + assert every stale plan sits inside the current
         50-plan promoted window (i.e. will re-green this round).
+    python tools/gate_ledger.py window
+        compose the next round's 50-plan window MECHANICALLY and write
+        it to tools/gate_window.json (which plans/__init__.py reads to
+        order the registry — VERDICT r11 #8, replacing the per-round
+        window lists that used to accrete there):
+          tier 1 — every stale plan (must re-green);
+          tier 2 — drift canaries: the OLDEST-green plans, filling the
+                   remaining slots, so no green row ages unbounded.
+        Run at round CLOSE, after the round's last code edit, so the
+        stale set is final.
 """
 
 from __future__ import annotations
@@ -37,6 +47,7 @@ from pathlib import Path
 
 REPO = Path(__file__).resolve().parent.parent
 LEDGER = REPO / "tools" / "gate_ledger.json"
+WINDOW_FILE = REPO / "tools" / "gate_window.json"
 WINDOW = 50  # driver gate samples this many plans off the registry front
 # excluded from the helper-closure fingerprint — see _closure_source
 INFRA_MODULES = {
@@ -107,6 +118,29 @@ def _closure_source(fn, seen: set | None = None) -> str:
             and base.__name__ not in INFRA_MODULES
         ):
             targets.append(getattr(base, attr, None))
+    # FUNCTION-BODY imports (`from compendium_spark.x import y` inside
+    # the plan, the lazy-import idiom) bind LOCALS, not __globals__, so
+    # the name scan above never resolves them — before round 12 a
+    # storage_versioned.py edit left every sink_* plan fingerprint-
+    # clean (the exact invisible-helper class this tool exists to
+    # catch). Resolve them through importlib instead.
+    import importlib  # noqa: PLC0415
+
+    for mod_name, names in _re.findall(
+        r"from\s+(compendium_spark[\w.]*)\s+import\s+"
+        r"(\([^)]*\)|[^\n]+)",
+        code,
+    ):
+        if mod_name in INFRA_MODULES:
+            continue
+        try:
+            mod = importlib.import_module(mod_name)
+        except ImportError:
+            continue
+        for item in names.strip("()").split(","):
+            item = item.split("#")[0].split(" as ")[0].strip()
+            if item:
+                targets.append(getattr(mod, item, None))
     for obj in targets:
         if obj is None or id(obj) in seen or not callable(obj):
             continue
@@ -189,6 +223,48 @@ def cmd_check() -> int:
     return 1
 
 
+def cmd_window() -> int:
+    """Compose and persist the next gate window: stale plans first
+    (they NEED a green row), then the oldest-green canaries to fill
+    the 50 slots. Deterministic given the ledger + tree."""
+    plans = _registry()
+    ledger = _load()
+    stale = stale_plans()
+    window = sorted(stale)
+    if len(window) > WINDOW:
+        print(
+            f"ERROR: {len(window)} stale plans exceed the {WINDOW}-slot "
+            "window — re-green some locally or split across rounds"
+        )
+        return 1
+    canaries = sorted(
+        (n for n in plans if n in ledger and n not in stale),
+        key=lambda n: (ledger[n]["round"], n),
+    )
+    window += canaries[: WINDOW - len(window)]
+    WINDOW_FILE.write_text(
+        json.dumps(
+            {
+                "_comment": (
+                    "Gate window (driver samples this prefix of the "
+                    "registry). Composed by `gate_ledger.py window`: "
+                    f"{len(stale)} stale + "
+                    f"{len(window) - len(stale)} oldest-green canaries."
+                ),
+                "window": window,
+            },
+            indent=1,
+        )
+        + "\n"
+    )
+    print(
+        f"wrote {WINDOW_FILE.name}: {len(stale)} stale + "
+        f"{len(window) - len(stale)} canaries (oldest green r"
+        f"{min((ledger[n]['round'] for n in window if n in ledger), default=0):02d})"
+    )
+    return 0
+
+
 def cmd_window_audit() -> int:
     stale = stale_plans()
     window = list(_registry())[:WINDOW]
@@ -212,6 +288,8 @@ def main() -> int:
         return 0
     if cmd == "check":
         return cmd_check()
+    if cmd == "window":
+        return cmd_window()
     if cmd == "window-audit":
         return cmd_window_audit()
     print(f"unknown command {cmd!r}")
