@@ -595,3 +595,154 @@ def sink_exactly_once_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("hour", "event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# round 12: COW DELETE + row-level change data feed
+# ---------------------------------------------------------------------------
+
+# (srs, taxon, strategy) of the delete fixture's base snapshot; the
+# predicate removes SRS2 and SRS5 (two taxa touched, txidC untouched —
+# the carry-by-reference control pinned at the file level below)
+DEL_BASE = [
+    ("SRS1", "txidA", "AMPLICON"),
+    ("SRS2", "txidA", "WGS"),
+    ("SRS3", "txidB", "AMPLICON"),
+    ("SRS4", "txidC", "WGS"),
+    ("SRS5", "txidB", "WGS"),
+]
+DEL_KEYS = ["SRS2", "SRS5"]
+
+
+def _delete_sql() -> str:
+    snaps = [DEL_BASE, [r for r in DEL_BASE if r[0] not in DEL_KEYS]]
+    rows = ", ".join(
+        f"({v}, '{s}', '{t}', '{st}')"
+        for v, snap in enumerate(snaps)
+        for s, t, st in snap
+    )
+    return f"""
+SELECT * FROM (VALUES {rows}) t(version, srs, taxon, library_strategy)
+ORDER BY version, srs
+"""
+
+
+@plan("sink_delete_roundtrip", oracle=_delete_sql())
+def sink_delete_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COW DELETE round-trip (storage_versioned.VersionedWarehouse
+    .delete — Delta's `DELETE FROM t WHERE ...`): a point IN-predicate
+    removes two keys in a NEW snapshot; the plan returns both versions'
+    contents (pre-delete state must still time-travel), the oracle
+    re-derives them from VALUES. File-level invariants — only the
+    stats/hint-pruned candidate files rewrite, the untouched
+    partition's file is carried path-identically — are pinned in
+    tests/test_r12_plans.py.
+
+    Shape: the rewrite set is the PRUNED candidate list (partition
+    values + the srs membership hints both exclude files), so delete
+    I/O is O(files that might match), not O(table) — at 100 TB the
+    difference between rewriting a slice and rewriting everything."""
+    from compendium_spark.schemas import SAMPLES  # noqa: PLC0415
+    from compendium_spark.storage_versioned import (  # noqa: PLC0415
+        VersionedWarehouse,
+    )
+
+    wd = _workdir("delete")
+    vwh = VersionedWarehouse(spark, str(wd / "vwh"))
+    vwh.write(
+        "samples",
+        spark.createDataFrame(
+            [
+                (s, "PRJ1", t, None, st, None, None, None, None, None)
+                for s, t, st in DEL_BASE
+            ],
+            SAMPLES,
+        ),
+    )
+    vwh.delete("samples", [("srs", "in", DEL_KEYS)])
+    out = None
+    for v in vwh.versions("samples"):
+        snap = vwh.read("samples", v).select(
+            F.lit(v).alias("version"), "srs", "taxon", "library_strategy"
+        )
+        out = snap if out is None else out.unionByName(snap)
+    return out.orderBy("version", "srs")
+
+
+def _cdf_sql() -> str:
+    # step 1 = v0->v1 (update SRS3 + insert SRS9), step 2 = v1->v2
+    # (delete SRS2) — Delta CDF conventions: updates emit both images
+    rows = ", ".join(
+        f"({step}, '{ct}', '{s}', '{t}', {st})"
+        for step, ct, s, t, st in [
+            (1, "insert", "SRS9", "txidZ", "'WGS'"),
+            (1, "update_preimage", "SRS3", "txidB", "NULL"),
+            (1, "update_postimage", "SRS3", "txidB", "'AMPLICON'"),
+            (2, "delete", "SRS2", "txidA", "NULL"),
+        ]
+    )
+    return f"""
+SELECT * FROM (VALUES {rows})
+  t(step, _change_type, srs, taxon, library_strategy)
+ORDER BY step, _change_type, srs
+"""
+
+
+@plan("sink_cdf_roundtrip", oracle=_cdf_sql())
+def sink_cdf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level CHANGE DATA FEED round-trip
+    (storage_versioned.VersionedWarehouse.table_changes — Delta CDF):
+    three commits (write, update+insert upsert, point delete), then
+    the feed between each consecutive snapshot pair, tagged
+    insert / delete / update_preimage / update_postimage. The oracle
+    is the expected feed as VALUES — a carried row leaking into the
+    feed, a missed image, or a mistyped change breaks the hash.
+
+    Shape: the feed reads ONLY the manifest diff's removed (pre) and
+    added (post) files — O(changed data), not O(table); rows rewritten
+    unchanged (partition COW collateral) cancel in the null-safe
+    column comparison. At 100 TB this is the downstream-sync primitive:
+    incremental consumers read the feed, never the table."""
+    from compendium_spark.schemas import SAMPLES  # noqa: PLC0415
+    from compendium_spark.storage_versioned import (  # noqa: PLC0415
+        VersionedWarehouse,
+    )
+
+    def mk(rows):
+        return spark.createDataFrame(
+            [
+                (s, "PRJ1", t, None, st, None, None, None, None, None)
+                for s, t, st in rows
+            ],
+            SAMPLES,
+        )
+
+    wd = _workdir("cdf")
+    vwh = VersionedWarehouse(spark, str(wd / "vwh"))
+    vwh.write(
+        "samples",
+        mk(
+            [
+                ("SRS1", "txidA", None),
+                ("SRS2", "txidA", None),
+                ("SRS3", "txidB", None),
+            ]
+        ),
+    )
+    vwh.upsert(
+        "samples",
+        mk([("SRS3", "txidB", "AMPLICON"), ("SRS9", "txidZ", "WGS")]),
+        "srs",
+    )
+    vwh.delete("samples", [("srs", "=", "SRS2")])
+    out = None
+    for step, (v1, v2) in enumerate([(0, 1), (1, 2)], start=1):
+        feed = vwh.table_changes("samples", v1, v2, "srs").select(
+            F.lit(step).alias("step"),
+            "_change_type",
+            "srs",
+            "taxon",
+            "library_strategy",
+        )
+        out = feed if out is None else out.unionByName(feed)
+    return out.orderBy("step", "_change_type", "srs")

@@ -874,6 +874,128 @@ class VersionedWarehouse:
                     raise
                 base, prev_man = rebased["version"], rebased
 
+    def delete(
+        self, name: str, where: list[tuple], txn=None,
+        base_version=_UNPINNED,
+    ) -> int:
+        """COW DELETE (Delta's `DELETE FROM t WHERE ...`): rows
+        matching the ``where`` conjunct list are removed in a NEW
+        snapshot. File-granular: the candidate set is the stats/hint-
+        PRUNED file list (`scan_files`), so files that provably hold
+        no matching row — other partitions, other key ranges, bloom
+        misses — are carried by reference, never rewritten or even
+        opened; only candidate files rewrite, keeping their rows where
+        the predicate is not TRUE (SQL semantics: a NULL-evaluating
+        predicate KEEPS the row). The pre-delete snapshot still
+        time-travels; VACUUM reclaims the replaced files later.
+
+        Scale shape: rewrite I/O is O(files that might match), which
+        under a clustered layout or key hints is the touched slice,
+        not the table. A candidate file with zero actual matches is
+        rewritten unnecessarily (stats are conservative) — pure I/O
+        cost, never correctness."""
+        base = (
+            self.latest(name)
+            if base_version is VersionedWarehouse._UNPINNED
+            else base_version
+        )
+        if base is None:
+            raise ValueError(f"{name}: nothing to delete (no snapshot)")
+        man = self.manifest(name, base)
+        candidates, pruned = self.scan_files(name, base, where)
+        if not candidates and txn is None:
+            return base  # provably nothing to delete: commit nothing
+        sch = self.table_schema(name, base)
+        survivors = self._read_files(name, candidates, sch).filter(
+            ~F.coalesce(_where_expr(where), F.lit(False))
+        )
+        carried = [f for f in man["files"] if f not in set(candidates)]
+        assert set(carried) == set(pruned)
+        return self._commit(
+            name, survivors, carried, "delete", man["pcol"], base=base,
+            carried_stats=man.get("stats"), txn=txn, schema=sch,
+        )
+
+    def table_changes(
+        self, name: str, v_from: int, v_to: int, key
+    ) -> DataFrame:
+        """Row-level CHANGE DATA FEED between two snapshots (Delta
+        CDF's `table_changes`): every row as
+        ``(_change_type, *columns)`` with types ``insert``, ``delete``,
+        ``update_preimage`` / ``update_postimage`` (both sides of an
+        update, Delta's convention).
+
+        Scale: reconstructed from the manifest DIFF, not the tables —
+        a row living in a file both snapshots share (COW carry) is
+        byte-identical in both versions and can never be a change, so
+        only the removed files (pre side) and added files (post side)
+        are read: O(changed data). A rewrite that reproduces a row
+        unchanged (compaction, or a merge rewriting a whole partition
+        for one key) joins to itself and is filtered out by the
+        null-safe column comparison."""
+        keys = [key] if isinstance(key, str) else list(key)
+        added, removed = self.diff(name, v_from, v_to)
+        sch_pre = self.table_schema(name, v_from)
+        sch_post = self.table_schema(name, v_to)
+        pre = self._read_files(name, removed, sch_pre)
+        post = self._read_files(name, added, sch_post)
+        cols = [f.name for f in sch_post.fields]
+        non_key = [c for c in cols if c not in keys]
+        a = pre.select(*[F.col(c).alias(f"a_{c}") for c in cols])
+        b = post.select(*[F.col(c).alias(f"b_{c}") for c in cols])
+        joined = a.join(
+            b,
+            [a[f"a_{k}"].eqNullSafe(b[f"b_{k}"]) for k in keys],
+            "full_outer",
+        )
+        # presence flags: key columns are non-null on their side iff
+        # that side has the row (keys are never null in these tables;
+        # eqNullSafe keeps the join total anyway)
+        has_a = F.greatest(
+            *[F.col(f"a_{k}").isNotNull() for k in keys]
+        ) if len(keys) > 1 else F.col(f"a_{keys[0]}").isNotNull()
+        has_b = F.greatest(
+            *[F.col(f"b_{k}").isNotNull() for k in keys]
+        ) if len(keys) > 1 else F.col(f"b_{keys[0]}").isNotNull()
+        same = (
+            F.struct(*[F.col(f"a_{c}") for c in non_key]).eqNullSafe(
+                F.struct(*[F.col(f"b_{c}") for c in non_key])
+            )
+            if non_key
+            else F.lit(True)
+        )
+        tagged = joined.select(
+            F.when(~has_a, F.lit("insert"))
+            .when(~has_b, F.lit("delete"))
+            .when(same, F.lit(None))
+            .otherwise(F.lit("update"))
+            .alias("_kind"),
+            *[
+                F.col(f"a_{c}").alias(f"pre_{c}") for c in cols
+            ],
+            *[F.col(f"b_{c}").alias(f"post_{c}") for c in cols],
+        ).filter(F.col("_kind").isNotNull())
+        ins = tagged.filter(F.col("_kind") == "insert").select(
+            F.lit("insert").alias("_change_type"),
+            *[F.col(f"post_{c}").alias(c) for c in cols],
+        )
+        del_ = tagged.filter(F.col("_kind") == "delete").select(
+            F.lit("delete").alias("_change_type"),
+            *[F.col(f"pre_{c}").alias(c) for c in cols],
+        )
+        upd = tagged.filter(F.col("_kind") == "update")
+        upd_pre = upd.select(
+            F.lit("update_preimage").alias("_change_type"),
+            *[F.col(f"pre_{c}").alias(c) for c in cols],
+        )
+        upd_post = upd.select(
+            F.lit("update_postimage").alias("_change_type"),
+            *[F.col(f"post_{c}").alias(c) for c in cols],
+        )
+        return ins.unionByName(del_).unionByName(upd_pre).unionByName(
+            upd_post
+        )
+
     # -- schema evolution --------------------------------------------------------
 
     def add_columns(self, name: str, *fields) -> int:

@@ -1,0 +1,166 @@
+"""Round-12 plans: COW DELETE + row-level change data feed — the two
+Delta write-path behaviors the versioned warehouse still lacked. Same
+bar as test_r10/r11_plans: driver-gate-strength parity at the gate SF
+and one past it, repeat-run idempotency, and the file-level pins the
+value hash can't express (pruned rewrite set, carry-by-reference,
+diff-only CDF reads)."""
+
+from __future__ import annotations
+
+import pytest
+
+from compendium_spark.plans.registry import all_plans
+
+from .conftest import SF_ORACLE
+from .test_parity import _assert_hash_equal, _duck_conn, _normalize
+
+SF_FULL = "/root/testdata/sf0.1"
+
+R12_PLANS = ["sink_delete_roundtrip", "sink_cdf_roundtrip"]
+
+
+@pytest.mark.parametrize("sf_dir", [SF_ORACLE, SF_FULL])
+@pytest.mark.parametrize("name", R12_PLANS)
+def test_r12_parity(spark, name, sf_dir):
+    p = all_plans()[name]
+    got = _normalize(p.fn(spark, sf_dir).toPandas())
+    want = _normalize(_duck_conn(sf_dir).execute(p.oracle).df())
+    assert len(got) > 0, f"{name}: vacuous"
+    _assert_hash_equal(got, want, name)
+
+
+@pytest.mark.parametrize("name", R12_PLANS)
+def test_r12_idempotent_rerun(spark, name):
+    import pandas as pd
+
+    fn = all_plans()[name].fn
+    a = _normalize(fn(spark, SF_ORACLE).toPandas())
+    b = _normalize(fn(spark, SF_ORACLE).toPandas())
+    pd.testing.assert_frame_equal(a, b, check_exact=True)
+
+
+def _reopen_vwh(spark, plan_workdir):
+    import os
+    import tempfile
+    from pathlib import Path
+
+    from compendium_spark.storage_versioned import VersionedWarehouse
+
+    root = (
+        Path(tempfile.gettempdir())
+        / f"compendium_spark_sinks_{os.getuid()}"
+        / plan_workdir
+        / "vwh"
+    )
+    return VersionedWarehouse(spark, str(root))
+
+
+def test_delete_rewrites_only_pruned_candidates(spark):
+    """The hash parity proves content; this pins the I/O shape: the
+    delete's removed files all sit in the partitions holding the
+    deleted keys, and the untouched partition's files are carried
+    PATH-IDENTICALLY (never rewritten)."""
+    from compendium_spark.plans.sinks import sink_delete_roundtrip
+
+    sink_delete_roundtrip(spark, SF_ORACLE).collect()
+    vwh = _reopen_vwh(spark, "delete")
+    m0, m1 = vwh.manifest("samples", 0), vwh.manifest("samples", 1)
+    assert m1["op"] == "delete"
+    added, removed = vwh.diff("samples", 0, 1)
+    # SRS2 lives in txidA, SRS5 in txidB: every rewritten file is there
+    assert removed and all(
+        "taxon=txidA" in f or "taxon=txidB" in f for f in added + removed
+    )
+    # txidC (no deleted key) carried by reference
+    c0 = {f for f in m0["files"] if "taxon=txidC" in f}
+    c1 = {f for f in m1["files"] if "taxon=txidC" in f}
+    assert c0 == c1 and c0
+    # pre-delete snapshot still time-travels with the deleted rows
+    assert {r.srs for r in vwh.read("samples", 0).collect()} >= {
+        "SRS2",
+        "SRS5",
+    }
+
+
+def test_delete_null_predicate_keeps_row(spark, tmp_path):
+    """SQL DELETE semantics: a NULL-evaluating predicate KEEPS the row
+    (only TRUE deletes). A probe on a nullable column must not sweep
+    the null rows away."""
+    from compendium_spark.schemas import SAMPLES
+    from compendium_spark.storage_versioned import VersionedWarehouse
+
+    vwh = VersionedWarehouse(spark, str(tmp_path / "vwh"))
+    vwh.write(
+        "samples",
+        spark.createDataFrame(
+            [
+                ("SRS1", "P", "txidA", None, "WGS", None, None, None, None, None),
+                ("SRS2", "P", "txidA", None, None, None, None, None, None, None),
+            ],
+            SAMPLES,
+        ),
+    )
+    vwh.delete("samples", [("library_strategy", "=", "WGS")])
+    left = {r.srs for r in vwh.read("samples").collect()}
+    assert left == {"SRS2"}  # the NULL-strategy row survived
+
+
+def test_delete_noop_commits_nothing(spark, tmp_path):
+    """A predicate the stats/hints prove can match nothing commits no
+    new version (the no-op merge precedent)."""
+    from compendium_spark.schemas import SAMPLES
+    from compendium_spark.storage_versioned import VersionedWarehouse
+
+    vwh = VersionedWarehouse(spark, str(tmp_path / "vwh"))
+    vwh.write(
+        "samples",
+        spark.createDataFrame(
+            [("SRS1", "P", "txidA", None, None, None, None, None, None, None)],
+            SAMPLES,
+        ),
+    )
+    v = vwh.delete("samples", [("srs", "=", "NOPE")])
+    assert v == 0
+    assert vwh.versions("samples") == [0]
+
+
+def test_cdf_reads_only_the_diff(spark):
+    """Scale pin: table_changes' plan reads the manifest diff's files,
+    never the carried ones — rows untouched between versions cannot
+    appear in the feed even as join inputs."""
+    from compendium_spark.plans.sinks import sink_cdf_roundtrip
+
+    sink_cdf_roundtrip(spark, SF_ORACLE).collect()
+    vwh = _reopen_vwh(spark, "cdf")
+    feed = vwh.table_changes("samples", 0, 1, "srs")
+    scanned = {f.rsplit("/", 1)[-1] for f in feed.inputFiles()}
+    added, removed = vwh.diff("samples", 0, 1)
+    diff_names = {f.rsplit("/", 1)[-1] for f in added + removed}
+    assert scanned <= diff_names
+    # SRS1 (carried, untouched) never surfaces
+    assert "SRS1" not in {r.srs for r in feed.collect()}
+
+
+def test_cdf_compaction_is_silent(spark, tmp_path):
+    """A compaction rewrites rows UNCHANGED: the feed between the
+    pre- and post-compaction snapshots must be empty (the null-safe
+    column comparison cancels rewritten-identical rows)."""
+    from compendium_spark.schemas import SAMPLES
+    from compendium_spark.storage_versioned import VersionedWarehouse
+
+    vwh = VersionedWarehouse(spark, str(tmp_path / "vwh"))
+
+    def one(rows):
+        return spark.createDataFrame(
+            spark.sparkContext.parallelize(rows, 1), SAMPLES
+        )
+
+    rows = [
+        ("SRS1", "P", "txidA", None, None, None, None, None, None, None),
+        ("SRS2", "P", "txidA", None, None, None, None, None, None, None),
+    ]
+    vwh.write("samples", one(rows[:1]))
+    vwh.append("samples", one(rows[1:]))
+    v = vwh.compact("samples")
+    assert v == 2  # txidA's two files packed into one
+    assert vwh.table_changes("samples", 1, 2, "srs").count() == 0
