@@ -1646,3 +1646,119 @@ def text_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("src_a", "src_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# text_line_dedup — C4/RefinedWeb exact line deduplication (round 12)
+# ---------------------------------------------------------------------------
+
+LINE_SEG = 3  # tokens per pseudo-line (the synthetic corpus has no \n)
+LINE_MIN_OCC = 3  # C4's rule: lines occurring >= 3 times corpus-wide drop
+
+
+def _line_dedup_sql() -> str:
+    return f"""
+WITH d AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), ' +') AS toks
+  FROM documents
+),
+tok AS (
+  SELECT doc_id, toks[i] AS token, i
+  FROM d, unnest(range(1, len(toks) + 1)) AS r(i)
+),
+seg AS (
+  SELECT doc_id, (i - 1) // {LINE_SEG} AS seg_idx,
+         string_agg(token, ' ' ORDER BY i) AS line,
+         CAST(COUNT(*) AS BIGINT) AS line_tokens
+  FROM tok GROUP BY doc_id, (i - 1) // {LINE_SEG}
+),
+occ AS (
+  SELECT line, CAST(COUNT(*) AS BIGINT) AS occurrences
+  FROM seg GROUP BY line
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM(CASE WHEN occurrences >= {LINE_MIN_OCC} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_removed,
+       CAST(SUM(CASE WHEN occurrences >= {LINE_MIN_OCC} THEN 0
+                     ELSE line_tokens END) AS BIGINT) AS n_tokens_kept
+FROM seg JOIN occ USING (line)
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+@plan("text_line_dedup", oracle=_line_dedup_sql())
+def text_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact LINE deduplication, the C4/CCNet cleanup step between
+    boilerplate DISCOVERY (text_boilerplate_shingles ranks what
+    repeats) and document-level dedup: any line occurring >=
+    {LINE_MIN_OCC} times corpus-wide (occurrences, not documents —
+    C4's rule, so within-doc chants count too) is dropped from every
+    document, and the plan reports per document how much survived
+    (n_lines, n_removed, n_tokens_kept). Lines are {LINE_SEG}-token
+    segments — the synthetic corpus has no newlines; on real text the
+    splitter is `split(text, '\\n')` and nothing else changes.
+
+    Scale shape: segmentation is PURE MAP-SIDE — the token array is
+    sliced per document with sequence + slice + array_join, no
+    explode-regroup shuffle (the naive groupBy(doc, seg_idx) with an
+    ordered string_agg shuffles the whole corpus; slicing the array
+    in place shuffles nothing). One line-keyed count (partial agg
+    map-side — boilerplate lines are exactly the hot keys AQE's skew
+    split handles), one line-keyed join back, one per-doc aggregate.
+    Line TEXT never leaves the line-count shuffle; at 100 TB hash the
+    line (xxhash64) for the count/join key and keep the text map-side
+    only."""
+    docs = load(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.lower(F.col("text"))), " +")
+    seg = (
+        docs.select("doc_id", toks.alias("toks"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(
+                    F.lit(0),
+                    ((F.size("toks") - F.lit(1)) / F.lit(LINE_SEG))
+                    .cast("int"),
+                )
+            ).alias("seg_idx"),
+            F.col("toks"),
+        )
+        .select(
+            "doc_id",
+            F.array_join(
+                F.slice(
+                    "toks", F.col("seg_idx") * LINE_SEG + 1, LINE_SEG
+                ),
+                " ",
+            ).alias("line"),
+            F.size(
+                F.slice("toks", F.col("seg_idx") * LINE_SEG + 1, LINE_SEG)
+            )
+            .cast("long")
+            .alias("line_tokens"),
+        )
+    )
+    occ = seg.groupBy("line").agg(
+        F.count(F.lit(1)).cast("long").alias("occurrences")
+    )
+    removed = F.when(
+        F.col("occurrences") >= LINE_MIN_OCC, F.lit(1)
+    ).otherwise(F.lit(0))
+    return (
+        seg.join(occ, "line")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.sum(removed).cast("long").alias("n_removed"),
+            F.sum(
+                F.when(removed == 1, F.lit(0)).otherwise(
+                    F.col("line_tokens")
+                )
+            )
+            .cast("long")
+            .alias("n_tokens_kept"),
+        )
+        .orderBy("doc_id")
+    )
