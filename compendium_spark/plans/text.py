@@ -1704,12 +1704,14 @@ def text_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     sliced per document with sequence + slice + array_join, no
     explode-regroup shuffle (the naive groupBy(doc, seg_idx) with an
     ordered string_agg shuffles the whole corpus; slicing the array
-    in place shuffles nothing). One line-keyed count (partial agg
-    map-side — boilerplate lines are exactly the hot keys AQE's skew
-    split handles), one line-keyed join back, one per-doc aggregate.
-    Line TEXT never leaves the line-count shuffle; at 100 TB hash the
-    line (xxhash64) for the count/join key and keep the text map-side
-    only."""
+    in place shuffles nothing). Occurrence counting is a WINDOW count
+    over the line key, not a groupBy+self-join — the join form
+    re-scans and re-explodes the corpus for its second leg (explain
+    showed 4 scans / 8 exchanges; this form is 1 scan / 3 exchanges:
+    line, doc, output order). Boilerplate lines are exactly the hot
+    keys — AQE's skew split applies to the line exchange. At 100 TB
+    hash the line (xxhash64) for the window key and keep the text
+    map-side only."""
     docs = load(spark, sf_dir, "documents")
     toks = F.split(F.trim(F.lower(F.col("text"))), " +")
     seg = (
@@ -1740,15 +1742,16 @@ def text_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("line_tokens"),
         )
     )
-    occ = seg.groupBy("line").agg(
-        F.count(F.lit(1)).cast("long").alias("occurrences")
+    from pyspark.sql.window import Window as W  # noqa: PLC0415
+
+    counted = seg.withColumn(
+        "occurrences", F.count(F.lit(1)).over(W.partitionBy("line"))
     )
     removed = F.when(
         F.col("occurrences") >= LINE_MIN_OCC, F.lit(1)
     ).otherwise(F.lit(0))
     return (
-        seg.join(occ, "line")
-        .groupBy("doc_id")
+        counted.groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_lines"),
             F.sum(removed).cast("long").alias("n_removed"),
