@@ -92,7 +92,6 @@ ALLOWED: dict[tuple[str, str], tuple[int, str]] = {
     ("plans/text.py", "text_heaps_curve"): (1, "4-row prefix-share frame"),
     ("plans/ivf.py", "sim_filtered_topk"): (2, "≤10-query label and vector sides"),
     ("plans/scoring.py", "train_quality_logreg"): (1, "≤257-row micro-unit weight table (bounded by construction)"),
-    ("plans/scoring.py", "grad"): (1, "≤257-row per-bucket mean table (bounded by construction)"),
     # --- text ranking --------------------------------------------------
     ("plans/text.py", "text_bm25_topk"): (2, "≤10-term query set + 1-row corpus stats"),
 }

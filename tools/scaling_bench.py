@@ -126,6 +126,12 @@ PROBES = [
     ("ing_geo_summary", "geo-dim ingest + snowflake (SF-invariant)"),
     ("sink_accessions_roundtrip", "warehouse insert + list sink (SF-invariant)"),
     ("w8_ntile_bands_scaled", "broadcast-cut-point NTILE (r11 rework)"),
+    # round 12: the line-dedup transform and the lakehouse round-trips
+    # (sinks are SF-invariant fixtures — their probe pins the commit
+    # machinery's fixed cost, not data scaling)
+    ("text_line_dedup", "window-counted exact line dedup"),
+    ("sink_timetravel_roundtrip", "3-commit COW + time travel (SF-invariant)"),
+    ("sink_exactly_once_roundtrip", "txn-fold exactly-once sink (SF-invariant)"),
 ]
 
 
