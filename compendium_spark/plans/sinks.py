@@ -309,7 +309,8 @@ def sink_timetravel_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def full_rows(rows):
-        return spark.createDataFrame(
+        return _one_slice_df(
+            spark,
             [
                 (s, p, t, None, st, None, None, None, None, None)
                 for s, p, t, st in rows
@@ -651,7 +652,8 @@ def sink_delete_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     vwh = VersionedWarehouse(spark, str(wd / "vwh"))
     vwh.write(
         "samples",
-        spark.createDataFrame(
+        _one_slice_df(
+            spark,
             [
                 (s, "PRJ1", t, None, st, None, None, None, None, None)
                 for s, t, st in DEL_BASE
@@ -709,7 +711,8 @@ def sink_cdf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def mk(rows):
-        return spark.createDataFrame(
+        return _one_slice_df(
+            spark,
             [
                 (s, "PRJ1", t, None, st, None, None, None, None, None)
                 for s, t, st in rows
@@ -746,3 +749,116 @@ def sink_cdf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = feed if out is None else out.unionByName(feed)
     return out.orderBy("step", "_change_type", "srs")
+
+
+# ---------------------------------------------------------------------------
+# round 12: incremental view maintenance driven by the change feed
+# ---------------------------------------------------------------------------
+
+# commits: v0 write, v1 upsert (moves SRS4 txidC->txidA + inserts SRS9),
+# v2 delete (SRS2). The per-taxon count MV is maintained INCREMENTALLY
+# from table_changes deltas — never recomputed from the table.
+IVM_V0 = [
+    ("SRS1", "txidA"),
+    ("SRS2", "txidA"),
+    ("SRS3", "txidB"),
+    ("SRS4", "txidC"),
+]
+
+
+def _ivm_sql() -> str:
+    mvs = [
+        {"txidA": 2, "txidB": 1, "txidC": 1},  # v0
+        {"txidA": 3, "txidB": 1, "txidZ": 1},  # v1: SRS4 moved, SRS9 new
+        {"txidA": 2, "txidB": 1, "txidZ": 1},  # v2: SRS2 deleted
+    ]
+    rows = ", ".join(
+        f"({v}, '{t}', CAST({n} AS BIGINT))"
+        for v, mv in enumerate(mvs)
+        for t, n in sorted(mv.items())
+    )
+    return f"""
+SELECT * FROM (VALUES {rows}) t(version, taxon, n_rows)
+ORDER BY version, taxon
+"""
+
+
+@plan("mv_cdf_incremental", oracle=_ivm_sql())
+def mv_cdf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance OFF the change feed: a per-taxon
+    count MV is seeded from snapshot v0, then each later snapshot's MV
+    is the previous MV plus the per-group contribution of
+    `table_changes` deltas (+1 insert / −1 delete / −pre +post for
+    updates — a partition MOVE lands as ±1 on two groups), groups
+    reaching zero dropped. The plan emits every version's maintained
+    MV; the oracle states each expected MV as VALUES, so a wrong
+    delta sign, a leaked carried row, or a missed move breaks the
+    hash. tests/test_r12_plans.py additionally pins the maintained
+    MV equal to a from-scratch aggregate of the same snapshot.
+
+    Shape: this is the downstream-consumer contract the CDF exists
+    for — refresh cost is O(changed rows) + a join against the MV on
+    the group key, never a rescan of the table. At 100 TB the same
+    fold runs in foreachBatch against a streaming change feed (the
+    exactly-once txn sink already gates the delivery side)."""
+    from compendium_spark.schemas import SAMPLES  # noqa: PLC0415
+    from compendium_spark.storage_versioned import (  # noqa: PLC0415
+        VersionedWarehouse,
+    )
+
+    def mk(rows):
+        return _one_slice_df(
+            spark,
+            [
+                (s, "PRJ1", t, None, None, None, None, None, None, None)
+                for s, t in rows
+            ],
+            SAMPLES,
+        )
+
+    wd = _workdir("ivm")
+    vwh = VersionedWarehouse(spark, str(wd / "vwh"))
+    vwh.write("samples", mk(IVM_V0))
+    vwh.upsert(
+        "samples", mk([("SRS4", "txidA"), ("SRS9", "txidZ")]), "srs"
+    )
+    vwh.delete("samples", [("srs", "=", "SRS2")])
+
+    mv = (
+        vwh.read("samples", 0)
+        .groupBy("taxon")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
+    )
+    out = mv.select(F.lit(0).alias("version"), "taxon", "n_rows")
+    for v in (1, 2):
+        feed = vwh.table_changes("samples", v - 1, v, "srs")
+        delta = (
+            feed.select(
+                "taxon",
+                F.when(
+                    F.col("_change_type").isin("insert", "update_postimage"),
+                    F.lit(1),
+                )
+                .otherwise(F.lit(-1))
+                .alias("d"),
+            )
+            .groupBy("taxon")
+            .agg(F.sum("d").cast("long").alias("d"))
+        )
+        mv = (
+            mv.join(delta, "taxon", "full_outer")
+            .select(
+                "taxon",
+                (
+                    F.coalesce("n_rows", F.lit(0))
+                    + F.coalesce("d", F.lit(0))
+                )
+                .cast("long")
+                .alias("n_rows"),
+            )
+            .filter(F.col("n_rows") > 0)
+        )
+        out = out.unionByName(
+            mv.select(F.lit(v).alias("version"), "taxon", "n_rows")
+        )
+    return out.orderBy("version", "taxon")

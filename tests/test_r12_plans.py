@@ -164,3 +164,26 @@ def test_cdf_compaction_is_silent(spark, tmp_path):
     v = vwh.compact("samples")
     assert v == 2  # txidA's two files packed into one
     assert vwh.table_changes("samples", 1, 2, "srs").count() == 0
+
+
+def test_ivm_matches_from_scratch_aggregates(spark):
+    """The incrementally maintained MV equals a from-scratch aggregate
+    of each snapshot — the IVM invariant the VALUES oracle states but
+    this derives independently from the same warehouse."""
+    from compendium_spark.plans.sinks import mv_cdf_incremental
+
+    got = {
+        (r.version, r.taxon): r.n_rows
+        for r in mv_cdf_incremental(spark, SF_ORACLE).collect()
+    }
+    vwh = _reopen_vwh(spark, "ivm")
+    for v in vwh.versions("samples"):
+        scratch = {
+            (v, r.taxon): r.n
+            for r in vwh.read("samples", v)
+            .groupBy("taxon")
+            .agg({"*": "count"})
+            .withColumnRenamed("count(1)", "n")
+            .collect()
+        }
+        assert {k: n for k, n in got.items() if k[0] == v} == scratch, v
