@@ -891,3 +891,48 @@ def test_samples_srs_hinted_by_default(vwh, spark):
     assert len(skipped) >= 1  # other taxa's files provably lack SRS1
     got = vwh.read("samples", where=[("srs", "=", "SRS1")]).collect()
     assert [r.srs for r in got] == ["SRS1"]
+
+
+def test_concurrent_disjoint_writers_all_land(spark, tmp_path):
+    """REAL races, not injected ones: four threads each upsert three
+    batches into their own partition of one warehouse, concurrently.
+    Losers of the O_EXCL commit race must REBASE (disjoint partitions)
+    and land — no lost update, no VersionConflictError escapes, the
+    final state holds every write, and the version chain is exactly
+    one commit per upsert."""
+    import threading
+
+    vwh = VersionedWarehouse(spark, str(tmp_path / "vwh"))
+    vwh.write("samples", _mk_samples(spark, BASE))
+    errors: list[BaseException] = []
+    N_THREADS, N_BATCHES = 4, 3
+
+    def writer(i: int) -> None:
+        try:
+            for b in range(N_BATCHES):
+                vwh.upsert(
+                    "samples",
+                    _mk_samples(
+                        spark,
+                        [(f"SRS_t{i}_b{b}", "PRJ", f"txidW{i}", "WGS")],
+                    ),
+                    "srs",
+                )
+        except BaseException as exc:  # noqa: BLE001 — surface to main
+            errors.append(exc)
+
+    threads = [
+        threading.Thread(target=writer, args=(i,)) for i in range(N_THREADS)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors
+    st = _state(vwh)
+    for i in range(N_THREADS):
+        for b in range(N_BATCHES):
+            assert st[f"SRS_t{i}_b{b}"] == (f"txidW{i}", "WGS")
+    assert len(st) == len(BASE) + N_THREADS * N_BATCHES
+    # one commit per upsert: no write was silently dropped or doubled
+    assert vwh.latest("samples") == N_THREADS * N_BATCHES
