@@ -1,6 +1,6 @@
 """Model-based property test for VersionedWarehouse (hypothesis):
 random operation sequences (append / upsert / partial_update / delete /
-compact / rollback) run against BOTH the real warehouse and a
+compact / rollback / vacuum) run against BOTH the real warehouse and a
 20-line in-memory Python model of the documented semantics; after
 every step the latest snapshot must equal the model, and at the end
 every retained historical version must still reconstruct the state
@@ -60,6 +60,7 @@ _op = st.one_of(
     ),
     st.tuples(st.just("compact"), st.none()),
     st.tuples(st.just("rollback"), st.integers(min_value=0, max_value=7)),
+    st.tuples(st.just("vacuum"), st.integers(min_value=1, max_value=3)),
 )
 
 
@@ -141,6 +142,11 @@ def test_warehouse_matches_model(spark, tmp_path_factory, ops):
             target = retained[arg % len(retained)]
             v = vwh.rollback("samples", target)
             model = [tuple(r) for r in history[target]]
+        elif kind == "vacuum":
+            vwh.vacuum("samples", keep_last=arg)
+            kept = sorted(history)[-arg:]
+            history = {k: history[k] for k in kept}
+            v = max(history)  # vacuum commits nothing
         history[v] = _norm(model)
         assert _observed(vwh) == _norm(model), (kind, arg)
 
