@@ -1765,3 +1765,92 @@ def text_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# text_bpe_apply — BPE tokenizer APPLICATION at corpus scale (round 12)
+# ---------------------------------------------------------------------------
+
+# fixed merge table, priority order (a real tokenizer ships thousands;
+# the mechanism is identical). Chosen so multi-level merges fire on
+# the corpus vocabulary: (i,n) feeds (in,e).
+BPE_MERGES = [
+    ("a", "r"), ("t", "a"), ("e", "r"), ("o", "w"),
+    ("i", "n"), ("in", "e"), ("s", "c"), ("h", "a"),
+]
+_BPE_SEP = "·"  # symbol separator — never appears in the corpus
+BPE_APPLY_TOPK = 20
+
+
+def _bpe_chain_sql(word_expr: str) -> str:
+    """The merge chain as nested literal replace() calls: each symbol
+    is ·-delimited (·s·c·a·n·), merge (a,b) rewrites ·a·b· → ·ab·, so
+    a pattern can never match across a previously-merged symbol's
+    interior. tests/test_r12_plans.py proves this scan-order chain
+    EQUALS the canonical iterative BPE on every corpus vocab word."""
+    e = f"'{_BPE_SEP}' || regexp_replace({word_expr}, '(.)', '\\1{_BPE_SEP}', 'g')"
+    for a, b in BPE_MERGES:
+        e = f"replace({e}, '{_BPE_SEP}{a}{_BPE_SEP}{b}{_BPE_SEP}', '{_BPE_SEP}{a}{b}{_BPE_SEP}')"
+    return e
+
+
+def _bpe_apply_sql() -> str:
+    return f"""
+WITH w AS (
+  SELECT unnest(string_split_regex(trim(lower(text)), ' +')) AS w
+  FROM documents
+),
+enc AS (SELECT {_bpe_chain_sql('w')} AS s FROM w),
+tok AS (SELECT unnest(string_split(s, '{_BPE_SEP}')) AS token FROM enc)
+SELECT token, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+FROM tok WHERE token <> ''
+GROUP BY token
+ORDER BY n_occurrences DESC, token
+LIMIT {BPE_APPLY_TOPK}
+"""
+
+
+@plan("text_bpe_apply", oracle=_bpe_apply_sql())
+def text_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer APPLICATION over the corpus — the missing half of
+    text_bpe_merge_candidates (which TRAINS the first merge): every
+    word is split to ·-delimited symbols and the fixed merge table
+    applies in priority order as literal JVM replace()s, so the whole
+    encode runs inside whole-stage codegen with no Python in the path;
+    output is the top-{BPE_APPLY_TOPK} resulting subword tokens by
+    exact count. The ·a·b·→·ab· delimited rewrite cannot match across
+    a merged symbol's interior, and tests pin the chain EQUAL to the
+    canonical iterative BPE on every corpus vocabulary word (the
+    scan-order-vs-BPE divergence class is adjacent repeated pairs,
+    absent here and flagged by that pin if the corpus changes).
+
+    Scale shape: one scan, merges applied SCAN-SIDE per word
+    occurrence (pure string codegen), one token-keyed count shuffle
+    (map-side partial agg), TakeOrdered for the top-k — no global
+    sort. With a production-size merge table the per-occurrence chain
+    amortizes over the DISTINCT vocabulary instead (Heaps' law — the
+    text_bpe_merge_candidates reduction): encode the vocab, broadcast-
+    join the encoding back onto the stream; nothing else changes."""
+    docs = load(spark, sf_dir, "documents")
+    word = F.explode(
+        F.split(F.trim(F.lower(F.col("text"))), " +")
+    ).alias("w")
+    enc = F.concat(
+        F.lit(_BPE_SEP),
+        F.regexp_replace(F.col("w"), "(.)", f"$1{_BPE_SEP}"),
+    )
+    for a, b in BPE_MERGES:
+        enc = F.replace(
+            enc,
+            F.lit(f"{_BPE_SEP}{a}{_BPE_SEP}{b}{_BPE_SEP}"),
+            F.lit(f"{_BPE_SEP}{a}{b}{_BPE_SEP}"),
+        )
+    return (
+        docs.select(word)
+        .select(F.explode(F.split(enc, _BPE_SEP)).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), "token")
+        .limit(BPE_APPLY_TOPK)
+    )

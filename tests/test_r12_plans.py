@@ -187,3 +187,53 @@ def test_ivm_matches_from_scratch_aggregates(spark):
             .collect()
         }
         assert {k: n for k, n in got.items() if k[0] == v} == scratch, v
+
+
+def test_bpe_chain_equals_canonical_bpe(spark):
+    """The delimited replace() chain text_bpe_apply runs scan-side must
+    EQUAL canonical iterative BPE (merge (a,b) greedily left-to-right,
+    one merge at a time, in priority order) on every corpus vocabulary
+    word — the divergence class is adjacent repeated pairs; this pin
+    flags it if the corpus or merge table ever changes."""
+    from compendium_spark.plans.text import _BPE_SEP, BPE_MERGES
+    from compendium_spark.tables import load
+
+    def true_bpe(word):
+        syms = list(word)
+        for a, b in BPE_MERGES:
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return syms
+
+    def chain(word):
+        s = _BPE_SEP + _BPE_SEP.join(word) + _BPE_SEP
+        for a, b in BPE_MERGES:
+            s = s.replace(
+                f"{_BPE_SEP}{a}{_BPE_SEP}{b}{_BPE_SEP}",
+                f"{_BPE_SEP}{a}{b}{_BPE_SEP}",
+            )
+        return [t for t in s.split(_BPE_SEP) if t]
+
+    import pyspark.sql.functions as F
+
+    vocab = [
+        r.w
+        for r in load(spark, SF_ORACLE, "documents")
+        .select(
+            F.explode(F.split(F.trim(F.lower("text")), " +")).alias("w")
+        )
+        .distinct()
+        .collect()
+    ]
+    assert vocab
+    diverged = [w for w in vocab if true_bpe(w) != chain(w)]
+    assert not diverged, diverged
+    # multi-level merges fire (a merged symbol feeds a later merge)
+    assert "ine" in true_bpe("line")
