@@ -862,3 +862,81 @@ def mv_cdf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             mv.select(F.lit(v).alias("version"), "taxon", "n_rows")
         )
     return out.orderBy("version", "taxon")
+
+
+# ---------------------------------------------------------------------------
+# round 12: partition spec evolution round-trip
+# ---------------------------------------------------------------------------
+
+# v0 write under the taxon spec — ONE txidA file holding rows of TWO
+# projects (the mixed-layout correctness trap); v1 set-spec:project
+# (metadata-only, content identical); v2 append in the new layout;
+# v3 upsert touching only PRJ1 — the old file rewrites WITH its PRJ2
+# bystander row, both migrating to the new layout.
+SPEC_V0 = [
+    ("SRS1", "PRJ1", "txidA"),
+    ("SRS2", "PRJ2", "txidA"),
+    ("SRS3", "PRJ3", "txidB"),
+]
+
+
+def _spec_sql() -> str:
+    v2 = SPEC_V0 + [("SRS4", "PRJ4", "txidC")]
+    v3 = [("SRS1", "PRJ1", "txidZ") if s == "SRS1" else (s, p, t) for s, p, t in v2]
+    rows = ", ".join(
+        f"({v}, '{s}', '{p}', '{t}')"
+        for v, snap in ((0, SPEC_V0), (1, SPEC_V0), (2, v2), (3, v3))
+        for s, p, t in snap
+    )
+    return f"""
+SELECT * FROM (VALUES {rows}) t(version, srs, project, taxon)
+ORDER BY version, srs
+"""
+
+
+@plan("sink_spec_evolution_roundtrip", oracle=_spec_sql())
+def sink_spec_evolution_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARTITION SPEC EVOLUTION round-trip (Iceberg replace-spec,
+    storage_versioned.set_partition_spec): the table starts hive-
+    partitioned on taxon, evolves to project METADATA-ONLY (v1 content
+    hash-identical to v0, zero files rewritten — pinned at file level
+    in tests/test_storage_versioned.py), appends land in the new
+    layout, and a merge touching one new-spec partition rewrites the
+    old-layout FILE it lives in without losing that file's bystander
+    rows from other partitions — the mixed-layout correctness trap.
+    Every version read back by time travel; the oracle re-derives each
+    state from VALUES.
+
+    Shape: evolution itself is O(1) (one manifest); mixed-layout reads
+    group files by layout dir and reconstruct hive columns per group;
+    rewrites migrate exactly the files they touch, so a table drains
+    to the new layout at merge/compact pace with no stop-the-world
+    rewrite — the Iceberg behavior, reproduced on the native layout."""
+    from compendium_spark.schemas import SAMPLES  # noqa: PLC0415
+    from compendium_spark.storage_versioned import (  # noqa: PLC0415
+        VersionedWarehouse,
+    )
+
+    def mk(rows):
+        return _one_slice_df(
+            spark,
+            [
+                (s, p, t, None, None, None, None, None, None, None)
+                for s, p, t in rows
+            ],
+            SAMPLES,
+        )
+
+    wd = _workdir("spec_evolution")
+    vwh = VersionedWarehouse(spark, str(wd / "vwh"))
+    vwh.write("samples", mk(SPEC_V0))
+    vwh.set_partition_spec("samples", "project")
+    vwh.append("samples", mk([("SRS4", "PRJ4", "txidC")]))
+    vwh.upsert("samples", mk([("SRS1", "PRJ1", "txidZ")]), "srs")
+    out = None
+    for v in vwh.versions("samples"):
+        snap = vwh.read("samples", v).select(
+            F.lit(v).alias("version"), "srs", "project", "taxon"
+        )
+        out = snap if out is None else out.unionByName(snap)
+    return out.orderBy("version", "srs")

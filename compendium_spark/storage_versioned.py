@@ -683,11 +683,45 @@ class VersionedWarehouse:
         got = self.manifest(name, v).get("txn", {}).get(app_id)
         return None if got is None else int(got)
 
+    def _pcol(self, name: str, base: int | None) -> str | None:
+        """The table's CURRENT partition spec: the base manifest's
+        (partition specs evolve per snapshot — set_partition_spec),
+        falling back to the static PARTITION_SPEC for a first write."""
+        if base is not None:
+            return self.manifest(name, base).get("pcol")
+        return PARTITION_SPEC.get(name)
+
+    def set_partition_spec(self, name: str, new_pcol: str | None) -> int:
+        """PARTITION SPEC EVOLUTION (Iceberg's replace-spec): commit a
+        metadata-only snapshot whose spec is ``new_pcol`` — every data
+        file carried by reference, nothing rewritten. Old-layout files
+        keep serving reads (each file group reads under its own
+        basePath, and a column that is hive-encoded in one layout is
+        plain data in the other, so both reconstruct); NEW files land
+        in the new layout, and any rewrite — merge, delete, compact —
+        migrates the files it touches. ``compact()`` after a spec
+        change is therefore the full-migration lever, Iceberg's
+        behavior exactly."""
+        base = self.latest(name)
+        if base is None:
+            raise ValueError(f"{name}: no snapshot (write first)")
+        sch = self.table_schema(name, base)
+        if new_pcol is not None and new_pcol not in {f.name for f in sch.fields}:
+            raise ValueError(f"{name}: unknown partition column {new_pcol!r}")
+        man = self.manifest(name, base)
+        if man.get("pcol") == new_pcol:
+            return base  # no-op: spec unchanged
+        return self._commit(
+            name, None, man["files"], f"set-spec:{new_pcol}", new_pcol,
+            base=base, carried_stats=man.get("stats"), schema=sch,
+        )
+
     def write(self, name: str, df: DataFrame, txn=None) -> int:
         """Full-overwrite commit: all-new files, nothing carried."""
+        base = self.latest(name)
         return self._commit(
-            name, df, [], "overwrite", PARTITION_SPEC.get(name),
-            base=self.latest(name), txn=txn,
+            name, df, [], "overwrite", self._pcol(name, base),
+            base=base, txn=txn,
         )
 
     def append(self, name: str, df: DataFrame, txn=None) -> int:
@@ -697,7 +731,7 @@ class VersionedWarehouse:
         man = {} if base is None else self.manifest(name, base)
         return self._commit(
             name, df, man.get("files", []), "append",
-            PARTITION_SPEC.get(name), base=base,
+            self._pcol(name, base), base=base,
             carried_stats=man.get("stats"), txn=txn,
         )
 
@@ -767,7 +801,13 @@ class VersionedWarehouse:
         if removed & touched_files:
             return None
         for rel in latest_files - base_files:
-            if _path_partition_values(rel).get(pcol, None) in touched:
+            vals = _path_partition_values(rel)
+            if pcol not in vals:
+                # a rival file NOT hive-keyed on our spec (pre-spec-
+                # evolution layout): its partition membership can't be
+                # proven from the path — treat as a real conflict
+                return None
+            if vals[pcol] in touched:
                 return None
         return latest_man
 
@@ -794,12 +834,12 @@ class VersionedWarehouse:
         output, carried set re-derived from the rival's manifest, so
         disjoint-partition writers both land. A genuine overlap still
         raises VersionConflictError."""
-        pcol = PARTITION_SPEC.get(name)
         base = (
             self.latest(name)
             if base_version is VersionedWarehouse._UNPINNED
             else base_version
         )
+        pcol = self._pcol(name, base)  # the CURRENT (evolvable) spec
         current = self.read(name, base)
         keys = [key] if isinstance(key, str) else list(key)
         merge = upsert if full_row else partial_update
@@ -837,20 +877,28 @@ class VersionedWarehouse:
             cond = F.col(pcol).isin(non_null) if non_null else F.lit(False)
             if len(non_null) != len(touched):
                 cond = cond | F.col(pcol).isNull()
-            slice_df = current.filter(cond)
-            merged = merge(slice_df, updates, key)
-            # touched files = the slice's (input_file_name yields file:
-            # URIs — resolve through urlparse, never string surgery on
-            # the scheme)
+            # touched FILES: every file contributing a row in a touched
+            # partition (input_file_name yields file: URIs — resolve
+            # through urlparse, never string surgery on the scheme)
             from urllib.parse import unquote, urlparse  # noqa: PLC0415
 
             tdir = self._tdir(name).resolve()
             touched_files = {
                 str(Path(unquote(urlparse(r[0]).path)).relative_to(tdir))
-                for r in slice_df.select(
-                    F.input_file_name()
-                ).distinct().collect()
+                for r in current.filter(cond)
+                .select(F.input_file_name())
+                .distinct()
+                .collect()
             }
+            # the rewrite slice is those FILES' full content, not the
+            # partition-value filter: under one spec they coincide
+            # (each file holds one partition), but after a partition
+            # spec EVOLUTION an old-layout file may hold several
+            # new-spec partitions' rows — rewriting the file keeps its
+            # bystander rows (and migrates them to the current layout)
+            sch = self.table_schema(name, base)
+            slice_df = self._read_files(name, sorted(touched_files), sch)
+            merged = merge(slice_df, updates, key)
         else:
             # an EMPTY transactional batch still records its txn version
             # (all files carried, no data written) so a replay of it is

@@ -936,3 +936,106 @@ def test_concurrent_disjoint_writers_all_land(spark, tmp_path):
     assert len(st) == len(BASE) + N_THREADS * N_BATCHES
     # one commit per upsert: no write was silently dropped or doubled
     assert vwh.latest("samples") == N_THREADS * N_BATCHES
+
+
+# ---------------------------------------------------------------------------
+# round 12: partition spec evolution (Iceberg replace-spec)
+# ---------------------------------------------------------------------------
+
+
+def _mk_full(spark, rows):
+    """(srs, project, taxon) rows, 1-slice so each commit is one file
+    per partition dir."""
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(
+            [
+                (s, p, t, None, None, None, None, None, None, None)
+                for s, p, t in rows
+            ],
+            1,
+        ),
+        SAMPLES,
+    )
+
+
+def test_spec_evolution_is_metadata_only(spark, tmp_path):
+    vwh = VersionedWarehouse(spark, str(tmp_path / "vwh"))
+    vwh.write("samples", _mk_full(spark, [("SRS1", "PRJ1", "txidA")]))
+    v = vwh.set_partition_spec("samples", "project")
+    m0, m1 = vwh.manifest("samples", 0), vwh.manifest("samples", v)
+    assert m1["files"] == m0["files"]  # nothing rewritten
+    assert (m0["pcol"], m1["pcol"]) == ("taxon", "project")
+    assert m1["op"] == "set-spec:project"
+    # no-op when the spec is unchanged; unknown columns rejected
+    assert vwh.set_partition_spec("samples", "project") == v
+    with pytest.raises(ValueError, match="unknown partition column"):
+        vwh.set_partition_spec("samples", "nope")
+
+
+def test_spec_evolution_mixed_layout_reads_and_appends(spark, tmp_path):
+    vwh = VersionedWarehouse(spark, str(tmp_path / "vwh"))
+    vwh.write(
+        "samples",
+        _mk_full(spark, [("SRS1", "PRJ1", "txidA"), ("SRS2", "PRJ2", "txidA")]),
+    )
+    vwh.set_partition_spec("samples", "project")
+    vwh.append("samples", _mk_full(spark, [("SRS3", "PRJ3", "txidB")]))
+    # new file under the NEW layout, old files untouched
+    added, removed = vwh.diff("samples", 1, 2)
+    assert not removed and added and all("project=PRJ3" in f for f in added)
+    # mixed-layout read reconstructs BOTH hive columns on both sides
+    st = {
+        r.srs: (r.project, r.taxon)
+        for r in vwh.read("samples").collect()
+    }
+    assert st == {
+        "SRS1": ("PRJ1", "txidA"),
+        "SRS2": ("PRJ2", "txidA"),
+        "SRS3": ("PRJ3", "txidB"),
+    }
+
+
+def test_spec_evolution_merge_keeps_bystander_rows(spark, tmp_path):
+    """THE correctness trap of mixed layouts: the old taxon=txidA file
+    holds rows of TWO new-spec partitions (PRJ1, PRJ2). An upsert
+    touching only PRJ1 must rewrite that FILE without losing the PRJ2
+    bystander row — and the rewrite migrates both to the new layout."""
+    vwh = VersionedWarehouse(spark, str(tmp_path / "vwh"))
+    vwh.write(
+        "samples",
+        _mk_full(spark, [("SRS1", "PRJ1", "txidA"), ("SRS2", "PRJ2", "txidA")]),
+    )
+    vwh.set_partition_spec("samples", "project")
+    vwh.upsert(
+        "samples", _mk_full(spark, [("SRS1", "PRJ1", "txidZ")]), "srs"
+    )
+    st = {
+        r.srs: (r.project, r.taxon) for r in vwh.read("samples").collect()
+    }
+    assert st == {
+        "SRS1": ("PRJ1", "txidZ"),  # updated
+        "SRS2": ("PRJ2", "txidA"),  # bystander survived the file rewrite
+    }
+    # every post-merge file is NEW-layout keyed
+    files = vwh.manifest("samples", 2)["files"]
+    assert files and all("project=" in f for f in files)
+    # pre-evolution snapshot still time-travels under the old layout
+    assert {r.srs for r in vwh.read("samples", 0).collect()} == {
+        "SRS1",
+        "SRS2",
+    }
+
+
+def test_spec_evolution_compact_migrates_layout(spark, tmp_path):
+    vwh = VersionedWarehouse(spark, str(tmp_path / "vwh"))
+    vwh.write("samples", _mk_full(spark, [("SRS1", "PRJ1", "txidA")]))
+    vwh.append("samples", _mk_full(spark, [("SRS2", "PRJ1", "txidA")]))
+    vwh.set_partition_spec("samples", "project")
+    v = vwh.compact("samples")
+    files = vwh.manifest("samples", v)["files"]
+    # the fragmented taxon=txidA group was rewritten INTO the new spec
+    assert files and all("project=PRJ1" in f for f in files)
+    assert {r.srs for r in vwh.read("samples", v).collect()} == {
+        "SRS1",
+        "SRS2",
+    }
