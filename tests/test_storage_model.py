@@ -1,12 +1,15 @@
 """Model-based property test for VersionedWarehouse (hypothesis):
 random operation sequences (append / upsert / partial_update / delete /
-compact / rollback / vacuum) run against BOTH the real warehouse and a
+compact / rollback / vacuum / set_partition_spec) run against BOTH the real warehouse and a
 20-line in-memory Python model of the documented semantics; after
 every step the latest snapshot must equal the model, and at the end
 every retained historical version must still reconstruct the state
 the model recorded when that version committed — time travel under
 arbitrary interleavings of every write path, including partition
-moves, no-op merges, and content-identical compactions.
+moves, no-op merges, content-identical compactions, and partition
+SPEC EVOLUTIONS (mixed-layout merges/deletes/compactions — the model
+is layout-blind, so any bystander-row loss or hive-column confusion
+surfaces as a content diff).
 
 This is the invariant net the per-op example tests can't weave: the
 bugs it hunts are INTERACTIONS (a delete after a rollback after a
@@ -61,6 +64,7 @@ _op = st.one_of(
     st.tuples(st.just("compact"), st.none()),
     st.tuples(st.just("rollback"), st.integers(min_value=0, max_value=7)),
     st.tuples(st.just("vacuum"), st.integers(min_value=1, max_value=3)),
+    st.tuples(st.just("setspec"), st.sampled_from(["project", "taxon", None])),
 )
 
 
@@ -147,6 +151,9 @@ def test_warehouse_matches_model(spark, tmp_path_factory, ops):
             kept = sorted(history)[-arg:]
             history = {k: history[k] for k in kept}
             v = max(history)  # vacuum commits nothing
+        elif kind == "setspec":
+            # partition spec evolution: content no-op, may commit
+            v = vwh.set_partition_spec("samples", arg)
         history[v] = _norm(model)
         assert _observed(vwh) == _norm(model), (kind, arg)
 
