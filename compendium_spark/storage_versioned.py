@@ -466,11 +466,48 @@ class VersionedWarehouse:
                 {
                     "version": v,
                     "op": man.get("op"),
+                    "committed_at": man.get("committed_at"),
                     "n_files": len(man.get("files", [])),
                     "txn": man.get("txn", {}),
                 }
             )
         return out
+
+    def version_at(self, name: str, as_of) -> int:
+        """The snapshot current AT wall time ``as_of`` (ISO-8601 string
+        or datetime; naive values are taken as UTC) — Delta's
+        ``TIMESTAMP AS OF`` resolution: the newest retained version
+        whose commit time is <= as_of. Manifests written before commit
+        times were recorded sort as oldest. Raises SnapshotNotFoundError
+        for a time before the earliest retained commit (or one vacuumed
+        away)."""
+        import datetime as _dt  # noqa: PLC0415
+
+        if isinstance(as_of, str):
+            as_of = _dt.datetime.fromisoformat(as_of)
+        if as_of.tzinfo is None:
+            as_of = as_of.replace(tzinfo=_dt.timezone.utc)
+        best = None
+        for v in self.versions(name):
+            ts = self.manifest(name, v).get("committed_at")
+            committed = (
+                _dt.datetime.min.replace(tzinfo=_dt.timezone.utc)
+                if ts is None
+                else _dt.datetime.fromisoformat(ts)
+            )
+            if committed <= as_of:
+                best = v
+        if best is None:
+            vs = self.versions(name)
+            raise SnapshotNotFoundError(
+                f"{name}: no snapshot at or before {as_of.isoformat()} — "
+                + (
+                    f"earliest retained commit is version {vs[0]}"
+                    if vs
+                    else "the table has no snapshots"
+                )
+            )
+        return best
 
     def table_schema(self, name: str, version: int | None = None):
         """The table's schema AT a snapshot (default: latest) — each
@@ -568,9 +605,15 @@ class VersionedWarehouse:
         if txn is not None:
             app_id, tver = txn
             txns[app_id] = max(int(tver), int(txns.get(app_id, -1)))
+        import datetime as _dt  # noqa: PLC0415
+
         manifest = {
             "version": next_v,
             "op": op,
+            # commit wall time (UTC, ISO-8601) — timestamp time travel
+            # (version_at / read(as_of=...)) resolves against it
+            "committed_at": _dt.datetime.now(_dt.timezone.utc)
+            .isoformat(timespec="microseconds"),
             "pcol": partition_by,
             "files": sorted(files),
             "stats": stats,
@@ -652,14 +695,21 @@ class VersionedWarehouse:
         name: str,
         version: int | None = None,
         where: list[tuple] | None = None,
+        as_of=None,
     ) -> DataFrame:
-        """The table at ``version`` (default: latest). With ``where``
-        (a conjunct list ``[(col, op, value), ...]``, ops ``= < <= >
-        >= in``), the snapshot's file list is stats-pruned BEFORE
-        Spark opens anything (see ``scan_files``) and the same
-        predicate is applied as a residual filter — identical rows to
-        an unpruned read + filter, minus the I/O of provably-excluded
-        files."""
+        """The table at ``version`` (default: latest), or — with
+        ``as_of`` (ISO string / datetime) — at the snapshot current at
+        that wall time (Delta's ``TIMESTAMP AS OF``; see
+        ``version_at``). With ``where`` (a conjunct list ``[(col, op,
+        value), ...]``, ops ``= < <= > >= in``), the snapshot's file
+        list is stats-pruned BEFORE Spark opens anything (see
+        ``scan_files``) and the same predicate is applied as a
+        residual filter — identical rows to an unpruned read + filter,
+        minus the I/O of provably-excluded files."""
+        if as_of is not None:
+            if version is not None:
+                raise ValueError("pass version OR as_of, not both")
+            version = self.version_at(name, as_of)
         v = self.latest(name) if version is None else version
         if v is None:
             df = self.spark.createDataFrame([], self.table_schema(name))

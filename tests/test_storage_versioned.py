@@ -1039,3 +1039,41 @@ def test_spec_evolution_compact_migrates_layout(spark, tmp_path):
         "SRS1",
         "SRS2",
     }
+
+
+# ---------------------------------------------------------------------------
+# round 12: timestamp time travel (TIMESTAMP AS OF)
+# ---------------------------------------------------------------------------
+
+
+def test_timestamp_time_travel(vwh, spark):
+    """read(as_of=...) resolves to the newest snapshot committed at or
+    before the wall time — boundaries checked exactly against the
+    recorded commit times, pre-first-commit times raise, and a
+    version+as_of combination is rejected."""
+    from compendium_spark.storage_versioned import SnapshotNotFoundError
+
+    vwh.upsert(
+        "samples", _mk_samples(spark, [("SRS9", "PRJ9", "txidZ", "WGS")]), "srs"
+    )
+    h = vwh.history("samples")
+    t0, t1 = h[0]["committed_at"], h[1]["committed_at"]
+    assert t0 and t1 and t0 < t1  # ISO-8601 sorts chronologically
+    assert vwh.version_at("samples", t0) == 0  # inclusive boundary
+    assert vwh.version_at("samples", t1) == 1
+    assert "SRS9" not in _state_asof(vwh, t0)
+    assert "SRS9" in _state_asof(vwh, t1)
+    # strictly before the first commit: no snapshot existed
+    import datetime as dt
+
+    before = (
+        dt.datetime.fromisoformat(t0) - dt.timedelta(seconds=1)
+    ).isoformat()
+    with pytest.raises(SnapshotNotFoundError, match="no snapshot at or"):
+        vwh.version_at("samples", before)
+    with pytest.raises(ValueError, match="version OR as_of"):
+        vwh.read("samples", version=0, as_of=t1)
+
+
+def _state_asof(vwh, ts):
+    return {r.srs for r in vwh.read("samples", as_of=ts).collect()}
