@@ -256,3 +256,48 @@ def test_rival_unrelated_writer_not_clobbered(spark, tmp_path):
     assert _mv_state(ours)[(H0, "click")] == (11, 51.0)
     assert ours.latest("mv_hourly") == 1
     assert ours.last_txn_version("mv_hourly", "mv_fold") == 0
+
+
+def test_concurrent_replicas_fold_exactly_once(spark, tmp_path):
+    """Three replicas concurrently deliver the SAME batch sequence
+    (the at-least-once worst case: every batch replayed by every
+    replica, interleaved arbitrarily by real threads). The txn
+    protocol + pinned-base commits must fold each batch id exactly
+    once — the final MV equals a single clean fold, regardless of who
+    won which race."""
+    import threading
+
+    root = str(tmp_path / "vwh")
+
+    def handle():
+        return VersionedWarehouse(
+            spark, root, extra_tables={"mv_hourly": MV_HOURLY_SCHEMA}
+        )
+
+    batches = [
+        (0, [(H0, "click", 1.0), (H0, "click", 2.0)]),
+        (1, [(H0, "view", 5.0)]),
+        (2, [(H0, "click", 4.0), (H0, "view", 0.5)]),
+    ]
+    errors: list[BaseException] = []
+
+    def replica() -> None:
+        try:
+            sink = mv_refresh_versioned_sink(handle())
+            for bid, rows in batches:
+                sink(_batch(spark, rows), bid)
+        except BaseException as exc:  # noqa: BLE001
+            errors.append(exc)
+
+    threads = [threading.Thread(target=replica) for _ in range(3)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors
+    vwh = handle()
+    assert _mv_state(vwh) == {
+        (H0, "click"): (3, 7.0),
+        (H0, "view"): (2, 5.5),
+    }
+    assert vwh.last_txn_version("mv_hourly", "mv_fold") == 2
