@@ -132,6 +132,7 @@ PROBES = [
     ("text_line_dedup", "window-counted exact line dedup"),
     ("sink_timetravel_roundtrip", "3-commit COW + time travel (SF-invariant)"),
     ("sink_exactly_once_roundtrip", "txn-fold exactly-once sink (SF-invariant)"),
+    ("text_bpe_apply", "scan-side literal-replace BPE encode"),
 ]
 
 
