@@ -620,15 +620,33 @@ class VersionedWarehouse:
             "txn": txns,
             "schema": sch.jsonValue(),
         }
+        # CRASH-ATOMIC publish: the manifest is fully written + fsynced
+        # to a hidden temp name first, then HARD-LINKED to its final
+        # name — link(2) both fails atomically if the version exists
+        # (the optimistic-concurrency O_EXCL semantics) and can never
+        # expose a torn file: a crash mid-write leaves only a .tmp the
+        # readers ignore, never a truncated NNNNNNNN.json that would
+        # poison every later read and block the version number forever.
+        import os as _os  # noqa: PLC0415
+        import uuid as _uuid  # noqa: PLC0415
+
+        final = log / f"{next_v:08d}.json"
+        tmp = log / f".{next_v:08d}.{_uuid.uuid4().hex[:12]}.tmp"
         try:
-            with open(log / f"{next_v:08d}.json", "x") as f:
+            with open(tmp, "w") as f:
                 json.dump(manifest, f, indent=1)
-        except FileExistsError:
-            if new_df is not None:
-                shutil.rmtree(ddir, ignore_errors=True)
-            raise VersionConflictError(
-                f"{name}: version {next_v} was committed concurrently"
-            ) from None
+                f.flush()
+                _os.fsync(f.fileno())
+            try:
+                _os.link(tmp, final)
+            except FileExistsError:
+                if new_df is not None:
+                    shutil.rmtree(ddir, ignore_errors=True)
+                raise VersionConflictError(
+                    f"{name}: version {next_v} was committed concurrently"
+                ) from None
+        finally:
+            tmp.unlink(missing_ok=True)
         return next_v
 
     # -- reads -------------------------------------------------------------

@@ -1077,3 +1077,21 @@ def test_timestamp_time_travel(vwh, spark):
 
 def _state_asof(vwh, ts):
     return {r.srs for r in vwh.read("samples", as_of=ts).collect()}
+
+
+def test_commit_publish_is_crash_atomic(vwh, spark):
+    """A crash mid-manifest-write must never poison the table: the
+    manifest is fsynced to a hidden .tmp and hard-linked into place,
+    so a leftover torn temp file is invisible to versions()/reads and
+    does not block its version number."""
+    log = vwh._logdir("samples")
+    # simulate a writer that died mid-write: a torn temp for v1
+    (log / ".00000001.deadbeef.tmp").write_text('{"version": 1, "fi')
+    assert vwh.versions("samples") == [0]  # invisible to the log scan
+    v = vwh.append(
+        "samples", _mk_samples(spark, [("SRS8", "PRJ8", "txidA", None)])
+    )
+    assert v == 1  # the torn temp did not squat the version number
+    assert "SRS8" in _state(vwh)
+    # no temp files remain from OUR commits
+    assert not [p for p in log.iterdir() if p.name.endswith(".tmp") and "dead" not in p.name]
