@@ -1051,9 +1051,13 @@ class VersionedWarehouse:
         null-safe column comparison."""
         keys = [key] if isinstance(key, str) else list(key)
         added, removed = self.diff(name, v_from, v_to)
-        sch_pre = self.table_schema(name, v_from)
+        # BOTH sides read under the newer snapshot's schema: evolution
+        # is additive-only, so post ⊇ pre and the pre side's files fill
+        # any added column as NULL (parquet missing-column semantics) —
+        # a feed spanning an add_columns commit then reports the
+        # backfill of that column as updates, never a column error
         sch_post = self.table_schema(name, v_to)
-        pre = self._read_files(name, removed, sch_pre)
+        pre = self._read_files(name, removed, sch_post)
         post = self._read_files(name, added, sch_post)
         cols = [f.name for f in sch_post.fields]
         non_key = [c for c in cols if c not in keys]

@@ -237,3 +237,40 @@ def test_bpe_chain_equals_canonical_bpe(spark):
     assert not diverged, diverged
     # multi-level merges fire (a merged symbol feeds a later merge)
     assert "ine" in true_bpe("line")
+
+
+def test_cdf_spans_schema_evolution(spark, tmp_path):
+    """A feed window that crosses an add_columns commit reads BOTH
+    sides under the newer schema (pre-side files fill the added column
+    as NULL), so a later backfill of that column reports as updates —
+    never a missing-column error."""
+    from pyspark.sql import types as T
+
+    from compendium_spark.schemas import SAMPLES
+    from compendium_spark.storage_versioned import VersionedWarehouse
+
+    vwh = VersionedWarehouse(spark, str(tmp_path / "vwh"))
+    vwh.write(
+        "samples",
+        spark.createDataFrame(
+            spark.sparkContext.parallelize(
+                [("SRS1", "P", "txidA", None, None, None, None, None, None, None)], 1
+            ),
+            SAMPLES,
+        ),
+    )
+    vwh.add_columns("samples", T.StructField("note", T.StringType(), True))
+    vwh.partial_update(
+        "samples",
+        spark.createDataFrame([("SRS1", "hello")], "srs string, note string"),
+        key="srs",
+    )
+    # window crossing the evolution: v0 (old schema) -> v2 (backfilled)
+    feed = vwh.table_changes("samples", 0, 2, "srs")
+    got = {(r._change_type, r.srs, r.note) for r in feed.collect()}
+    assert got == {
+        ("update_preimage", "SRS1", None),
+        ("update_postimage", "SRS1", "hello"),
+    }
+    # the metadata-only step alone is silent (files carried, no diff)
+    assert vwh.table_changes("samples", 0, 1, "srs").count() == 0
