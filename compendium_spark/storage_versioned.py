@@ -235,13 +235,31 @@ def _key_hints(path: Path, cols: list[str]) -> dict[str, dict]:
         for key in keys:
             for p in _bloom_positions(key, m, _HINT_BLOOM_K):
                 bits |= 1 << p
-        out[c] = {"bloom": {"m": m, "k": _HINT_BLOOM_K, "hex": format(bits, "x")}}
+        out[c] = {
+            "bloom": {
+                "m": m,
+                "k": _HINT_BLOOM_K,
+                "hex": format(bits, "x"),
+                # kind tags present in the column (see _hint_excludes:
+                # a probe whose kind was never harvested cannot prune)
+                "kinds": sorted({k.split(":", 1)[0] for k in keys}),
+            }
+        }
     return out
 
 
 def _hint_excludes(cstats: dict, op: str, value) -> bool:
     """True iff a membership hint proves the file holds NO row with
-    ``col op value`` (point probes only: = and in)."""
+    ``col op value`` (point probes only: = and in).
+
+    Kind-tag conservatism (ADVICE r12): _hint_key tags every value by
+    kind so ``'5'`` and ``5`` hash differently — but Spark's residual
+    filter COERCES (an int column probed with '5' matches the row
+    holding 5), so a cross-kind probe must KEEP the file, exactly like
+    the min/max path keeps files on TypeError. A probe kind that was
+    never harvested into the hint therefore never prunes; only
+    same-kind misses do. Blooms written before kinds were recorded
+    (no "kinds" field) can't make that promise and never prune."""
     if op not in ("=", "in"):
         return False
     vals = list(value) if op == "in" else [value]
@@ -249,11 +267,19 @@ def _hint_excludes(cstats: dict, op: str, value) -> bool:
     if not norm or any(n is None for n in norm):
         return False
     keys = [_hint_key(n) for n in norm]
+    probe_kinds = {k.split(":", 1)[0] for k in keys}
     d = cstats.get("dict")
     if d is not None:
+        if not d:
+            # zero non-null values harvested: no equality can match
+            return True
+        if not probe_kinds <= {k.split(":", 1)[0] for k in d}:
+            return False
         return not any(k in set(d) for k in keys)
     b = cstats.get("bloom")
     if b is not None:
+        if not probe_kinds <= set(b.get("kinds", ())):
+            return False
         return not any(_bloom_maybe_contains(b, k) for k in keys)
     return False
 
@@ -320,6 +346,41 @@ def _path_partition_values(rel: str) -> dict:
             k, _, v = seg.partition("=")
             out[k] = None if v == _HIVE_NULL else unquote(v)
     return out
+
+
+def _fsync_dir(d: Path) -> None:
+    """fsync a DIRECTORY so its entries (new files, new links) survive
+    power loss — POSIX makes a file durable only once both its bytes
+    AND its directory entry are synced."""
+    import os as _os  # noqa: PLC0415
+
+    fd = _os.open(str(d), _os.O_RDONLY)
+    try:
+        _os.fsync(fd)
+    finally:
+        _os.close(fd)
+
+
+def _fsync_tree(ddir: Path, stop_parent: Path) -> None:
+    """fsync every file under ``ddir`` plus every directory from the
+    deepest file dirs up through ``stop_parent`` — the data-side half
+    of a durable commit (the manifest must never outlive its files)."""
+    import os as _os  # noqa: PLC0415
+
+    dirs: set[Path] = {ddir, stop_parent}
+    for p in ddir.rglob("*"):
+        if p.is_file():
+            fd = _os.open(str(p), _os.O_RDONLY)
+            try:
+                _os.fsync(fd)
+            finally:
+                _os.close(fd)
+            d = p.parent
+            while d not in dirs and d != stop_parent:
+                dirs.add(d)
+                d = d.parent
+    for d in sorted(dirs, reverse=True):  # deepest first
+        _fsync_dir(d)
 
 
 def _conjunct_excludes(cstats: dict, rows: int | None, op: str, value) -> bool:
@@ -594,6 +655,14 @@ class VersionedWarehouse:
                 for k, hint in _key_hints(ddir / rel, hinted).items():
                     cols.setdefault(k, {}).update(hint)
                 stats[full] = {"rows": rows, "cols": cols}
+            # durability of the DATA the manifest is about to reference:
+            # fsync each new part file and every dir from it up to the
+            # table's data/ root BEFORE the manifest publishes, so a
+            # durable manifest can never point at lost/torn data files
+            # (ADVICE r12). O(new files) fsyncs — the commit already
+            # opens each file for its footer, so this is marginal; on
+            # an object store the PUT semantics subsume it.
+            _fsync_tree(ddir, self._tdir(name) / "data")
         log = self._logdir(name)
         log.mkdir(parents=True, exist_ok=True)
         # writer-transaction map: highest committed version per app_id,
@@ -620,13 +689,18 @@ class VersionedWarehouse:
             "txn": txns,
             "schema": sch.jsonValue(),
         }
-        # CRASH-ATOMIC publish: the manifest is fully written + fsynced
-        # to a hidden temp name first, then HARD-LINKED to its final
-        # name — link(2) both fails atomically if the version exists
-        # (the optimistic-concurrency O_EXCL semantics) and can never
-        # expose a torn file: a crash mid-write leaves only a .tmp the
-        # readers ignore, never a truncated NNNNNNNN.json that would
-        # poison every later read and block the version number forever.
+        # CRASH-ATOMIC + DURABLE publish: the manifest is fully written
+        # + fsynced to a hidden temp name first, then HARD-LINKED to
+        # its final name — link(2) both fails atomically if the version
+        # exists (the optimistic-concurrency O_EXCL semantics) and can
+        # never expose a torn file: a crash mid-write leaves only a
+        # .tmp the readers ignore, never a truncated NNNNNNNN.json that
+        # would poison every later read and block the version number
+        # forever. Durability: the data tree was fsynced above, the
+        # manifest bytes are fsynced before the link, and the _log DIR
+        # is fsynced after it — without that last one the link entry
+        # itself could vanish on power loss after commit was reported
+        # (ADVICE r12), which is lost-commit, not torn-commit.
         import os as _os  # noqa: PLC0415
         import uuid as _uuid  # noqa: PLC0415
 
@@ -645,6 +719,7 @@ class VersionedWarehouse:
                 raise VersionConflictError(
                     f"{name}: version {next_v} was committed concurrently"
                 ) from None
+            _fsync_dir(log)
         finally:
             tmp.unlink(missing_ok=True)
         return next_v
@@ -846,6 +921,15 @@ class VersionedWarehouse:
         * no rival ADDED a file inside one of our touched partitions
           (sequential semantics would have merged those rows; carrying
           them beside our rewrite could duplicate keys);
+
+        ``touched`` must be the partition values' SPARK STRING
+        rendering (``CAST(pcol AS STRING)``, None for null) — the same
+        rendering Spark hive-encodes into partition paths, so it
+        compares exactly against ``_path_partition_values`` for every
+        partition-column type. Comparing the typed values directly
+        would make ``vals[pcol] in touched`` always-False for any
+        non-string column (int 5 vs path-derived "5") and silently
+        rebase over a rival INSIDE a touched partition (ADVICE r12).
         * schema and partition spec unchanged (our output was
           validated against the base schema).
         Unpartitioned tables never rebase: their COW unit is the whole
@@ -934,9 +1018,20 @@ class VersionedWarehouse:
             .join(F.broadcast(updates.select(*keys)), on=keys, how="left_semi")
             .select(pcol)
         )
-        touched = {
-            r[0] for r in upd_parts.unionByName(mapped).distinct().collect()
-        }
+        # collect each touched value in BOTH representations: typed (for
+        # the isin() file filter below) and Spark-string-rendered (for
+        # _rebase_target, whose rival side is path-derived strings)
+        touched_rows = (
+            upd_parts.unionByName(mapped)
+            .distinct()
+            .select(
+                F.col(pcol).alias("v"),
+                F.col(pcol).cast("string").alias("s"),
+            )
+            .collect()
+        )
+        touched = {r["v"] for r in touched_rows}
+        touched_str = {r["s"] for r in touched_rows}
         if not touched and txn is None:
             # the reference's silently-no-op UPDATE: commit nothing
             return base
@@ -984,7 +1079,7 @@ class VersionedWarehouse:
                 )
             except VersionConflictError:
                 rebased = self._rebase_target(
-                    name, base, touched, touched_files, pcol
+                    name, base, touched_str, touched_files, pcol
                 )
                 if rebased is None:
                     raise
@@ -1033,13 +1128,26 @@ class VersionedWarehouse:
         )
 
     def table_changes(
-        self, name: str, v_from: int, v_to: int, key
+        self, name: str, v_from: int, v_to: int, key,
+        check_unique: bool = True,
     ) -> DataFrame:
         """Row-level CHANGE DATA FEED between two snapshots (Delta
         CDF's `table_changes`): every row as
         ``(_change_type, *columns)`` with types ``insert``, ``delete``,
         ``update_preimage`` / ``update_postimage`` (both sides of an
         update, Delta's convention).
+
+        PRECONDITION: ``key`` uniquely identifies rows (and is
+        non-null) within each snapshot — the feed is reconstructed by
+        a full-outer key join, which fans out (pre × post per key)
+        into spurious update pairs if ``append`` ever introduced
+        duplicate keys. With ``check_unique`` (default) the changed
+        slices are verified and a duplicate raises ValueError instead
+        of feeding garbage downstream (ADVICE r12); the check costs
+        one aggregation per side over the CHANGED files only.
+        Uniqueness across changed-vs-carried files remains the
+        caller's contract (carried files are never read here — that
+        O(changed data) property is the point of the manifest diff).
 
         Scale: reconstructed from the manifest DIFF, not the tables —
         a row living in a file both snapshots share (COW carry) is
@@ -1059,6 +1167,23 @@ class VersionedWarehouse:
         sch_post = self.table_schema(name, v_to)
         pre = self._read_files(name, removed, sch_post)
         post = self._read_files(name, added, sch_post)
+        if check_unique:
+            for side, df in (("pre", pre), ("post", post)):
+                dup = (
+                    df.groupBy(*keys)
+                    .agg(F.count(F.lit(1)).alias("n"))
+                    .filter(F.col("n") > 1)
+                    .limit(1)
+                    .collect()
+                )
+                if dup:
+                    kv = {k: dup[0][k] for k in keys}
+                    raise ValueError(
+                        f"{name}: table_changes({v_from}->{v_to}) "
+                        f"requires unique keys per snapshot; the {side} "
+                        f"side holds duplicate key {kv!r} — the feed "
+                        "would fan out into spurious update pairs"
+                    )
         cols = [f.name for f in sch_post.fields]
         non_key = [c for c in cols if c not in keys]
         a = pre.select(*[F.col(c).alias(f"a_{c}") for c in cols])
@@ -1372,36 +1497,69 @@ class VersionedWarehouse:
             schema=self.table_schema(name, to_version),
         )
 
-    def vacuum(self, name: str, keep_last: int = 2) -> list[str]:
+    def vacuum(
+        self, name: str, keep_last: int = 2, grace_seconds: float = 600.0
+    ) -> list[str]:
         """Drop manifests older than the last ``keep_last`` and delete
         data files no retained snapshot references. Time travel below
         the horizon is gone afterwards — exactly Delta's VACUUM
         trade-off. ``keep_last`` must be >= 1: a table always retains
         its current snapshot (and ``vs[-0:]`` would silently retain
-        EVERYTHING — the opposite of what a 0 would be asking for)."""
+        EVERYTHING — the opposite of what a 0 would be asking for).
+
+        Directory reclamation (ADVICE r12): a version dir referenced
+        by NO retained manifest is removed — including orphans from
+        crashed commit attempts, which DO hold parquet but were never
+        published — but only once its newest entry is older than
+        ``grace_seconds``. The grace window protects a concurrent
+        writer's freshly created staging dir (whose first part file
+        may not have landed yet) from being rmtree'd mid-write, which
+        would fail the racing commit; Delta's VACUUM makes the same
+        uncommitted-file/retention-horizon trade."""
         if keep_last < 1:
             raise ValueError(
                 f"vacuum keep_last must be >= 1, got {keep_last} "
                 "(the current snapshot is always retained)"
             )
+        import time as _time  # noqa: PLC0415
+
         vs = self.versions(name)
         retained, dropped = vs[-keep_last:], vs[:-keep_last]
         live: set[str] = set()
         for v in retained:
             live.update(self.manifest(name, v)["files"])
         removed = []
-        for v in dropped:
+        published_dirs: set[str] = set()  # dirs PROVEN non-staging:
+        for v in dropped:  # they appear in a manifest we are dropping
             for f in self.manifest(name, v)["files"]:
+                published_dirs.add(Path(f).parts[1])  # "data/<dir>/…"
                 if f not in live:
                     p = self._tdir(name) / f
                     if p.exists():
                         p.unlink()
                         removed.append(f)
             (self._logdir(name) / f"{v:08d}.json").unlink()
-        # prune emptied version dirs
+        # reclaim version dirs no retained manifest references.
+        # Published dirs (listed in a manifest just dropped) prune
+        # immediately once emptied — they cannot be live staging. Any
+        # OTHER non-live dir (crashed-attempt orphans, possibly a
+        # concurrent writer's staging) reclaims only past the grace
+        # window, measured on the newest mtime in its tree.
+        live_dirs = {Path(f).parts[1] for f in live}
+        now = _time.time()
         data = self._tdir(name) / "data"
         if data.exists():
             for d in sorted(data.iterdir()):
-                if d.is_dir() and not any(d.rglob("*.parquet")):
+                if not d.is_dir() or d.name in live_dirs:
+                    continue
+                if d.name in published_dirs:
+                    if not any(d.rglob("*.parquet")):
+                        shutil.rmtree(d)
+                    continue
+                newest = max(
+                    (p.stat().st_mtime for p in d.rglob("*")),
+                    default=d.stat().st_mtime,
+                )
+                if now - max(newest, d.stat().st_mtime) >= grace_seconds:
                     shutil.rmtree(d)
         return sorted(set(removed))
