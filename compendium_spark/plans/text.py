@@ -1854,3 +1854,164 @@ def text_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_occurrences"), "token")
         .limit(BPE_APPLY_TOPK)
     )
+
+
+# ---------------------------------------------------------------------------
+# train_bpe_merges — the full iterative BPE trainer loop (round 13)
+# ---------------------------------------------------------------------------
+
+TRAIN_BPE_STEPS = 8
+_SEP2 = _BPE_SEP * 2  # inter-symbol delimiter (see encoding note below)
+
+
+def _train_bpe_sql() -> str:
+    """Unrolled {TRAIN_BPE_STEPS}-step trainer as one DuckDB WITH
+    chain: each step counts pairs over the previous segmentation,
+    picks the argmax via a LIMIT-1 scalar, and re-segments through a
+    literal replace — the same double-delimiter encoding the engine
+    uses, so both walk identical vocabularies step for step."""
+    enc = "'·' || regexp_replace(tok, '(.)', '\\1··', 'g')"
+    parts = [
+        f"""
+WITH tok AS (
+  SELECT unnest(string_split_regex(trim(lower(text)), ' +')) AS tok
+  FROM documents
+),
+vocab AS MATERIALIZED (
+  SELECT tok, CAST(COUNT(*) AS BIGINT) AS freq
+  FROM tok WHERE tok <> '' GROUP BY tok
+),
+v0 AS MATERIALIZED (
+  SELECT substring({enc}, 1, length({enc}) - 1) AS s, freq FROM vocab
+)"""
+    ]
+    for i in range(1, TRAIN_BPE_STEPS + 1):
+        parts.append(
+            f""",
+p{i} AS MATERIALIZED (
+  SELECT c1, c2, CAST(SUM(freq) AS BIGINT) AS merge_count FROM (
+    SELECT unnest(list_transform(range(1, len(c)), j -> c[j])) AS c1,
+           unnest(list_transform(range(1, len(c)), j -> c[j + 1])) AS c2,
+           freq
+    FROM (SELECT string_split(substring(s, 2, length(s) - 2), '··') AS c,
+                 freq
+          FROM v{i - 1})
+  ) GROUP BY c1, c2
+),
+m{i} AS MATERIALIZED (
+  SELECT {i} AS step, c1, c2, merge_count FROM p{i}
+  ORDER BY merge_count DESC, c1, c2 LIMIT 1
+),
+v{i} AS MATERIALIZED (
+  SELECT replace(s,
+           '·' || (SELECT c1 FROM m{i}) || '··'
+               || (SELECT c2 FROM m{i}) || '·',
+           '·' || (SELECT c1 FROM m{i}) || (SELECT c2 FROM m{i}) || '·'
+         ) AS s,
+         freq
+  FROM v{i - 1}
+)"""
+        )
+    union = "\n  UNION ALL\n  ".join(
+        f"SELECT * FROM m{i}" for i in range(1, TRAIN_BPE_STEPS + 1)
+    )
+    parts.append(
+        f"""
+SELECT step, c1, c2, merge_count FROM (
+  {union}
+) ORDER BY step
+"""
+    )
+    return "".join(parts)
+
+
+@plan("train_bpe_merges", oracle=_train_bpe_sql())
+def train_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ITERATIVE BPE trainer (Sennrich et al. 2016 alg. 1):
+    {TRAIN_BPE_STEPS} rounds of count-pairs -> merge-argmax ->
+    re-segment, returning the learned merge list in priority order —
+    the trainer twin of text_bpe_apply (which applies a fixed table)
+    and the loop text_bpe_merge_candidates runs ONE round of
+    (VERDICT r12 #4). tests/test_r13_plans.py pins the learned list
+    EQUAL to a pure-Python canonical sequential BPE on the corpus.
+
+    Encoding: a word's segmentation is one string with DOUBLED
+    inter-symbol delimiters ('scan' -> '·s··c··a··n·'). The r12
+    single-delimiter chain ('·s·c·a·n·') diverges from canonical BPE
+    on adjacent repeated pairs: replacing '·a·b·' consumes the
+    trailing '·' that the NEXT occurrence needs as its lead, so
+    'abab' merges once, not twice. With '··' between symbols,
+    consecutive matches share no characters and ONE left-to-right
+    replace() pass is exactly canonical greedy merging — in both
+    engines (replace is sequential non-overlapping in each), pinned
+    by the repeat-run cases in the canonical-BPE test.
+
+    Scale shape (the classic BPE-trainer reduction): the corpus is
+    scanned ONCE into the frequency-weighted DISTINCT vocabulary
+    (Heaps'-law-sized — the localCheckpoint pins that materialization
+    so iterations never touch the corpus again); each step is one
+    vocabulary-sized pair expansion + an alphabet²-bounded count
+    shuffle + a LIMIT-1 argmax (TakeOrdered, no global sort), and the
+    driver holds only the merge table itself ({TRAIN_BPE_STEPS} rows
+    — the kmeans/logreg bounded-driver-state precedent).
+    Re-segmentation is a literal JVM replace inside whole-stage
+    codegen, chained lazily per step. At 100 TB only the first
+    vocab aggregation is corpus-proportional."""
+    docs = load(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(
+            F.explode(
+                F.split(F.trim(F.lower(F.col("text"))), " +")
+            ).alias("tok")
+        )
+        .filter(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+    )
+    enc = F.concat(
+        F.lit(_BPE_SEP),
+        F.regexp_replace("tok", "(.)", f"$1{_SEP2}"),
+    )
+    cur = vocab.select(
+        enc.substr(F.lit(1), F.length(enc) - 1).alias("s"), "freq"
+    ).localCheckpoint(eager=True)  # one corpus pass, reused per step
+    merges: list[tuple[int, str, str, int]] = []
+    for step in range(1, TRAIN_BPE_STEPS + 1):
+        syms = F.split(
+            F.col("s").substr(F.lit(2), F.length("s") - 2), _SEP2
+        )
+        c = F.col("c")
+        pairs_arr = F.transform(
+            F.sequence(F.lit(1), F.size(c) - 1),
+            lambda i: F.struct(
+                F.element_at(c, i).alias("c1"),
+                F.element_at(c, i + 1).alias("c2"),
+            ),
+        )
+        best = (
+            cur.select(syms.alias("c"), "freq")
+            .filter(F.size("c") >= 2)  # fully-merged words emit no pairs
+            .select(F.explode(pairs_arr).alias("p"), "freq")
+            .select("p.c1", "p.c2", "freq")
+            .groupBy("c1", "c2")
+            .agg(F.sum("freq").cast("long").alias("merge_count"))
+            .orderBy(F.desc("merge_count"), "c1", "c2")
+            .limit(1)
+            .collect()
+        )
+        # the corpus always yields >= TRAIN_BPE_STEPS mergeable pairs
+        # at every tested SF; a dry run would diverge from the oracle
+        # (which cannot break) and fail the gate loudly, by design
+        a, b = best[0]["c1"], best[0]["c2"]
+        merges.append((step, a, b, best[0]["merge_count"]))
+        cur = cur.withColumn(
+            "s",
+            F.replace(
+                F.col("s"),
+                F.lit(f"{_BPE_SEP}{a}{_SEP2}{b}{_BPE_SEP}"),
+                F.lit(f"{_BPE_SEP}{a}{b}{_BPE_SEP}"),
+            ),
+        )
+    return spark.createDataFrame(
+        merges, "step int, c1 string, c2 string, merge_count long"
+    ).orderBy("step")
