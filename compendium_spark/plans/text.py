@@ -1824,17 +1824,32 @@ def text_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan-order-vs-BPE divergence class is adjacent repeated pairs,
     absent here and flagged by that pin if the corpus changes).
 
-    Scale shape: one scan, merges applied SCAN-SIDE per word
-    occurrence (pure string codegen), one token-keyed count shuffle
-    (map-side partial agg), TakeOrdered for the top-k — no global
-    sort. With a production-size merge table the per-occurrence chain
-    amortizes over the DISTINCT vocabulary instead (Heaps' law — the
-    text_bpe_merge_candidates reduction): encode the vocab, broadcast-
-    join the encoding back onto the stream; nothing else changes."""
+    Scale shape (r13 rework, measured by tools/bpe_chain_probe.py):
+    the merge chain runs once per DISTINCT word — the corpus stream
+    reduces map-side into a (word, freq) vocabulary first (Heaps'-law
+    sized), the chain encodes only that, and token counts are
+    freq-weighted sums. The previous scan-side shape paid the chain
+    per word OCCURRENCE; at sf0.1 that cost 0.76 s at the 8-merge
+    table and grew with chain depth (1.14 s at 64 merges — the r12
+    +0.46 SCALING slope's second axis), while the vocab-side shape is
+    0.35 s and DEPTH-FLAT (0.33-0.37 s from 8 to 64 merges), because
+    occurrences outnumber distinct words ~250:1 here and the ratio
+    only grows with corpus size. Still zero Python in the path: both
+    the chain and the weighted count are whole-stage codegen; one
+    extra vocabulary-sized shuffle replaces a corpus-sized chain.
+    At a production merge count (30k+) the chain additionally needs
+    splitting into fixed-depth projection stages to stay under the
+    JVM's 64 KB codegen method limit — mechanical, same semantics."""
     docs = load(spark, sf_dir, "documents")
-    word = F.explode(
-        F.split(F.trim(F.lower(F.col("text"))), " +")
-    ).alias("w")
+    wfreq = (
+        docs.select(
+            F.explode(
+                F.split(F.trim(F.lower(F.col("text"))), " +")
+            ).alias("w")
+        )
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+    )
     enc = F.concat(
         F.lit(_BPE_SEP),
         F.regexp_replace(F.col("w"), "(.)", f"$1{_BPE_SEP}"),
@@ -1846,11 +1861,10 @@ def text_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(f"{_BPE_SEP}{a}{b}{_BPE_SEP}"),
         )
     return (
-        docs.select(word)
-        .select(F.explode(F.split(enc, _BPE_SEP)).alias("token"))
+        wfreq.select(F.explode(F.split(enc, _BPE_SEP)).alias("token"), "freq")
         .filter(F.col("token") != "")
         .groupBy("token")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_occurrences"))
+        .agg(F.sum("freq").cast("long").alias("n_occurrences"))
         .orderBy(F.desc("n_occurrences"), "token")
         .limit(BPE_APPLY_TOPK)
     )

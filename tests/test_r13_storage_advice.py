@@ -218,3 +218,24 @@ def test_vacuum_grace_measures_newest_mtime(intwh, spark, tmp_path):
     part.write_bytes(b"fresh write")  # now-mtime file inside old dir
     intwh.vacuum("ev", keep_last=1, grace_seconds=600)
     assert staging.exists()
+
+
+def test_table_changes_below_vacuum_horizon_raises_typed(vwh, spark):
+    """VERDICT r12 #6: the typed below-horizon error covers the CDF
+    path like it covers read(); and CDF between two RETAINED versions
+    still works after vacuum (removed files of retained manifests are
+    never reclaimed — only sub-horizon files are)."""
+    from compendium_spark.storage_versioned import SnapshotNotFoundError
+    from tests.test_storage_versioned import _mk_samples
+
+    for i in range(3):
+        vwh.append(
+            "samples", _mk_samples(spark, [(f"SRSV{i}", "P", "t", None)])
+        )
+    vwh.vacuum("samples", keep_last=2)
+    with pytest.raises(SnapshotNotFoundError):
+        vwh.table_changes("samples", 0, 3, "srs")
+    vs = vwh.versions("samples")
+    assert len(vs) == 2
+    feed = vwh.table_changes("samples", vs[0], vs[1], "srs")
+    assert {r._change_type for r in feed.collect()} == {"insert"}

@@ -65,6 +65,19 @@ _op = st.one_of(
     st.tuples(st.just("rollback"), st.integers(min_value=0, max_value=7)),
     st.tuples(st.just("vacuum"), st.integers(min_value=1, max_value=3)),
     st.tuples(st.just("setspec"), st.sampled_from(["project", "taxon", None])),
+    # CDF between two retained versions (VERDICT r12 #6): composes
+    # with vacuum (horizon trims the candidates), spec evolution
+    # (mixed-layout diff reads), rollback and compaction (identical
+    # rows must cancel) — the feed's NET effect must replay the pre
+    # state into the post state whenever keys are unique, and the
+    # duplicate-key guard must fire exactly when they are not
+    st.tuples(
+        st.just("cdf"),
+        st.tuples(
+            st.integers(min_value=0, max_value=7),
+            st.integers(min_value=0, max_value=7),
+        ),
+    ),
 )
 
 
@@ -154,6 +167,46 @@ def test_warehouse_matches_model(spark, tmp_path_factory, ops):
         elif kind == "setspec":
             # partition spec evolution: content no-op, may commit
             v = vwh.set_partition_spec("samples", arg)
+        elif kind == "cdf":
+            retained = sorted(history)
+            v_from = retained[arg[0] % len(retained)]
+            v_to = retained[arg[1] % len(retained)]
+            if v_from > v_to:
+                v_from, v_to = v_to, v_from
+            pre_state, post_state = history[v_from], history[v_to]
+            unique = len({r[0] for r in pre_state}) == len(pre_state) and len(
+                {r[0] for r in post_state}
+            ) == len(post_state)
+            try:
+                feed = vwh.table_changes(
+                    "samples", v_from, v_to, "srs"
+                ).collect()
+            except ValueError:
+                # the duplicate-key guard: may only fire when a
+                # snapshot really holds duplicate keys (append can
+                # legally create them)
+                assert not unique, (v_from, v_to)
+            else:
+                if unique:
+                    # replay the feed over the pre state -> post state
+                    # (pre/delete images check against the IMMUTABLE
+                    # pre map — feed row order is arbitrary)
+                    pre_map = {r[0]: tuple(r) for r in pre_state}
+                    cur = dict(pre_map)
+                    for row in feed:
+                        t = (row.srs, row.taxon, row.library_strategy)
+                        if row._change_type == "insert":
+                            assert row.srs not in pre_map
+                            cur[row.srs] = t
+                        elif row._change_type == "delete":
+                            assert pre_map.get(row.srs) == t
+                            cur.pop(row.srs, None)
+                        elif row._change_type == "update_preimage":
+                            assert pre_map.get(row.srs) == t
+                        elif row._change_type == "update_postimage":
+                            cur[row.srs] = t
+                    assert _norm(cur.values()) == post_state, (v_from, v_to)
+            v = max(history)  # CDF reads, commits nothing
         history[v] = _norm(model)
         assert _observed(vwh) == _norm(model), (kind, arg)
 
