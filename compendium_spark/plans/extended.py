@@ -158,6 +158,14 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     get |A∩B| from a shingle self-join, |A∪B| by inclusion-exclusion.
     At 100 TB this runs only on LSH candidates (dedup_minhash_lsh),
     never all-pairs; integer-ratio math keeps it engine-exact.
+
+    MEASURED standalone cost (r13 sf1.0 decade probe, SCALING.md):
+    the self-join materializes Sum C(bucket,2) pairs — 14k at sf0.01,
+    1.27M at sf0.1, 118M at sf1.0 (decade slope +1.21) — because the
+    fixture's fixed vocabulary saturates the shingle space. This plan
+    is the EXACT ORACLE for sample-scale audits; the registered
+    full-corpus path is dedup_neardup_pipeline (O(candidates), 100%
+    qualifying-pair recall at both gated SFs, measured r13).
     """
     sh = _doc_shingles(spark, sf_dir)
     cnt = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
@@ -1503,8 +1511,11 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Same scale shape as dedup_ngram_jaccard, whose inter/cnt subtrees
     this reuses verbatim (shared shingle self-join, map-side distinct
-    shingles, integer-ratio math): at 100 TB the pair source is the
-    LSH candidate stream, never all-pairs. The direction pick compares
+    shingles, integer-ratio math) — and the same measured standalone
+    cost (118M self-join pairs at sf1.0, slope +1.21, SCALING.md): at
+    100 TB the pair source is the LSH candidate stream
+    (dedup_containment_pipeline, the registered r13 twin), never
+    all-pairs. The direction pick compares
     the same two ratios both engines compute from exact integers, so
     ties (n_a == n_b) resolve identically.
     """
@@ -1530,6 +1541,84 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         inter.join(ca, F.col("doc_a") == F.col("ca.doc_id"))
         .join(cb, F.col("doc_b") == F.col("cb.doc_id"))
+        .filter(F.greatest(c_a, c_b) >= CONTAIN_THRESHOLD)
+        .select(
+            "doc_a",
+            "doc_b",
+            quantize6(c_a).alias("containment_a"),
+            quantize6(c_b).alias("containment_b"),
+            F.when(c_a >= c_b, F.col("doc_a"))
+            .otherwise(F.col("doc_b"))
+            .alias("contained_doc"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# dedup_containment_pipeline — LSH candidates -> exact containment (round 13)
+# ---------------------------------------------------------------------------
+
+
+def _containment_pipeline_sql() -> str:
+    body = _MINHASH_CAND_SQL_BODY.format(
+        sigs=_minhash_sql_sigs(), bands=_minhash_sql_bands()
+    )
+    ca = "1.0 * len(list_intersect(a.sh, b.sh)) / len(a.sh)"
+    cb = "1.0 * len(list_intersect(a.sh, b.sh)) / len(b.sh)"
+    return f"""
+WITH {body},
+sh_arr AS (SELECT doc_id, {_SHINGLES_SQL} AS sh FROM documents)
+SELECT doc_a, doc_b,
+       CAST(FLOOR(CAST(({ca}) AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) / 1000000.0 AS containment_a,
+       CAST(FLOOR(CAST(({cb}) AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) / 1000000.0 AS containment_b,
+       CASE WHEN {ca} >= {cb} THEN doc_a ELSE doc_b END AS contained_doc
+FROM cand
+JOIN sh_arr a ON doc_a = a.doc_id
+JOIN sh_arr b ON doc_b = b.doc_id
+WHERE greatest({ca}, {cb}) >= {CONTAIN_THRESHOLD}
+ORDER BY doc_a, doc_b
+"""
+
+
+@plan("dedup_containment_pipeline", oracle=_containment_pipeline_sql())
+def dedup_containment_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL-CORPUS containment path (r13): MinHash-LSH candidate
+    generation feeding the exact containment verify — the containment
+    twin of dedup_neardup_pipeline, closing the gap the sf1.0 decade
+    probe exposed: dedup_containment's exhaustive shingle self-join is
+    Sum C(bucket,2), measured 14k -> 1.27M -> 118M join pairs across
+    sf0.01/0.1/1.0 (slope +1.21) for an output of a few hundred rows.
+    Here verification cost is O(candidates): at the gated SFs the LSH
+    stream holds 35/775 candidate pairs covering 25/25 and 256/256 of
+    the containment-qualifying pairs (measured r13).
+
+    Honest recall caveat: Jaccard-banded LSH under-recalls the extreme
+    short-doc-inside-long-doc pairs containment exists to catch (their
+    Jaccard is diluted by the big doc). On corpora where that tail
+    matters, the standard remedies are length-stratified banding or an
+    asymmetric scheme; the exhaustive dedup_containment remains the
+    exact oracle for auditing any of them at sample scale.
+
+    Shape: candidates shuffle on band buckets; the verify fetches each
+    doc's distinct shingle array by doc_id and computes both direction
+    ratios with array built-ins — integer ratio, no UDF, engine-exact;
+    the contained_doc pick resolves ties identically in both engines.
+    """
+    cand = _minhash_candidates(spark, sf_dir)
+    sh_arr = (
+        _doc_shingles(spark, sf_dir)
+        .groupBy("doc_id")
+        .agg(F.collect_set("shingle").alias("sh"))
+    )
+    a = sh_arr.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sha"))
+    b = sh_arr.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("shb"))
+    inter = F.size(F.array_intersect(F.col("sha"), F.col("shb")))
+    c_a = F.lit(1.0) * inter / F.size("sha")
+    c_b = F.lit(1.0) * inter / F.size("shb")
+    return (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
         .filter(F.greatest(c_a, c_b) >= CONTAIN_THRESHOLD)
         .select(
             "doc_a",

@@ -116,3 +116,19 @@ def test_double_delimiter_merge_is_canonical_greedy(
         merged.substr(F.lit(2), F.length(merged) - 2), _SEP2
     )
     assert df.select(syms.alias("c")).collect()[0]["c"] == want_syms
+
+
+def test_containment_pipeline_matches_exact_baseline(spark):
+    """dedup_containment_pipeline (LSH candidates -> exact verify)
+    must reproduce the exhaustive dedup_containment output exactly at
+    the oracle-gated SFs — the recall pin for the r13 scale twin."""
+    ps = all_plans()
+    for d in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        pipe = {
+            tuple(r)
+            for r in ps["dedup_containment_pipeline"].fn(spark, d).collect()
+        }
+        exact = {
+            tuple(r) for r in ps["dedup_containment"].fn(spark, d).collect()
+        }
+        assert pipe == exact, d

@@ -1,0 +1,221 @@
+"""sf1.0 decade probe (VERDICT r12 #7).
+
+SCALING.md's sweeps stop at sf0.1; this tool adds one more decade for
+the highest-slope plans by GENERATING a distribution-faithful sf1.0
+(10x sf0.1) under /tmp and timing the plans on both.
+
+The driver's testdata is read-only and its generator private, so the
+sf1.0 tables are re-derived here from the measured sf0.1
+distributions (profiled 2026-08-16): fixed 31-word document vocab,
+10..100 words/doc, lang mix en~40%/others~15%, 20 sources, ~0.16%
+exact dups; TPC-H-ish customer/orders/lineitem with 10 customers per
+100 orders, ~4.07 lines/order, the same date windows, segments,
+priorities and price ranges. Every value is a pure function of the
+row key (xxhash64), so generation is deterministic, distributed, and
+RNG-free. Distribution fidelity is what a SLOPE needs; the absolute
+numbers are not comparable to the driver tables row-for-row.
+
+Tables the probed plans do not scale on (region, nation, supplier,
+part, events, embeddings) are copied from sf0.1 byte-for-byte.
+
+Usage: python tools/decade_probe.py [--mult 10] [--reps 2]
+Prints one JSON line {plan: {sf01, sf1, decade_slope}}; paste into
+SCALING.md. Run UNCONTENDED.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import math
+import os
+import shutil
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+PROBED = [
+    "text_bpe_apply",
+    "text_bigram_lm_score",
+    "dedup_winnowing",
+    "dedup_containment",
+    "q3_shipping_priority",
+    "curate_decontaminate",
+]
+
+VOCAB = [
+    "a", "agg", "batch", "big", "column", "customer", "data", "dup",
+    "fast", "filter", "group", "hash", "join", "key", "line", "merge",
+    "order", "part", "query", "row", "scan", "slow", "small", "sort",
+    "spark", "stream", "table", "the", "value", "vector", "window",
+]
+LANGS = ["en", "en", "en", "de", "es", "fr", "zh"]  # ~43% en
+SEGMENTS = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
+PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+
+
+def _h(col, salt: int):
+    """Non-negative deterministic 63-bit hash of (key, salt)."""
+    return F.abs(F.xxhash64(col, F.lit(salt)))
+
+
+def generate(spark, out: Path, mult: int) -> None:
+    n_cust, n_ord, n_doc = 15_000 * mult, 150_000 * mult, 5_000 * mult
+    ids = lambda n: spark.range(0, n, 1, 64)  # noqa: E731
+
+    cust = ids(n_cust).select(
+        F.col("id").alias("c_custkey"),
+        F.concat(F.lit("Customer#"), F.col("id")).alias("c_name"),
+        (_h("id", 1) % 25).cast("int").alias("c_nationkey"),
+        ((_h("id", 2) % 1_000_000) / 100.0).alias("c_acctbal"),
+        F.element_at(
+            F.array(*[F.lit(s) for s in SEGMENTS]),
+            ((_h("id", 3) % 5) + 1).cast("int"),
+        ).alias("c_mktsegment"),
+    )
+    cust.write.mode("overwrite").parquet(str(out / "customer.parquet"))
+
+    base = F.lit("1995-01-01 00:00:00").cast("timestamp")
+    orders = ids(n_ord).select(
+        F.col("id").alias("o_orderkey"),
+        (_h("id", 4) % n_cust).alias("o_custkey"),
+        F.element_at(
+            F.array(F.lit("O"), F.lit("P"), F.lit("F")),
+            ((_h("id", 5) % 3) + 1).cast("int"),
+        ).alias("o_orderstatus"),
+        ((_h("id", 6) % 45_000_000) / 100.0 + 900.0).alias("o_totalprice"),
+        F.timestamp_add(
+            "DAY", (_h("id", 7) % 2404).cast("int"), base
+        ).alias("o_orderdate"),
+        F.element_at(
+            F.array(*[F.lit(p) for p in PRIORITIES]),
+            ((_h("id", 8) % 5) + 1).cast("int"),
+        ).alias("o_orderpriority"),
+    )
+    orders.write.mode("overwrite").parquet(str(out / "orders.parquet"))
+
+    # ~4.07 lines per order: 1 + h%7 averages 4.0 with max 7 (the
+    # sf0.1 max of 17 is a tail the slope does not hinge on)
+    li = (
+        orders.select(
+            "o_orderkey",
+            "o_orderdate",
+            F.explode(
+                F.sequence(
+                    F.lit(1), ((_h("o_orderkey", 9) % 7) + 1).cast("int")
+                )
+            ).alias("l_linenumber"),
+        )
+        .select(
+            F.col("o_orderkey").alias("l_orderkey"),
+            (_h("o_orderkey", 10) % (20_000 * 10)).alias("l_partkey"),
+            (_h("o_orderkey", 11) % (1_000 * 10)).alias("l_suppkey"),
+            "l_linenumber",
+            ((_h("l_linenumber", 12) % 50) + 1).cast("double").alias(
+                "l_quantity"
+            ),
+            ((_h("l_linenumber", 13) % 10_400_000) / 100.0 + 900.0).alias(
+                "l_extendedprice"
+            ),
+            ((_h("l_linenumber", 14) % 11) / 100.0).alias("l_discount"),
+            ((_h("l_linenumber", 15) % 9) / 100.0).alias("l_tax"),
+            F.element_at(
+                F.array(F.lit("A"), F.lit("N"), F.lit("R")),
+                ((_h("l_linenumber", 16) % 3) + 1).cast("int"),
+            ).alias("l_returnflag"),
+            F.element_at(
+                F.array(F.lit("O"), F.lit("F")),
+                ((_h("l_linenumber", 17) % 2) + 1).cast("int"),
+            ).alias("l_linestatus"),
+            F.timestamp_add(
+                "DAY",
+                ((_h("l_linenumber", 18) % 95) + 1).cast("int"),
+                F.col("o_orderdate"),
+            ).alias("l_shipdate"),
+        )
+    )
+    li.write.mode("overwrite").parquet(str(out / "lineitem.parquet"))
+
+    # documents: ~0.16% of docs duplicate their predecessor's text
+    text_seed = F.when(
+        (_h("id", 19) % 600 == 0) & (F.col("id") > 0), F.col("id") - 1
+    ).otherwise(F.col("id"))
+    n_words = ((_h("id", 20) % 91) + 10).cast("int")
+    words = F.transform(
+        F.sequence(F.lit(1), n_words),
+        lambda i: F.element_at(
+            F.array(*[F.lit(w) for w in VOCAB]),
+            ((F.abs(F.xxhash64(text_seed, i, F.lit(21))) % len(VOCAB)) + 1)
+            .cast("int"),
+        ),
+    )
+    docs = ids(n_doc).select(
+        F.col("id").alias("doc_id"),
+        F.array_join(words, " ").alias("text"),
+        F.element_at(
+            F.array(*[F.lit(lg) for lg in LANGS]),
+            ((_h("id", 22) % len(LANGS)) + 1).cast("int"),
+        ).alias("lang"),
+        F.concat(F.lit("src"), (_h("id", 23) % 20)).alias("source"),
+    ).withColumn("n_chars", F.length("text"))
+    docs.write.mode("overwrite").parquet(str(out / "documents.parquet"))
+
+    for t in ("region", "nation", "supplier", "part", "events",
+              "embeddings"):
+        src = Path("/root/testdata/sf0.1") / f"{t}.parquet"
+        if src.exists():
+            shutil.copy(src, out / f"{t}.parquet")
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--mult", type=int, default=10)
+    ap.add_argument("--reps", type=int, default=2)
+    ap.add_argument("--keep", action="store_true")
+    args = ap.parse_args()
+
+    from compendium_spark.plans import all_plans  # noqa: PLC0415
+    from compendium_spark.session import get_session  # noqa: PLC0415
+
+    spark = get_session("decade-probe")
+    out = Path(f"/tmp/compendium_decade_{os.getuid()}_sf{args.mult}")
+    t0 = time.perf_counter()
+    generate(spark, out, args.mult)
+    print(f"# generated {out} in {time.perf_counter() - t0:.1f}s",
+          file=sys.stderr)
+
+    plans = all_plans()
+    result = {}
+    for name in PROBED:
+        fn = plans[name].fn
+        t01 = min(
+            _timed(fn, spark, "/root/testdata/sf0.1")
+            for _ in range(args.reps)
+        )
+        t1 = min(_timed(fn, spark, str(out)) for _ in range(args.reps))
+        slope = math.log10(t1 / t01)  # decade slope: 1.0 == linear
+        result[name] = {
+            "sf0.1": round(t01, 3),
+            f"sf{args.mult / 10:g}": round(t1, 3),
+            "decade_slope": round(slope, 2),
+        }
+        print(f"# {name}: {t01:.2f}s -> {t1:.2f}s  slope {slope:+.2f}",
+              file=sys.stderr)
+    print(json.dumps(result))
+    if not args.keep:
+        shutil.rmtree(out, ignore_errors=True)
+    return 0
+
+
+def _timed(fn, spark, sf_dir) -> float:
+    t = time.perf_counter()
+    fn(spark, sf_dir).count()
+    return time.perf_counter() - t
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
