@@ -849,8 +849,18 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     the last scale-killer in the registry. The all-pairs form survives
     only as the recall oracle above.
 
-    Scale: candidates = Σ_bucket |b_exact|·|b_probed| (≈1.9× the
-    exact-only Σ|b|²/2 at sf0.1), never n²/2; the self-join
+    Scale — MEASURED LIMIT (r13 sf1.0 decade probe, SCALING.md):
+    candidates = Σ_bucket |b_exact|·|b_probed| per table, and with
+    k=4 sign bits (16 buckets) that is L·n²/2^k — quadratic with a
+    1/16-per-table constant: 3.6 s at n=2000 (sf0.1) but 490 s at
+    n=20000 (slope +2.13). k=4 is the deliberate recall choice for
+    the 0.5-cosine threshold (per-table collision (1-θ/π)^k ≈ 0.2 at
+    θ=60°; k≈log2 n would collapse it to ~4%, unrecoverable by any
+    affordable L — the classic (k, L) trade). This plan is therefore
+    the ≤10⁴-vector exact-verify tool; the registered full-corpus
+    path is dedup_semdedup (IVF-cell-bounded, measured +0.50 slope,
+    4.3 s at sf1.0 on the same corpus). Within its regime the
+    self-join
     shuffles slim (vec_id, tbl, bucket) rows on the bucket key, arrays
     join in AFTER the distinct, and the top-k is a TakeOrdered, not a
     global sort. Top-k membership and ordering compare the QUANTIZED

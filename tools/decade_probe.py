@@ -164,8 +164,45 @@ def generate(spark, out: Path, mult: int) -> None:
     ).withColumn("n_chars", F.length("text"))
     docs.write.mode("overwrite").parquet(str(out / "documents.parquet"))
 
-    for t in ("region", "nation", "supplier", "part", "events",
-              "embeddings"):
+    # embeddings: 64-dim unit vectors, near-random with a slight label
+    # tilt (measured sf0.1: mean cos to own label centroid 0.07, ~0 to
+    # others; labels 0..9). Gaussians via Box-Muller over hash
+    # uniforms; tilt = 0.07 x a label-keyed gaussian; L2-normalized.
+    n_emb = 2_000 * mult
+    two24 = float(1 << 24)
+
+    def gauss(*cols):
+        h1 = F.abs(F.xxhash64(*cols, F.lit(31)))
+        h2 = F.abs(F.xxhash64(*cols, F.lit(32)))
+        u1 = ((h1 % (1 << 24)) + 0.5) / two24
+        u2 = ((h2 % (1 << 24)) + 0.5) / two24
+        return F.sqrt(-2.0 * F.log(u1)) * F.cos(2.0 * math.pi * u2)
+
+    raw = F.transform(
+        F.sequence(F.lit(0), F.lit(63)),
+        lambda d: gauss(F.col("vec_id"), d)
+        + 0.07 * gauss(F.col("label"), d, F.lit(99)),
+    )
+    norm = F.sqrt(
+        F.aggregate(raw, F.lit(0.0), lambda a, x: a + x * x)
+    )
+    emb = (
+        ids(n_emb)
+        .select(
+            F.col("id").alias("vec_id"),
+            (_h("id", 30) % 10).cast("int").alias("label"),
+        )
+        .select(
+            "vec_id",
+            F.transform(raw, lambda x: x / norm)
+            .cast("array<float>")
+            .alias("embedding"),
+            "label",
+        )
+    )
+    emb.write.mode("overwrite").parquet(str(out / "embeddings.parquet"))
+
+    for t in ("region", "nation", "supplier", "part", "events"):
         src = Path("/root/testdata/sf0.1") / f"{t}.parquet"
         if src.exists():
             shutil.copy(src, out / f"{t}.parquet")
