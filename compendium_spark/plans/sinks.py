@@ -135,7 +135,15 @@ def sink_accessions_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     wh.write("samples", head)
     wh.append("samples", tail)  # K1: insert into the live table
     out = wd / "accessions.txt"
-    cmd_accessions(wh, SimpleNamespace(project="PRJ9", out=str(out)))
+    # the CLI's user-facing progress print goes to stderr here: plans
+    # run inside bench/doc generators whose STDOUT is machine-parsed
+    # (the r13 SCALING.md regen caught stray "wrote N accessions"
+    # lines in the redirect)
+    import contextlib  # noqa: PLC0415
+    import sys  # noqa: PLC0415
+
+    with contextlib.redirect_stdout(sys.stderr):
+        cmd_accessions(wh, SimpleNamespace(project="PRJ9", out=str(out)))
     return (
         spark.read.text(str(out))
         .select(F.col("value").alias("srr"))
