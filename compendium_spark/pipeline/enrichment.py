@@ -84,7 +84,7 @@ def build_esearch_url(accessions: Iterable[str], prefix: str = ESEARCH_PREFIX) -
     url = prefix + "".join(f"{a}[accn] or " for a in accessions)
     url = url[:-4]
     if len(url) > MAX_URL_LEN:
-        raise ValueError(f"URL IS TOO LONG ({len(url)} > {MAX_URL_LEN} chars)")
+        raise UrlTooLongError(f"URL IS TOO LONG ({len(url)} > {MAX_URL_LEN} chars)")
     return url
 
 
@@ -146,6 +146,15 @@ class TwoStrikeError(RuntimeError):
     """Second consecutive transport failure (`db.py:292`, `db.py:326-384`)."""
 
 
+class UrlTooLongError(ValueError):
+    """A built eUtils URL exceeds {MAX_URL_LEN} chars. The reference
+    hard-bails immediately on BOTH guards (`db.py:314-317` and
+    `db.py:356-359` are `exit(1)`, not a strike), so this error is
+    NON-strikeable: ``fetch_batches`` re-raises it instead of
+    counting it toward the two-strike policy (ADVICE r13). Subclasses
+    ValueError for callers matching the original type."""
+
+
 class WebEnvMissingError(RuntimeError):
     """ESearch answered without a WebEnv token (`db.py:344-352`) —
     strike-able like a transport error, never a crash."""
@@ -204,7 +213,9 @@ def make_eutils_fetch(
             )
         url = f"{efetch_prefix}&WebEnv={webenv.text}"
         if len(url) > MAX_URL_LEN:
-            raise ValueError(
+            # db.py:356-359 is exit(1): immediate bail, NOT a strike —
+            # the typed error is re-raised by fetch_batches (ADVICE r13)
+            raise UrlTooLongError(
                 f"URL IS TOO LONG ({len(url)} > {MAX_URL_LEN} chars)"
             )
         return get(url)
@@ -226,13 +237,19 @@ def fetch_batches(
     (Quirk Q2) is fixed by design. A misformed EFetch BODY is a
     strike too (`db.py:374-381`), so the parse sits inside the same
     try; ``error_previous`` resets only after a full fetch+parse
-    success, exactly like the reference's loop."""
+    success, exactly like the reference's loop. One exception is NOT
+    strikeable: :class:`UrlTooLongError` re-raises immediately, both
+    from the ESearch build (pre-try) and from inside the transport's
+    EFetch guard — the reference exits(1) on both (`db.py:314-317`,
+    `db.py:356-359`), ADVICE r13."""
     staged: list[dict] = []
     error_previous = False
     for batch in batches:
         url = build_esearch_url(batch)
         try:
             parsed = parse_efetch_response(fetch(url))
+        except UrlTooLongError:
+            raise  # reference hard-bails here — never a strike
         except Exception:
             if error_previous:
                 raise TwoStrikeError("Two errors in a row. Bailing.") from None

@@ -1875,6 +1875,9 @@ def text_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 TRAIN_BPE_STEPS = 8
+# re-pin the vocabulary every N merges so the lazy replace chain stays
+# O(N) deep (ADVICE r13: O(steps^2) recomputation + 64 KB codegen)
+_BPE_RECHECKPOINT_EVERY = 4
 _SEP2 = _BPE_SEP * 2  # inter-symbol delimiter (see encoding note below)
 
 
@@ -1969,8 +1972,17 @@ def train_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver holds only the merge table itself ({TRAIN_BPE_STEPS} rows
     — the kmeans/logreg bounded-driver-state precedent).
     Re-segmentation is a literal JVM replace inside whole-stage
-    codegen, chained lazily per step. At 100 TB only the first
-    vocab aggregation is corpus-proportional."""
+    codegen, chained lazily per step — and because the chain is lazy,
+    step i's collect() would re-execute all i-1 prior replace stages
+    over the vocabulary (O(steps^2) recomputation, ADVICE r13). The
+    loop therefore re-localCheckpoints ``cur`` every
+    {_BPE_RECHECKPOINT_EVERY} merges, which (a) caps recomputation at
+    O(steps · {_BPE_RECHECKPOINT_EVERY}) vocab scans and (b) keeps
+    each generated replace-expression chain under the JVM 64 KB
+    method-bytecode codegen limit at production merge counts (30k+) —
+    the two scale caveats are solved by the same checkpoint cadence.
+    At 100 TB only the first vocab aggregation is
+    corpus-proportional; checkpoints are vocabulary-sized."""
     docs = load(spark, sf_dir, "documents")
     vocab = (
         docs.select(
@@ -2026,6 +2038,11 @@ def train_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(f"{_BPE_SEP}{a}{b}{_BPE_SEP}"),
             ),
         )
+        # bound the lazy replace chain: without this, step i re-runs
+        # all i-1 prior replaces per collect (O(steps^2)), and 30k+
+        # chained replaces would overflow the 64 KB codegen limit
+        if step % _BPE_RECHECKPOINT_EVERY == 0 and step < TRAIN_BPE_STEPS:
+            cur = cur.localCheckpoint(eager=True)
     return spark.createDataFrame(
         merges, "step int, c1 string, c2 string, merge_count long"
     ).orderBy("step")

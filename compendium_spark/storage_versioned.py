@@ -102,6 +102,16 @@ class SnapshotNotFoundError(LookupError):
     was dropped below the VACUUM horizon."""
 
 
+class CommitFilesVanishedError(RuntimeError):
+    """A file this commit wrote disappeared between the data-fsync
+    phase and manifest publish — almost certainly a concurrent
+    ``vacuum`` whose grace window was shorter than this commit's
+    slow phases (footer stats + key hints + fsync don't bump
+    mtimes). The commit FAILS LOUDLY and publishes nothing; without
+    this check the manifest would link(2) successfully and reference
+    deleted files — a permanently unreadable snapshot (ADVICE r13)."""
+
+
 # manifest stats hold only JSON-native scalar types; anything else
 # (binary, nested) is simply not recorded — absent stats mean "never
 # prunable", which is always safe. Naive datetimes/dates are stored as
@@ -711,6 +721,32 @@ class VersionedWarehouse:
                 json.dump(manifest, f, indent=1)
                 f.flush()
                 _os.fsync(f.fileno())
+            # LAST-INSTANT existence re-verify of the files this commit
+            # wrote (ADVICE r13): the slow phases above (footer stats,
+            # _key_hints full-column reads, _fsync_tree) don't update
+            # mtimes, so a concurrent vacuum with a too-short grace can
+            # age-out and rmtree our staging dir mid-commit. If that
+            # happened, fail HERE — a loud failed commit — rather than
+            # publish a manifest referencing deleted files (a
+            # permanently unreadable snapshot). O(new files) stats; the
+            # carried files belong to the retained base snapshot, which
+            # vacuum never reclaims (keep_last >= 1).
+            if new_df is not None:
+                dname = ddir.name
+                gone = [
+                    rel
+                    for rel in files
+                    if rel.startswith(f"data/{dname}/")
+                    and not (self._tdir(name) / rel).exists()
+                ]
+                if gone:
+                    raise CommitFilesVanishedError(
+                        f"{name}: {len(gone)} file(s) written by this "
+                        f"commit vanished before publish (e.g. "
+                        f"{gone[0]!r}) — a concurrent vacuum's grace "
+                        "window is shorter than this commit's duration; "
+                        "raise grace_seconds. Nothing was published."
+                    )
             try:
                 _os.link(tmp, final)
             except FileExistsError:
@@ -1498,7 +1534,7 @@ class VersionedWarehouse:
         )
 
     def vacuum(
-        self, name: str, keep_last: int = 2, grace_seconds: float = 600.0
+        self, name: str, keep_last: int = 2, grace_seconds: float = 86400.0
     ) -> list[str]:
         """Drop manifests older than the last ``keep_last`` and delete
         data files no retained snapshot references. Time travel below
@@ -1512,10 +1548,15 @@ class VersionedWarehouse:
         crashed commit attempts, which DO hold parquet but were never
         published — but only once its newest entry is older than
         ``grace_seconds``. The grace window protects a concurrent
-        writer's freshly created staging dir (whose first part file
-        may not have landed yet) from being rmtree'd mid-write, which
-        would fail the racing commit; Delta's VACUUM makes the same
-        uncommitted-file/retention-horizon trade."""
+        writer's staging dir from being rmtree'd mid-commit: a
+        commit's slow phases (footer stats, key hints, fsync) do NOT
+        update mtimes, so the window must exceed any plausible commit
+        duration — hence the 24 h default (Delta's equivalent is
+        7 days), ADVICE r13. Even if misconfigured, the failure mode
+        is bounded: ``_commit`` re-verifies its files exist
+        immediately before publish and raises
+        :class:`CommitFilesVanishedError` — a loud failed commit,
+        never a published manifest referencing deleted files."""
         if keep_last < 1:
             raise ValueError(
                 f"vacuum keep_last must be >= 1, got {keep_last} "
