@@ -31,6 +31,51 @@ from compendium_spark.plans.registry import plan
 from compendium_spark.tables import load, maybe_broadcast
 
 # ---------------------------------------------------------------------------
+# exact-oracle regime guards (VERDICT r13 #2)
+# ---------------------------------------------------------------------------
+
+
+class ExactOracleRegimeError(RuntimeError):
+    """An exhaustive exact-verify plan was invoked above its
+    documented input regime. Three plans keep deliberately exhaustive
+    shapes as SAMPLE-SCALE EXACT ORACLES (dedup_embedding_cosine's
+    L·n²/2^k candidate volume, dedup_containment's and
+    dedup_ngram_jaccard's Σ C(shingle-bucket, 2) self-join — measured
+    decade slopes +2.13 / +1.21, SCALING.md); above the budget they
+    melt (490 s at 2×10⁴ vectors) while their registered scale-path
+    twins (dedup_semdedup, dedup_containment_pipeline,
+    dedup_neardup_pipeline) stay sublinear. A 100× caller now fails
+    in milliseconds with the twin named, instead of discovering the
+    quadratic the slow way — the same fail-loud demotion precedent as
+    the r7 crossJoin re-registration."""
+
+
+# dedup_embedding_cosine: candidates = L·n²/2^k with k=4 — the
+# measured wall at n=2×10⁴ is 490 s; ≤10⁴ vectors is the documented
+# exact-verify regime (sf0.1 gate runs at n=2000).
+EXACT_COSINE_MAX_VECTORS = 10_000
+# shingle self-joins: the corpus-saturated fixture maps 5×10³ docs to
+# 1.27M join pairs and 5×10⁴ docs to 118M (slope +1.21); ≤10⁴ docs
+# keeps the exhaustive verify under ~5M pairs.
+EXACT_SHINGLE_MAX_DOCS = 10_000
+
+
+def _guard_exact_regime(n: int, budget: int, plan_name: str, unit: str, twin: str) -> None:
+    """Fail-fast input-size check for the exhaustive exact oracles.
+    The count is a parquet metadata read (milliseconds), so a caller
+    who should be on the pipeline twin learns it before any shuffle
+    is scheduled. MUST NOT fire at gated SFs (sf0.001/0.01/0.1 all
+    sit well under budget — pinned in tests/test_r14_guards.py)."""
+    if n > budget:
+        raise ExactOracleRegimeError(
+            f"{plan_name}: {n} {unit} exceeds the {budget}-{unit} "
+            f"exact-verify regime this exhaustive oracle is documented "
+            f"for; use {twin} (the registered scale path) on corpora "
+            "this size."
+        )
+
+
+# ---------------------------------------------------------------------------
 # shared shingling expressions
 # ---------------------------------------------------------------------------
 
@@ -165,8 +210,17 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixture's fixed vocabulary saturates the shingle space. This plan
     is the EXACT ORACLE for sample-scale audits; the registered
     full-corpus path is dedup_neardup_pipeline (O(candidates), 100%
-    qualifying-pair recall at both gated SFs, measured r13).
+    qualifying-pair recall at both gated SFs, measured r13). Inputs
+    above {EXACT_SHINGLE_MAX_DOCS} docs raise ExactOracleRegimeError
+    in milliseconds instead of running the quadratic (r14).
     """
+    _guard_exact_regime(
+        load(spark, sf_dir, "documents").count(),
+        EXACT_SHINGLE_MAX_DOCS,
+        "dedup_ngram_jaccard",
+        "docs",
+        "dedup_neardup_pipeline",
+    )
     sh = _doc_shingles(spark, sf_dir)
     cnt = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.alias("a")
@@ -857,9 +911,13 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     the 0.5-cosine threshold (per-table collision (1-θ/π)^k ≈ 0.2 at
     θ=60°; k≈log2 n would collapse it to ~4%, unrecoverable by any
     affordable L — the classic (k, L) trade). This plan is therefore
-    the ≤10⁴-vector exact-verify tool; the registered full-corpus
-    path is dedup_semdedup (IVF-cell-bounded, measured +0.50 slope,
-    4.3 s at sf1.0 on the same corpus). Within its regime the
+    the ≤{EXACT_COSINE_MAX_VECTORS}-vector exact-verify tool —
+    ENFORCED since r14: above that budget it raises
+    ExactOracleRegimeError in milliseconds (the count was already a
+    1-row job) instead of running the quadratic; the registered
+    full-corpus path is dedup_semdedup (IVF-cell-bounded, measured
+    +0.50 slope, 4.3 s at sf1.0 on the same corpus). Within its
+    regime the
     self-join
     shuffles slim (vec_id, tbl, bucket) rows on the bucket key, arrays
     join in AFTER the distinct, and the top-k is a TakeOrdered, not a
@@ -876,7 +934,14 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = _load_embeddings(spark, sf_dir)
-    n_vec = emb.count()  # 1-row driver bound — selects the knob only
+    n_vec = emb.count()  # 1-row driver bound — knob + regime guard
+    _guard_exact_regime(
+        n_vec,
+        EXACT_COSINE_MAX_VECTORS,
+        "dedup_embedding_cosine",
+        "vectors",
+        "dedup_semdedup",
+    )
     n_tables = adaptive_n_tables(n_vec)
     n = emb.withColumn("nrm", F.sqrt(_dot_unrolled(F.col("e"), F.col("e"))))
     # Round 8 (adaptive L): BOTH hot paths are Arrow kernels now. The
@@ -1527,8 +1592,16 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     (dedup_containment_pipeline, the registered r13 twin), never
     all-pairs. The direction pick compares
     the same two ratios both engines compute from exact integers, so
-    ties (n_a == n_b) resolve identically.
+    ties (n_a == n_b) resolve identically. Inputs above
+    {EXACT_SHINGLE_MAX_DOCS} docs raise ExactOracleRegimeError (r14).
     """
+    _guard_exact_regime(
+        load(spark, sf_dir, "documents").count(),
+        EXACT_SHINGLE_MAX_DOCS,
+        "dedup_containment",
+        "docs",
+        "dedup_containment_pipeline",
+    )
     sh = _doc_shingles(spark, sf_dir)
     cnt = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.alias("a")
