@@ -264,13 +264,46 @@ def _baseline() -> dict[str, float]:
     return {}
 
 
+def session_median_delta(
+    timings: dict[str, float], base: dict[str, float], min_n: int = 5
+) -> float:
+    """Median of per-query (observed / baseline) over every plan with
+    both numbers — the SESSION HEAT factor, clamped to >= 1.0.
+
+    VERDICT r13 #3 (baseline ratchet): the baseline is a per-query min
+    over a growing history, so it only ever falls, and a whole session
+    running uniformly hot (r13 measured median 1.28x, flat across
+    families) pushed EVERY plan toward the absolute 1.3x flag — pure
+    false positives. Normalizing by the session median makes the guard
+    flag only plans regressing RELATIVE to their own session. The
+    clamp keeps a genuinely fast session from tightening the guard
+    below the absolute 1.3x contract, and < ``min_n`` comparable plans
+    (tiny synthetic suites, round 1) fall back to 1.0 = the old
+    absolute behavior."""
+    ratios = sorted(
+        timings[n] / base[n]
+        for n in timings
+        if base.get(n, 0) > 0
+    )
+    if len(ratios) < min_n:
+        return 1.0
+    mid = len(ratios) // 2
+    med = (
+        ratios[mid]
+        if len(ratios) % 2
+        else (ratios[mid - 1] + ratios[mid]) / 2
+    )
+    return max(1.0, med)
+
+
 def run_suite(
     names: list[str],
     execute,
     base: dict[str, float],
 ) -> tuple[dict[str, float], dict[str, int], dict[str, str]]:
-    """Run the suite (2 interleaved passes + late confirmation pass for
-    >1.3x-vs-baseline outliers), returning (timings, rows, errors).
+    """Run the suite (2 interleaved passes + late confirmation pass
+    for outliers at >1.3x their baseline AFTER dividing out the
+    session median delta), returning (timings, rows, errors).
 
     One broken query must never zero out the whole artifact (round 2's
     j10_range_join aborted the entire bench): every execution is
@@ -297,11 +330,14 @@ def run_suite(
         for name in names:
             run_once(name)
     # confirmation pass: anything still >1.3x its recorded baseline
-    # gets one more (late, outside the earlier windows) run — a spike
-    # is not a plan regression
+    # AFTER dividing out the session heat (median delta across all
+    # plans) gets one more (late, outside the earlier windows) run —
+    # a spike is not a plan regression, and neither is a uniformly
+    # hot session (VERDICT r13 #3)
+    med = session_median_delta(timings, base)
     for name in names:
         b = base.get(name)
-        if b and name in timings and timings[name] > 1.3 * b:
+        if b and name in timings and timings[name] > 1.3 * med * b:
             run_once(name)
     return timings, rows, errors
 
@@ -391,8 +427,18 @@ def main() -> None:
         timings[name] = round(timings[name], 4)
         print(f"# {name}: {timings[name]:.3f}s ({rows[name]} rows)", file=sys.stderr)
 
-    # regression guard: per-query delta vs the last recorded round
-    # (only meaningful at the recorded round's scale factor, sf0.1)
+    # regression guard: per-query delta vs the recorded baseline,
+    # flagged only when the plan is slow RELATIVE TO THIS SESSION
+    # (raw ratio / session median delta > 1.3) — a uniformly hot
+    # session shifts every raw ratio but flags nothing (VERDICT r13
+    # #3). Only meaningful at the recorded scale factor, sf0.1.
+    med = session_median_delta(timings, base)
+    if base:
+        print(
+            f"# session median delta: {med:.2f}x "
+            "(flag threshold = 1.3x of this)",
+            file=sys.stderr,
+        )
     for name, t in timings.items():
         b = base.get(name)
         if b is None:
@@ -400,9 +446,15 @@ def main() -> None:
                 print(f"# delta {name}: NEW ({t:.3f}s)", file=sys.stderr)
             continue
         ratio = t / b if b > 0 else float("inf")
-        flag = "  <-- REGRESSION >1.3x" if ratio > 1.3 else ""
+        norm = ratio / med
+        flag = (
+            "  <-- REGRESSION >1.3x session-normalized"
+            if norm > 1.3
+            else ""
+        )
         print(
-            f"# delta {name}: {ratio:.2f}x vs baseline {b:.3f}s{flag}",
+            f"# delta {name}: {ratio:.2f}x raw, {norm:.2f}x normalized "
+            f"vs baseline {b:.3f}s{flag}",
             file=sys.stderr,
         )
 

@@ -51,6 +51,66 @@ class TestRunSuite:
         bench.run_suite(["slow"], execute, base={"slow": 1e-12})
         assert calls["slow"] == 3
 
+    def _fake_clock(self, monkeypatch, durations):
+        """Deterministic timings: execute(name) advances a fake
+        perf_counter by durations[name]; also counts calls."""
+        clock = {"t": 0.0}
+        calls: dict[str, int] = {}
+
+        def execute(name):
+            calls[name] = calls.get(name, 0) + 1
+            clock["t"] += durations[name]
+            return 1
+
+        monkeypatch.setattr(bench.time, "perf_counter", lambda: clock["t"])
+        return execute, calls
+
+    def test_uniformly_hot_session_confirms_nothing(self, monkeypatch):
+        """VERDICT r13 #3: every plan 1.6x its baseline (a hot
+        session, like r13's flat median 1.28x) — the old absolute
+        1.3x rule would re-run ALL of them; the session-normalized
+        rule re-runs none (each plan sits exactly at the median)."""
+        names = [f"p{i}" for i in range(8)]
+        durations = {n: 1.6 for n in names}
+        base = {n: 1.0 for n in names}
+        execute, calls = self._fake_clock(monkeypatch, durations)
+        bench.run_suite(names, execute, base)
+        assert all(calls[n] == 2 for n in names), calls
+
+    def test_true_regressor_still_confirmed_in_hot_session(
+        self, monkeypatch
+    ):
+        """One plan at 4x baseline inside a 1.6x-hot session: 4/1.6 =
+        2.5x normalized > 1.3 -> it alone gets the late third run."""
+        names = [f"p{i}" for i in range(8)]
+        durations = {n: 1.6 for n in names}
+        durations["p3"] = 4.0
+        base = {n: 1.0 for n in names}
+        execute, calls = self._fake_clock(monkeypatch, durations)
+        bench.run_suite(names, execute, base)
+        assert calls["p3"] == 3
+        assert all(calls[n] == 2 for n in names if n != "p3"), calls
+
+    def test_fast_session_keeps_absolute_threshold(self, monkeypatch):
+        """Median clamp: a session running FASTER than baseline
+        (median 0.5x) must not tighten the guard below the absolute
+        1.3x contract — a plan at 1.2x baseline stays unconfirmed."""
+        names = [f"p{i}" for i in range(8)]
+        durations = {n: 0.5 for n in names}
+        durations["p5"] = 1.2
+        base = {n: 1.0 for n in names}
+        execute, calls = self._fake_clock(monkeypatch, durations)
+        bench.run_suite(names, execute, base)
+        assert calls["p5"] == 2, calls
+
+    def test_median_falls_back_to_absolute_below_min_n(self):
+        """< 5 comparable plans -> med = 1.0 (the round-1 / synthetic
+        suite case; also keeps the 1e-12-baseline test above honest)."""
+        assert bench.session_median_delta({"a": 9.0}, {"a": 1.0}) == 1.0
+        t = {f"p{i}": 2.0 for i in range(5)}
+        b = {f"p{i}": 1.0 for i in range(5)}
+        assert bench.session_median_delta(t, b) == 2.0
+
     def test_flaky_then_recovering_query_gets_a_timing(self):
         calls = {"n": 0}
 
