@@ -265,3 +265,112 @@ def apply_enrichment(samples: DataFrame, staged: DataFrame) -> DataFrame:
     fields overwrite (J6/K2, `db.py:440-470`); unknown srs are
     silently dropped like the reference's no-op UPDATE."""
     return partial_update(samples, staged.select("srs", *UPDATE_FIELDS), key="srs")
+
+
+# ---------------------------------------------------------------------------
+# distributed fetch twin (VERDICT r13 #6, SURVEY §3.2 staged form)
+# ---------------------------------------------------------------------------
+
+# staged rows carry their batch id + a per-batch error column so the
+# driver can apply the bail policy AFTER the distributed fetch
+STAGED_FETCH_SCHEMA = (
+    "batch bigint, srs string, srr array<string>, project string, "
+    "library_strategy string, library_source string, pubdate string, "
+    "total_bases bigint, instrument string, error string"
+)
+_STAGED_COLS = [
+    "batch", "srs", "srr", "project", "library_strategy",
+    "library_source", "pubdate", "total_bases", "instrument", "error",
+]
+
+
+def fetch_batches_distributed(
+    batched: DataFrame,
+    fetch_factory: Callable[[], Callable[[str], str]],
+    n_parallel: int = 4,
+) -> DataFrame:
+    """The 100×-scale twin of ``fetch_batches``: batch-id partitions →
+    ``mapInPandas`` transport → staging DataFrame (feed it to
+    ``apply_enrichment`` / ``Warehouse.partial_update``, which is
+    idempotent — a speculated or retried task re-fetching a batch
+    lands the same MERGE).
+
+    ``batched`` is ``with_batch_ids``'s output (srs, batch).
+    ``fetch_factory() -> fetch(url) -> xml_text`` builds the transport
+    INSIDE each task (``make_eutils_fetch`` in production, a replay
+    transport in tests) — sockets and sessions never serialize, and
+    the 0.5 s courtesy pause runs per task slot, so the GLOBAL request
+    rate is bounded by ``n_parallel`` / {PACING_SECONDS} s: that knob
+    is the repartition width, the unit of politeness the reference
+    enforces serially (`db.py:320`).
+
+    Error semantics vs the serial loop (documented divergence, same
+    accept/reject contract):
+      * ``UrlTooLongError`` raises through the task and FAILS THE JOB
+        — the reference's immediate `exit(1)` (`db.py:314-317,
+        356-359`), never a strike;
+      * any other per-batch failure becomes an ERROR ROW (batch id +
+        exception text, data columns null) instead of mutating shared
+        strike state — executors can't share ``error_previous``. The
+        driver applies the SAME two-consecutive-failures rule post
+        hoc with :func:`check_two_strikes` over the returned frame;
+        the serial loop stops fetching after the second strike while
+        the twin has already fetched everything, so the divergence is
+        wasted work on a doomed run, never a result difference.
+    """
+    agg = (
+        batched.groupBy("batch")
+        .agg(F.sort_array(F.collect_list("srs")).alias("accs"))
+        .repartition(n_parallel, "batch")
+    )
+
+    def run(iterator):
+        import pandas as pd  # noqa: PLC0415
+
+        fetch = fetch_factory()  # one transport per task
+        for pdf in iterator:
+            out: list[dict] = []
+            for batch_id, accs in zip(pdf["batch"], pdf["accs"]):
+                blank = dict.fromkeys(_STAGED_COLS)
+                try:
+                    parsed = parse_efetch_response(
+                        fetch(build_esearch_url(list(accs)))
+                    )
+                except UrlTooLongError:
+                    raise  # reference hard-bails — fail the job
+                except Exception as exc:  # noqa: BLE001 — strike row
+                    out.append(
+                        {
+                            **blank,
+                            "batch": batch_id,
+                            "error": f"{type(exc).__name__}: {exc}"[:500],
+                        }
+                    )
+                    continue
+                out.extend(
+                    {**blank, **d, "batch": batch_id} for d in parsed
+                )
+            yield pd.DataFrame(out, columns=_STAGED_COLS)
+
+    return agg.mapInPandas(run, STAGED_FETCH_SCHEMA)
+
+
+def check_two_strikes(staged: DataFrame) -> DataFrame:
+    """Apply the reference's bail rule to a distributed fetch result:
+    two CONSECUTIVE batches (by batch id) that both errored abort the
+    run (`db.py:292` — ``error_previous`` resets on any success), else
+    return the good rows (error-free, error column dropped) ready for
+    ``apply_enrichment``. One driver-side pass over the per-batch
+    error flags — O(batches), the same state the serial loop keeps."""
+    flags = (
+        staged.groupBy("batch")
+        .agg(F.max(F.col("error").isNotNull()).alias("failed"))
+        .orderBy("batch")
+        .collect()
+    )
+    prev = False
+    for r in flags:
+        if r["failed"] and prev:
+            raise TwoStrikeError("Two errors in a row. Bailing.")
+        prev = bool(r["failed"])
+    return staged.filter(F.col("error").isNull()).drop("error")

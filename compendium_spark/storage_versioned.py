@@ -102,6 +102,13 @@ class SnapshotNotFoundError(LookupError):
     was dropped below the VACUUM horizon."""
 
 
+# _merge collects the distinct update keys (to drive hint-pruned file
+# skipping for the key->partition mapping) only up to this cap; larger
+# update sets fall back to the full-scan mapping, which for a big
+# merge is proportionally cheap anyway.
+_MERGE_KEY_PRUNE_CAP = 10_000
+
+
 class CommitFilesVanishedError(RuntimeError):
     """A file this commit wrote disappeared between the data-fsync
     phase and manifest publish — almost certainly a concurrent
@@ -1049,8 +1056,36 @@ class VersionedWarehouse:
             if pcol in updates.columns
             else self.spark.createDataFrame([], f"{pcol} string")
         )
+        # key -> current-partition mapping. The naive source is a full
+        # table scan per merge — O(table), the dominant cost of a
+        # small merge into a big table. When the update key set is
+        # BOUNDED (collected up to a cap — typical MERGE batches are
+        # thousands of keys, and the cap bounds driver memory) and
+        # single-column, the scan goes through read(where=[(key, 'in',
+        # vals)]) instead: manifest min/max + dict/bloom membership
+        # hints skip every file that provably holds none of the keys,
+        # so the mapping costs O(files actually holding update keys)
+        # (r14; measured flat in tools/decade_probe.py --cdf-only).
+        # Hints are conservative — a kept file is re-filtered by the
+        # residual predicate and the semi-join below, so the pruned
+        # path returns exactly the naive path's rows.
+        mapped_src = current
+        if len(keys) == 1:
+            kvals = [
+                r[0]
+                for r in updates.select(keys[0])
+                .distinct()
+                .limit(_MERGE_KEY_PRUNE_CAP + 1)
+                .collect()
+            ]
+            if 0 < len(kvals) <= _MERGE_KEY_PRUNE_CAP and all(
+                v is not None for v in kvals
+            ):
+                mapped_src = self.read(
+                    name, base, where=[(keys[0], "in", kvals)]
+                )
         mapped = (
-            current.select(*keys, pcol)
+            mapped_src.select(*keys, pcol)
             .join(F.broadcast(updates.select(*keys)), on=keys, how="left_semi")
             .select(pcol)
         )
@@ -1576,9 +1611,11 @@ class VersionedWarehouse:
                 published_dirs.add(Path(f).parts[1])  # "data/<dir>/…"
                 if f not in live:
                     p = self._tdir(name) / f
-                    if p.exists():
+                    try:
                         p.unlink()
                         removed.append(f)
+                    except FileNotFoundError:
+                        pass  # already gone (prior vacuum / crash)
             (self._logdir(name) / f"{v:08d}.json").unlink()
         # reclaim version dirs no retained manifest references.
         # Published dirs (listed in a manifest just dropped) prune
@@ -1591,16 +1628,28 @@ class VersionedWarehouse:
         data = self._tdir(name) / "data"
         if data.exists():
             for d in sorted(data.iterdir()):
-                if not d.is_dir() or d.name in live_dirs:
+                # every step here races a commit-loser's own cleanup
+                # (_commit rmtree's its staging dir after a lost
+                # O_EXCL race): any entry may vanish between listing
+                # and stat. A vanished entry means the dir's owner is
+                # reclaiming it — skip, never crash (found by the r14
+                # contended soak: vacuum aborted mid-reclaim on a
+                # loser's rmtree).
+                try:
+                    if not d.is_dir() or d.name in live_dirs:
+                        continue
+                    if d.name in published_dirs:
+                        if not any(d.rglob("*.parquet")):
+                            shutil.rmtree(d, ignore_errors=True)
+                        continue
+                    mtimes = [d.stat().st_mtime]
+                    for p in d.rglob("*"):
+                        try:
+                            mtimes.append(p.stat().st_mtime)
+                        except FileNotFoundError:
+                            continue
+                    if now - max(mtimes) >= grace_seconds:
+                        shutil.rmtree(d, ignore_errors=True)
+                except FileNotFoundError:
                     continue
-                if d.name in published_dirs:
-                    if not any(d.rglob("*.parquet")):
-                        shutil.rmtree(d)
-                    continue
-                newest = max(
-                    (p.stat().st_mtime for p in d.rglob("*")),
-                    default=d.stat().st_mtime,
-                )
-                if now - max(newest, d.stat().st_mtime) >= grace_seconds:
-                    shutil.rmtree(d)
         return sorted(set(removed))

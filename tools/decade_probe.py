@@ -42,9 +42,14 @@ PROBED = [
     "text_bpe_apply",
     "text_bigram_lm_score",
     "dedup_winnowing",
-    "dedup_containment",
+    # dedup_containment probed +1.21 in r13; since r14 its regime
+    # guard raises above 10^4 docs, so the exhaustive oracle can no
+    # longer be probed at sf1.0 (that is the point of the guard)
     "q3_shipping_priority",
     "curate_decontaminate",
+    # r14 (VERDICT r13 #5): iterative peel — convergence rounds may
+    # grow with graph size, the slope says whether they do
+    "graph_kcore",
 ]
 
 VOCAB = [
@@ -208,17 +213,157 @@ def generate(spark, out: Path, mult: int) -> None:
             shutil.copy(src, out / f"{t}.parquet")
 
 
+def probe_cdf(spark, mult: int, reps: int) -> dict:
+    """O(changed data) probe for the CDF/lakehouse claims (VERDICT
+    r13 #5): mv_cdf_incremental and the sink_* roundtrips assert that
+    a FIXED-SIZE change costs the same no matter how big the table
+    is. This builds the same warehouse table at 1x and {mult}x rows
+    (rows-per-file held constant, so the file count scales with the
+    data — the honest layout), applies an identical 10-key upsert +
+    1-key delete at both scales, and times the three O(changed)
+    surfaces: the upsert merge itself (hint-pruned rewrite set), the
+    table_changes feed (manifest diff -> changed files only), and the
+    MV delta fold (feed + group join against a pinned MV). Slopes
+    near 0 prove the claim; slopes near 1 would mean a hidden rescan.
+    """
+    from pyspark.sql import types as T  # noqa: PLC0415
+
+    from compendium_spark.plans.sinks import _one_slice_df  # noqa: PLC0415
+    from compendium_spark.storage_versioned import (  # noqa: PLC0415
+        VersionedWarehouse,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.StringType()),
+            T.StructField("day", T.IntegerType()),
+            T.StructField("taxon", T.StringType()),
+            T.StructField("val", T.DoubleType()),
+        ]
+    )
+    rows_per_file = 2_500
+    base_rows = 40_000
+
+    def one_scale(scale: int) -> dict[str, float]:
+        root = Path(f"/tmp/compendium_cdfprobe_{os.getuid()}_{scale}x")
+        shutil.rmtree(root, ignore_errors=True)
+        n = base_rows * scale
+        # partition count scales WITH the data (time-partitioned
+        # layout: each day dir ~rows_per_file rows at every scale) —
+        # this is the layout the O(changed) claim is about. An
+        # UNPARTITIONED table full-rewrites by documented design (its
+        # COW unit is the table) and would measure ~linear here.
+        n_days = n // rows_per_file
+        wh = VersionedWarehouse(
+            spark, str(root), extra_tables={"ev": schema},
+            hint_columns={"ev": ["id"]},
+        )
+        base = spark.range(n).select(
+            F.concat(F.lit("K"), F.col("id")).alias("id"),
+            (F.col("id") % n_days).cast("int").alias("day"),
+            F.concat(F.lit("tx"), F.col("id") % 50).alias("taxon"),
+            (F.col("id") * 1.0).alias("val"),
+        )
+        wh.write("ev", base)  # untimed: seeding is legitimately O(n)
+        wh.set_partition_spec("ev", "day")
+        wh.compact("ev")  # migrate into day=N dirs (untimed, one-off)
+        v0 = wh.latest("ev")
+        t_upsert = []
+        for r in range(reps):
+            ks = [r * 1000 + i for i in range(10)]
+            ups = _one_slice_df(
+                spark,
+                [(f"K{k}", k % n_days, "txZ", -1.0) for k in ks],
+                schema,
+            )
+            t0 = time.perf_counter()
+            wh.upsert("ev", ups, "id")
+            t_upsert.append(time.perf_counter() - t0)
+        wh.delete("ev", [("id", "=", f"K{n - 1}")])
+        v1 = wh.latest("ev")
+        t_feed, t_fold = [], []
+        mv = (
+            wh.read("ev", v0)
+            .groupBy("taxon")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
+            .localCheckpoint(eager=True)  # pin: time the FOLD, not the seed
+        )
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            wh.table_changes("ev", v0, v1, "id").count()
+            t_feed.append(time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            feed = wh.table_changes("ev", v0, v1, "id")
+            delta = (
+                feed.select(
+                    "taxon",
+                    F.when(
+                        F.col("_change_type").isin(
+                            "insert", "update_postimage"
+                        ),
+                        F.lit(1),
+                    ).otherwise(F.lit(-1)).alias("d"),
+                )
+                .groupBy("taxon")
+                .agg(F.sum("d").cast("long").alias("d"))
+            )
+            (
+                mv.join(delta, "taxon", "full_outer")
+                .select(
+                    "taxon",
+                    (
+                        F.coalesce("n_rows", F.lit(0)) + F.coalesce("d", F.lit(0))
+                    ).alias("n_rows"),
+                )
+                .filter(F.col("n_rows") > 0)
+                .count()
+            )
+            t_fold.append(time.perf_counter() - t0)
+        shutil.rmtree(root, ignore_errors=True)
+        return {
+            "cdf_upsert_fixed": min(t_upsert),
+            "cdf_table_changes": min(t_feed),
+            "cdf_mv_fold": min(t_fold),
+        }
+
+    one = one_scale(1)
+    ten = one_scale(mult)
+    out = {}
+    for k in one:
+        slope = math.log10(ten[k] / one[k]) / math.log10(mult) if mult > 1 else 0
+        # normalize to per-decade so --mult other than 10 still reads
+        out[k] = {
+            "1x": round(one[k], 3),
+            f"{mult}x": round(ten[k], 3),
+            "decade_slope": round(slope, 2),
+        }
+        print(
+            f"# {k}: {one[k]:.2f}s -> {ten[k]:.2f}s  slope {slope:+.2f}",
+            file=sys.stderr,
+        )
+    return out
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--mult", type=int, default=10)
     ap.add_argument("--reps", type=int, default=2)
     ap.add_argument("--keep", action="store_true")
+    ap.add_argument("--cdf-only", action="store_true")
+    ap.add_argument(
+        "--plans", nargs="*", default=None,
+        help="probe only these plan names (default: the PROBED list); "
+        "skips the CDF probe when given",
+    )
     args = ap.parse_args()
 
     from compendium_spark.plans import all_plans  # noqa: PLC0415
     from compendium_spark.session import get_session  # noqa: PLC0415
 
     spark = get_session("decade-probe")
+    if args.cdf_only:
+        print(json.dumps(probe_cdf(spark, args.mult, args.reps)))
+        return 0
     out = Path(f"/tmp/compendium_decade_{os.getuid()}_sf{args.mult}")
     t0 = time.perf_counter()
     generate(spark, out, args.mult)
@@ -227,7 +372,7 @@ def main() -> int:
 
     plans = all_plans()
     result = {}
-    for name in PROBED:
+    for name in (args.plans if args.plans is not None else PROBED):
         fn = plans[name].fn
         t01 = min(
             _timed(fn, spark, "/root/testdata/sf0.1")
@@ -242,6 +387,8 @@ def main() -> int:
         }
         print(f"# {name}: {t01:.2f}s -> {t1:.2f}s  slope {slope:+.2f}",
               file=sys.stderr)
+    if args.plans is None:
+        result.update(probe_cdf(spark, args.mult, args.reps))
     print(json.dumps(result))
     if not args.keep:
         shutil.rmtree(out, ignore_errors=True)
