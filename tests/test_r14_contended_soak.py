@@ -51,7 +51,14 @@ from compendium_spark.storage_versioned import (  # noqa: E402
     VersionedWarehouse,
 )
 
-N_WRITERS = 4
+# CI defaults are modest (each op is a real Spark commit); the
+# extended hunt cranks these via env, e.g.
+#   SOAK_WRITERS=6 SOAK_MAX_OPS=6 SOAK_EXAMPLES=5 pytest ...
+import os  # noqa: E402
+
+N_WRITERS = int(os.environ.get("SOAK_WRITERS", "4"))
+MAX_OPS = int(os.environ.get("SOAK_MAX_OPS", "4"))
+N_EXAMPLES = int(os.environ.get("SOAK_EXAMPLES", "3"))
 MAX_RETRIES = 60
 SHARED_KEYS = ["SH0", "SH1", "SH2"]
 
@@ -62,7 +69,7 @@ SHARED_KEYS = ["SH0", "SH1", "SH2"]
 # "partial_shared" all hit partition txidSH (genuine conflicts)
 _wop = st.sampled_from(["up_own", "del_own", "up_shared", "partial_shared"])
 _schedule = st.lists(
-    st.lists(_wop, min_size=2, max_size=4),
+    st.lists(_wop, min_size=2, max_size=MAX_OPS),
     min_size=N_WRITERS,
     max_size=N_WRITERS,
 )
@@ -101,7 +108,7 @@ def _retrying(fn):
 
 
 @settings(
-    max_examples=3,
+    max_examples=N_EXAMPLES,
     deadline=None,
     derandomize=True,
     suppress_health_check=list(HealthCheck),
