@@ -50,8 +50,13 @@ def _project_native(raw: DataFrame) -> DataFrame:
     ids = "Ids.Id"
     id_field = raw.schema["Ids"].dataType["Id"].dataType.typeName()
     id_arr = F.col(ids) if id_field == "array" else F.array(F.col(ids))
-    # F.get is null-safe on the empty array (ANSI mode would throw on [0])
-    srs = F.get(F.filter(id_arr, lambda x: x["_db"] == "SRA"), 0)["_VALUE"]
+    # LAST SRA id wins: the reference's loop overwrites `sra` on every
+    # match (db.py:230-232), so a (malformed) sample with several
+    # SRA ids resolves to the final one — F.get is null-safe on the
+    # empty array (size-1 == -1 → null; ANSI [0] would throw), found
+    # by the r14 differential fuzz (tests/test_r14_xml_fuzz.py).
+    sra_ids = F.filter(id_arr, lambda x: x["_db"] == "SRA")
+    srs = F.get(sra_ids, F.size(sra_ids) - 1)["_VALUE"]
 
     attr_type = raw.schema["Attributes"].dataType["Attribute"].dataType.typeName()
     attr_col = (
@@ -59,9 +64,14 @@ def _project_native(raw: DataFrame) -> DataFrame:
         if attr_type == "array"
         else F.array(F.col("Attributes.Attribute"))
     )
-    # empty-text attributes are skipped (db.py:250-251)
+    # empty-text attributes are skipped (db.py:250-251); so are
+    # attributes carrying NEITHER name attribute — the reference's
+    # if/elif has no else branch (db.py:253-256), r14 fuzz finding
     attr_col = F.filter(
-        attr_col, lambda a: a["_VALUE"].isNotNull() & (a["_VALUE"].cast("string") != "")
+        attr_col,
+        lambda a: a["_VALUE"].isNotNull()
+        & (a["_VALUE"].cast("string") != "")
+        & (a["_harmonized_name"].isNotNull() | a["_attribute_name"].isNotNull()),
     )
     attrs = F.transform(
         attr_col,
@@ -114,7 +124,17 @@ def _read_via_pandas(spark: SparkSession, path: str) -> DataFrame:
                         for pos, a in enumerate(attrblock.findall("Attribute")):
                             if a.text is None or a.text == "":
                                 continue  # db.py:250
-                            tag = a.get("harmonized_name") or a.get("attribute_name")
+                            # PRESENCE precedence, not truthiness: a
+                            # present-but-empty harmonized_name is the
+                            # key (reference's `in attrib` check,
+                            # db.py:253-256); neither name → dropped
+                            # (no else branch). r14 fuzz findings.
+                            if "harmonized_name" in a.attrib:
+                                tag = a.attrib["harmonized_name"]
+                            elif "attribute_name" in a.attrib:
+                                tag = a.attrib["attribute_name"]
+                            else:
+                                continue
                             attrs.append((tag, a.text.lower(), pos))
                     out.append((srs, attrs))
             yield pd.DataFrame(out, columns=["srs", "attrs"])
