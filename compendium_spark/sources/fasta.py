@@ -18,7 +18,18 @@ from pyspark.sql import functions as F
 
 
 def read_fasta(spark: SparkSession, path: str) -> DataFrame:
-    """Parse FASTA → (asv string, seq string)."""
+    """Parse FASTA → (asv string, seq string).
+
+    Duplicate headers within a file resolve LAST-wins, because the
+    reference accumulates records into a dict keyed by header
+    (`seqs[asv] = seq`, projects.py:459) — same dict semantics as the
+    tags EAV dedup (A10). Known deliberate divergence (quirk-note):
+    the reference's loop is PURE 2-line alternation — it never checks
+    for '>', so a malformed file whose alternation slips feeds
+    sequence text through the header slot (and `asv[1:-1]` chops it);
+    this reader keys records on the '>' prefix instead, which agrees
+    on every well-formed 2-line file and degrades more predictably on
+    malformed ones."""
     lines = (
         spark.read.text(path)
         .withColumn("file", F.input_file_name())
@@ -29,10 +40,15 @@ def read_fasta(spark: SparkSession, path: str) -> DataFrame:
     # what the lead() pairing needs.
     w = Window.partitionBy("file").orderBy("offset")
     paired = lines.withColumn("next_line", F.lead("value").over(w))
+    headers = paired.filter(F.col("value").startswith(">")).select(
+        F.regexp_replace(F.col("value"), "^>", "").alias("asv"),  # projects.py:455
+        F.col("next_line").alias("seq"),
+        "file",
+        "offset",
+    )
+    last = Window.partitionBy("file", "asv").orderBy(F.desc("offset"))
     return (
-        paired.filter(F.col("value").startswith(">"))
-        .select(
-            F.regexp_replace(F.col("value"), "^>", "").alias("asv"),  # projects.py:455
-            F.col("next_line").alias("seq"),
-        )
+        headers.withColumn("rn", F.row_number().over(last))
+        .filter(F.col("rn") == 1)
+        .select("asv", "seq")
     )
