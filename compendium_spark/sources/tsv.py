@@ -68,18 +68,45 @@ def melt_counts(wide: DataFrame) -> DataFrame:
 
 def read_taxonomy(spark: SparkSession, path: str) -> DataFrame:
     """`ASVs_taxonomy.tsv` (ref `projects.py:461-468`): ASV label +
-    6 ranks; loaded with constant tdatabase (`projects.py:517`)."""
-    df = spark.read.csv(path, sep="\t", header=True, inferSchema=False)
-    cols = df.columns
-    return df.select(
-        F.col(cols[0]).alias("asv"),
-        F.col(cols[1]).alias("kingdom"),
-        F.col(cols[2]).alias("phylum"),
-        F.col(cols[3]).alias("tclass"),
-        F.col(cols[4]).alias("torder"),
-        F.col(cols[5]).alias("family"),
-        F.col(cols[6]).alias("genus"),
-    ).withColumn("tdatabase", F.lit("silva_nr99_v138_train_set"))  # projects.py:517
+    6 ranks; loaded with constant tdatabase (`projects.py:517`).
+
+    Duplicate ASV labels resolve LAST-wins, because the reference
+    accumulates rows into a dict (`taxa[line[0]] = line[1:]`,
+    projects.py:467) — the same dict semantics as the FASTA reader
+    and the tags EAV dedup (A10); r14 differential-fuzz finding.
+    Parsed as text + split('\\t') (the reference's exact tokenizer —
+    no CSV quoting), keeping the line offset the last-wins window
+    needs."""
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    lines = (
+        spark.read.text(path)
+        .withColumn("file", F.input_file_name())
+        .withColumn("offset", F.monotonically_increasing_id())
+    )
+    hdr = Window.partitionBy("file").orderBy("offset")
+    body = (
+        lines.withColumn("rn", F.row_number().over(hdr))
+        .filter(F.col("rn") > 1)  # skip header line (projects.py:464)
+        .withColumn("parts", F.split("value", "\t"))
+    )
+    last = Window.partitionBy("file", F.col("parts")[0]).orderBy(
+        F.desc("offset")
+    )
+    return (
+        body.withColumn("dup_rn", F.row_number().over(last))
+        .filter(F.col("dup_rn") == 1)  # projects.py:467 — last wins
+        .select(
+            F.col("parts")[0].alias("asv"),
+            F.col("parts")[1].alias("kingdom"),
+            F.col("parts")[2].alias("phylum"),
+            F.col("parts")[3].alias("tclass"),
+            F.col("parts")[4].alias("torder"),
+            F.col("parts")[5].alias("family"),
+            F.col("parts")[6].alias("genus"),
+        )
+        .withColumn("tdatabase", F.lit("silva_nr99_v138_train_set"))  # projects.py:517
+    )
 
 
 def read_geo_countries(spark: SparkSession, path: str) -> DataFrame:
@@ -111,9 +138,23 @@ def assemble_asv_tables(
     """Build `asv_sequences` + `asv_assignments` (ref `projects.py:
     442-523`). Deterministic asv_id = xxhash64(project, asv) computed
     independently on both sides — the reference's read-back remap join
-    (J3, `projects.py:499-523`) disappears."""
+    (J3, `projects.py:499-523`) disappears.
+
+    `asv_sequences` rows exist only for ASVs present in the TAXONOMY
+    file: the reference iterates `taxa.keys()` and looks each up in
+    the fasta dict (`projects.py:478`), so a fasta-only ASV is never
+    saved (r14 differential-fuzz finding; semi-join below). Deliberate
+    softening (quirk-note): a taxonomy-only ASV crashes the reference
+    with KeyError there — here it simply yields no sequence row (its
+    assignment row still lands, exactly the rows the reference writes
+    before it would crash)."""
     seqs = (
-        fasta.withColumn("project", F.lit(project))
+        fasta.join(
+            F.broadcast(taxonomy.select("asv").distinct()),
+            on="asv",
+            how="left_semi",
+        )
+        .withColumn("project", F.lit(project))
         .withColumn("asv_id", surrogate_key("project", "asv"))
         .select("asv_id", "project", "asv", "seq")
     )
