@@ -1107,23 +1107,49 @@ class VersionedWarehouse:
             # the reference's silently-no-op UPDATE: commit nothing
             return base
         if touched:
-            non_null = [v for v in touched if v is not None]
-            cond = F.col(pcol).isin(non_null) if non_null else F.lit(False)
-            if len(non_null) != len(touched):
-                cond = cond | F.col(pcol).isNull()
-            # touched FILES: every file contributing a row in a touched
-            # partition (input_file_name yields file: URIs — resolve
-            # through urlparse, never string surgery on the scheme)
-            from urllib.parse import unquote, urlparse  # noqa: PLC0415
+            # touched FILES: every file holding rows of a touched
+            # partition. For files hive-keyed on the CURRENT spec the
+            # path IS the partition value (one file = one partition
+            # value; _path_partition_values vs the Spark string
+            # rendering is the same load-bearing equivalence
+            # _rebase_target already stands on), so the set is derived
+            # from the manifest with ZERO Spark jobs (r14: this was an
+            # input_file_name scan — one full job per merge). Only
+            # files NOT hive-keyed on pcol (pre-spec-evolution layout,
+            # where one file may span several new-spec partitions) are
+            # probed with the row-level scan, over those files alone.
+            base_files = self.manifest(name, base)["files"]
+            touched_files: set[str] = set()
+            unkeyed: list[str] = []
+            for rel in base_files:
+                vals = _path_partition_values(rel)
+                if pcol in vals:
+                    if vals[pcol] in touched_str:
+                        touched_files.add(rel)
+                else:
+                    unkeyed.append(rel)
+            if unkeyed:
+                non_null = [v for v in touched if v is not None]
+                cond = (
+                    F.col(pcol).isin(non_null) if non_null else F.lit(False)
+                )
+                if len(non_null) != len(touched):
+                    cond = cond | F.col(pcol).isNull()
+                # input_file_name yields file: URIs — resolve through
+                # urlparse, never string surgery on the scheme
+                from urllib.parse import unquote, urlparse  # noqa: PLC0415
 
-            tdir = self._tdir(name).resolve()
-            touched_files = {
-                str(Path(unquote(urlparse(r[0]).path)).relative_to(tdir))
-                for r in current.filter(cond)
-                .select(F.input_file_name())
-                .distinct()
-                .collect()
-            }
+                tdir = self._tdir(name).resolve()
+                touched_files |= {
+                    str(Path(unquote(urlparse(r[0]).path)).relative_to(tdir))
+                    for r in self._read_files(
+                        name, unkeyed, self.table_schema(name, base)
+                    )
+                    .filter(cond)
+                    .select(F.input_file_name())
+                    .distinct()
+                    .collect()
+                }
             # the rewrite slice is those FILES' full content, not the
             # partition-value filter: under one spec they coincide
             # (each file holds one partition), but after a partition
@@ -1239,22 +1265,27 @@ class VersionedWarehouse:
         pre = self._read_files(name, removed, sch_post)
         post = self._read_files(name, added, sch_post)
         if check_unique:
-            for side, df in (("pre", pre), ("post", post)):
-                dup = (
-                    df.groupBy(*keys)
-                    .agg(F.count(F.lit(1)).alias("n"))
-                    .filter(F.col("n") > 1)
-                    .limit(1)
-                    .collect()
+            # ONE aggregation job over both changed slices (side-tagged
+            # union), not one per side — the check is pure overhead on
+            # the feed's wall time, so its job count matters (r14)
+            dup = (
+                pre.select(F.lit("pre").alias("_side"), *keys)
+                .unionByName(post.select(F.lit("post").alias("_side"), *keys))
+                .groupBy("_side", *keys)
+                .agg(F.count(F.lit(1)).alias("n"))
+                .filter(F.col("n") > 1)
+                .limit(1)
+                .collect()
+            )
+            if dup:
+                kv = {k: dup[0][k] for k in keys}
+                raise ValueError(
+                    f"{name}: table_changes({v_from}->{v_to}) "
+                    f"requires unique keys per snapshot; the "
+                    f"{dup[0]['_side']} "
+                    f"side holds duplicate key {kv!r} — the feed "
+                    "would fan out into spurious update pairs"
                 )
-                if dup:
-                    kv = {k: dup[0][k] for k in keys}
-                    raise ValueError(
-                        f"{name}: table_changes({v_from}->{v_to}) "
-                        f"requires unique keys per snapshot; the {side} "
-                        f"side holds duplicate key {kv!r} — the feed "
-                        "would fan out into spurious update pairs"
-                    )
         cols = [f.name for f in sch_post.fields]
         non_key = [c for c in cols if c not in keys]
         a = pre.select(*[F.col(c).alias(f"a_{c}") for c in cols])
