@@ -946,15 +946,16 @@ def train_quality_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
     they are the fastText/CCNet train-then-filter loop, expressed
     Spark-first.
 
-    Scale: each iteration is one pass over the SPARSE (doc, bucket,
-    cnt) feature stream — a margin join against the ≤LOGREG_BUCKETS+1-
-    row weight table (bounded by CONSTRUCTION, broadcast-safe
-    forever), a per-doc aggregation, and a per-bucket gradient
-    aggregation; centering folds into one scalar per iteration
-    (sparse identity — family comment), and the driver touches only
-    the weights per iteration (the kmeans precedent). Features
-    materialize ONCE (localCheckpoint): the alternative re-tokenizes
-    the corpus LOGREG_ITERS times.
+    Scale: each iteration is one pass over the checkpointed per-doc
+    SPARSE feature vectors — the margin is a row-local integer
+    aggregate() against a ≤LOGREG_BUCKETS-entry weight-map literal
+    (bounded by CONSTRUCTION, broadcast-safe forever), so the only
+    exchange per GD step is the per-bucket gradient aggregation;
+    centering folds into one scalar per iteration (sparse identity —
+    family comment), and the driver touches only the weights per
+    iteration (the kmeans precedent). Features materialize ONCE
+    (localCheckpoint): the alternative re-tokenizes the corpus
+    LOGREG_ITERS times.
 
     Parity AND run-to-run determinism: integer state end-to-end —
     weights are micro-unit BIGINTs updated by the exact integer step
@@ -972,39 +973,39 @@ def train_quality_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket = F.conv(F.substring(F.md5(F.col("token")), 1, 2), 16, 10).cast(
         "int"
     )
-    feat = (
-        tok.groupBy("doc_id", bucket.alias("bucket"))
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .localCheckpoint(eager=True)  # one tokenize pass, reused per iter
+    # ONE tokenize pass feeds both features and labels (r14: feat and
+    # lab each eager-checkpointed their own tokenize+shuffle — the
+    # corpus was exploded twice), and the per-doc grouping collects a
+    # SPARSE feature vector so every later pass is join-free: margin =
+    # integer aggregate() over the array against a broadcast weight-map
+    # literal, gradient = explode -> one per-bucket shuffle. The r13
+    # shape re-shuffled feat/lab/feat_aug by doc_id every iteration
+    # (localCheckpoint erases partitioning, so the planner could not
+    # reuse it): ~4 exchanges per GD step; now 1.
+    base = tok.groupBy("doc_id", bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(
+            F.when(F.col("token") == LOGREG_POS_TOKEN, 1).otherwise(0)
+        ).alias("pos"),
+        F.sum(
+            F.when(F.col("token") == LOGREG_NEG_TOKEN, 1).otherwise(0)
+        ).alias("neg"),
     )
-    lab = (
-        tok.groupBy("doc_id")
+    docvec = (
+        base.groupBy("doc_id")
         .agg(
-            F.when(
-                F.sum(
-                    F.when(F.col("token") == LOGREG_POS_TOKEN, 1).otherwise(0)
+            F.collect_list(
+                F.struct(
+                    F.col("bucket"), F.col("cnt").cast("long").alias("cnt")
                 )
-                > F.sum(
-                    F.when(F.col("token") == LOGREG_NEG_TOKEN, 1).otherwise(0)
-                ),
-                F.lit(1.0),
-            )
+            ).alias("feats"),
+            F.when(F.sum("pos") > F.sum("neg"), F.lit(1.0))
             .otherwise(F.lit(0.0))
-            .alias("y")
+            .alias("y"),
         )
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=True)  # materialized once, reused per iter
     )
     import math  # noqa: PLC0415
-
-    n_docs = lab.count()  # bounded driver work: the kmeans precedent
-    # per-bucket means on the 1e-6 grid as exact BIGINTs: exact-integer
-    # sums, ONE float division, floored — identical in the oracle's mu
-    mu_micro = {
-        r.bucket: math.floor(r.s * 1000000.0 / n_docs + 0.5)
-        for r in feat.groupBy("bucket")
-        .agg(F.sum("cnt").cast("long").alias("s"))
-        .collect()
-    }
     resid_micro = F.floor(F.col("resid") * F.lit(1000000.0) + F.lit(0.5)).cast(
         "long"
     )
@@ -1019,25 +1020,43 @@ def train_quality_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the same order as the Spark expressions they replace
     # (quantize_float is the documented driver-side twin of
     # quantize6), so every weight stays bit-identical to the oracle's.
-    feat_aug = feat.select(
-        "doc_id", "bucket", F.col("cnt").cast("long").alias("cnt")
-    ).unionByName(
-        lab.select(
-            "doc_id",
-            F.lit(-1).alias("bucket"),
-            F.lit(1).cast("long").alias("cnt"),
-        )
+    # bucket -1 rides each doc's feature array as an appended
+    # (bucket=-1, cnt=1) element, so the per-bucket aggregate's -1 row
+    # is Σ resid_micro with each doc counted exactly once. The margin
+    # aggregate() below EXCLUDES it naturally: -1 is absent from the
+    # weight map and coalesces to 0 (matching the r13 inner join on
+    # wdf, which dropped unmatched buckets from the margin sum).
+    feats_aug = F.concat(
+        F.col("feats"),
+        F.array(
+            F.struct(
+                F.lit(-1).alias("bucket"),
+                F.lit(1).cast("long").alias("cnt"),
+            )
+        ),
     )
 
-    def grad(resid_df: DataFrame) -> tuple[dict[int, int], int]:
-        """Quantized gradients as exact micro-unit integers — one job."""
-        sums = {
-            r.bucket: r.s
-            for r in feat_aug.join(resid_df, "doc_id")
-            .groupBy("bucket")
-            .agg(F.sum(resid_micro * F.col("cnt")).cast("long").alias("s"))
+    def _bucket_sums(resid_df: DataFrame, with_cnt: bool = False):
+        """One job, one exchange: resid is computed row-locally on the
+        checkpointed docvec, then explode -> per-bucket BIGINT sums."""
+        aggs = [F.sum(F.col("rm") * F.col("f.cnt")).cast("long").alias("s")]
+        if with_cnt:
+            aggs.append(F.sum("f.cnt").cast("long").alias("c"))
+        return (
+            resid_df.select(
+                resid_micro.alias("rm"), F.explode(feats_aug).alias("f")
+            )
+            .groupBy(F.col("f.bucket").alias("bucket"))
+            .agg(*aggs)
             .collect()
-        }
+        )
+
+    def grad(resid_df: DataFrame) -> tuple[dict[int, int], int]:
+        """Quantized gradients as exact micro-unit integers."""
+        sums = {r.bucket: r.s for r in _bucket_sums(resid_df)}
+        return grad_from(sums)
+
+    def grad_from(sums: dict[int, int]) -> tuple[dict[int, int], int]:
         gb = quantize_float(sums[-1] / (1000000.0 * float(n_docs)), 6)
         gbm = math.floor(gb * 1000000.0 + 0.5)
         g = {
@@ -1055,33 +1074,53 @@ def train_quality_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
         }
         return g, gbm
 
-    # iteration 1: w = 0 → p = 0.5 exactly, no margin pass needed
-    g, gbm = grad(lab.select("doc_id", (F.col("y") - F.lit(0.5)).alias("resid")))
+    # iteration 1 (w = 0 → p = 0.5 exactly, no margin pass needed):
+    # ONE job returns the gradient numerators AND the per-bucket Σcnt —
+    # n_docs is the intercept row's Σcnt (one cnt=1 element per doc)
+    # and mu_micro derives from the same collect. r14: this was three
+    # driver-blocking jobs (lab.count, the mu aggregation, the
+    # iteration-1 gradient); job count is wall time on the most
+    # expensive plan of the suite. The driver arithmetic is unchanged:
+    # mu_micro = floor(Σcnt·1e6/n_docs + 0.5) over the same exact
+    # BIGINT sums, identical to the oracle's mu CTE.
+    rows1 = _bucket_sums(
+        docvec.withColumn("resid", F.col("y") - F.lit(0.5)), with_cnt=True
+    )
+    n_docs = next(r.c for r in rows1 if r.bucket == -1)
+    mu_micro = {
+        r.bucket: math.floor(r.c * 1000000.0 / n_docs + 0.5)
+        for r in rows1
+        if r.bucket != -1
+    }
+    g, gbm = grad_from({r.bucket: r.s for r in rows1})
     wm = {b: LOGREG_LR * v for b, v in g.items()}
     wbm = LOGREG_LR * gbm
     for _ in range(LOGREG_ITERS - 1):
         # centering scalar: exact integer dot of micro-unit weights and
         # means (Σ wm·mu_micro), divided once — order-free
         km = sum(wm[b] * mu_micro[b] for b in wm)
-        wdf = spark.createDataFrame(
-            sorted(wm.items()), "bucket int, wm long"
+        # weights as a DENSE array literal indexed by bucket (O(1)
+        # lookup; buckets absent from wm contribute 0, matching the
+        # r13 inner join on wdf that dropped them): the margin is an
+        # exact-integer aggregate() over the doc's sparse vector — the
+        # same Σ cnt·wm BIGINT the r13 join+groupBy computed, with the
+        # identical float tail (one division, two additions, quantize6)
+        warr = F.lit([wm.get(b, 0) for b in range(LOGREG_BUCKETS)]).cast(
+            "array<bigint>"
         )
-        m = (
-            feat.join(F.broadcast(wdf), "bucket")
-            .groupBy("doc_id")
-            .agg(
-                quantize6(
-                    F.sum(F.col("cnt") * F.col("wm")) / F.lit(1000000.0)
-                    - F.lit(km / 1000000000000.0)
-                    + F.lit(wbm / 1000000.0)
-                ).alias("m")
+        m = quantize6(
+            F.aggregate(
+                "feats",
+                F.lit(0).cast("long"),
+                lambda acc, x: acc
+                + x["cnt"] * F.element_at(warr, x["bucket"] + F.lit(1)),
             )
+            / F.lit(1000000.0)
+            - F.lit(km / 1000000000000.0)
+            + F.lit(wbm / 1000000.0)
         )
-        p = quantize6(F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("m"))))
-        resid = lab.join(m, "doc_id").select(
-            "doc_id", (F.col("y") - p).alias("resid")
-        )
-        g, gbm = grad(resid)
+        p = quantize6(F.lit(1.0) / (F.lit(1.0) + F.exp(-m)))
+        g, gbm = grad(docvec.withColumn("resid", F.col("y") - p))
         wm = {b: wm[b] + LOGREG_LR * g[b] for b in wm}
         wbm = wbm + LOGREG_LR * gbm
     out = [(int(b), v / 1000000.0) for b, v in wm.items()] + [
