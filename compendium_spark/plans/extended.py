@@ -919,9 +919,12 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     +0.50 slope, 4.3 s at sf1.0 on the same corpus). Within its
     regime the
     self-join
-    shuffles slim (vec_id, tbl, bucket) rows on the bucket key, arrays
-    join in AFTER the distinct, and the top-k is a TakeOrdered, not a
-    global sort. Top-k membership and ordering compare the QUANTIZED
+    shuffles slim (vec_id, tbl, bucket) rows on the bucket key, the
+    verify kernel reads ONLY (vec_a, vec_b) id pairs against a
+    broadcast of the regime-bounded (few-MB) embedding matrix (r14 —
+    previously both 64-dim arrays were broadcast-joined onto every
+    candidate pair, ~1.5 GB through the Arrow boundary at sf0.1), and
+    the top-k is a TakeOrdered, not a global sort. Top-k membership and ordering compare the QUANTIZED
     cosine (6 dp grid, same value that is emitted), so the LIMIT
     boundary is robust to sub-quantum cross-engine float drift (r7
     advice). Reference parity: compendium's dedup is exact-key only
@@ -943,7 +946,6 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dedup_semdedup",
     )
     n_tables = adaptive_n_tables(n_vec)
-    n = emb.withColumn("nrm", F.sqrt(_dot_unrolled(F.col("e"), F.col("e"))))
     # Round 8 (adaptive L): BOTH hot paths are Arrow kernels now. The
     # r7 expression-form choice (HOF bucket projection canonicalizing
     # into one reused exchange) stopped paying at L=8 — the plan is
@@ -974,19 +976,61 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    x = n.select(
-        F.col("vec_id").alias("vec_a"), F.col("e").alias("xe"), F.col("nrm").alias("xn")
+    # Exact-cosine verify via a BROADCAST matrix: the regime guard
+    # above bounds the corpus at EXACT_COSINE_MAX_VECTORS vectors, so
+    # the full embedding matrix is a few MB — collected ONCE (bounded
+    # driver work, the same class as the centroid collects; at 100×
+    # scale the guard fires before this line) and shipped to every
+    # task as a broadcast. The kernel then receives ONLY the
+    # (vec_a, vec_b) id pairs. r14: the old shape broadcast-joined
+    # both 64-dim arrays onto every candidate pair — ~1.5M pairs × 2
+    # arrays ≈ 1.5 GB through the Arrow boundary at sf0.1, two orders
+    # of magnitude more bytes than the verify needs (guide §8: shuffle
+    # keys, attach the heavy payload once; §4.1: pass only the columns
+    # the function needs).
+    import numpy as np  # noqa: PLC0415
+
+    vec_rows = emb.collect()  # bounded: ≤ EXACT_COSINE_MAX_VECTORS rows
+    _ids = np.array([r.vec_id for r in vec_rows], dtype=np.int64)
+    _order = np.argsort(_ids, kind="stable")
+    _ids = _ids[_order]
+    _mat = np.array(
+        [vec_rows[i].e for i in _order], dtype=np.float64
     )
-    y = n.select(
-        F.col("vec_id").alias("vec_b"), F.col("e").alias("ye"), F.col("nrm").alias("yn")
-    )
-    scored = (
-        cand.join(x, "vec_a")
-        .join(y, "vec_b")
-        .select("vec_a", "vec_b", "xe", "xn", "ye", "yn")
-        .mapInPandas(
-            _cosine_verify_kernel, "vec_a long, vec_b long, cosine double"
-        )
+    # norms with the SAME sequential per-dim accumulation order as the
+    # _dot_unrolled element_at chain the old plan evaluated in-JVM —
+    # identical doubles, hence identical quantized cosines
+    _acc = np.zeros(len(_mat), dtype=np.float64)
+    for _d in range(_mat.shape[1]):
+        _acc += _mat[:, _d] * _mat[:, _d]
+    _nrm = np.sqrt(_acc)
+    bc = spark.sparkContext.broadcast((_ids, _mat, _nrm))
+
+    def _verify(batches):
+        import numpy as np  # noqa: PLC0415 — worker-side import
+        import pandas as pd  # noqa: PLC0415
+
+        ids, mat, nrm = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ai = np.searchsorted(ids, pdf["vec_a"].to_numpy())
+            bi = np.searchsorted(ids, pdf["vec_b"].to_numpy())
+            xe, ye = mat[ai], mat[bi]
+            acc = np.zeros(len(pdf), dtype=np.float64)
+            for d in range(mat.shape[1]):
+                acc += xe[:, d] * ye[:, d]
+            cos = acc / (nrm[ai] * nrm[bi])
+            yield pd.DataFrame(
+                {
+                    "vec_a": pdf["vec_a"],
+                    "vec_b": pdf["vec_b"],
+                    "cosine": np.floor(cos * 1e6 + 0.5) / 1e6,
+                }
+            )
+
+    scored = cand.mapInPandas(
+        _verify, "vec_a long, vec_b long, cosine double"
     )
     return (
         scored.orderBy(F.desc("cosine"), "vec_a", "vec_b")
