@@ -589,10 +589,17 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(und.select("b"))
         .distinct()
     )
-    survivors = []
+    # k=1 is a PROVABLE no-op peel: every endpoint of a surviving edge
+    # has degree >= 1 by construction, so its converged survivor set is
+    # exactly the distinct endpoints — `nodes` — and the edge list is
+    # unchanged. Starting the sweep at k=2 saves one full
+    # degree+join+checkpoint round (r14; measured 0.34 s/round at
+    # sf0.1) without touching any value: coreness still counts k=1
+    # survival via the appended `nodes` frame.
+    survivors = [nodes]
     e = und
     n_edges = e.count()
-    for k in range(1, KCORE_MAX_K + 1):
+    for k in range(2, KCORE_MAX_K + 1):
         for _ in range(KCORE_SPARK_ROUND_CAP):
             deg = (
                 e.select(F.col("a").alias("node"))
