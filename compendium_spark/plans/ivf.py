@@ -97,6 +97,66 @@ def _assign_cells(emb: DataFrame, centroids: list[list[float]] | None = None) ->
     )
 
 
+def _assign_partials(
+    emb: DataFrame, centroids: list[list[float]]
+) -> DataFrame:
+    """(cell, pos, s, c) — per-(cell, dim) PARTIAL micro-unit sums and
+    member counts for Lloyd's update, computed in the same batch that
+    assigns each vector to its nearest centroid (identical scoring and
+    FIRST-max tie-break as ``_assign_cells``). Each Arrow batch emits
+    at most N_CELLS×DIM rows regardless of corpus size, so the
+    per-iteration shuffle is bounded by batches × N_CELLS × DIM —
+    guide §2.3's aggregate-before-shuffle applied to k-means: the
+    alternative (assignment join against a posexploded coordinate
+    table) shuffles O(corpus × DIM) rows per iteration.
+
+    Exactness contract: s sums floor(x·1e6 + 0.5) per coordinate
+    (np.floor ≡ the engine's FLOOR on the same IEEE doubles) as int64
+    — order-free integer partials, so the downstream mean is
+    bit-identical to summing the coordinates one row at a time."""
+    import pandas as pd  # noqa: PLC0415
+
+    cent = np.asarray(centroids, dtype=np.float64)  # (K, DIM)
+    n_cells = len(cent)
+
+    def partials(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.vstack(pdf["e"].to_numpy()).astype(np.float64)  # (n, DIM)
+            # sequential per-dim accumulation — see _assign_cells
+            scores = np.zeros((len(x), n_cells))
+            for k in range(n_cells):
+                acc = np.zeros(len(x))
+                for d in range(x.shape[1]):
+                    acc = acc + x[:, d] * cent[k, d]
+                scores[:, k] = acc
+            cell = scores.argmax(axis=1)  # FIRST max == oracle tie-break
+            xm = np.floor(x * 1e6 + 0.5).astype(np.int64)
+            out_cell, out_pos, out_s, out_c = [], [], [], []
+            for k in np.unique(cell):
+                mask = cell == k
+                sums = xm[mask].sum(axis=0)  # exact int64 per dim
+                cnt = int(mask.sum())
+                dim = x.shape[1]
+                out_cell.extend([int(k)] * dim)
+                out_pos.extend(range(1, dim + 1))
+                out_s.extend(int(v) for v in sums)
+                out_c.extend([cnt] * dim)
+            yield pd.DataFrame(
+                {
+                    "cell": pd.array(out_cell, dtype="int32"),
+                    "pos": pd.array(out_pos, dtype="int32"),
+                    "s": pd.array(out_s, dtype="int64"),
+                    "c": pd.array(out_c, dtype="int64"),
+                }
+            )
+
+    return emb.select("e").mapInPandas(
+        partials, schema="cell int, pos int, s long, c long"
+    )
+
+
 def _probe_cells(emb: DataFrame, n_probe: int, ranked: bool = False) -> DataFrame:
     """(query_id, cell[, prank]) — the ``n_probe`` best cells per query
     vector, computed in the SAME sequential-accumulation Arrow kernel
@@ -826,13 +886,15 @@ def train_ivf_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     (max dot score, tie → lowest cell), so the trained table drops
     into _assign_cells unchanged.
 
-    Scale: each iteration is ONE Arrow assignment pass over the corpus
-    (the audited _assign_cells kernel with a parameterized centroid
-    table) plus ONE per-(cell, dim) mean aggregation whose output is
-    bounded by CONSTRUCTION (N_CELLS×DIM rows to the driver — the
-    kmeans precedent); the corpus never shuffles raw vectors,
-    centroids ride the closure. Empty cells keep their previous
-    centroid (the oracle's COALESCE).
+    Scale: each iteration is ONE Arrow pass over the corpus — the
+    ``_assign_partials`` kernel scores/assigns exactly like the
+    audited _assign_cells and emits per-(cell, dim) partial integer
+    sums in the same batch, so the per-iteration shuffle is bounded by
+    batches × N_CELLS × DIM partial rows (no join, no coordinate
+    explode — r14; guide §2.3) and the driver collects only the
+    N_CELLS×DIM means (the kmeans precedent); the corpus never
+    shuffles raw vectors, centroids ride the closure. Empty cells keep
+    their previous centroid (the oracle's COALESCE).
 
     Parity AND run-to-run determinism: per-dim means are EXACT
     micro-unit BIGINT sums divided once (never an unordered float AVG
@@ -842,26 +904,26 @@ def train_ivf_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroids through every iteration."""
     from compendium_spark.plans.extended import _load_embeddings  # noqa: PLC0415
 
-    emb = _load_embeddings(spark, sf_dir)
-    coords = emb.select(
-        "vec_id", F.posexplode("e").alias("pos0", "x")
-    ).select(
-        "vec_id",
-        (F.col("pos0") + 1).cast("int").alias("pos"),
-        F.floor(F.col("x") * F.lit(1000000.0) + F.lit(0.5))
-        .cast("long")
-        .alias("x_micro"),
-    ).localCheckpoint(eager=True)  # reused by every iteration's update
+    emb = _load_embeddings(spark, sf_dir).localCheckpoint(eager=True)
     cents = [list(c) for c in CENTROIDS]
     for _ in range(IVF_TRAIN_ITERS):
-        assign = _assign_cells(emb, cents)
+        # ONE kernel pass per iteration emits per-(cell, pos) PARTIAL
+        # integer sums straight from the assignment batch (r14): the
+        # r13 shape joined a 128k-row posexploded-coordinate checkpoint
+        # against the assignment on vec_id and re-shuffled both every
+        # iteration (guide §2.3: aggregate before you shuffle). Now the
+        # shuffle per iteration is <= batches × N_CELLS × DIM partial
+        # rows and there is no join at all. Parity is untouched: the
+        # partials are exact micro-unit BIGINTs (np.floor is the same
+        # IEEE floor the old Spark expression applied per coordinate,
+        # integer sums are order-free), the final mean divides the same
+        # exact totals once, in Spark, through the same quantize6.
         rows = (
-            coords.join(assign, "vec_id")
+            _assign_partials(emb, cents)
             .groupBy("cell", "pos")
             .agg(
                 quantize6(
-                    F.sum("x_micro")
-                    / (F.count(F.lit(1)) * F.lit(1000000.0))
+                    F.sum("s") / (F.sum("c") * F.lit(1000000.0))
                 ).alias("v")
             )
             .collect()

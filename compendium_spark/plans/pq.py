@@ -111,6 +111,62 @@ def _assign_codes(
     return emb.select("vec_id", "e").mapInPandas(assign, schema=schema)
 
 
+def _code_partials(emb: DataFrame, codebooks: list) -> DataFrame:
+    """(m, code, spos, s, c) — per-(subspace, entry, dim) PARTIAL
+    micro-unit sums and member counts for the PQ Lloyd update,
+    computed in the same batch that assigns codes (identical distance
+    scoring and FIRST-min tie-break as ``_assign_codes``). Each Arrow
+    batch emits at most M×K×SUB rows regardless of corpus size —
+    guide §2.3's aggregate-before-shuffle: the alternative (long-form
+    code join against a posexploded coordinate table) shuffles
+    O(corpus × DIM) rows per iteration.
+
+    Exactness: s sums floor(x·1e6 + 0.5) per coordinate (np.floor ≡
+    the engine's FLOOR on the same doubles) as int64 — order-free
+    integer partials, so the downstream mean is bit-identical."""
+    import pandas as pd  # noqa: PLC0415
+
+    cbs = [np.asarray(codebooks[m], dtype=np.float64) for m in range(M)]
+
+    def partials(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.vstack(pdf["e"].to_numpy()).astype(np.float64)
+            out_m, out_code, out_pos, out_s, out_c = [], [], [], [], []
+            for m in range(M):
+                xs = x[:, m * SUB : (m + 1) * SUB]
+                # sequential over dims — see _assign_codes
+                dists = np.zeros((len(xs), K))
+                for d in range(SUB):
+                    diff = xs[:, d][:, None] - cbs[m][None, :, d]
+                    dists = dists + diff * diff
+                code = dists.argmin(axis=1)  # FIRST min == oracle tie
+                xm = np.floor(xs * 1e6 + 0.5).astype(np.int64)
+                for k in np.unique(code):
+                    mask = code == k
+                    sums = xm[mask].sum(axis=0)  # exact int64 per dim
+                    cnt = int(mask.sum())
+                    out_m.extend([m] * SUB)
+                    out_code.extend([int(k)] * SUB)
+                    out_pos.extend(range(1, SUB + 1))
+                    out_s.extend(int(v) for v in sums)
+                    out_c.extend([cnt] * SUB)
+            yield pd.DataFrame(
+                {
+                    "m": pd.array(out_m, dtype="int32"),
+                    "code": pd.array(out_code, dtype="int32"),
+                    "spos": pd.array(out_pos, dtype="int32"),
+                    "s": pd.array(out_s, dtype="int64"),
+                    "c": pd.array(out_c, dtype="int64"),
+                }
+            )
+
+    return emb.select("e").mapInPandas(
+        partials, schema="m int, code int, spos int, s long, c long"
+    )
+
+
 def _assign_index(emb: DataFrame) -> DataFrame:
     """(vec_id, cell, code0..code{M-1}) — the FUSED IVF-PQ index build:
     coarse-cell assignment and all M subspace codes computed in ONE
@@ -542,13 +598,15 @@ def train_pq_codebooks(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark-first. Returns the trained codebooks as (m, k, pos, value)
     rows.
 
-    Scale: each iteration is ONE Arrow assignment pass over the corpus
-    (the audited _assign_codes kernel, all subspaces in one batch,
-    long-form output) plus ONE per-(subspace, entry, dim) mean
-    aggregation whose output is bounded by CONSTRUCTION (M×K×SUB rows
-    to the driver — the kmeans precedent); the corpus never shuffles
-    raw vectors, codebooks ride the closure. Empty entries keep their
-    previous centroid (the oracle's COALESCE).
+    Scale: each iteration is ONE Arrow pass over the corpus — the
+    ``_code_partials`` kernel scores/assigns exactly like the audited
+    _assign_codes and emits per-(subspace, entry, dim) partial integer
+    sums in the same batch, so the per-iteration shuffle is bounded by
+    batches × M×K×SUB partial rows (no join, no coordinate explode —
+    r14; guide §2.3) and the driver collects only the M×K×SUB means
+    (the kmeans precedent); the corpus never shuffles raw vectors,
+    codebooks ride the closure. Empty entries keep their previous
+    centroid (the oracle's COALESCE).
 
     Parity AND run-to-run determinism: per-dim means are EXACT
     micro-unit BIGINT sums divided once (never an unordered float
@@ -559,29 +617,22 @@ def train_pq_codebooks(spark: SparkSession, sf_dir: str) -> DataFrame:
     every iteration; the final table compares quantized values."""
     from compendium_spark.plans.extended import _load_embeddings  # noqa: PLC0415
 
-    emb = _load_embeddings(spark, sf_dir)
-    slices = emb.select(
-        "vec_id", F.posexplode("e").alias("pos", "x")
-    ).select(
-        "vec_id",
-        F.floor(F.col("pos") / SUB).cast("int").alias("m"),
-        (F.col("pos") % SUB + 1).cast("int").alias("spos"),
-        # snap each coordinate to the 1e-6 grid as an exact BIGINT so
-        # the centroid mean is an integer sum + one division
-        F.floor(F.col("x") * F.lit(1000000.0) + F.lit(0.5))
-        .cast("long")
-        .alias("x_micro"),
-    ).localCheckpoint(eager=True)  # reused by every iteration's update
+    emb = _load_embeddings(spark, sf_dir).localCheckpoint(eager=True)
     cbs = [[list(entry) for entry in CODEBOOKS[m]] for m in range(M)]
     for _ in range(PQ_TRAIN_ITERS):
-        codes = _assign_codes(emb, cbs, long_form=True)
+        # ONE kernel pass per iteration emits per-(m, code, spos)
+        # PARTIAL integer sums in the assignment batch itself (r14):
+        # the r13 shape joined a posexploded 128k-row coordinate
+        # checkpoint against the long-form codes on (vec_id, m) and
+        # re-shuffled both every iteration (guide §2.3). The mean
+        # divides the same exact totals once, through the same
+        # quantize6 — bit-identical codebooks.
         rows = (
-            slices.join(codes, ["vec_id", "m"])
+            _code_partials(emb, cbs)
             .groupBy("m", "code", "spos")
             .agg(
                 quantize6(
-                    F.sum("x_micro")
-                    / (F.count(F.lit(1)) * F.lit(1000000.0))
+                    F.sum("s") / (F.sum("c") * F.lit(1000000.0))
                 ).alias("v")
             )
             .collect()
