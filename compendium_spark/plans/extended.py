@@ -104,7 +104,9 @@ def _shingles(k: int = 3) -> Column:
     return F.array_distinct(F.when(n >= k, grams).otherwise(F.array()))
 
 
-def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _doc_shingles(
+    spark: SparkSession, sf_dir: str, docs: DataFrame | None = None
+) -> DataFrame:
     """(doc_id, shingle) rows, parallelized.
 
     Two deliberate physical choices:
@@ -114,8 +116,13 @@ def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
         splits and this repartition becomes a no-op to remove;
       * tokens materialized once into a column so the split isn't
         re-evaluated inside the per-offset lambda.
+
+    ``docs`` lets a caller pass a pre-filtered document frame (the
+    r14 verify-side prefilter: shingle only the docs that appear in a
+    candidate pair) — the default is the full corpus.
     """
-    docs = load(spark, sf_dir, "documents")
+    if docs is None:
+        docs = load(spark, sf_dir, "documents")
     par = spark.sparkContext.defaultParallelism
     toks = docs.repartition(par, "doc_id").select(
         "doc_id", F.split(F.trim(F.col("text")), " +").alias("toks")
@@ -127,6 +134,74 @@ def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     shingles = F.array_distinct(F.when(n >= 3, grams).otherwise(F.array()))
     return toks.select("doc_id", F.explode(shingles).alias("shingle"))
+
+
+def _cand_doc_filter(
+    spark: SparkSession,
+    sf_dir: str,
+    cand_ck: DataFrame,
+    left: str,
+    right: str,
+) -> DataFrame:
+    """The documents scan semi-joined down to docs appearing in a
+    candidate pair.
+
+    The candidate-doc id set is broadcast (guide §3.1: broadcast the
+    side that fits — it is bounded by 2× the LSH candidate volume,
+    which banded LSH bounds by construction, and each row is one
+    long). Without the hint the leftsemi plans as a SortMergeJoin
+    that shuffles the full documents scan — measured +1 MB shuffle
+    and 2 extra Exchanges per consumer at sf0.1, i.e. the prefilter
+    cost exceeded its savings. With it the probe is map-side on the
+    parquet scan: zero new exchanges."""
+    cand_docs = (
+        cand_ck.select(F.col(left).alias("doc_id"))
+        .union(cand_ck.select(F.col(right).alias("doc_id")))
+        .distinct()
+    )
+    return load(spark, sf_dir, "documents").join(
+        F.broadcast(cand_docs), "doc_id", "leftsemi"
+    )
+
+
+def _cand_shingle_arrays(
+    spark: SparkSession,
+    sf_dir: str,
+    cand: DataFrame,
+    left: str = "doc_a",
+    right: str = "doc_b",
+) -> tuple[DataFrame, DataFrame]:
+    """(cand materialized, per-doc shingle arrays FOR CANDIDATE DOCS
+    ONLY) — the r14 verify-side prefilter (guide §3.2 semi-join).
+
+    Every LSH→exact-verify pipeline used to rebuild collect_set
+    shingle arrays for the WHOLE corpus and then inner-join them to
+    the candidate pairs, so non-candidate docs paid tokenize+shingle+
+    explode+agg-shuffle for rows the join was about to drop. The
+    candidate list is bounded by LSH bucket volume (775 pairs at
+    sf0.1), so instead: checkpoint it LAZILY (localCheckpoint
+    eager=False — both consumers then reference one RDD, so the LSH
+    subtree executes once INSIDE the consuming job, with no separate
+    barrier job; measured ~0.6-1.0 s/plan cheaper than eager at
+    sf0.1), derive the distinct candidate doc set, and semi-join the
+    DOCUMENT SCAN down to those docs before any shingling. The verify-side shingle pass is then
+    O(candidate docs), not O(corpus) — at 100 TB that is the
+    difference between shingling the corpus twice and shingling it
+    once plus a candidate-sized second pass. Inner joins on
+    (doc_a, doc_b) already discarded every non-candidate doc, so the
+    emitted rows are identical.
+    """
+    cand_ck = cand.localCheckpoint(eager=False)
+    docs = _cand_doc_filter(spark, sf_dir, cand_ck, left, right)
+    # sh_arr is consumed twice (the pair's a-side and b-side); without
+    # a checkpoint each reference re-runs the scan+shingle+agg subtree.
+    sh_arr = (
+        _doc_shingles(spark, sf_dir, docs=docs)
+        .groupBy("doc_id")
+        .agg(F.collect_set("shingle").alias("sh"))
+        .localCheckpoint(eager=False)
+    )
+    return cand_ck, sh_arr
 
 
 # DuckDB mirror of _shingles(3): 1-based starts 1..len-2, inclusive slices.
@@ -450,15 +525,12 @@ def dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = bands.filter(~is_delta).select(
         F.col("doc_id").alias("base_id"), "band", "bkey"
     )
-    cand = (
-        delta.join(base, ["band", "bkey"])
-        .select("delta_id", "base_id")
-        .distinct()
-    )
-    sh_arr = (
-        _doc_shingles(spark, sf_dir)
-        .groupBy("doc_id")
-        .agg(F.collect_set("shingle").alias("sh"))
+    cand, sh_arr = _cand_shingle_arrays(
+        spark,
+        sf_dir,
+        delta.join(base, ["band", "bkey"]).select("delta_id", "base_id").distinct(),
+        left="delta_id",
+        right="base_id",
     )
     d = sh_arr.select(F.col("doc_id").alias("delta_id"), F.col("sh").alias("shd"))
     c = sh_arr.select(F.col("doc_id").alias("base_id"), F.col("sh").alias("shc"))
@@ -522,13 +594,12 @@ def dedup_neardup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     Shape: candidates shuffle on band buckets; the verify joins fetch
     each doc's (distinct, pre-deduped) shingle array by doc_id and
     compute |A∩B|/|A∪B| with array built-ins — integer ratio, no UDF,
-    engine-exact.
+    engine-exact. r14: the verify-side shingle arrays are built only
+    for docs appearing in a candidate pair (_cand_shingle_arrays —
+    guide §3.2 semi-join prefilter), not the whole corpus.
     """
-    cand = _minhash_candidates(spark, sf_dir)
-    sh_arr = (
-        _doc_shingles(spark, sf_dir)
-        .groupBy("doc_id")
-        .agg(F.collect_set("shingle").alias("sh"))
+    cand, sh_arr = _cand_shingle_arrays(
+        spark, sf_dir, _minhash_candidates(spark, sf_dir)
     )
     a = sh_arr.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sha"))
     b = sh_arr.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("shb"))
@@ -1476,6 +1547,15 @@ def dedup_signature_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     two keyed joins fetch 8-lane signatures; two fetch shingle arrays
     for the exact column. In production the exact legs run only on
     the estimate's survivors.
+
+    r14 NOTE: the _cand_shingle_arrays semi-join prefilter that wins
+    on the *_pipeline plans was measured WORSE here (CPU 5.9 → 7.0 s,
+    wall 2.1 → 2.6 s at sf0.1): this plan's candidate subtree and its
+    sa/sb signature fetches share ONE signature aggregation via
+    Spark's ReusedExchange, so the corpus-wide fetch is nearly free,
+    and checkpointing the candidates severs that reuse — the
+    prefilter's saving never covers the recompute. Kept in the
+    original reuse-friendly shape deliberately.
     """
     cand = _minhash_candidates(spark, sf_dir)
     sig = _sig_table(spark, sf_dir)
@@ -1731,12 +1811,11 @@ def dedup_containment_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc's distinct shingle array by doc_id and computes both direction
     ratios with array built-ins — integer ratio, no UDF, engine-exact;
     the contained_doc pick resolves ties identically in both engines.
+    r14: verify-side shingle arrays are candidate-doc-only
+    (_cand_shingle_arrays — guide §3.2 semi-join prefilter).
     """
-    cand = _minhash_candidates(spark, sf_dir)
-    sh_arr = (
-        _doc_shingles(spark, sf_dir)
-        .groupBy("doc_id")
-        .agg(F.collect_set("shingle").alias("sh"))
+    cand, sh_arr = _cand_shingle_arrays(
+        spark, sf_dir, _minhash_candidates(spark, sf_dir)
     )
     a = sh_arr.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sha"))
     b = sh_arr.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("shb"))
@@ -1830,12 +1909,11 @@ def dedup_lsh_tuning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     s^2 and (1-s²)^4 are written as explicitly-grouped IEEE
     multiplications ((t*t)*(t*t)) so both engines compute the exact
     same doubles — libm pow is not bit-stable across engines.
+    r14: verify-side shingle arrays are candidate-doc-only
+    (_cand_shingle_arrays — guide §3.2 semi-join prefilter).
     """
-    cand = _minhash_candidates(spark, sf_dir)
-    sh_arr = (
-        _doc_shingles(spark, sf_dir)
-        .groupBy("doc_id")
-        .agg(F.collect_set("shingle").alias("sh"))
+    cand, sh_arr = _cand_shingle_arrays(
+        spark, sf_dir, _minhash_candidates(spark, sf_dir)
     )
     a = sh_arr.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sha"))
     b = sh_arr.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("shb"))
