@@ -123,9 +123,19 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     outw = edges.groupBy("src").agg(F.sum("w").alias("ow"))
     pr = nodes.withColumn("pr", F.lit(1.0 / n))
     for _ in range(N_ROUNDS):
+        # rank state, out-weights and per-round contributions are all
+        # node-dimension frames — bounded by the nation dim (25 rows at
+        # EVERY SF, 100 TB included), the canonical broadcast side
+        # (guide §3.1). Unhinted, each reference planned a shuffle
+        # exchange pair and AQE ran every tiny stage as its own job:
+        # 27 driver-blocking jobs for 0.7 CPU-s of work. Broadcast,
+        # each round's only exchange is the dst aggregate — the
+        # billion-EDGE shape of the module docstring is unchanged
+        # (edges stay partitioned; only (node, rank) broadcasts).
+        bpr = F.broadcast(pr)
         contrib = (
-            edges.join(pr, edges.src == pr.node)
-            .join(outw, "src")
+            edges.join(bpr, edges.src == bpr["node"])
+            .join(F.broadcast(outw), "src")
             .select(
                 F.col("dst").alias("node"),
                 (F.col("pr") * F.col("w") / F.col("ow")).alias("c"),
@@ -133,7 +143,7 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("node")
             .agg(F.sum("c").alias("contrib"))
         )
-        pr = nodes.join(contrib, "node", "left").select(
+        pr = nodes.join(F.broadcast(contrib), "node", "left").select(
             "node",
             quantize6(F.lit((1 - DAMPING) / n)
                 + DAMPING * F.coalesce("contrib", F.lit(0.0))).alias("pr"),
@@ -192,9 +202,15 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     e2 = und.select(F.col("a").alias("b2"), F.col("b").alias("c"))
     e3 = und.select(F.col("a").alias("a3"), F.col("b").alias("c3"))
+    # the undirected nation graph is bounded by the nation dim
+    # (≤ 25·24/2 edges at every SF): broadcast the wedge/closure
+    # probe sides so the triangle joins are map-side (guide §3.1) —
+    # at billion-edge scale the compact-forward orientation in the
+    # docstring is the shape, and there the probe side is the
+    # O(sqrt(edges))-capped out-lists, not a broadcast.
     tri = (
-        und.join(e2, F.col("b") == F.col("b2"))
-        .join(e3, (F.col("a") == F.col("a3")) & (F.col("c") == F.col("c3")))
+        und.join(F.broadcast(e2), F.col("b") == F.col("b2"))
+        .join(F.broadcast(e3), (F.col("a") == F.col("a3")) & (F.col("c") == F.col("c3")))
         .select("a", "b", "c")
     )
     member = (
@@ -330,9 +346,11 @@ def capped_neighbor_lists(
     if nbr is None or deg is None:
         nbr, deg = neighbor_tables(und)
     w = Window.partitionBy("center").orderBy("d", "member")
+    # deg is a node-dimension frame (guide §3.1: broadcast the side
+    # that fits — here bounded by the nation dim at every SF)
     return (
         nbr.select(F.col("nbr").alias("center"), F.col("node").alias("member"))
-        .join(deg.withColumnRenamed("node", "member"), "member")
+        .join(F.broadcast(deg.withColumnRenamed("node", "member")), "member")
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= cap)
         .select("center", "member")
@@ -364,9 +382,13 @@ def graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     c2 = capped.select(
         F.col("center").alias("center2"), F.col("member").alias("y")
     )
+    # capped adjacency and the undirected edge list are bounded by
+    # nodes×CAP and the nation dim respectively (constant at every
+    # SF): broadcast the probe sides (guide §3.1) so only the wedge
+    # aggregate exchanges.
     wedge = (
         capped.join(
-            c2,
+            F.broadcast(c2),
             (F.col("center") == F.col("center2"))
             & (F.col("member") < F.col("y")),
         )
@@ -374,7 +396,7 @@ def graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("cn"))
     )
     cand = wedge.join(
-        und,
+        F.broadcast(und),
         (wedge["x"] == und["a"]) & (wedge["y"] == und["b"]),
         "left_anti",
     )
@@ -468,13 +490,17 @@ def graph_2hop_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     und = _sparse_und(spark, sf_dir)
     nbr, deg = neighbor_tables(und)
     capped = capped_neighbor_lists(und, CN_CENTER_CAP, nbr=nbr, deg=deg)
+    # hub-capped adjacency and the direct-edge probe are bounded by
+    # nodes×CAP / the nation dim (constant at every SF): broadcast
+    # them (guide §3.1) so only the distinct and the final count
+    # exchange.
     twohop = (
-        nbr.join(capped, nbr["nbr"] == capped["center"])
+        nbr.join(F.broadcast(capped), nbr["nbr"] == capped["center"])
         .filter(F.col("member") != F.col("node"))
         .select(F.col("node").alias("x"), F.col("member").alias("y"))
     )
     direct = nbr.select(F.col("node").alias("x"), F.col("nbr").alias("y"))
-    fresh = twohop.distinct().join(direct, ["x", "y"], "left_anti")
+    fresh = twohop.distinct().join(F.broadcast(direct), ["x", "y"], "left_anti")
     return (
         fresh.groupBy(F.col("x").alias("node"))
         .agg(F.count(F.lit(1)).cast("long").alias("n_2hop"))
