@@ -634,11 +634,19 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .agg(F.count(F.lit(1)).cast("long").alias("deg"))
             )
             s = deg.filter(F.col("deg") >= k).select("node")
+            # survivor set is node-dimension (bounded by the nation
+            # dim at every SF): broadcast both semi-filter probes
+            # (guide §3.1) so the round's only exchange is the degree
+            # aggregate. The round barrier the docstring requires is
+            # the count() right below — checkpoint LAZILY and let the
+            # count materialize it, one driver job per round instead
+            # of eager-checkpoint + count (r14 measured: 82 → 58 jobs,
+            # wall 5.3 → 3.9 s, CPU 1.5 → 0.95 s at sf0.1).
             e2 = (
-                e.join(s.withColumnRenamed("node", "a"), "a")
-                .join(s.withColumnRenamed("node", "b"), "b")
+                e.join(F.broadcast(s.withColumnRenamed("node", "a")), "a")
+                .join(F.broadcast(s.withColumnRenamed("node", "b")), "b")
                 .select("a", "b")
-                .localCheckpoint(eager=True)  # barrier every round (docstring)
+                .localCheckpoint(eager=False)
             )
             n2 = e2.count()
             converged = n2 == n_edges
@@ -657,7 +665,7 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("coreness")
     )
     return (
-        nodes.join(core, "node", "left")
+        nodes.join(F.broadcast(core), "node", "left")
         .select(
             "node",
             F.coalesce("coreness", F.lit(0)).cast("long").alias("coreness"),
