@@ -78,7 +78,13 @@ ALLOWED: dict[tuple[str, str], tuple[int, str]] = {
     ("plans/mmr.py", "sim_mmr_topk"): (1, "≤10-query side (relevance-pool exact sweep; on-deck r11)"),
     ("plans/quality.py", "curate_split_leakage"): (1, "1-row leaky-cluster count (on-deck r11)"),
     ("plans/frontier.py", "_rollup"): (1, "≤|sweep| settings frame (constant)"),
-    ("plans/graph.py", "graph_common_neighbors"): (2, "capped neighbor lists (degree-capped)"),
+    ("plans/graph.py", "graph_common_neighbors"): (4, "capped neighbor lists (degree-capped) + wedge probe (nodes×CAP) + undirected edge probe (nation-dim bounded) (r14)"),
+    ("plans/graph.py", "graph_pagerank"): (3, "rank/out-weight/contribution state: node-dimension frames, nation dim = 25 rows at every SF (r14)"),
+    ("plans/graph.py", "graph_triangle_count"): (2, "closure probe sides of the nation-dim undirected edge list (≤ 25·24/2 rows) (r14)"),
+    ("plans/graph.py", "graph_2hop_features"): (2, "hub-capped adjacency (nodes×CAP) + direct-edge probe (nation-dim bounded) (r14)"),
+    ("plans/graph.py", "graph_kcore"): (3, "survivor node set ×2 + coreness rollup: node-dimension frames, nation-dim bounded (r14)"),
+    ("plans/graph.py", "capped_neighbor_lists"): (1, "degree table: node-dimension, nation-dim bounded (r14)"),
+    ("plans/extended.py", "_cand_doc_filter"): (1, "candidate-doc id set: ≤2× the LSH candidate volume, bounded by banded-LSH construction; one long per row (r14)"),
     # --- fixed-size sketch/filter structures --------------------------
     ("plans/bloom.py", "dedup_bloom_prefilter"): (2, "Bloom bit array (m=256 fixed) + ref hashes of a FILTERED slice (documented)"),
     ("operators/merge.py", "partial_update"): (1, "update batch (delta, bounded by ingest contract)"),
@@ -91,7 +97,8 @@ ALLOWED: dict[tuple[str, str], tuple[int, str]] = {
     ("plans/extended.py", "emb_dedup_threshold_curve"): (2, "6-row tau sweep + 1-row corpus total"),
     ("plans/text.py", "text_heaps_curve"): (1, "4-row prefix-share frame"),
     ("plans/ivf.py", "sim_filtered_topk"): (2, "≤10-query label and vector sides"),
-    ("plans/scoring.py", "train_quality_logreg"): (1, "≤257-row micro-unit weight table (bounded by construction)"),
+    ("plans/extended.py", "dedup_embedding_cosine"): (1, "sc.broadcast of the (ids, matrix, norms) triple — regime-guarded ≤10⁴ vectors × 64 dims ≈ 5 MB (r14 C1; guard raises before this line on bigger inputs)"),
+    ("sources/tsv.py", "assemble_asv_tables"): (1, "per-project taxonomy ASV key set — the reference loads the same table as an in-memory dict (projects.py), so project scale bounds it by contract (r14 fuzz fix)"),
     # --- text ranking --------------------------------------------------
     ("plans/text.py", "text_bm25_topk"): (2, "≤10-term query set + 1-row corpus stats"),
 }
