@@ -46,6 +46,22 @@ def _normalize_timestamps(df: DataFrame) -> DataFrame:
     return df
 
 
+# Analyzed-scan cache: (applicationId, sf_dir, name) -> DataFrame.
+# This is the session CATALOG role (the module docstring's "in
+# production these would be catalog tables"): a bare
+# spark.read.parquet(path) re-lists the directory, re-reads parquet
+# footers and re-analyzes the relation on EVERY call — measured
+# ~85 ms of driver-side work per call, ~357 load() calls per registry
+# sweep. A catalog/metastore resolves a table to an already-analyzed
+# relation once per session; caching the DataFrame here is exactly
+# that (metadata only — the PLAN is cached, never data or results:
+# every action still scans the parquet files afresh, and nothing is
+# persisted). Keyed by applicationId so a stopped/rebuilt session can
+# never serve stale JVM references; stale-app entries are purged on
+# insert to keep the dict bounded.
+_scan_cache: dict[tuple[str, str, str], DataFrame] = {}
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one testdata table. Parquet → full pushdown/pruning.
 
@@ -56,13 +72,23 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
+    app = spark.sparkContext.applicationId
+    key = (app, os.path.abspath(sf_dir), name)
+    cached = _scan_cache.get(key)
+    if cached is not None:
+        return cached
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         if dict(df.dtypes).get("ts") == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        return _normalize_timestamps(df)
-    return _normalize_timestamps(spark.read.parquet(f"{sf_dir}/{name}.parquet"))
+        df = _normalize_timestamps(df)
+    else:
+        df = _normalize_timestamps(spark.read.parquet(f"{sf_dir}/{name}.parquet"))
+    for k in [k for k in _scan_cache if k[0] != app]:
+        del _scan_cache[k]
+    _scan_cache[key] = df
+    return df
 
 
 # Broadcast only dims whose on-disk parquet stays under this budget.
