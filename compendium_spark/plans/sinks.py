@@ -41,11 +41,32 @@ def _one_slice_df(spark: SparkSession, rows, schema) -> DataFrame:
     ``createDataFrame(rows).coalesce(1)`` is the wrong way to get it:
     the local rows land in defaultParallelism slices and the coalesced
     single task then pays one serial Python-worker roundtrip PER
-    parent slice (~4 s of pure scheduling for 3 rows on local[32]);
-    parallelizing with numSlices=1 writes the same file in ~0.2 s."""
-    return spark.createDataFrame(
-        spark.sparkContext.parallelize(rows, 1), schema
-    )
+    parent slice (~4 s of pure scheduling for 3 rows on local[32]).
+
+    r14: built from a pyarrow Table instead of a pickled-rows RDD.
+    A parallelize-backed frame re-runs a PYTHON WORKER roundtrip on
+    every action that touches it (~250 ms/action measured for a 5-row
+    frame; each warehouse commit's write job pays it), while an
+    arrow-table frame scans JVM-side batches (noop write 260 → 46 ms,
+    parquet write 321 → 144 ms). coalesce(1) keeps the single-slice
+    birth contract (narrow, preserves row order, no Python boundary);
+    schema equality and row parity vs the RDD path are pinned in
+    tests/test_r14_sink_fixture.py. Falls back to the RDD path for
+    any value pyarrow cannot coerce (guide §4: keep the boundary out
+    of the hot path, not out of reach)."""
+    try:
+        import pyarrow as pa  # noqa: PLC0415
+        from pyspark.sql.pandas.types import to_arrow_schema  # noqa: PLC0415
+
+        asch = to_arrow_schema(schema)
+        tbl = pa.Table.from_pylist(
+            [dict(zip(asch.names, r)) for r in rows], schema=asch
+        )
+        return spark.createDataFrame(tbl, schema).coalesce(1)
+    except Exception:  # noqa: BLE001 — fixture fallback, never a plan error
+        return spark.createDataFrame(
+            spark.sparkContext.parallelize(rows, 1), schema
+        )
 
 
 def _workdir(name: str) -> Path:
