@@ -1,20 +1,30 @@
-"""Steal-robust per-plan profiler (round 14, second half).
+"""Per-plan profiler with plan-shape metrics (round 14, second half).
 
 The sandbox VM suffers multi-second CPU-steal stalls from outside the
 guest (loadavg 5+ with zero local processes; identical plans measure
 1.5 s one minute and 15 s the next), so wall-clock min-of-N alone
-cannot support before/after claims. This profiler reports the metrics
-steal cannot distort:
+cannot support before/after claims. This profiler reports per-plan:
 
-  * executorCpuTime   — CPU seconds actually burned by tasks
+  * executorCpuTime   — CPU seconds charged to tasks
   * shuffle bytes     — total shuffle write across the plan's stages
   * n_jobs / n_stages — driver actions and stage count (plan shape)
   * executorRunTime   — task wall (steal-inflated; context only)
   * wall              — end-to-end (steal-inflated; context only)
 
-Each plan runs ``--reps`` times; CPU/bytes/shape are near-constant
-across reps (min is reported), so two reps suffice where wall needed
-five. Stage metrics come from the UI REST API; the session is built
+CORRECTION (second half of the round): executorCpuTime is NOT
+steal-immune on this host. Thread CPU clocks are advanced by the
+guest scheduler's ticks, and when the hypervisor deschedules a vCPU
+mid-tick the whole tick is still charged to the thread that was on
+it — a steal storm measured a 4 500-row stage at 94 "CPU"-seconds
+with zero GC and zero spill (tools/../OPTIMIZATION_r14.md, "CPU
+steal, diagnosed"). Only n_jobs / n_stages / shuffle bytes / task and
+row counts are truly steal-proof; treat CPU as robust ONLY when
+/proc/stat steal is ~0 over the measurement window (sample it — the
+round-close harness does).
+
+Each plan runs ``--reps`` times and per-metric minima are reported,
+so occasional stolen reps drop out when at least one rep lands in a
+quiet window. Stage metrics come from the UI REST API; the session is built
 with the UI enabled on an ephemeral port.
 
 Two hardenings learned the hard way (first profiling session of the
