@@ -21,6 +21,36 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import StructType
 
 
+def arrow_local_df(spark: SparkSession, rows, schema) -> DataFrame | None:
+    """The arrow fast path alone: frame ``rows`` (already a list) as a
+    pyarrow Table against the schema's exact arrow projection, or
+    return ``None`` when pyarrow cannot bind them safely — the caller
+    chooses its own fallback (``local_df`` defers to the stock
+    ``createDataFrame``; ``plans.sinks._one_slice_df`` needs a
+    single-slice ``parallelize(rows, 1)`` instead)."""
+    try:
+        import pyarrow as pa  # noqa: PLC0415
+        from pyspark.sql.pandas.types import to_arrow_schema  # noqa: PLC0415
+
+        # Positional tuples/lists ONLY (exact types, not subclasses):
+        # a Row or dict binds by NAME in the stock path, and zip-ing it
+        # against the schema here would silently misbind values.
+        if not all(type(r) in (tuple, list) for r in rows):
+            return None
+        st = (
+            schema
+            if isinstance(schema, StructType)
+            else StructType.fromDDL(schema)
+        )
+        asch = to_arrow_schema(st)
+        tbl = pa.Table.from_pylist(
+            [dict(zip(asch.names, r)) for r in rows], schema=asch
+        )
+        return spark.createDataFrame(tbl, st)
+    except Exception:  # noqa: BLE001 — fast path only, never a plan error
+        return None
+
+
 def local_df(spark: SparkSession, rows, schema) -> DataFrame:
     """``spark.createDataFrame(rows, schema)`` minus the per-action
     Python-worker roundtrip: rows are framed once, driver-side, as a
@@ -33,24 +63,7 @@ def local_df(spark: SparkSession, rows, schema) -> DataFrame:
     keeps pickle-path semantics for exotic values by construction.
     """
     rows = list(rows)
-    try:
-        import pyarrow as pa  # noqa: PLC0415
-        from pyspark.sql.pandas.types import to_arrow_schema  # noqa: PLC0415
-
-        # Positional tuples/lists ONLY (exact types, not subclasses):
-        # a Row or dict binds by NAME in the stock path, and zip-ing it
-        # against the schema here would silently misbind values.
-        if not all(type(r) in (tuple, list) for r in rows):
-            raise TypeError("local_df fast path takes positional rows")
-        st = (
-            schema
-            if isinstance(schema, StructType)
-            else StructType.fromDDL(schema)
-        )
-        asch = to_arrow_schema(st)
-        tbl = pa.Table.from_pylist(
-            [dict(zip(asch.names, r)) for r in rows], schema=asch
-        )
-        return spark.createDataFrame(tbl, st)
-    except Exception:  # noqa: BLE001 — fast path only, never a plan error
-        return spark.createDataFrame(rows, schema)
+    fast = arrow_local_df(spark, rows, schema)
+    if fast is not None:
+        return fast
+    return spark.createDataFrame(rows, schema)

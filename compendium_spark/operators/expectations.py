@@ -35,6 +35,8 @@ from dataclasses import dataclass
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from compendium_spark.localframe import local_df
+
 
 @dataclass(frozen=True)
 class Expectation:
@@ -166,7 +168,8 @@ def referential_check(
     total = child.select(child_col).count()
     bad = orphans.count()
     spark = child.sparkSession
-    return spark.createDataFrame(
+    return local_df(
+        spark,
         [(nm, total, bad, bad == 0)],
         "check_name string, n_checked long, n_violations long, passed boolean",
     )

@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from compendium_spark.functions.qc import project_disposition, project_qc, sample_qc
+from compendium_spark.localframe import local_df
 from compendium_spark.operators.merge import partial_upsert
 from compendium_spark.pipeline.status import find_todo, non_terminal_projects
 from compendium_spark.storage import Warehouse
@@ -149,7 +150,8 @@ def set_project_status(
     values, exactly like the reference's column-wise UPDATEs. A new
     project inserts with rerun_as_single_end=0 (the table DEFAULT,
     db.py:137-146)."""
-    row = wh.spark.createDataFrame(
+    row = local_df(
+        wh.spark,
         [(project, status, note1, note2)],
         "project string, status string, note1 string, note2 string",
     )
@@ -165,8 +167,8 @@ def set_project_status(
 def set_rerun_flag(wh: Warehouse, project: str) -> None:
     """`projects.py:322-327`: UPDATE status SET rerun_as_single_end=1 —
     a one-column partial update, nothing else touched."""
-    row = wh.spark.createDataFrame(
-        [(project, 1)], "project string, rerun_as_single_end int"
+    row = local_df(
+        wh.spark, [(project, 1)], "project string, rerun_as_single_end int"
     )
     wh.partial_update("status", row, key="project")
 

@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from compendium_spark.localframe import local_df
 from compendium_spark.operators.merge import upsert
 from compendium_spark.schemas import TERMINAL_STATUSES
 
@@ -25,8 +26,8 @@ def non_terminal_projects(status: DataFrame) -> DataFrame:
 def set_status(status: DataFrame, project: str, new_status: str) -> DataFrame:
     """One transition (`projects.py:87-106`): upsert (project, status)."""
     spark = status.sparkSession
-    update = spark.createDataFrame(
-        [(project, new_status, 0, None, None, None)], schema=status.schema
+    update = local_df(
+        spark, [(project, new_status, 0, None, None, None)], status.schema
     )
     existing = status.filter(F.col("project") == project)
     if existing.limit(1).count() > 0:

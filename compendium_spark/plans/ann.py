@@ -24,6 +24,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from compendium_spark.functions.numeric import quantize6
+from compendium_spark.localframe import local_df
 from compendium_spark.plans.registry import plan
 
 N_TABLES = 4
@@ -782,8 +783,8 @@ def sim_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .crossJoin(
             F.broadcast(
-                spark.createDataFrame(
-                    [("lsh_single",), ("lsh_multiprobe",)], "method string"
+                local_df(
+                    spark, [("lsh_single",), ("lsh_multiprobe",)], "method string"
                 )
             )
         )

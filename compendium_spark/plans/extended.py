@@ -27,8 +27,9 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from compendium_spark.functions.numeric import quantize6
+from compendium_spark.localframe import local_df
 from compendium_spark.plans.registry import plan
-from compendium_spark.tables import load, maybe_broadcast
+from compendium_spark.tables import load, maybe_broadcast, table_num_rows
 
 # ---------------------------------------------------------------------------
 # exact-oracle regime guards (VERDICT r13 #2)
@@ -62,10 +63,12 @@ EXACT_SHINGLE_MAX_DOCS = 10_000
 
 def _guard_exact_regime(n: int, budget: int, plan_name: str, unit: str, twin: str) -> None:
     """Fail-fast input-size check for the exhaustive exact oracles.
-    The count is a parquet metadata read (milliseconds), so a caller
-    who should be on the pipeline twin learns it before any shuffle
-    is scheduled. MUST NOT fire at gated SFs (sf0.001/0.01/0.1 all
-    sit well under budget — pinned in tests/test_r14_guards.py)."""
+    The count is a parquet metadata read (milliseconds; r15 made the
+    call sites actually read footer stats via tables.table_num_rows
+    instead of running a Spark count job), so a caller who should be
+    on the pipeline twin learns it before any shuffle is scheduled.
+    MUST NOT fire at gated SFs (sf0.001/0.01/0.1 all sit well under
+    budget — pinned in tests/test_r14_guards.py)."""
     if n > budget:
         raise ExactOracleRegimeError(
             f"{plan_name}: {n} {unit} exceeds the {budget}-{unit} "
@@ -146,21 +149,30 @@ def _cand_doc_filter(
     """The documents scan semi-joined down to docs appearing in a
     candidate pair.
 
-    The candidate-doc id set is broadcast (guide §3.1: broadcast the
-    side that fits — it is bounded by 2× the LSH candidate volume,
-    which banded LSH bounds by construction, and each row is one
-    long). Without the hint the leftsemi plans as a SortMergeJoin
-    that shuffles the full documents scan — measured +1 MB shuffle
-    and 2 extra Exchanges per consumer at sf0.1, i.e. the prefilter
-    cost exceeded its savings. With it the probe is map-side on the
-    parquet scan: zero new exchanges."""
+    The candidate-doc id set is broadcast ONLY under the size gate
+    (guide §3.1: broadcast the side that fits). Per-band bucket width
+    is bounded by banded-LSH construction, but the TOTAL candidate
+    volume grows with corpus size, so a forced hint here would risk
+    executor memory at 100 TB (r14 verdict #3). The gate is
+    ``tables.maybe_broadcast`` keyed on the documents table's on-disk
+    footprint — conservative by construction: when the whole corpus
+    fits the broadcast budget, the distinct doc-id projection (8
+    bytes/row vs full text) certainly does. Under the gate (every
+    bench SF) the probe is map-side on the parquet scan with zero new
+    exchanges — the unhinted leftsemi planned a SortMergeJoin that
+    shuffled the full documents scan (+1 MB shuffle, +2 Exchange per
+    consumer at sf0.1, a net loss). Above the gate (100 TB) the hint
+    disappears and the semi-join plans from runtime statistics (AQE /
+    runtime bloom filter), which is the honest scale behavior."""
     cand_docs = (
         cand_ck.select(F.col(left).alias("doc_id"))
         .union(cand_ck.select(F.col(right).alias("doc_id")))
         .distinct()
     )
     return load(spark, sf_dir, "documents").join(
-        F.broadcast(cand_docs), "doc_id", "leftsemi"
+        maybe_broadcast(spark, sf_dir, "documents", cand_docs),
+        "doc_id",
+        "leftsemi",
     )
 
 
@@ -289,8 +301,11 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     above {EXACT_SHINGLE_MAX_DOCS} docs raise ExactOracleRegimeError
     in milliseconds instead of running the quadratic (r14).
     """
+    _n_docs = table_num_rows(sf_dir, "documents")
     _guard_exact_regime(
-        load(spark, sf_dir, "documents").count(),
+        _n_docs
+        if _n_docs is not None
+        else load(spark, sf_dir, "documents").count(),
         EXACT_SHINGLE_MAX_DOCS,
         "dedup_ngram_jaccard",
         "docs",
@@ -1008,7 +1023,12 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = _load_embeddings(spark, sf_dir)
-    n_vec = emb.count()  # 1-row driver bound — knob + regime guard
+    # knob + regime guard: row count from parquet footer stats (zero
+    # Spark jobs; the guard's documented "metadata read"), falling
+    # back to a real count job only when stats are unreadable (r15 —
+    # the count job used to re-run the scan+spread per invocation)
+    _meta_n = table_num_rows(sf_dir, "embeddings")
+    n_vec = _meta_n if _meta_n is not None else emb.count()
     _guard_exact_regime(
         n_vec,
         EXACT_COSINE_MAX_VECTORS,
@@ -1061,7 +1081,12 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the function needs).
     import numpy as np  # noqa: PLC0415
 
-    vec_rows = emb.collect()  # bounded: ≤ EXACT_COSINE_MAX_VECTORS rows
+    # collect off the UNSPREAD scan: the matrix is order-normalized by
+    # the vec_id argsort below, so the _load_embeddings repartition
+    # exchange would be pure overhead in this driver-bound job (r15)
+    vec_rows = load(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double("embedding").alias("e")
+    ).collect()  # bounded: ≤ EXACT_COSINE_MAX_VECTORS rows (guard above)
     _ids = np.array([r.vec_id for r in vec_rows], dtype=np.int64)
     _order = np.argsort(_ids, kind="stable")
     _ids = _ids[_order]
@@ -1719,8 +1744,11 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     ties (n_a == n_b) resolve identically. Inputs above
     {EXACT_SHINGLE_MAX_DOCS} docs raise ExactOracleRegimeError (r14).
     """
+    _n_docs = table_num_rows(sf_dir, "documents")
     _guard_exact_regime(
-        load(spark, sf_dir, "documents").count(),
+        _n_docs
+        if _n_docs is not None
+        else load(spark, sf_dir, "documents").count(),
         EXACT_SHINGLE_MAX_DOCS,
         "dedup_containment",
         "docs",
@@ -2108,8 +2136,8 @@ def emb_dedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("threshold")
         .agg(F.countDistinct("vid").cast("long").alias("n_docs_affected"))
     )
-    sweep = spark.createDataFrame(
-        [(float(t),) for t in EMB_TAU_SWEEP], "threshold double"
+    sweep = local_df(
+        spark, [(float(t),) for t in EMB_TAU_SWEEP], "threshold double"
     )
     tot = emb.agg(F.count(F.lit(1)).cast("long").alias("n_corpus"))
     return (

@@ -54,6 +54,7 @@ from compendium_spark.plans.pq import (
     _assign_codes,
     _query_luts,
 )
+from compendium_spark.localframe import local_df
 from compendium_spark.plans.registry import plan
 
 FRONT_K = 5
@@ -270,7 +271,7 @@ def sim_frontier_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def _rollup(lv: DataFrame, sweep_rows: list[int], key: str, cond) -> DataFrame:
-        sweep = spark.createDataFrame([(s,) for s in sweep_rows], f"{key} int")
+        sweep = local_df(spark, [(s,) for s in sweep_rows], f"{key} int")
         return (
             F.broadcast(sweep)
             .join(lv, cond(lv, sweep), "left")

@@ -50,6 +50,7 @@ from compendium_spark.functions.qc import (
     sample_qc,
 )
 from compendium_spark.pipeline.enrichment import parse_efetch_response
+from compendium_spark.localframe import local_df
 from compendium_spark.plans.registry import plan
 from compendium_spark.sources.biosample_xml import (
     read_biosample_xml,
@@ -264,7 +265,7 @@ def ing_xml_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     samples table's key projection — a shuffle anti-join on srs)."""
     path = _stage("biosample.xml", BIOSAMPLE_XML)
     parsed = read_biosample_xml(spark, path)
-    existing = spark.createDataFrame([(s,) for s in EXISTING_SRS], "srs string")
+    existing = local_df(spark, [(s,) for s in EXISTING_SRS], "srs string")
     return to_samples(parsed, TAXON, existing=existing).orderBy("srs")
 
 
@@ -582,7 +583,7 @@ def ing_xml_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "library_source string, pubdate string, total_bases long, "
         "instrument string"
     )
-    return spark.createDataFrame(rows, schema).orderBy("srs")
+    return local_df(spark, rows, schema).orderBy("srs")
 
 
 # Wide ASV count matrix fixture (FIXTURES.md §4 / ref projects.py:418-440):
@@ -805,7 +806,7 @@ def ing_geo_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     geo = read_geo_countries(spark, _stage("geo_loc_countries.tsv", GEO_TSV))
     ctry = read_countries(spark, _stage("countries.tsv", COUNTRIES_TSV))
-    samples = spark.createDataFrame(
-        GEO_SAMPLES, "srs string, project string, geo_loc_name string"
+    samples = local_df(
+        spark, GEO_SAMPLES, "srs string, project string, geo_loc_name string"
     )
     return geo_summary(samples, geo, ctry)

@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from compendium_spark.functions.numeric import quantize6
+from compendium_spark.localframe import local_df
 from compendium_spark.plans.registry import plan
 from compendium_spark.tables import load
 
@@ -615,7 +616,7 @@ def sim_ivf_tuning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_candidates"),
         F.sum("is_hit").cast("long").alias("n_hits"),
     )
-    sweep = spark.createDataFrame([(p,) for p in PROBE_SWEEP], "nprobe int")
+    sweep = local_df(spark, [(p,) for p in PROBE_SWEEP], "nprobe int")
     agg = (
         F.broadcast(sweep)
         .join(lv, lv["prank"] <= sweep["nprobe"], "left")
@@ -936,7 +937,7 @@ def train_ivf_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pos in range(DIM)
     ]
     return (
-        spark.createDataFrame(out, "cell int, pos int, value double")
+        local_df(spark, out, "cell int, pos int, value double")
         .select("cell", "pos", quantize6("value").alias("value"))
         .orderBy("cell", "pos")
     )

@@ -33,6 +33,7 @@ from pyspark.sql import functions as F
 from compendium_spark.functions.numeric import quantize6, sql_quantize
 from compendium_spark.plans.extended import _load_embeddings
 from compendium_spark.plans.ivf import _SQL_SCORES
+from compendium_spark.localframe import local_df
 from compendium_spark.plans.registry import plan
 
 # ---------------------------------------------------------------------------
@@ -302,7 +303,7 @@ def emb_kcenter_init(spark: SparkSession, sf_dir: str) -> DataFrame:
         centers.append([float(x) for x in pick["e"]])
         ids.append(int(pick["vec_id"]))
         out.append((r, ids[-1], float(pick["d"])))
-    res = spark.createDataFrame(out, "round int, vec_id long, dist double")
+    res = local_df(spark, out, "round int, vec_id long, dist double")
     return res.select(
         "round",
         "vec_id",
@@ -451,7 +452,7 @@ def emb_kcenter_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         sel.append(best)
         out.append((r, int(ids[best]), float(d[best])))
-    res = spark.createDataFrame(out, "round int, vec_id long, dist double")
+    res = local_df(spark, out, "round int, vec_id long, dist double")
     return res.select(
         "round",
         "vec_id",

@@ -11,6 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from compendium_spark.functions.numeric import quantize, quantize6, sql_quantize
+from compendium_spark.localframe import local_df
 from compendium_spark.plans.registry import plan
 from compendium_spark.tables import load
 
@@ -494,8 +495,8 @@ def a18_freq_items_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         for r in exact
     ]
-    return spark.createDataFrame(
-        out, schema="token string, true_count long, bound_ok boolean"
+    return local_df(
+        spark, out, "token string, true_count long, bound_ok boolean"
     )
 
 

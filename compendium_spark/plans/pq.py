@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from compendium_spark.functions.numeric import quantize6, sql_quantize6
+from compendium_spark.localframe import local_df
 from compendium_spark.plans.registry import plan
 
 DIM = 64
@@ -646,7 +647,7 @@ def train_pq_codebooks(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pos in range(SUB)
     ]
     return (
-        spark.createDataFrame(out, "m int, k int, pos int, value double")
+        local_df(spark, out, "m int, k int, pos int, value double")
         .select("m", "k", "pos", quantize6("value").alias("value"))
         .orderBy("m", "k", "pos")
     )

@@ -22,6 +22,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from compendium_spark.functions.numeric import quantize6, quantize_float
+from compendium_spark.localframe import local_df
 from compendium_spark.plans.registry import plan
 from compendium_spark.tables import load
 
@@ -1061,8 +1062,8 @@ def emb_pca_variance_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     eigvals = np.linalg.eigvalsh(c)
     trace = float(np.trace(c))
     ok = bool(abs(float(eigvals.sum()) - trace) <= 1e-6)
-    return spark.createDataFrame(
-        [(quantize_float(trace, 6), ok)], schema="trace_cov double, eig_sum_ok boolean"
+    return local_df(
+        spark, [(quantize_float(trace, 6), ok)], "trace_cov double, eig_sum_ok boolean"
     )
 
 
@@ -1140,9 +1141,10 @@ def emb_whiten_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     # errors, not on whatever spectrum the next testdata regen draws.
     lam_min = float(lam.min())
     tol = max(1e-4, 2.0 * eps / (lam_min + eps))
-    return spark.createDataFrame(
+    return local_df(
+        spark,
         [(n, d, bool(diag_err <= tol), bool(off_err <= tol))],
-        schema="n_vectors long, dim int, diag_ok boolean, offdiag_ok boolean",
+        "n_vectors long, dim int, diag_ok boolean, offdiag_ok boolean",
     )
 
 

@@ -26,6 +26,7 @@ from compendium_spark.functions.numeric import (
     quantize_float,
     sql_quantize6,
 )
+from compendium_spark.localframe import local_df
 from compendium_spark.plans.registry import plan
 from compendium_spark.tables import load
 
@@ -1127,7 +1128,7 @@ def train_quality_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
         (-1, wbm / 1000000.0)
     ]
     return (
-        spark.createDataFrame(out, "bucket int, weight double")
+        local_df(spark, out, "bucket int, weight double")
         .orderBy("bucket")
     )
 

@@ -32,6 +32,7 @@ from types import SimpleNamespace
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from compendium_spark.localframe import arrow_local_df, local_df
 from compendium_spark.plans.ingest import SOURCES_TXT, _sources_sql, _sql_text
 from compendium_spark.plans.registry import plan
 
@@ -52,21 +53,17 @@ def _one_slice_df(spark: SparkSession, rows, schema) -> DataFrame:
     birth contract (narrow, preserves row order, no Python boundary);
     schema equality and row parity vs the RDD path are pinned in
     tests/test_r14_sink_fixture.py. Falls back to the RDD path for
-    any value pyarrow cannot coerce (guide §4: keep the boundary out
-    of the hot path, not out of reach)."""
-    try:
-        import pyarrow as pa  # noqa: PLC0415
-        from pyspark.sql.pandas.types import to_arrow_schema  # noqa: PLC0415
-
-        asch = to_arrow_schema(schema)
-        tbl = pa.Table.from_pylist(
-            [dict(zip(asch.names, r)) for r in rows], schema=asch
-        )
-        return spark.createDataFrame(tbl, schema).coalesce(1)
-    except Exception:  # noqa: BLE001 — fixture fallback, never a plan error
-        return spark.createDataFrame(
-            spark.sparkContext.parallelize(rows, 1), schema
-        )
+    any value pyarrow cannot coerce — or any non-positional row shape
+    (a Row/dict binds by NAME in the stock path; zip-by-position
+    would misbind it) — via localframe.arrow_local_df (guide §4: keep
+    the boundary out of the hot path, not out of reach)."""
+    rows = list(rows)
+    fast = arrow_local_df(spark, rows, schema)
+    if fast is not None:
+        return fast.coalesce(1)
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), schema
+    )
 
 
 def _workdir(name: str) -> Path:
@@ -151,8 +148,8 @@ def sink_accessions_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         (srs, project, taxon, srr, strat, src, None, None, None, None)
         for srs, project, taxon, srr, strat, src in ACC_SAMPLES
     ]
-    head = spark.createDataFrame(full[:3], SAMPLES)
-    tail = spark.createDataFrame(full[3:], SAMPLES)
+    head = local_df(spark, full[:3], SAMPLES)
+    tail = local_df(spark, full[3:], SAMPLES)
     wh.write("samples", head)
     wh.append("samples", tail)  # K1: insert into the live table
     out = wd / "accessions.txt"
@@ -269,8 +266,8 @@ def sink_archive_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                 continue
             data = tf.extractfile(m).read()
             rows.append((m.name, len(data), hashlib.md5(data).hexdigest()))
-    return spark.createDataFrame(
-        sorted(rows), "member string, n_bytes long, content_md5 string"
+    return local_df(
+        spark, sorted(rows), "member string, n_bytes long, content_md5 string"
     ).orderBy("member")
 
 
@@ -352,8 +349,8 @@ def sink_timetravel_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     vwh.write("samples", full_rows(TT_V0))
     vwh.partial_update(
         "samples",
-        spark.createDataFrame(
-            [("SRS3", "AMPLICON")], "srs string, library_strategy string"
+        local_df(
+            spark, [("SRS3", "AMPLICON")], "srs string, library_strategy string"
         ),
         key="srs",
     )
@@ -607,7 +604,8 @@ def sink_exactly_once_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sink = mv_refresh_versioned_sink(vwh)
     for bid, batch in EO_BATCHES:
-        bdf = spark.createDataFrame(
+        bdf = local_df(
+            spark,
             [(b[0], b[1], b[2]) for b in batch],
             "hour string, event_type string, value double",
         ).select(

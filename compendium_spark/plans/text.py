@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from compendium_spark.functions.numeric import quantize6
+from compendium_spark.localframe import local_df
 from compendium_spark.plans.registry import plan
 from compendium_spark.tables import load, maybe_broadcast
 
@@ -1258,8 +1259,8 @@ def text_heaps_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     d_vocab = first_seen.groupBy("share").agg(
         F.count(F.lit(1)).cast("long").alias("d_vocab")
     )
-    sh = spark.createDataFrame(
-        [(float(s),) for s in HEAPS_SHARES], "share double"
+    sh = local_df(
+        spark, [(float(s),) for s in HEAPS_SHARES], "share double"
     )
     per_bucket = (
         F.broadcast(sh)
@@ -2043,6 +2044,6 @@ def train_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         # chained replaces would overflow the 64 KB codegen limit
         if step % _BPE_RECHECKPOINT_EVERY == 0 and step < TRAIN_BPE_STEPS:
             cur = cur.localCheckpoint(eager=True)
-    return spark.createDataFrame(
-        merges, "step int, c1 string, c2 string, merge_count long"
+    return local_df(
+        spark, merges, "step int, c1 string, c2 string, merge_count long"
     ).orderBy("step")

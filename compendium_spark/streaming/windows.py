@@ -26,6 +26,8 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+from compendium_spark.localframe import local_df
+
 from compendium_spark.functions.numeric import quantize, quantize_float
 
 def _events_schema(ts_type: T.DataType) -> T.StructType:
@@ -275,9 +277,10 @@ def streaming_status_merge(
         .start()
     )
     q.awaitTermination()
-    return spark.createDataFrame(
+    return local_df(
+        spark,
         [(p, s, t) for p, (s, t) in sorted(state.items())],
-        schema="project string, status string, ts timestamp",
+        "project string, status string, ts timestamp",
     )
 
 
@@ -452,12 +455,13 @@ def streaming_mv_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     ev = read_events_stream(spark, sf_dir)
     state, _progress = run_mv_refresh(mv_refresh_updates(ev))
-    return spark.createDataFrame(
+    return local_df(
+        spark,
         [
             (h, et, n, quantize_float(t, 4))
             for (h, et), (n, t) in sorted(state.items())
         ],
-        schema="hour timestamp, event_type string, n_events long, total_value double",
+        "hour timestamp, event_type string, n_events long, total_value double",
     )
 
 

@@ -62,6 +62,44 @@ def _normalize_timestamps(df: DataFrame) -> DataFrame:
 _scan_cache: dict[tuple[str, str, str], DataFrame] = {}
 
 
+def clear_scan_cache() -> None:
+    """Invalidate every cached analyzed scan (the catalog's REFRESH
+    TABLE). Needed only if files under an sf_dir are regenerated
+    mid-application — cached frames pin the relation's file listing,
+    so a regeneration would otherwise serve deleted/stale listings
+    (ADVICE r14)."""
+    _scan_cache.clear()
+
+
+def table_num_rows(sf_dir: str, name: str) -> int | None:
+    """Exact row count from parquet FOOTER metadata — zero Spark jobs.
+
+    This is the catalog-statistics read the regime guards document
+    ("the count is a parquet metadata read"): a production metastore
+    answers COUNT(*) bounds from table stats without scheduling a
+    scan. Returns None when the footprint cannot be read (caller
+    falls back to a real ``.count()`` job). Handles both a single
+    ``<name>.parquet`` file and a directory of part files."""
+    path = f"{sf_dir}/{name}.parquet"
+    try:
+        import pyarrow.parquet as pq  # noqa: PLC0415
+
+        if os.path.isfile(path):
+            return pq.ParquetFile(path).metadata.num_rows
+        if os.path.isdir(path):
+            total = 0
+            for root, _dirs, files in os.walk(path):
+                for f in files:
+                    if f.endswith(".parquet"):
+                        total += pq.ParquetFile(
+                            os.path.join(root, f)
+                        ).metadata.num_rows
+            return total
+        return None
+    except Exception:  # noqa: BLE001 — stats miss → caller runs count()
+        return None
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one testdata table. Parquet → full pushdown/pruning.
 

@@ -84,7 +84,6 @@ ALLOWED: dict[tuple[str, str], tuple[int, str]] = {
     ("plans/graph.py", "graph_2hop_features"): (2, "hub-capped adjacency (nodes×CAP) + direct-edge probe (nation-dim bounded) (r14)"),
     ("plans/graph.py", "graph_kcore"): (3, "survivor node set ×2 + coreness rollup: node-dimension frames, nation-dim bounded (r14)"),
     ("plans/graph.py", "capped_neighbor_lists"): (1, "degree table: node-dimension, nation-dim bounded (r14)"),
-    ("plans/extended.py", "_cand_doc_filter"): (1, "candidate-doc id set: ≤2× the LSH candidate volume, bounded by banded-LSH construction; one long per row (r14)"),
     # --- fixed-size sketch/filter structures --------------------------
     ("plans/bloom.py", "dedup_bloom_prefilter"): (2, "Bloom bit array (m=256 fixed) + ref hashes of a FILTERED slice (documented)"),
     ("operators/merge.py", "partial_update"): (1, "update batch (delta, bounded by ingest contract)"),

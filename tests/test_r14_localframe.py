@@ -61,9 +61,10 @@ def test_no_python_worker_in_scan(spark):
     ref = spark.createDataFrame([(1, "a")], "k int, v string")
     ref_lineage = ref.rdd.toDebugString().decode()
     assert "PythonRDD" in ref_lineage  # the anti-pattern we replace
-    # both show the scan; only the stock path carries a parallelized
-    # python-born partition set underneath the scan node
-    assert lineage.count("ParallelCollectionRDD") == 0
+    # the fast path's lineage may still contain a ParallelCollectionRDD
+    # (Spark parallelizes the serialized arrow batches JVM-side); the
+    # property that matters is that no Python worker sits in the scan
+    assert "PythonRDD" not in lineage
 
 
 def test_dict_rows_fall_back(spark):
@@ -79,8 +80,11 @@ def test_uncoercible_value_falls_back(spark):
         def __str__(self):
             return "w"
 
-    # pyarrow cannot coerce Weird() into a string column; the stock
-    # pickle path cannot either, so both raise — the contract is only
-    # that local_df's error equals the stock path's, not a new one
-    with pytest.raises(Exception):
-        local_df(spark, [(Weird(),)], "a string").collect()
+    # pyarrow cannot coerce Weird() into a string column, so the fast
+    # path must defer to the stock pickle path — whose permissive
+    # StringType verifier accepts the object. The contract is parity
+    # with the stock path's behavior, whatever that behavior is.
+    rows = [(Weird(),)]
+    fast = local_df(spark, rows, "a string").collect()
+    ref = spark.createDataFrame(rows, "a string").collect()
+    assert fast == ref
