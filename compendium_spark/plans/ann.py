@@ -746,32 +746,71 @@ def sim_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "cand_id", "in_single", quantize6(cos).alias("cosine"))
         .localCheckpoint(eager=True)
     )
-    mp5 = (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= RECALL_K)
-        .select(F.lit("lsh_multiprobe").alias("method"), "query_id", "cand_id")
+    # r15: BOTH method top-ks come out of ONE window pass. The two
+    # methods rank the same checkpointed frame under the same total
+    # order (cosine desc, cand_id — cand_id unique per query, so no
+    # ties); the single-probe rank is the RUNNING COUNT of in_single
+    # rows under that order, which for an in_single row equals its
+    # row_number over the filtered subset exactly. The old shape ran
+    # two separate windows (two exchanges + sorts over `scored`) and
+    # unioned; this emits (method) via an array filter + explode in
+    # the same projection — one exchange, one sort, identical rows.
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    m5 = (
+        scored.withColumn("rn_mp", F.row_number().over(w))
+        .withColumn(
+            "rn_sp",
+            F.sum(F.when(F.col("in_single"), 1).otherwise(0)).over(wrun),
+        )
+        .select(
+            "query_id",
+            "cand_id",
+            F.explode(
+                F.concat(
+                    F.when(
+                        F.col("rn_mp") <= RECALL_K,
+                        F.array(F.lit("lsh_multiprobe")),
+                    ).otherwise(F.array().cast("array<string>")),
+                    F.when(
+                        F.col("in_single") & (F.col("rn_sp") <= RECALL_K),
+                        F.array(F.lit("lsh_single")),
+                    ).otherwise(F.array().cast("array<string>")),
+                )
+            ).alias("method"),
+        )
+        .select("method", "query_id", "cand_id")
     )
-    sp5 = (
-        scored.filter("in_single")
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= RECALL_K)
-        .select(F.lit("lsh_single").alias("method"), "query_id", "cand_id")
-    )
-    m5 = mp5.unionByName(sp5)
     # candidate counts come off the CACHED scored frame — it is 1:1
     # with mp_cand and `in_single` marks exactly the sp_cand subset, so
     # the candidate-generation joins keep a single consumer each and
-    # never re-execute (round-9 shared-leg rework)
+    # never re-execute (round-9 shared-leg rework). r15: one grouped
+    # pass computes both methods' counts (count(*) = multiprobe,
+    # count_if(in_single) = single) and unpivots via explode — the
+    # old union of two aggregations exchanged `scored` twice.
     ncand = (
         scored.groupBy("query_id")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_candidates"))
-        .select(F.lit("lsh_multiprobe").alias("method"), "query_id", "n_candidates")
-        .unionByName(
-            scored.filter("in_single")
-            .groupBy("query_id")
-            .agg(F.count(F.lit(1)).cast("long").alias("n_candidates"))
-            .select(F.lit("lsh_single").alias("method"), "query_id", "n_candidates")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_mp"),
+            F.sum(F.when(F.col("in_single"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_sp"),
         )
+        .select(
+            "query_id",
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit("lsh_multiprobe").alias("method"),
+                        F.col("n_mp").alias("n_candidates"),
+                    ),
+                    F.struct(
+                        F.lit("lsh_single").alias("method"),
+                        F.col("n_sp").alias("n_candidates"),
+                    ),
+                )
+            ).alias("mc"),
+        )
+        .select("mc.method", "query_id", "mc.n_candidates")
     )
     hits = (
         m5.join(ex5, ["query_id", "cand_id"])

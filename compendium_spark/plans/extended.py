@@ -23,6 +23,8 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -751,22 +753,65 @@ def _dot_unrolled(a: Column, b: Column, dim: int = EMB_DIM) -> Column:
     return out
 
 
+# Bytes of embedding payload per spread partition. Each spread
+# partition feeds one task of the Arrow bucket/assign kernels, and a
+# task's fixed cost is the JVM↔Python worker roundtrip (~60–100 ms
+# measured r15); a quarter-MB of 64-dim vectors (~500 rows) is the
+# point where kernel compute amortizes that roundtrip. Scale-adaptive
+# by construction: the width grows with the table (capped at core
+# count) and the repartition disappears entirely once the scan's own
+# splits reach it (the 100 TB case — thousands of natural splits).
+EMB_SPREAD_BYTES = int(
+    os.environ.get("SPARK_GRAFT_EMB_SPREAD_BYTES", str(256 * 1024))
+)
+
+
+def _emb_spread_parts(spark: SparkSession, sf_dir: str) -> int | None:
+    """Spread width for the embeddings scan, derived from INPUT SIZE
+    (r15; guide §2 "make partitioning scale-adaptive — derive from
+    input size — rather than a constant tuned for local mode or the
+    cluster"). None = skip the repartition: the scan's natural splits
+    (on-disk bytes / maxPartitionBytes) already meet the target."""
+    from compendium_spark.tables import _on_disk_bytes  # noqa: PLC0415
+
+    par = spark.sparkContext.defaultParallelism
+    try:
+        b = _on_disk_bytes(f"{sf_dir}/embeddings.parquet")
+    except OSError:
+        return par  # unknown footprint: keep the conservative spread
+    target = max(1, min(par, -(-b // EMB_SPREAD_BYTES)))
+    mpb = 128 * 1024 * 1024  # spark.sql.files.maxPartitionBytes default
+    if b // mpb >= target:
+        return None
+    return target
+
+
 def _load_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """embeddings, spread across cores.
+    """embeddings, spread across cores — width derived from input size.
 
     The testdata table is one parquet file → one input split → every
-    downstream dot product on one core. Repartition on vec_id to
-    defaultParallelism; at 100 TB the source has thousands of splits
-    and this becomes a no-op to remove (see _doc_shingles).
+    downstream dot product and Arrow kernel on one core; unspread this
+    measured 23.7 s vs 19.1 s over 12 embedding plans at sf0.1 (r15).
+    But a blanket repartition to defaultParallelism over-spreads a
+    tiny table — 32 kernel tasks of ~60 rows each pay 32 Python
+    roundtrips for sub-ms of compute apiece (the r14 profile's
+    run≫cpu signature: 133 tasks / 17 s task-wall / 1.2 s CPU in
+    sim_range_search). r15: _emb_spread_parts sizes the width from
+    on-disk bytes (~256 KB/partition, env-overridable), caps it at
+    core count, and skips the repartition once the scan's natural
+    splits cover it — at 100 TB the source has thousands of splits
+    and the exchange vanishes, exactly as before, just mechanically.
+    Measured at sf0.1 (width 4 vs 32, min-of-3 over the 12 embedding
+    plans): 20.6 → 19.1 s, train_ivf_centroids 1.59 → 0.87 s.
     A dim mismatch cannot pass silently: with ANSI mode on,
     element_at past the array end errors, and a longer real dim makes
     the oracle (which always folds the full list) disagree.
     """
     emb = load(spark, sf_dir, "embeddings")
-    par = spark.sparkContext.defaultParallelism
-    return emb.repartition(par, "vec_id").select(
-        "vec_id", _as_double("embedding").alias("e")
-    )
+    parts = _emb_spread_parts(spark, sf_dir)
+    if parts is not None:
+        emb = emb.repartition(parts, "vec_id")
+    return emb.select("vec_id", _as_double("embedding").alias("e"))
 
 
 COSINE_TOPK_SQL = """
