@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from compendium_spark.functions.numeric import quantize6
+from compendium_spark.localframe import local_df
 from compendium_spark.plans.registry import plan
 from compendium_spark.tables import load, maybe_broadcast
 
@@ -624,40 +625,50 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     # survival via the appended `nodes` frame.
     survivors = [nodes]
     e = und
-    n_edges = e.count()
     for k in range(2, KCORE_MAX_K + 1):
         for _ in range(KCORE_SPARK_ROUND_CAP):
-            deg = (
+            # r15: the round's ONLY job is the degree collect. The
+            # degree table is node-dimension (nation-bounded at every
+            # SF — the same boundedness argument the r14 broadcasts
+            # stated), so collecting it is bounded driver work, and it
+            # doubles as (a) the convergence vote — no endpoint
+            # dropped ⟺ the peel filter keeps every edge ⟺ the old
+            # n2 == n_edges count — and (b) the survivor-id literal
+            # for the peel filter. The r14 shape spent ~3 extra stage
+            # jobs per round materializing two broadcast probes and a
+            # separate convergence count (53 jobs / 0.6 CPU-s / 46 KB
+            # shuffle profiled — pure job-floor); survivor selection
+            # over ≤nation-dim rows is driver arithmetic, while the
+            # degree aggregation — the per-round DATA work — stays
+            # distributed. The collect also materializes the previous
+            # round's lazy checkpoint, preserving the round barrier
+            # the module docstring requires (bounded lineage).
+            rows = (
                 e.select(F.col("a").alias("node"))
                 .unionAll(e.select(F.col("b").alias("node")))
                 .groupBy("node")
                 .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+                .collect()
             )
-            s = deg.filter(F.col("deg") >= k).select("node")
-            # survivor set is node-dimension (bounded by the nation
-            # dim at every SF): broadcast both semi-filter probes
-            # (guide §3.1) so the round's only exchange is the degree
-            # aggregate. The round barrier the docstring requires is
-            # the count() right below — checkpoint LAZILY and let the
-            # count materialize it, one driver job per round instead
-            # of eager-checkpoint + count (r14 measured: 82 → 58 jobs,
-            # wall 5.3 → 3.9 s, CPU 1.5 → 0.95 s at sf0.1).
-            e2 = (
-                e.join(F.broadcast(s.withColumnRenamed("node", "a")), "a")
-                .join(F.broadcast(s.withColumnRenamed("node", "b")), "b")
+            s_ids = sorted(str(r.node) for r in rows if r.deg >= k)
+            if len(s_ids) == len(rows):
+                break  # converged: nothing peeled, e unchanged
+            if s_ids:
+                keep = F.col("a").isin(s_ids) & F.col("b").isin(s_ids)
+            else:  # every node peeled at once — empty k-core
+                keep = F.lit(False)
+            e = (
+                e.filter(keep)
                 .select("a", "b")
                 .localCheckpoint(eager=False)
             )
-            n2 = e2.count()
-            converged = n2 == n_edges
-            e, n_edges = e2, n2
-            if converged:
-                break
         else:  # pragma: no cover — data would need a >cap cascade
             raise RuntimeError(
                 f"k-core peel exceeded {KCORE_SPARK_ROUND_CAP} rounds at k={k}"
             )
-        survivors.append(s)
+        survivors.append(
+            local_df(spark, [(n,) for n in s_ids], "node string")
+        )
     surv = survivors[0]
     for frame in survivors[1:]:
         surv = surv.unionAll(frame)

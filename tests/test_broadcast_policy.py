@@ -82,7 +82,7 @@ ALLOWED: dict[tuple[str, str], tuple[int, str]] = {
     ("plans/graph.py", "graph_pagerank"): (3, "rank/out-weight/contribution state: node-dimension frames, nation dim = 25 rows at every SF (r14)"),
     ("plans/graph.py", "graph_triangle_count"): (2, "closure probe sides of the nation-dim undirected edge list (≤ 25·24/2 rows) (r14)"),
     ("plans/graph.py", "graph_2hop_features"): (2, "hub-capped adjacency (nodes×CAP) + direct-edge probe (nation-dim bounded) (r14)"),
-    ("plans/graph.py", "graph_kcore"): (3, "survivor node set ×2 + coreness rollup: node-dimension frames, nation-dim bounded (r14)"),
+    ("plans/graph.py", "graph_kcore"): (1, "coreness rollup: node-dimension frame, nation-dim bounded (r14; r15 moved the survivor probes to a collected isin literal)"),
     ("plans/graph.py", "capped_neighbor_lists"): (1, "degree table: node-dimension, nation-dim bounded (r14)"),
     # --- fixed-size sketch/filter structures --------------------------
     ("plans/bloom.py", "dedup_bloom_prefilter"): (2, "Bloom bit array (m=256 fixed) + ref hashes of a FILTERED slice (documented)"),
