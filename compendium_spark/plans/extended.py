@@ -2132,10 +2132,15 @@ def emb_dedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = _load_embeddings(spark, sf_dir)
-    n_vec = emb.count()  # 1-row driver bound — selects the L knob only
+    # L knob from parquet footer stats (zero Spark jobs; same exact
+    # count), falling back to a count job when stats are unreadable
+    _meta_n = table_num_rows(sf_dir, "embeddings")
+    n_vec = _meta_n if _meta_n is not None else emb.count()
     n_tables = adaptive_n_tables(n_vec)
     n = emb.withColumn("nrm", F.sqrt(_dot_unrolled(F.col("e"), F.col("e"))))
-    ent = bucket_entries(emb, n_tables)
+    # ent feeds both self-join legs: lazy checkpoint so the bucket
+    # kernel runs once, not per leg (r15, the sim_lsh_topk pattern)
+    ent = bucket_entries(emb, n_tables).localCheckpoint(eager=False)
     a = ent.select(F.col("vec_id").alias("vec_a"), "tbl", "bucket")
     b = ent.select(F.col("vec_id").alias("vec_b"), "tbl", "bucket")
     cand = (

@@ -318,7 +318,12 @@ def sim_frontier_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     # --- lsh leg: first-collision table as the nested rank -----------
-    entries = bucket_entries(emb, max(LSH_SWEEP))
+    # entries feeds the query leg AND the corpus join leg: lazy
+    # checkpoint so the bucket kernel runs once (r15, the sim_lsh_topk
+    # pattern)
+    entries = bucket_entries(emb, max(LSH_SWEEP)).localCheckpoint(
+        eager=False
+    )
     qh = entries.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), "tbl", "bucket"
     )
