@@ -43,17 +43,44 @@ def test_ledger_well_formed():
         ), name
 
 
-def test_every_stale_plan_is_inside_the_window():
+def test_every_stale_plan_is_inside_the_window_or_declared_overflow():
     """The executable form of the round invariant: any plan whose
     driver-green row predates its current code sits in the 50-plan
-    prefix the gate samples — CI-enforced, not comment-enforced."""
+    prefix the gate samples — CI-enforced, not comment-enforced.
+    The single escape hatch (r15): when the stale set itself exceeds
+    the slot count, a stale plan may instead be DECLARED in
+    tools/gate_overflow.json with its local-verification evidence; an
+    undeclared stale plan outside the window is still a failure, and
+    the overflow is ignored entirely while the window has room."""
     gl = _gl()
     from compendium_spark.plans import all_plans
 
     stale = gl.stale_plans()
     window = set(list(all_plans())[: gl.WINDOW])
-    outside = sorted(set(stale) - window)
+    allowed = set(gl.overflow()) if len(stale) > gl.WINDOW else set()
+    outside = sorted(set(stale) - window - allowed)
     assert not outside, f"stale plans outside the gate window: {outside}"
+
+
+def test_overflow_entries_are_stale_reasoned_and_minimal():
+    """The overflow file may only defer plans that ARE stale, each with
+    a non-empty evidence string, and only as many as the window cannot
+    hold — it must not become a parking lot that shrinks gate coverage
+    below 50 re-greens when slots exist."""
+    gl = _gl()
+    ovf = gl.overflow()
+    if not ovf:
+        return
+    stale = gl.stale_plans()
+    for name, reason in ovf.items():
+        assert name in stale, f"overflow entry {name} is not stale"
+        assert isinstance(reason, str) and len(reason) > 20, name
+    assert len(stale) > gl.WINDOW, (
+        "overflow declared while the stale set fits the window"
+    )
+    assert len(stale) - len(ovf) <= gl.WINDOW, (
+        "overflow still leaves more stale plans than slots"
+    )
 
 
 def test_rows_only_plans_are_not_flagged():
@@ -103,9 +130,12 @@ def test_window_file_is_the_registry_prefix():
     gl = _gl()
     from compendium_spark.plans import all_plans
 
-    window = json.loads(
-        (REPO / "tools" / "gate_window.json").read_text()
-    )["window"]
+    wf = json.loads((REPO / "tools" / "gate_window.json").read_text())
+    window = wf["window"]
     assert len(window) == gl.WINDOW
     assert list(all_plans())[: gl.WINDOW] == window
-    assert set(gl.stale_plans()) <= set(window)
+    stale = gl.stale_plans()
+    allowed = set(gl.overflow()) if len(stale) > gl.WINDOW else set()
+    assert set(stale) - allowed <= set(window)
+    # the window file's own record of what was deferred must match
+    assert set(wf.get("overflow", [])) == set(stale) & allowed

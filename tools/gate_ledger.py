@@ -48,6 +48,7 @@ from pathlib import Path
 REPO = Path(__file__).resolve().parent.parent
 LEDGER = REPO / "tools" / "gate_ledger.json"
 WINDOW_FILE = REPO / "tools" / "gate_window.json"
+OVERFLOW_FILE = REPO / "tools" / "gate_overflow.json"
 WINDOW = 50  # driver gate samples this many plans off the registry front
 # excluded from the helper-closure fingerprint — see _closure_source
 INFRA_MODULES = {
@@ -223,43 +224,84 @@ def cmd_check() -> int:
     return 1
 
 
+def overflow() -> dict[str, str]:
+    """plan -> reason, from tools/gate_overflow.json. The declared
+    escape hatch for the one situation the window cannot satisfy: MORE
+    stale plans than slots (a shared-helper edit late in a round can
+    fingerprint-flag half a family at once). An overflow entry says
+    "this plan's only change is one a gate sample of its siblings
+    exercises identically, and its own output was re-verified against
+    the oracle locally at every SF" — the reason string must name that
+    evidence. Consulted ONLY when stale > WINDOW; with a free slot,
+    every stale plan goes in the window and the file is ignored."""
+    if OVERFLOW_FILE.exists():
+        data = json.loads(OVERFLOW_FILE.read_text())
+        return {k: v for k, v in data.items() if not k.startswith("_")}
+    return {}
+
+
 def cmd_window() -> int:
     """Compose and persist the next gate window: stale plans first
     (they NEED a green row), then the oldest-green canaries to fill
-    the 50 slots. Deterministic given the ledger + tree."""
+    the 50 slots. Deterministic given the ledger + tree. When the
+    stale set exceeds the slot count, the declared overflow (see
+    ``overflow``) names which stale plans yield their slot — and only
+    then; the composition errors rather than silently dropping one."""
     plans = _registry()
     ledger = _load()
     stale = stale_plans()
     window = sorted(stale)
+    dropped: list[str] = []
     if len(window) > WINDOW:
-        print(
-            f"ERROR: {len(window)} stale plans exceed the {WINDOW}-slot "
-            "window — re-green some locally or split across rounds"
-        )
-        return 1
+        ovf = overflow()
+        bogus = sorted(set(ovf) - set(stale))
+        if bogus:
+            print(f"ERROR: overflow entries not stale: {bogus}")
+            return 1
+        window = sorted(set(stale) - set(ovf))
+        dropped = sorted(set(stale) & set(ovf))
+        if len(window) > WINDOW:
+            print(
+                f"ERROR: {len(window)} stale plans after overflow still "
+                f"exceed the {WINDOW}-slot window — extend "
+                f"{OVERFLOW_FILE.name} (with local-parity evidence) or "
+                "split across rounds"
+            )
+            return 1
     canaries = sorted(
         (n for n in plans if n in ledger and n not in stale),
         key=lambda n: (ledger[n]["round"], n),
     )
     window += canaries[: WINDOW - len(window)]
+    n_stale_in = len(stale) - len(dropped)
     WINDOW_FILE.write_text(
         json.dumps(
             {
                 "_comment": (
                     "Gate window (driver samples this prefix of the "
                     "registry). Composed by `gate_ledger.py window`: "
-                    f"{len(stale)} stale + "
-                    f"{len(window) - len(stale)} oldest-green canaries."
+                    f"{n_stale_in} stale + "
+                    f"{len(window) - n_stale_in} oldest-green canaries"
+                    + (
+                        f" ({len(dropped)} stale deferred to "
+                        f"{OVERFLOW_FILE.name})"
+                        if dropped
+                        else ""
+                    )
+                    + "."
                 ),
                 "window": window,
+                "overflow": dropped,
             },
             indent=1,
         )
         + "\n"
     )
     print(
-        f"wrote {WINDOW_FILE.name}: {len(stale)} stale + "
-        f"{len(window) - len(stale)} canaries (oldest green r"
+        f"wrote {WINDOW_FILE.name}: {n_stale_in} stale + "
+        f"{len(window) - n_stale_in} canaries"
+        + (f" + {len(dropped)} overflow (outside)" if dropped else "")
+        + " (oldest green r"
         f"{min((ledger[n]['round'] for n in window if n in ledger), default=0):02d})"
     )
     return 0
@@ -269,12 +311,17 @@ def cmd_window_audit() -> int:
     stale = stale_plans()
     window = list(_registry())[:WINDOW]
     outside = sorted(set(stale) - set(window))
+    ovf = overflow() if len(stale) > WINDOW else {}
     print(f"window: {len(window)} slots, {len(stale)} stale plan(s)")
-    if outside:
-        for name in outside:
+    bad = [n for n in outside if n not in ovf]
+    for name in outside:
+        if name in ovf:
+            print(f"OVERFLOW {name}: {ovf[name]}")
+        else:
             print(f"OUTSIDE-WINDOW {name}: {stale[name]}")
+    if bad:
         return 1
-    print("every stale plan is inside the promoted window")
+    print("every stale plan is inside the promoted window or declared overflow")
     return 0
 
 
