@@ -30,7 +30,7 @@ from compendium_spark.operators.expectations import (
     unique,
 )
 from compendium_spark.plans.registry import plan
-from compendium_spark.tables import load
+from compendium_spark.tables import load, spread_parts
 
 DQ_SQL = """
 WITH o AS (
@@ -353,8 +353,10 @@ def dq_schema_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB the source has thousands of splits and the repartition
     becomes a no-op to remove — the _doc_shingles rule.
     """
-    par = spark.sparkContext.defaultParallelism
-    ev = load(spark, sf_dir, "events").repartition(par)
+    parts = spread_parts(spark, sf_dir, "events")
+    ev = load(spark, sf_dir, "events")
+    if parts:
+        ev = ev.repartition(parts)
     nulls = {
         c: F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
         .cast("long")

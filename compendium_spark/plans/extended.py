@@ -31,7 +31,12 @@ from pyspark.sql import functions as F
 from compendium_spark.functions.numeric import quantize6
 from compendium_spark.localframe import local_df
 from compendium_spark.plans.registry import plan
-from compendium_spark.tables import load, maybe_broadcast, table_num_rows
+from compendium_spark.tables import (
+    load,
+    maybe_broadcast,
+    spread_parts,
+    table_num_rows,
+)
 
 # ---------------------------------------------------------------------------
 # exact-oracle regime guards (VERDICT r13 #2)
@@ -128,8 +133,12 @@ def _doc_shingles(
     """
     if docs is None:
         docs = load(spark, sf_dir, "documents")
-    par = spark.sparkContext.defaultParallelism
-    toks = docs.repartition(par, "doc_id").select(
+    # size-gated spread (tables.spread_parts): core-count width while
+    # the table is split-starved, mechanically skipped once the scan's
+    # natural splits reach core count — the "no-op to remove at 100 TB"
+    # these docstrings used to promise by hand
+    parts = spread_parts(spark, sf_dir, "documents")
+    toks = (docs.repartition(parts, "doc_id") if parts else docs).select(
         "doc_id", F.split(F.trim(F.col("text")), " +").alias("toks")
     )
     n = F.size("toks")
@@ -671,8 +680,8 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     (doc, pos) then (doc). All integer math.
     """
     docs = load(spark, sf_dir, "documents")
-    par = spark.sparkContext.defaultParallelism
-    tok = docs.repartition(par, "doc_id").select(
+    parts = spread_parts(spark, sf_dir, "documents")
+    tok = (docs.repartition(parts, "doc_id") if parts else docs).select(
         "doc_id", F.explode(_tokens()).alias("token")
     )
     pos = F.explode(F.sequence(F.lit(0), F.lit(15))).alias("pos")

@@ -24,7 +24,7 @@ from compendium_spark.operators.multimodal import (
     synth_encode_expr,
 )
 from compendium_spark.plans.registry import plan
-from compendium_spark.tables import load
+from compendium_spark.tables import load, spread_parts
 
 _TYPE_CASE = (
     "CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' "
@@ -34,8 +34,8 @@ _TYPE_CASE = (
 
 def _media(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
-    par = spark.sparkContext.defaultParallelism
-    return docs.repartition(par, "doc_id").select(
+    parts = spread_parts(spark, sf_dir, "documents")
+    return (docs.repartition(parts, "doc_id") if parts else docs).select(
         F.col("doc_id").alias("media_id"),
         F.expr(
             "CASE pmod(doc_id, 3) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' "

@@ -28,7 +28,7 @@ from compendium_spark.functions.numeric import (
 )
 from compendium_spark.localframe import local_df
 from compendium_spark.plans.registry import plan
-from compendium_spark.tables import load
+from compendium_spark.tables import load, spread_parts
 
 # ---------------------------------------------------------------------------
 # hashed-feature linear quality classifier
@@ -703,8 +703,8 @@ def _dsir_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     sum. Both DSIR plans divide/decorate this frame; no unordered
     float sum anywhere (the seasonal-decompose discipline)."""
     docs = load(spark, sf_dir, "documents")
-    par = spark.sparkContext.defaultParallelism
-    tok = docs.repartition(par, "doc_id").select(
+    parts = spread_parts(spark, sf_dir, "documents")
+    tok = (docs.repartition(parts, "doc_id") if parts else docs).select(
         "doc_id",
         "lang",
         F.explode(F.split(F.trim(F.lower(F.col("text"))), " +")).alias("token"),
@@ -966,8 +966,8 @@ def train_quality_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines before use, so partition ordering cannot move any value
     and both engines walk identical weights through every iteration."""
     docs = load(spark, sf_dir, "documents")
-    par = spark.sparkContext.defaultParallelism
-    tok = docs.repartition(par, "doc_id").select(
+    parts = spread_parts(spark, sf_dir, "documents")
+    tok = (docs.repartition(parts, "doc_id") if parts else docs).select(
         "doc_id",
         F.explode(F.split(F.trim(F.lower(F.col("text"))), " +")).alias("token"),
     )

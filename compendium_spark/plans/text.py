@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 from compendium_spark.functions.numeric import quantize6
 from compendium_spark.localframe import local_df
 from compendium_spark.plans.registry import plan
-from compendium_spark.tables import load, maybe_broadcast
+from compendium_spark.tables import load, maybe_broadcast, spread_parts
 
 KEEP_RE = "fast|merge|stream"
 TOSS_RE = "slow|error"
@@ -433,8 +433,8 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     scalar N joins as a broadcast literal, never a collect-loop.
     """
     docs = load(spark, sf_dir, "documents")
-    par = spark.sparkContext.defaultParallelism
-    tok = docs.repartition(par, "doc_id").select(
+    parts = spread_parts(spark, sf_dir, "documents")
+    tok = (docs.repartition(parts, "doc_id") if parts else docs).select(
         "doc_id",
         F.explode(F.split(F.trim(F.lower(F.col("text"))), " +")).alias("token"),
     )
@@ -516,8 +516,8 @@ def text_tfidf_log(spark: SparkSession, sf_dir: str) -> DataFrame:
     it when small), the scalar N broadcasts, WindowGroupLimit bounds
     the per-doc top-k."""
     docs = load(spark, sf_dir, "documents")
-    par = spark.sparkContext.defaultParallelism
-    tok = docs.repartition(par, "doc_id").select(
+    parts = spread_parts(spark, sf_dir, "documents")
+    tok = (docs.repartition(parts, "doc_id") if parts else docs).select(
         "doc_id",
         F.explode(F.split(F.trim(F.lower(F.col("text"))), " +")).alias("token"),
     )
@@ -1218,7 +1218,6 @@ def text_heaps_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     running sum over a 4-row frame. All counts exact BIGINTs; no
     float anywhere in the output."""
     docs = load(spark, sf_dir, "documents")
-    par = spark.sparkContext.defaultParallelism
     n_docs_total = docs.count()  # 1-row driver bound — rank thresholds
     # nested prefixes: doc rank < ceil(share * N); ranks are the dense
     # ingest order (fixture doc_ids are dense, but rank over doc_id is
@@ -1242,14 +1241,13 @@ def text_heaps_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rnk", F.row_number().over(Window.orderBy("doc_id")) - 1)
         .select("doc_id", share_expr.alias("share"))
     )
-    b = (
-        docs.select(
-            "doc_id",
-            F.split(F.trim(F.lower(F.col("text"))), " +").alias("toks"),
-        )
-        .join(ranks, "doc_id")
-        .repartition(par, "doc_id")
-    )
+    parts = spread_parts(spark, sf_dir, "documents")
+    b = docs.select(
+        "doc_id",
+        F.split(F.trim(F.lower(F.col("text"))), " +").alias("toks"),
+    ).join(ranks, "doc_id")
+    if parts:
+        b = b.repartition(parts, "doc_id")
     tok = b.select("share", F.explode("toks").alias("token"))
     first_seen = tok.groupBy("token").agg(F.min("share").alias("share"))
     d_doc = b.groupBy("share").agg(
@@ -1563,7 +1561,6 @@ def text_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd  # noqa: PLC0415
 
     docs = load(spark, sf_dir, "documents")
-    par = spark.sparkContext.defaultParallelism
     toks = F.split(F.trim(F.lower(F.col("text"))), " +")
     grams_arr = F.transform(
         F.sequence(F.lit(1), F.greatest(F.size(toks) - 2, F.lit(1))),
@@ -1571,10 +1568,12 @@ def text_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # repartition before the shingle transform: a single parquet file
     # arrives as ONE split locally, and the tokenize+slice scan is the
-    # plan's dominant linear cost — spread it across cores (at 100 TB
-    # many input splits make this a no-op shuffle to drop).
+    # plan's dominant linear cost — spread it across cores; the size
+    # gate (tables.spread_parts) drops the shuffle mechanically once
+    # the scan's natural splits reach core count.
+    parts = spread_parts(spark, sf_dir, "documents")
     hx = (
-        docs.repartition(par, "doc_id")
+        (docs.repartition(parts, "doc_id") if parts else docs)
         .filter(F.size(toks) >= 3)
         .select("source", F.explode(grams_arr).alias("g"))
         .select(

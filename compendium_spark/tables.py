@@ -151,6 +151,39 @@ def _on_disk_bytes(path: str) -> int:
     return total
 
 
+def spread_parts(spark: SparkSession, sf_dir: str, name: str) -> int | None:
+    """Width for the manual compute-spread repartition over ``name``,
+    or None when the repartition should be SKIPPED because the scan's
+    natural splits already provide it.
+
+    The testdata tables are one parquet file each, so a heavy
+    per-row stage (tokenize+shingle+md5, Arrow kernels) downstream of
+    a bare scan runs on ONE core; the plan files spread such scans to
+    ``defaultParallelism``. But that constant is a LOCAL-MODE fact: at
+    100 TB the same table scans as thousands of natural splits and the
+    unconditional repartition becomes a full shuffle of the corpus
+    that only REDUCES parallelism. The r14/r15 docstrings said "at
+    scale this is a no-op to remove" — by hand. This derives it
+    mechanically (guide §2: scale-adaptive partitioning, never a
+    constant tuned for local mode or the cluster): splits ≈ on-disk
+    bytes / maxPartitionBytes; once that reaches core count the
+    repartition vanishes. Below the threshold the width is exactly
+    ``defaultParallelism`` — the plan at every bench SF is
+    byte-identical to the constant it replaces (the r15 width-
+    narrowing probe measured 16/8 WORSE for shingle-heavy plans, so
+    the local width is deliberately untouched).
+    """
+    par = spark.sparkContext.defaultParallelism
+    try:
+        b = _on_disk_bytes(f"{sf_dir}/{name}.parquet")
+    except OSError:
+        return par  # unknown footprint: keep the conservative spread
+    mpb = 128 * 1024 * 1024  # spark.sql.files.maxPartitionBytes default
+    if b // mpb >= par:
+        return None
+    return par
+
+
 def maybe_broadcast(
     spark: SparkSession, sf_dir: str, name: str, df: DataFrame | None = None
 ) -> DataFrame:
