@@ -4,7 +4,7 @@ For each named plan: run it ``--reps`` times (min taken) under BOTH the
 bench action (``.count()``) and the guide §1.4 noop sink (computes every
 column, isolates computation from the sink), label the jobs so a UI /
 event-log reader can attribute stages, and optionally dump
-``explain('formatted')`` to ``plans/r14/<name>_<tag>.txt``.
+``explain('formatted')`` to ``plans/r15/<name>_<tag>.txt``.
 
 Usage:
     python tools/opt_profile.py --plans a,b,c [--reps 3] [--explain-tag before]
@@ -30,7 +30,7 @@ def main() -> int:
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
     ap.add_argument("--explain-tag", default="",
-                    help="if set, write plans/r14/<name>_<tag>.txt")
+                    help="if set, write plans/r15/<name>_<tag>.txt")
     ap.add_argument("--noop", action="store_true",
                     help="also time the noop-sink action")
     args = ap.parse_args()
@@ -62,7 +62,7 @@ def main() -> int:
     )
 
     out_dir = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r14"
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r15"
     )
     if args.explain_tag:
         os.makedirs(out_dir, exist_ok=True)
